@@ -1,13 +1,211 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * `queries` keys correspond 1:1 to SURVEY.md §2's operator inventory;
+  * `oracleSql` holds the DuckDB-equivalent SQL for each hash-compared
+  * entry (rows-only entries are intentionally absent from `oracleSql`).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q03ShippingPriority(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"   -> Relational.q01PricingSummary _,
+    "q02_filter_project"    -> Relational.q02FilterProject _,
+    "q03_shipping_priority" -> Relational.q03ShippingPriority _,
+    "q04_order_priority"    -> Relational.q04OrderPriority _,
+    "q05_local_supplier"    -> Relational.q05LocalSupplier _,
+    "q06_forecast_revenue"  -> Relational.q06ForecastRevenue _,
+    "q07_no_order_customers" -> Relational.q07NoOrderCustomers _,
+    "q08_topk_orders"       -> Relational.q08TopkOrders _,
+    "q09_window_rank"       -> Relational.q09WindowRank _,
+    "q10_window_running"    -> Relational.q10WindowRunning _,
+    "q11_distinct_agg"      -> Relational.q11DistinctAgg _,
+    "q12_conditional_agg"   -> Relational.q12ConditionalAgg _,
+    "q13_order_histogram"   -> Relational.q13OrderHistogram _,
+    "q14_above_avg_parts"   -> Relational.q14AboveAvgParts _,
+    "q15_union_segments"    -> Relational.q15UnionSegments _,
+    "q16_rollup_sales"      -> Relational.q16RollupSales _,
+    "q17_cube_sales"        -> Relational.q17CubeSales _,
+    "q18_pivot_status"      -> Relational.q18PivotStatus _,
+    "q19_exists_big_orders" -> Relational.q19ExistsBigOrders _,
+    "q20_string_ops"        -> Relational.q20StringOps _,
+    "q21_monthly_revenue"   -> Relational.q21MonthlyRevenue _,
+    "q22_multi_sort"        -> Relational.q22MultiSort _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice*(1-l_discount),2) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_discount > 0.08 AND l_quantity >= 45""".stripMargin,
+
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_local_supplier" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q07_no_order_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""".stripMargin,
+
+    "q08_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q09_window_rank" ->
+      """SELECT * FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "q10_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+        |FROM orders""".stripMargin,
+
+    "q11_distinct_agg" ->
+      """SELECT c_mktsegment,
+        | count(DISTINCT c_nationkey) AS n_nations,
+        | count(*) AS n_customers,
+        | round(sum(c_acctbal),2) AS total_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q12_conditional_agg" ->
+      """SELECT l_returnflag,
+        | count(CASE WHEN l_quantity > 25 THEN 1 END) AS high_qty,
+        | count(CASE WHEN l_quantity <= 25 THEN 1 END) AS low_qty,
+        | round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0.0 END),2)
+        |   AS high_revenue
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q13_order_histogram" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q14_above_avg_parts" ->
+      """SELECT p_partkey, p_name, round(p_retailprice,2) AS p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)""".stripMargin,
+
+    "q15_union_segments" ->
+      """SELECT 'high' AS tier, o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice),2) AS total
+        |FROM orders WHERE o_totalprice > 400000 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'low' AS tier, o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice),2) AS total
+        |FROM orders WHERE o_totalprice < 50000 GROUP BY o_orderstatus""".stripMargin,
+
+    "q16_rollup_sales" ->
+      """SELECT coalesce(n_name,'ALL') AS n_name,
+        | coalesce(c_mktsegment,'ALL') AS c_mktsegment,
+        | count(*) AS cnt, round(sum(c_acctbal),2) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)""".stripMargin,
+
+    "q17_cube_sales" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS o_orderstatus,
+        | coalesce(o_orderpriority,'ALL') AS o_orderpriority,
+        | count(*) AS cnt, round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q18_pivot_status" ->
+      """SELECT c_mktsegment,
+        | count(CASE WHEN o_orderstatus='O' THEN 1 END) AS cnt_o,
+        | count(CASE WHEN o_orderstatus='F' THEN 1 END) AS cnt_f,
+        | count(CASE WHEN o_orderstatus='P' THEN 1 END) AS cnt_p
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q19_exists_big_orders" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_totalprice > (SELECT avg(o_totalprice)*1.5 FROM orders))""".stripMargin,
+
+    "q20_string_ops" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        | substr(p_name,1,8) AS name8,
+        | p_type || '#' || p_brand AS typetag,
+        | length(p_name) AS name_len,
+        | regexp_extract(p_name, '[a-z]+') AS first_word
+        |FROM part WHERE p_name LIKE '%a%'""".stripMargin,
+
+    "q21_monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q22_multi_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+  )
 }

@@ -1,0 +1,266 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational / OLAP core (SURVEY.md §2). Every method is a pure plan
+  * builder `(SparkSession, sfDir) => DataFrame` — lazy, no actions, no
+  * driver-side data. Dimension tables are broadcast explicitly; fact-fact
+  * joins shuffle once on the join key and rely on AQE for runtime
+  * coalescing/skew handling.
+  *
+  * Aggregates over doubles are rounded to 2 decimals in both the Spark
+  * plan and the DuckDB oracle so that summation-order noise (~1e-10)
+  * cannot flip the comparison hash.
+  */
+object Relational {
+
+  private def ts(lit0: String) = to_timestamp(lit(lit0))
+
+  /** q01: group-by multi-aggregate with map-side partial aggregation.
+    * Scales: partial agg means shuffle carries |groups| rows per
+    * partition, not |lineitem|. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("2001-09-01 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** q02: selective filter + narrow projection — both must reach the
+    * parquet scan (PushedFilters / ReadSchema in explain). */
+  def q02FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1999-01-01 00:00:00") &&
+              col("l_discount") > 0.08 && col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"))
+
+  /** q03: customer ⋈ orders ⋈ lineitem, agg, deterministic top-10.
+    * customer side is small relative to facts → broadcast; the
+    * orders⋈lineitem join shuffles on orderkey. Top-k is
+    * TakeOrderedAndProject (per-partition partial top-k, no full sort). */
+  def q03ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"),
+        round(col("revenue"), 2).as("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q04: EXISTS as left-semi join + agg. */
+  def q04OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** q05: 6-way star join. region/nation/supplier are tiny → broadcast;
+    * the only shuffles are orders⋈lineitem on orderkey and the final agg. */
+  def q05LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, d)
+    val sup = Tables.supplier(s, d)
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val li = Tables.lineitem(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** q06: selective scan → scalar aggregate (single-row result). */
+  def q06ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+              col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** q07: NOT EXISTS as left-anti join (customers inactive since 2000). */
+  def q07NoOrderCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** q08: global top-k with deterministic tie-break →
+    * TakeOrderedAndProject, never a full sort. */
+  def q08TopkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** q09: ranking window per customer. */
+  def q09WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  /** q10: running (cumulative) window aggregate per customer. */
+  def q10WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+  }
+
+  /** q11: exact distinct aggregation (expands to two-phase agg). */
+  def q11DistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+
+  /** q12: CASE-WHEN conditional aggregation. */
+  def q12ConditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("l_quantity") > 25, 1)).as("high_qty"),
+        count(when(col("l_quantity") <= 25, 1)).as("low_qty"),
+        round(sum(when(col("l_quantity") > 25, col("l_extendedprice"))
+          .otherwise(lit(0.0))), 2).as("high_revenue"))
+
+  /** q13: two-level aggregation including zero-order customers
+    * (left outer join before the first agg). */
+  def q13OrderHistogram(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+  }
+
+  /** q14: scalar subquery — global average joined back as broadcast. */
+  def q14AboveAvgParts(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val avgPrice = p.agg(avg(col("p_retailprice")).as("avg_price"))
+    p.join(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select(col("p_partkey"), col("p_name"),
+        round(col("p_retailprice"), 2).as("p_retailprice"))
+  }
+
+  /** q15: UNION ALL of two filtered aggregates. */
+  def q15UnionSegments(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val high = o.filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .withColumn("tier", lit("high"))
+    val low = o.filter(col("o_totalprice") < 50000)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .withColumn("tier", lit("low"))
+    high.unionByName(low).select(col("tier"), col("o_orderstatus"), col("cnt"), col("total"))
+  }
+
+  /** q16: ROLLUP grouping sets (nulls coalesced for stable compare). */
+  def q16RollupSales(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("c_mktsegment"),
+        col("cnt"), col("total_bal"))
+
+  /** q17: CUBE grouping sets. */
+  def q17CubeSales(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("cnt"), col("total"))
+
+  /** q18: pivot (wide conditional aggregation over order status). */
+  def q18PivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("c_mktsegment"),
+        coalesce(col("O"), lit(0L)).as("cnt_o"),
+        coalesce(col("F"), lit(0L)).as("cnt_f"),
+        coalesce(col("P"), lit(0L)).as("cnt_p"))
+
+  /** q19: EXISTS against a scalar-subquery threshold (customers holding
+    * at least one order above 1.5× the global mean price). */
+  def q19ExistsBigOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val thr = o.agg((avg(col("o_totalprice")) * 1.5).as("thr"))
+    val bigOrders = o.join(broadcast(thr))
+      .filter(col("o_totalprice") > col("thr"))
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** q20: string function battery (codegen'd, no UDFs). */
+  def q20StringOps(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        concat(col("p_type"), lit("#"), col("p_brand")).as("typetag"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_name"), "[a-z]+", 0).as("first_word"))
+
+  /** q21: event-time bucketing to calendar month. */
+  def q21MonthlyRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+
+  /** q22: multi-column sort with limit and deterministic tie-break. */
+  def q22MultiSort(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+      .orderBy(col("l_returnflag").asc, col("l_quantity").desc,
+        col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+}
