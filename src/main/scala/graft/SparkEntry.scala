@@ -37,6 +37,13 @@ object SparkEntry {
     "q20_string_ops"        -> Relational.q20StringOps _,
     "q21_monthly_revenue"   -> Relational.q21MonthlyRevenue _,
     "q22_multi_sort"        -> Relational.q22MultiSort _,
+    "ev01_tumbling_counts"  -> Events.ev01TumblingCounts _,
+    "ev02_sessionize"       -> Events.ev02Sessionize _,
+    "ev03_funnel"           -> Events.ev03Funnel _,
+    "ev04_retention"        -> Events.ev04Retention _,
+    "ev05_json_props"       -> Events.ev05JsonProps _,
+    "ev06_asof_join"        -> Events.ev06AsofJoin _,
+    "ev07_event_dedup"      -> Events.ev07EventDedup _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -207,5 +214,73 @@ object SparkEntry {
         |FROM lineitem
         |ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey, l_linenumber
         |LIMIT 100""".stripMargin,
+
+    "ev01_tumbling_counts" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        | event_type, count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev02_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM x)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+        |  CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS session_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "ev03_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id AS u, min(e.ts) AS p_ts
+        |       FROM events e JOIN su ON e.user_id = su.user_id AND e.ts >= su.s_ts
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT count(*) AS n_signup, count(p_ts) AS n_converted
+        |FROM su LEFT JOIN pu ON su.user_id = pu.u""".stripMargin,
+
+    "ev04_retention" ->
+      """WITH f AS (SELECT user_id,
+        |             CAST(min(date_trunc('day', ts)) AS DATE) AS cohort
+        |           FROM events GROUP BY 1)
+        |SELECT cohort,
+        |  CAST(date_diff('day', cohort, CAST(date_trunc('day', e.ts) AS DATE)) AS INTEGER)
+        |    AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "ev05_json_props" ->
+      """SELECT CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 10 AS k_bucket,
+        | count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "ev06_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        | CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS p_ts,
+        | CAST(date_trunc('second', max(v.ts)) AS TIMESTAMP) AS prior_view_ts
+        |FROM events p LEFT JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin,
+
+    "ev07_event_dedup" ->
+      """SELECT user_id, event_type,
+        | CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
+        | min(event_id) AS keep_id, count(*) AS n_dups
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
   )
 }

@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event / time-series operators (SURVEY.md §2). All plans are
+  * shuffle-minimal: everything that needs per-user ordering
+  * (sessionize, funnel, as-of) partitions by `user_id` ONCE and runs
+  * the whole chain of window functions inside that single exchange —
+  * at 100 TB the sort is per-user-partition, never global.
+  *
+  * Output timestamps are truncated to whole seconds on both the Spark
+  * and oracle side: the raw column is nanosecond-precision parquet,
+  * which Spark reads at microsecond precision while DuckDB keeps ns.
+  */
+object Events {
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  private def sec(c: String, as: String) =
+    date_trunc("second", col(c)).cast("timestamp").as(as)
+
+  /** ev01: tumbling 1-hour window aggregation over event time — the
+    * batch twin of streaming st01 (same `window()` operator). */
+  def ev01TumblingCounts(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").cast("timestamp").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** ev02: gap-based sessionization (30-minute inactivity gap). One
+    * shuffle on user_id; lag + cumulative-sum windows share the sort. */
+  def ev02Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_trunc("second", min(col("ts"))).cast("timestamp").as("session_start"),
+        date_trunc("second", max(col("ts"))).cast("timestamp").as("session_end"))
+  }
+
+  /** ev03: ordered conversion funnel signup → purchase. */
+  def ev03Funnel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_raw_ts"))
+    val converted = purchases
+      .join(signups, col("p_user") === col("user_id") && col("p_raw_ts") >= col("s_ts"))
+      .groupBy(col("user_id").as("u")).agg(min(col("p_raw_ts")).as("p_ts"))
+    signups.join(converted, col("user_id") === col("u"), "left_outer")
+      .agg(count(lit(1)).as("n_signup"), count(col("p_ts")).as("n_converted"))
+  }
+
+  /** ev04: cohort retention — users bucketed by first-seen day, counted
+    * on each later activity day offset. */
+  def ev04Retention(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val first = e.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).cast("date").as("cohort"))
+    e.join(first, Seq("user_id"))
+      .withColumn("day_offset",
+        datediff(date_trunc("day", col("ts")).cast("date"), col("cohort")))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  /** ev05: semi-structured JSON property extraction + aggregation.
+    * Spark side uses the native JSON path operator; the oracle uses a
+    * regex so it stays portable — values agree because props is the
+    * single-key object {"k": <int>}. */
+  def ev05JsonProps(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k_bucket", col("k") % 10)
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+
+  /** ev06: as-of join — for every purchase, the most recent strictly
+    * earlier `view` of the same user. Composed scalably: tag both
+    * streams, union, ONE shuffle+sort on (user_id, ts), then a
+    * last-ignoring-nulls window over the preceding frame. Never the
+    * quadratic per-key join a naive as-of would be at 100 TB. */
+  def ev06AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    views.unionByName(purch)
+      .withColumn("prior_view_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        sec("ts", "p_ts"),
+        date_trunc("second", col("prior_view_ts")).cast("timestamp").as("prior_view_ts"))
+  }
+
+  /** ev07: keep-first dedup for idempotent replay — collapse duplicate
+    * (user, type, minute) triples to the earliest event. */
+  def ev07EventDedup(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).cast("timestamp").as("bucket"))
+      .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+}
