@@ -44,6 +44,13 @@ object SparkEntry {
     "ev05_json_props"       -> Events.ev05JsonProps _,
     "ev06_asof_join"        -> Events.ev06AsofJoin _,
     "ev07_event_dedup"      -> Events.ev07EventDedup _,
+    "tx01_token_stats"      -> Text.tx01TokenStats _,
+    "tx02_quality_score"    -> Text.tx02QualityScore _,
+    "tx03_langid"           -> Text.tx03Langid _,
+    "tx04_fingerprint"      -> Text.tx04Fingerprint _,
+    "tx05_bigram_freq"      -> Text.tx05BigramFreq _,
+    "dd01_exact"            -> Dedup.dd01Exact _,
+    "dd04_ngram_jaccard"    -> Dedup.dd04NgramJaccard _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -282,5 +289,72 @@ object SparkEntry {
         | CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
         | min(event_id) AS keep_id, count(*) AS n_dups
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "tx01_token_stats" ->
+      """SELECT doc_id,
+        | len(string_split(trim(text),' ')) AS n_tokens,
+        | len(list_distinct(string_split(trim(text),' '))) AS n_distinct,
+        | length(text) AS n_text_chars
+        |FROM documents""".stripMargin,
+
+    "tx02_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text),' ') AS tk
+        |           FROM documents),
+        |x AS (SELECT doc_id,
+        |  len(tk) AS n_tokens,
+        |  len(list_filter(tk, s -> s IN ('the','a','of','and','to','in'))) AS stop_cnt,
+        |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS punct_cnt,
+        |  round(length(regexp_replace(trim(text), ' ', '', 'g')) * 1.0 / len(tk), 4)
+        |    AS avg_token_len
+        |  FROM t)
+        |SELECT doc_id, n_tokens, stop_cnt, punct_cnt, avg_token_len,
+        |  round(stop_cnt * 0.5 / n_tokens +
+        |    CASE WHEN n_tokens BETWEEN 5 AND 200 THEN 0.5 ELSE 0.0 END, 4) AS score
+        |FROM x""".stripMargin,
+
+    "tx03_langid" ->
+      """WITH x AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(trim(text),' '),
+        |      s -> s IN ('the','a','of','and','to','in'))) AS stop_cnt
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN stop_cnt >= 2 THEN 'en' ELSE 'unk' END AS pred_lang,
+        |  (CASE WHEN stop_cnt >= 2 THEN 'en' ELSE 'unk' END) = lang AS is_match
+        |FROM x""".stripMargin,
+
+    "tx04_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(string_split(trim(text),' '))), ' '))
+        |   AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "tx05_bigram_freq" ->
+      """WITH t AS (SELECT string_split(trim(text),' ') AS tk FROM documents
+        |           WHERE len(string_split(trim(text),' ')) >= 2),
+        |b AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |        i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM t)
+        |SELECT bigram, count(*) AS cnt FROM b GROUP BY 1
+        |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    "dd01_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash,
+        | min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dd04_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT d1, d2,
+        |        round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
+        |      FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
+        |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin,
   )
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines
+  * (SURVEY.md §2). Everything is per-row and codegen'd — no UDFs, no
+  * shuffles except the final frequency aggregations — so these scale
+  * linearly with the corpus and stay inside whole-stage codegen.
+  */
+object Text {
+
+  private[ops] val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  private[ops] def tokens: Column = split(trim(col("text")), " ")
+
+  /** tx01: tokenization + basic counting. */
+  def tx01TokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(tokens).as("n_tokens"),
+      size(array_distinct(tokens)).as("n_distinct"),
+      length(col("text")).as("n_text_chars"))
+
+  /** tx02: quality scoring from cheap lexical signals (stopword ratio,
+    * punctuation density, token-count band). */
+  def tx02QualityScore(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("tk", tokens)
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("stop_cnt",
+        size(filter(col("tk"), t => array_contains(stopArr, t))))
+      .withColumn("punct_cnt",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+      .withColumn("avg_token_len",
+        round(length(regexp_replace(trim(col("text")), " ", "")) * 1.0 / col("n_tokens"), 4))
+      .withColumn("score",
+        round(col("stop_cnt") * 0.5 / col("n_tokens") +
+          when(col("n_tokens").between(5, 200), 0.5).otherwise(0.0), 4))
+      .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
+        col("punct_cnt"), col("avg_token_len"), col("score"))
+  }
+
+  /** tx03: language-ID heuristic (stopword evidence) scored against the
+    * labeled `lang` column. */
+  def tx03Langid(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("stop_cnt",
+        size(filter(tokens, t => array_contains(stopArr, t))))
+      .withColumn("pred_lang",
+        when(col("stop_cnt") >= 2, "en").otherwise("unk"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).as("is_match"))
+  }
+
+  /** tx04: order-invariant document fingerprint — md5 over the sorted
+    * distinct token set; identical fingerprints ⇒ same bag of words. */
+  def tx04Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens)))).as("fingerprint"))
+
+  /** tx05: corpus-level bigram frequency, top-20. */
+  def tx05BigramFreq(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("tk", tokens)
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk)-1), i -> concat(element_at(tk, i), ' ', element_at(tk, i+1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+}
