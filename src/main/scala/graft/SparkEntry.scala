@@ -50,8 +50,41 @@ object SparkEntry {
     "tx04_fingerprint"      -> Text.tx04Fingerprint _,
     "tx05_bigram_freq"      -> Text.tx05BigramFreq _,
     "dd01_exact"            -> Dedup.dd01Exact _,
+    "dd02_minhash_lsh"      -> Dedup.dd02MinhashLsh _,
+    "dd03_simhash"          -> Dedup.dd03Simhash _,
     "dd04_ngram_jaccard"    -> Dedup.dd04NgramJaccard _,
+    "dd05_embed_neardup"    -> Dedup.dd05EmbedNeardup _,
+    "ss01_brute_topk"       -> Similarity.ss01BruteTopk _,
+    "ss02_lsh_topk"         -> Similarity.ss02LshTopk _,
   )
+
+  /** dd02's LSH+verify output is semantically identical to dd04's exact
+    * pair set (verification removes all false positives; 16-band recall
+    * at the planted J≈0.97 near-dups is ~1), so both share one oracle. */
+  private val ngramJaccardSql: String =
+    """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+      |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, len(tk)-1),
+      |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |       FROM t),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT d1, d2,
+      |        round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
+      |      FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
+      |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin
+
+  /** DuckDB replica of ss02's LSH bucket id: the same seed-42 planes
+    * inlined as list literals (sign noise at the 0-boundary is
+    * measure-zero for these data). */
+  private val lshBucketSqlExpr: String =
+    Similarity.planes.map { plane =>
+      val arr = plane.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(64), i -> embedding[i+1] * ($arr)[i+1])) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -341,20 +374,39 @@ object SparkEntry {
         | min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "dd04_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
-        |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         range(1, len(tk)-1),
-        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-        |       FROM t),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |j AS (SELECT d1, d2,
-        |        round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
-        |      FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
-        |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin,
+    "dd04_ngram_jaccard" -> ngramJaccardSql,
+    "dd02_minhash_lsh"   -> ngramJaccardSql,
+
+    "dd05_embed_neardup" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin,
+
+    "ss01_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT qid, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(qe, e.embedding) AS cos
+        |      FROM q, embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, neighbor_id,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos DESC, neighbor_id) AS rk
+        |      FROM c)
+        |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    "ss02_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $lshBucketSqlExpr AS bkt
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bkt
+         |      FROM e WHERE vec_id < 10),
+         |c AS (SELECT qid, e.vec_id AS neighbor_id,
+         |        list_cosine_similarity(qe, e.embedding) AS cos
+         |      FROM q JOIN e ON q.bkt = e.bkt AND e.vec_id != qid),
+         |r AS (SELECT qid, neighbor_id,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos DESC, neighbor_id) AS rk
+         |      FROM c)
+         |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
   )
 }

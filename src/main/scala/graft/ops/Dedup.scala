@@ -51,4 +51,94 @@ object Dedup {
       .filter(col("jaccard") >= 0.6)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
+
+  /** Exact Jaccard for a given candidate-pair set only — the verify
+    * step shared by the sketch-based dedupers. Joins shingles twice
+    * restricted to candidate docs, so cost ∝ |candidates|·|shingles per
+    * doc|, independent of corpus². */
+  private def verifiedJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("s"))
+    val b = sh.select(col("doc_id").as("d2"), col("s"))
+    val shared = cand.join(a, Seq("d1")).join(b, Seq("d2", "s"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("shared") * 1.0 / (col("n1") + col("n2") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** dd02: MinHash (k=32) + LSH banding (16 bands × 2 rows) →
+    * candidate pairs → exact-Jaccard verification. The oracle is the
+    * same SQL as dd04: with 16 bands, P(miss) at the 0.6 cutoff is
+    * <0.1% and the planted near-dups sit at J≈0.97, so LSH recall is
+    * exhaustive here while candidate generation stays O(near-dups) —
+    * this is the 100 TB dedup path.
+    */
+  def dd02MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val k = 32
+    val sh = shingles(s, d).cache()
+    val sigs = sh.groupBy(col("doc_id")).agg(
+      min(xxhash64(lit(0), col("s"))).as("m0"),
+      (1 until k).map(j => min(xxhash64(lit(j), col("s"))).as(s"m$j")): _*)
+    val bands = array((0 until 16).map(b =>
+      xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)
+    val buckets = sigs
+      .select(col("doc_id"), posexplode(bands).as(Seq("band_idx", "bucket")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    verifiedJaccard(sh, cand)
+  }
+
+  /** dd03: 64-bit SimHash near-dup candidates over trigram shingles.
+    * Signature = sign of the per-bit sum of xxhash64(shingle)
+    * contributions (64 conditional sums in ONE groupBy — single
+    * shuffle); banding on 4×16-bit slices; pairs kept when Hamming
+    * distance ≤ 12 (near-dups land low, random pairs center at 32).
+    * Not SQL-expressible (xxhash64) → rows-only + spec coverage.
+    */
+  def dd03Simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = shingles(s, d).withColumn("h", xxhash64(col("s")))
+    val bitSums = toks.groupBy(col("doc_id")).agg(
+      sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
+      (1 until 64).map(i =>
+        sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1)
+          .otherwise(-1)).as(s"b$i")): _*)
+    val sig = (0 until 64).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val signed = bitSums.select(col("doc_id"), sig.as("sig"))
+    val banded = signed.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+  }
+
+  /** dd05: embedding-cosine near-duplicates, blocked by `label` (the
+    * coarse cluster id) so the pairwise step is per-block, not corpus².
+    * Cosine runs in the codegen'd CosineSim expression.
+    */
+  def dd05EmbedNeardup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("label"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("label"))
+    a.join(b, Seq("label")).filter(col("v1") < col("v2"))
+      .filter(expr("cosine_sim(e1, e2)") >= 0.3)
+      .select(col("v1"), col("v2"), col("label"))
+  }
 }
