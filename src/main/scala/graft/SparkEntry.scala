@@ -56,6 +56,8 @@ object SparkEntry {
     "dd05_embed_neardup"    -> Dedup.dd05EmbedNeardup _,
     "ss01_brute_topk"       -> Similarity.ss01BruteTopk _,
     "ss02_lsh_topk"         -> Similarity.ss02LshTopk _,
+    "mm01_binary_meta"      -> Multimodal.mm01BinaryMeta _,
+    "mm02_frame_sample"     -> Multimodal.mm02FrameSample _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -77,14 +79,15 @@ object SparkEntry {
       |      FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
       |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin
 
-  /** DuckDB replica of ss02's LSH bucket id: the same seed-42 planes
+  /** DuckDB replica of ss02's LSH bucket ids: the same seed-42 planes
     * inlined as list literals (sign noise at the 0-boundary is
-    * measure-zero for these data). */
-  private val lshBucketSqlExpr: String =
-    Similarity.planes.map { plane =>
-      val arr = plane.mkString("[", ",", "]")
-      s"(CASE WHEN list_sum(list_transform(range(64), i -> embedding[i+1] * ($arr)[i+1])) >= 0 THEN '1' ELSE '0' END)"
-    }.mkString(" || ")
+    * measure-zero for these data). One expression per hash table. */
+  private def lshBucketSqlExpr(table: Int): String =
+    (table * Similarity.bitsPerTable until (table + 1) * Similarity.bitsPerTable)
+      .map { p =>
+        val arr = Similarity.planes(p).mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(range(64), i -> embedding[i+1] * ($arr)[i+1])) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -396,17 +399,32 @@ object SparkEntry {
         |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
 
     "ss02_lsh_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $lshBucketSqlExpr AS bkt
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${lshBucketSqlExpr(0)} AS b0,
+         |             ${lshBucketSqlExpr(1)} AS b1
          |           FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qe, bkt
+         |q AS (SELECT vec_id AS qid, embedding AS qe, b0 AS qb0, b1 AS qb1
          |      FROM e WHERE vec_id < 10),
-         |c AS (SELECT qid, e.vec_id AS neighbor_id,
-         |        list_cosine_similarity(qe, e.embedding) AS cos
-         |      FROM q JOIN e ON q.bkt = e.bkt AND e.vec_id != qid),
+         |c AS (SELECT DISTINCT qid, e.vec_id AS neighbor_id, qe, e.embedding AS emb
+         |      FROM q JOIN e ON (e.b0 = qb0 OR e.b1 = qb1) AND e.vec_id != qid),
          |r AS (SELECT qid, neighbor_id,
          |        row_number() OVER (PARTITION BY qid
-         |          ORDER BY cos DESC, neighbor_id) AS rk
+         |          ORDER BY list_cosine_similarity(qe, emb) DESC, neighbor_id) AS rk
          |      FROM c)
          |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    "mm01_binary_meta" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | sha256(text) AS content_hash,
+        | 'text/plain' AS mime
+        |FROM documents""".stripMargin,
+
+    "mm02_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text, unnest(range(n_chars % 5 + 1)) AS i
+        |           FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        | md5(text || '#' || CAST(i AS VARCHAR)) AS frame_hash
+        |FROM f""".stripMargin,
   )
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2): media payloads ride as
+  * opaque `binary` columns with typed metadata beside them; decoding /
+  * feature extraction runs batched per partition via `mapPartitions`.
+  * The actual codec step is STUBBED with a deterministic fake (no image
+  * or audio libraries in this environment) — the Spark-side contract
+  * (schema, encoders, partition-batched iteration, fan-out row shape)
+  * is real and tested.
+  */
+object Multimodal {
+
+  /** A document with its payload materialized as binary "media". */
+  case class MediaDoc(doc_id: Long, text: String, n_chars: Long)
+
+  /** One sampled "frame" produced by the (stubbed) decoder. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_hash: String)
+
+  /** mm01: binary payload + typed metadata. The payload column is
+    * opaque binary end-to-end; metadata (byte size, content hash,
+    * mime) is computed without ever deserializing on the driver. */
+  def mm01BinaryMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        sha2(col("payload"), 256).as("content_hash"),
+        lit("text/plain").as("mime"))
+
+  /** STUB decoder: stands in for an image/video codec. Deterministic:
+    * n_chars mod 5 + 1 "frames", each hashed from (text, index). A real
+    * deployment swaps only this function body for the codec call; the
+    * partition-batched iteration around it is unchanged. */
+  private def decodeFrames(doc: MediaDoc): Iterator[Frame] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nFrames = (doc.n_chars % 5 + 1).toInt
+    (0 until nFrames).iterator.map { i =>
+      md.reset()
+      val hex = md.digest(s"${doc.text}#$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Frame(doc.doc_id, i, hex)
+    }
+  }
+
+  /** mm02: decode → frame-sample fan-out over binary media. One
+    * `mapPartitions` pass — the decoder is invoked once per row inside
+    * the partition iterator (no per-row task or driver round-trip), and
+    * output rows stream out without materializing a partition in
+    * memory. */
+  def mm02FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs: Dataset[MediaDoc] =
+      Tables.documents(s, d).select(col("doc_id"), col("text"), col("n_chars")).as[MediaDoc]
+    docs.mapPartitions(_.flatMap(decodeFrames)).toDF()
+  }
+}

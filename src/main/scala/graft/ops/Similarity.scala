@@ -20,7 +20,8 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   private val dim = 64
-  private val nPlanes = 4
+  private[graft] val nPlanes = 8
+  private[graft] val bitsPerTable = 4
 
   /** Deterministic Gaussian hyperplanes (seed 42), inlined as SQL
     * literals so the same planes are reproducible in any engine. */
@@ -39,9 +40,10 @@ object Similarity {
     when(dot >= 0, lit("1")).otherwise(lit("0"))
   }
 
-  /** Sign-pattern LSH bucket id (nPlanes bits) for an embedding column. */
-  private[graft] def bucket(embCol: String): Column =
-    concat((0 until nPlanes).map(planeBit(_, embCol)): _*)
+  /** Sign-pattern bucket id for hash table `t` (bitsPerTable planes). */
+  private[graft] def bucket(embCol: String, t: Int): Column =
+    concat((t * bitsPerTable until (t + 1) * bitsPerTable)
+      .map(planeBit(_, embCol)): _*)
 
   /** ss01: exact brute-force cosine top-5 for query vectors vec_id<10. */
   def ss01BruteTopk(s: SparkSession, d: String): DataFrame = {
@@ -59,16 +61,27 @@ object Similarity {
   }
 
   /** ss02: LSH-bucketed top-5 — same output shape as ss01 but neighbors
-    * are drawn only from the query's own LSH bucket. */
+    * are drawn only from the query's LSH buckets. Two independent hash
+    * tables (4 sign bits each); a candidate matches if it collides in
+    * EITHER table — the standard multi-table recall boost, implemented
+    * as two equi-joins + distinct (each join shuffles only on its
+    * bucket key; nothing ever goes corpus²). */
   def ss02LshTopk(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, d).withColumn("bkt", bucket("embedding"))
+    val emb = Tables.embeddings(s, d)
+      .withColumn("b0", bucket("embedding", 0))
+      .withColumn("b1", bucket("embedding", 1))
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("bkt"))
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("b0").as("qb0"), col("b1").as("qb1"))
+    val cand0 = emb.join(broadcast(queries), col("b0") === col("qb0"))
+    val cand1 = emb.join(broadcast(queries), col("b1") === col("qb1"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
-    emb.join(broadcast(queries), Seq("bkt"))
+    cand0.unionByName(cand1)
+      .select(col("qid"), col("vec_id"), col("q_emb"), col("embedding"))
       .filter(col("vec_id") =!= col("qid"))
+      .distinct()
       .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming jobs (SURVEY.md §2 st01/st02). Each takes the
+  * input DataFrame/Dataset rather than a path so the same logic runs
+  * against `readStream` sources in production, `MemoryStream` in specs,
+  * and the batch `events` table for backfill — the Kappa-architecture
+  * property Structured Streaming gives for free.
+  */
+object StreamingJobs {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Int)
+
+  /** st01: tumbling 1-hour event-time aggregation with a 1-hour
+    * watermark. Late events beyond the watermark are dropped; state is
+    * bounded by (watermark horizon × groups). Identical logic to batch
+    * ev01. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** st02: stateful gap sessionization (30-minute inactivity) with
+    * explicit per-key state via flatMapGroupsWithState. State per user
+    * is O(1) — just the open session bounds — and is emitted+cleared
+    * when a gap is observed in-batch or the event-time timeout fires
+    * (watermark-driven, so state is bounded and the query quiesces when
+    * the source is drained). */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[Session]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.iterator
+        state.remove()
+        out
+      } else {
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          cur match {
+            case Some(sess) if e.ts.getTime - sess.session_end.getTime <= gapMs =>
+              cur = Some(sess.copy(session_end = e.ts, n_events = sess.n_events + 1))
+            case Some(sess) =>
+              closed ::= sess
+              cur = Some(Session(userId, e.ts, e.ts, 1))
+            case None =>
+              cur = Some(Session(userId, e.ts, e.ts, 1))
+          }
+        }
+        cur.foreach { sess =>
+          state.update(sess)
+          state.setTimeoutTimestamp(
+            math.max(sess.session_end.getTime + gapMs,
+              state.getCurrentWatermarkMs() + 1))
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantic checks for every SparkEntry operator at sf0.001.
+  * Full value-level parity against DuckDB runs in the driver's gate
+  * (and locally via tools/check.py); here we assert plan-level
+  * invariants and cross-operator consistency that SQL oracles can't
+  * express. */
+class OperatorsSpec extends SparkTestBase {
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries run non-empty at sf0.001") {
+    val empties = SparkEntry.queries.flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    // ss02/dd02/dd03/dd04 may legitimately be empty at sf0.001 (few docs,
+    // near-dup pairs are planted at larger SFs); everything else must hit.
+    val allowedEmpty = Set("dd02_minhash_lsh", "dd03_simhash", "dd04_ngram_jaccard")
+    assert((empties.toSet -- allowedEmpty).isEmpty,
+      s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
+  }
+
+  test("q01 aggregates the expected groups") {
+    val rf = ops.Relational.q01PricingSummary(spark, sf)
+      .select("l_returnflag").distinct().collect().map(_.getString(0)).toSet
+    assert(rf.subsetOf(Set("A", "N", "R")) && rf.nonEmpty)
+  }
+
+  test("q08 top-k is ordered descending") {
+    val prices = ops.Relational.q08TopkOrders(spark, sf)
+      .collect().map(_.getDouble(2))
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("dd02 (minhash+verify) equals dd04 (exact jaccard) pair set") {
+    val exact = ops.Dedup.dd04NgramJaccard(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ops.Dedup.dd02MinhashLsh(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"minhash pairs $lsh != exact pairs $exact")
+  }
+
+  test("dd03 simhash pairs are true near-dups (subset of exact pairs)") {
+    val exact = ops.Dedup.dd04NgramJaccard(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = ops.Dedup.dd03Simhash(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.subsetOf(exact), s"simhash false positives: ${sim -- exact}")
+  }
+
+  test("ss02 LSH recall@5 vs brute force is useful") {
+    val brute = ops.Similarity.ss01BruteTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ops.Similarity.ss02LshTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall@5 $recall too low")
+  }
+
+  test("cosine_sim expression matches reference computation") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Tables.embeddings(spark, sf).limit(2)
+      .select(col("embedding")).collect()
+    val a = rows(0).getSeq[Float](0)
+    val b = rows(1).getSeq[Float](0)
+    val expected = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val e1 = Tables.embeddings(spark, sf).limit(1).select(col("embedding").as("e1"))
+    val e2 = Tables.embeddings(spark, sf).filter(col("vec_id") === 1)
+      .select(col("embedding").as("e2"))
+    val got = e1.crossJoin(e2).selectExpr("cosine_sim(e1, e2)").collect()(0).getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("cosine_sim is registered for plain SQL via GraftExtensions") {
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_t")
+    val n = spark.sql(
+      "SELECT cosine_sim(a.embedding, b.embedding) AS c FROM emb_t a, emb_t b " +
+        "WHERE a.vec_id = 0 AND b.vec_id = 1").count()
+    assert(n == 1)
+  }
+
+  test("mm02 frame fan-out count matches n_chars formula") {
+    val expected = Tables.documents(spark, sf)
+      .select(sum(col("n_chars") % 5 + 1)).collect()(0).getLong(0)
+    assert(ops.Multimodal.mm02FrameSample(spark, sf).count() == expected)
+  }
+}

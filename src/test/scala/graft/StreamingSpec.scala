@@ -1,0 +1,56 @@
+package graft
+
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Structured-Streaming specs (st01/st02): MemoryStream in, memory sink
+  * out, processAllAvailable for synchronous assertions. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
+
+  test("st01 streaming tumbling agg matches its batch twin semantics") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(5), 1, "view", 1.0),
+      Event(2, ts(20), 1, "view", 2.0),
+      Event(3, ts(65), 2, "click", 3.0))
+    val q = StreamingJobs.tumblingCounts(in.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("st01_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM st01_out ORDER BY window_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_events") == 2)   // hour 0: two views
+      assert(rows(1).getAs[Long]("n_events") == 1)   // hour 1: one click
+    } finally q.stop()
+  }
+
+  test("st02 stateful sessionize closes sessions on observed gaps") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // user 1: two sessions separated by a 2h gap, third session after 5h.
+    in.addData(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(10), 1, "click", 1.0),
+      Event(3, ts(120), 1, "view", 1.0),
+      Event(4, ts(125), 1, "view", 1.0),
+      Event(5, ts(300), 1, "purchase", 1.0))
+    val q = StreamingJobs.sessionize(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("st02_out").start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT * FROM st02_out ORDER BY session_start")
+        .as[Session].collect()
+      // the two *closed* sessions are emitted; the third stays open in state
+      assert(sessions.length == 2)
+      assert(sessions(0).n_events == 2 && sessions(1).n_events == 2)
+    } finally q.stop()
+  }
+}
