@@ -37,6 +37,8 @@ object SparkEntry {
     "q20_string_ops"        -> Relational.q20StringOps _,
     "q21_monthly_revenue"   -> Relational.q21MonthlyRevenue _,
     "q22_multi_sort"        -> Relational.q22MultiSort _,
+    "q23_percentiles"       -> Relational.q23Percentiles _,
+    "q24_topk_agg"          -> Relational.q24TopkAgg _,
     "ev01_tumbling_counts"  -> Events.ev01TumblingCounts _,
     "ev02_sessionize"       -> Events.ev02Sessionize _,
     "ev03_funnel"           -> Events.ev03Funnel _,
@@ -44,11 +46,13 @@ object SparkEntry {
     "ev05_json_props"       -> Events.ev05JsonProps _,
     "ev06_asof_join"        -> Events.ev06AsofJoin _,
     "ev07_event_dedup"      -> Events.ev07EventDedup _,
+    "ev08_salted_agg"       -> Events.ev08SaltedAgg _,
     "tx01_token_stats"      -> Text.tx01TokenStats _,
     "tx02_quality_score"    -> Text.tx02QualityScore _,
     "tx03_langid"           -> Text.tx03Langid _,
     "tx04_fingerprint"      -> Text.tx04Fingerprint _,
     "tx05_bigram_freq"      -> Text.tx05BigramFreq _,
+    "tx06_token_count"      -> Text.tx06TokenCount _,
     "dd01_exact"            -> Dedup.dd01Exact _,
     "dd02_minhash_lsh"      -> Dedup.dd02MinhashLsh _,
     "dd03_simhash"          -> Dedup.dd03Simhash _,
@@ -257,6 +261,32 @@ object SparkEntry {
         |FROM lineitem
         |ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey, l_linenumber
         |LIMIT 100""".stripMargin,
+
+    "q23_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q24_topk_agg" ->
+      """SELECT o_orderstatus, CAST(rk AS INTEGER) AS rk, price FROM (
+        | SELECT o_orderstatus, o_totalprice AS price,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |                     ORDER BY o_totalprice DESC) AS rk
+        | FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "ev08_salted_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        | round(sum(value),2) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "tx06_token_count" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+        | round(length(text) * 1.0 / len(regexp_extract_all(text, '\w+|[^\w\s]')), 4)
+        |   AS chars_per_token
+        |FROM documents""".stripMargin,
 
     "ev01_tumbling_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

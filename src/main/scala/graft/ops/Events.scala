@@ -109,6 +109,21 @@ object Events {
         date_trunc("second", col("prior_view_ts")).cast("timestamp").as("prior_view_ts"))
   }
 
+  /** ev08: explicit two-phase (salted) aggregation — the skew-proof
+    * shape for hot keys at 100 TB: phase 1 aggregates on
+    * (user_id, salt) spreading a hot user over 16 reducers; phase 2
+    * combines the 16 partials per user. Same result as a direct
+    * groupBy, immune to single-reducer hot spots. */
+  def ev08SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    val partial = ev(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("value")).as("pv"))
+    partial
+      .groupBy(col("user_id"))
+      .agg(sum(col("pc")).as("n_events"), round(sum(col("pv")), 2).as("total_value"))
+  }
+
   /** ev07: keep-first dedup for idempotent replay — collapse duplicate
     * (user, type, minute) triples to the earliest event. */
   def ev07EventDedup(s: SparkSession, d: String): DataFrame =

@@ -256,6 +256,28 @@ object Relational {
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
 
+  /** q23: exact percentiles (median/p90) per group — single-pass
+    * percentile aggregate, no global sort. */
+  def q23Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        count(lit(1)).as("cnt"))
+
+  /** q24: per-group top-k via the custom TopKAggregator — single-pass
+    * partial-aggregable top-k (each partition keeps ≤k values; merge
+    * keeps k of 2k) instead of a window sort over every group row. */
+  def q24TopkAgg(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(topk(col("o_totalprice")).as("topk"))
+      .select(col("o_orderstatus"), posexplode(col("topk")).as(Seq("pos", "price")))
+      .select(col("o_orderstatus"), (col("pos") + 1).as("rk"), col("price"))
+  }
+
   /** q22: multi-column sort with limit and deterministic tie-break. */
   def q22MultiSort(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

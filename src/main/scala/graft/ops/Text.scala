@@ -63,6 +63,19 @@ object Text {
       col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(tokens)))).as("fingerprint"))
 
+  /** tx06: BPE-style token counting — word pieces and punctuation as
+    * separate tokens via a regex tokenizer (the pre-tokenization step
+    * every BPE/WordPiece pipeline runs), plus a chars-per-token ratio
+    * as a cheap compression proxy. */
+  def tx06TokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bpe_tokens", expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"))
+      .select(
+        col("doc_id"),
+        size(col("bpe_tokens")).as("n_bpe_tokens"),
+        round(length(col("text")) * 1.0 / size(col("bpe_tokens")), 4)
+          .as("chars_per_token"))
+
   /** tx05: corpus-level bigram frequency, top-20. */
   def tx05BigramFreq(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

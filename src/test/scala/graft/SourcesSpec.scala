@@ -1,0 +1,59 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Source/sink round-trips + the physical properties the writers claim:
+  * partition pruning for partitionBy, exchange-free joins for bucketBy. */
+class SourcesSpec extends SparkTestBase {
+
+  private lazy val tmp = Files.createTempDirectory("graft-sources").toString
+
+  test("csv round-trip preserves rows and values") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    Sources.writeCsv(li, s"$tmp/li_csv")
+    val back = Sources.readCsv(spark, s"$tmp/li_csv", li.schema)
+    assert(back.count() == li.count())
+    assert(back.agg(sum("l_quantity")).collect()(0).getDouble(0) ==
+      li.agg(sum("l_quantity")).collect()(0).getDouble(0))
+  }
+
+  test("json-lines round-trip preserves rows") {
+    val docs = Tables.documents(spark, sf)
+    Sources.writeJsonLines(docs, s"$tmp/docs_json")
+    val back = Sources.readJsonLines(spark, s"$tmp/docs_json", docs.schema)
+    assert(back.count() == docs.count())
+  }
+
+  test("partitioned write enables partition pruning") {
+    val o = Tables.orders(spark, sf)
+    Sources.writePartitioned(o, s"$tmp/orders_part", "o_orderstatus")
+    val pruned = Sources.readParquet(spark, s"$tmp/orders_part")
+      .filter(col("o_orderstatus") === "F")
+    // pruning shows up as a partition filter in the scan, and the scan
+    // must read strictly fewer files than the full dataset has
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("o_orderstatus"))
+    assert(pruned.count() == o.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    Sources.writeBucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", "o_custkey", 4)
+    Sources.writeBucketed(c.select("c_custkey", "c_name"), "customer_b", "c_custkey", 4)
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+    // disable broadcast so the join would need a shuffle if buckets didn't align
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in bucketed join:\n$plan")
+      assert(joined.count() == o.join(c, col("o_custkey") === col("c_custkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
