@@ -47,6 +47,7 @@ object SparkEntry {
     "ev06_asof_join"        -> Events.ev06AsofJoin _,
     "ev07_event_dedup"      -> Events.ev07EventDedup _,
     "ev08_salted_agg"       -> Events.ev08SaltedAgg _,
+    "ev09_asof_native"      -> Events.ev09AsofNative _,
     "tx01_token_stats"      -> Text.tx01TokenStats _,
     "tx02_quality_score"    -> Text.tx02QualityScore _,
     "tx03_langid"           -> Text.tx03Langid _,
@@ -342,6 +343,15 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     "ev06_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        | CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS p_ts,
+        | CAST(date_trunc('second', max(v.ts)) AS TIMESTAMP) AS prior_view_ts
+        |FROM events p LEFT JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin,
+
+    "ev09_asof_native" ->
       """SELECT p.event_id, p.user_id,
         | CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS p_ts,
         | CAST(date_trunc('second', max(v.ts)) AS TIMESTAMP) AS prior_view_ts

@@ -124,6 +124,27 @@ object Events {
       .agg(sum(col("pc")).as("n_events"), round(sum(col("pv")), 2).as("total_value"))
   }
 
+  /** ev09: the same as-of semantics as ev06, but through graft's NATIVE
+    * as-of join operator (AsOfJoinPlan → AsOfJoinStrategy →
+    * AsOfJoinExec merge-scan; see graft.plans.AsOfJoin). One shuffle +
+    * sort per side, O(1) state per partition — vs ev06's union+window
+    * composition which carries both streams through one window sort.
+    * Shares ev06's oracle. */
+  def ev09AsofNative(s: SparkSession, d: String): DataFrame = {
+    if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    val purchases = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev(s, d).filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    graft.plans.AsOf.asofJoin(purchases, views, "user_id", "ts", "v_user", "v_ts")
+      .select(col("event_id"), col("user_id"),
+        sec("ts", "p_ts"),
+        date_trunc("second", col("v_ts")).cast("timestamp").as("prior_view_ts"))
+  }
+
   /** ev07: keep-first dedup for idempotent replay — collapse duplicate
     * (user, type, minute) triples to the earliest event. */
   def ev07EventDedup(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `classic.Dataset.ofRows` (private[sql]) so graft can
+  * wrap its custom logical plans (e.g. AsOfJoinPlan) as DataFrames.
+  * Same technique used by public Spark-extension projects; no Spark
+  * code is modified.
+  */
+object GraftDataset {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

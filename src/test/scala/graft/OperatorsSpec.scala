@@ -89,6 +89,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(n == 1)
   }
 
+  test("ev09 native as-of join plans AsOfJoinExec and equals ev06") {
+    val native = ops.Events.ev09AsofNative(spark, sf)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native operator not planned:\n$plan")
+    val a = native.collect().map(_.toString).sorted
+    val b = ops.Events.ev06AsofJoin(spark, sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("mm02 frame fan-out count matches n_chars formula") {
     val expected = Tables.documents(spark, sf)
       .select(sum(col("n_chars") % 5 + 1)).collect()(0).getLong(0)

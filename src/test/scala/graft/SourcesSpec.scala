@@ -40,6 +40,15 @@ class SourcesSpec extends SparkTestBase {
   }
 
   test("bucketed tables join without a shuffle") {
+    // the in-memory metastore is fresh each JVM but the warehouse dir
+    // persists — clear leftovers from previous runs
+    for (t <- Seq("orders_b", "customer_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     val o = Tables.orders(spark, sf)
     val c = Tables.customer(spark, sf)
     Sources.writeBucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
