@@ -54,6 +54,8 @@ object SparkEntry {
     "tx04_fingerprint"      -> Text.tx04Fingerprint _,
     "tx05_bigram_freq"      -> Text.tx05BigramFreq _,
     "tx06_token_count"      -> Text.tx06TokenCount _,
+    "tx07_hash_sample"      -> Text.tx07HashSample _,
+    "dd06_dup_clusters"     -> Dedup.dd06DupClusters _,
     "dd01_exact"            -> Dedup.dd01Exact _,
     "dd02_minhash_lsh"      -> Dedup.dd02MinhashLsh _,
     "dd03_simhash"          -> Dedup.dd03Simhash _,
@@ -419,6 +421,23 @@ object SparkEntry {
 
     "dd04_ngram_jaccard" -> ngramJaccardSql,
     "dd02_minhash_lsh"   -> ngramJaccardSql,
+
+    "tx07_hash_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')""".stripMargin,
+
+    "dd06_dup_clusters" ->
+      s"""WITH pairs AS ($ngramJaccardSql),
+         |bi AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |       UNION ALL SELECT d2, d1 FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM bi
+         |    UNION
+         |    SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a)
+         |  SELECT * FROM r)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
 
     "dd05_embed_neardup" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label

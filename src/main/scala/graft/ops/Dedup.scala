@@ -128,6 +128,39 @@ object Dedup {
       .filter(col("hamming") <= 12)
   }
 
+  /** dd06: duplicate-cluster assignment — connected components over the
+    * dd04 near-dup pair graph via iterative min-label propagation.
+    * Each iteration is one join+agg (fully distributed); the driver
+    * only checks the converged flag (a scalar), never the data. Dup
+    * graphs have tiny diameters, so this converges in a handful of
+    * rounds; `localCheckpoint` truncates the growing lineage.
+    */
+  def dd06DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dd04NgramJaccard(s, d).select(col("d1"), col("d2"))
+    val edges = pairs
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .cache()
+    var labels = edges.select(col("d1").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val prop = edges
+        .join(labels, edges("d2") === labels("doc"))
+        .groupBy(edges("d1").as("ndoc"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, labels("doc") === prop("ndoc"), "left_outer")
+        .select(col("doc"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** dd05: embedding-cosine near-duplicates, blocked by `label` (the
     * coarse cluster id) so the pairwise step is per-block, not corpus².
     * Cosine runs in the codegen'd CosineSim expression.

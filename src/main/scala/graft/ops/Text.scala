@@ -76,6 +76,15 @@ object Text {
         round(length(col("text")) * 1.0 / size(col("bpe_tokens")), 4)
           .as("chars_per_token"))
 
+  /** tx07: deterministic hash-based sampling — reproducible across
+    * engines, runs, and partitionings (unlike rng-based sample()),
+    * which is what a training-data pipeline needs for holdout splits:
+    * ~1/8 of documents whose md5(doc_id) starts with 0 or 1. */
+  def tx07HashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      .select(col("doc_id"), col("source"), col("lang"))
+
   /** tx05: corpus-level bigram frequency, top-20. */
   def tx05BigramFreq(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
