@@ -39,6 +39,9 @@ object SparkEntry {
     "q22_multi_sort"        -> Relational.q22MultiSort _,
     "q23_percentiles"       -> Relational.q23Percentiles _,
     "q24_topk_agg"          -> Relational.q24TopkAgg _,
+    "q25_set_ops"           -> Relational.q25SetOps _,
+    "q26_full_outer"        -> Relational.q26FullOuter _,
+    "q27_window_suite"      -> Relational.q27WindowSuite _,
     "ev01_tumbling_counts"  -> Events.ev01TumblingCounts _,
     "ev02_sessionize"       -> Events.ev02Sessionize _,
     "ev03_funnel"           -> Events.ev03Funnel _,
@@ -55,6 +58,7 @@ object SparkEntry {
     "tx05_bigram_freq"      -> Text.tx05BigramFreq _,
     "tx06_token_count"      -> Text.tx06TokenCount _,
     "tx07_hash_sample"      -> Text.tx07HashSample _,
+    "tx08_tfidf"            -> Text.tx08Tfidf _,
     "dd06_dup_clusters"     -> Dedup.dd06DupClusters _,
     "dd01_exact"            -> Dedup.dd01Exact _,
     "dd02_minhash_lsh"      -> Dedup.dd02MinhashLsh _,
@@ -63,6 +67,7 @@ object SparkEntry {
     "dd05_embed_neardup"    -> Dedup.dd05EmbedNeardup _,
     "ss01_brute_topk"       -> Similarity.ss01BruteTopk _,
     "ss02_lsh_topk"         -> Similarity.ss02LshTopk _,
+    "ss03_centroid_outliers" -> Similarity.ss03CentroidOutliers _,
     "mm01_binary_meta"      -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample"     -> Multimodal.mm02FrameSample _,
   )
@@ -279,6 +284,63 @@ object SparkEntry {
         |                     ORDER BY o_totalprice DESC) AS rk
         | FROM orders) WHERE rk <= 3""".stripMargin,
 
+    "q25_set_ops" ->
+      """SELECT 'both' AS tag, o_custkey FROM (
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        | INTERSECT
+        | SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |UNION ALL
+        |SELECT 'only_high' AS tag, o_custkey FROM (
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        | EXCEPT
+        | SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""".stripMargin,
+
+    "q26_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_customers
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1)
+        |SELECT n_name,
+        | coalesce(n_customers, 0) AS n_customers,
+        | coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM nation
+        |LEFT JOIN c ON n_nationkey = c_nationkey
+        |FULL OUTER JOIN s ON n_nationkey = s_nationkey""".stripMargin,
+
+    "q27_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | first_value(o_totalprice) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+        | last_value(o_totalprice) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        | ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "tx08_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(trim(text),' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY tfidf DESC, term) AS rk
+        |      FROM scored)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tfidf
+        |FROM r WHERE rk <= 3""".stripMargin,
+
     "ev08_salted_agg" ->
       """SELECT user_id, count(*) AS n_events,
         | round(sum(value),2) AS total_value
@@ -471,6 +533,24 @@ object SparkEntry {
          |          ORDER BY list_cosine_similarity(qe, emb) DESC, neighbor_id) AS rk
          |      FROM c)
          |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    "ss03_centroid_outliers" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i,
+        |    CAST(embedding[i+1] AS DOUBLE) AS x
+        |  FROM embeddings, range(64) t(i)),
+        |cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT vec_id, ex.label,
+        |    sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS cos
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+        |  GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id,
+        |        row_number() OVER (PARTITION BY label
+        |          ORDER BY cos ASC, vec_id) AS rk
+        |      FROM cos)
+        |SELECT label, CAST(rk AS INTEGER) AS rk, vec_id
+        |FROM r WHERE rk <= 2""".stripMargin,
 
     "mm01_binary_meta" ->
       """SELECT doc_id,

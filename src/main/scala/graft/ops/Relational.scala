@@ -278,6 +278,50 @@ object Relational {
       .select(col("o_orderstatus"), (col("pos") + 1).as("rk"), col("price"))
   }
 
+  /** q25: set operators — INTERSECT and EXCEPT as native Spark
+    * operators (planned as semi/anti aggregates, not manual joins). */
+  def q25SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val highValue = o.filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+    val recent = o.filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+      .select(col("o_custkey"))
+    val both = highValue.intersect(recent).withColumn("tag", lit("both"))
+    val onlyHigh = highValue.except(recent).withColumn("tag", lit("only_high"))
+    both.unionByName(onlyHigh).select(col("tag"), col("o_custkey"))
+  }
+
+  /** q26: full outer join of two independent aggregates (nation-level
+    * customer vs supplier counts; either side may be missing). */
+  def q26FullOuter(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d)
+    val custPerNation = Tables.customer(s, d)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+    val supPerNation = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_suppliers"))
+    broadcast(nat)
+      .join(custPerNation, col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .join(supPerNation, col("n_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        col("n_name"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
+  /** q27: analytic window battery — lag/lead, first/last over explicit
+    * frames, ntile quartiles; one partition+sort serves all five. */
+  def q27WindowSuite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      first(col("o_totalprice")).over(wAll).as("first_price"),
+      last(col("o_totalprice")).over(wAll).as("last_price"),
+      ntile(4).over(w).as("quartile"))
+  }
+
   /** q22: multi-column sort with limit and deterministic tie-break. */
   def q22MultiSort(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

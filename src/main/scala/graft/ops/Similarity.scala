@@ -45,6 +45,28 @@ object Similarity {
     concat((t * bitsPerTable until (t + 1) * bitsPerTable)
       .map(planeBit(_, embCol)): _*)
 
+  /** ss03: per-label centroids + embedding outliers — element-wise mean
+    * vector per label (relational: posexplode → groupBy(label, pos)),
+    * then each vector's cosine to its centroid; the 2 least-similar
+    * vectors per label are flagged. Fully declarative so the oracle can
+    * replay it; a TypedImperativeAggregate vector-sum would cut the
+    * explode cost 64× at scale (round-2 candidate). */
+  def ss03CentroidOutliers(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cent = ex.groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
+    val cos = ex.join(broadcast(cent), Seq("label", "i"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg((sum(col("x") * col("c")) /
+        (sqrt(sum(col("x") * col("x"))) * sqrt(sum(col("c") * col("c"))))).as("cos"))
+    val w = Window.partitionBy(col("label")).orderBy(col("cos").asc, col("vec_id"))
+    cos.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("label"), col("rk"), col("vec_id"))
+  }
+
   /** ss01: exact brute-force cosine top-5 for query vectors vec_id<10. */
   def ss01BruteTopk(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)

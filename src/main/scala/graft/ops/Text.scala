@@ -85,6 +85,28 @@ object Text {
       .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
       .select(col("doc_id"), col("source"), col("lang"))
 
+  /** tx08: TF-IDF — term frequency × ln(N/df), top-3 terms per doc.
+    * One explode + two aggregations; df join is broadcast (vocab ≪
+    * corpus). Scores are rounded to 6 decimals BEFORE ranking so that
+    * last-ulp ln() differences between engines cannot reorder
+    * mathematically-tied terms (e.g. 2·ln2 vs 1·ln4). */
+  def tx08Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"), explode(tokens).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .join(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") * 1.0 / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+  }
+
   /** tx05: corpus-level bigram frequency, top-20. */
   def tx05BigramFreq(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

@@ -31,6 +31,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st03 streaming dedup drops replayed events within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(1), 1, "view", 1.0),
+      Event(2, ts(2), 1, "click", 1.0),
+      Event(1, ts(1), 1, "view", 1.0))   // replay of event 1 in-batch
+    val q = graft.streaming.StreamingDedup.dedupedCounts(in.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("st03_out").start()
+    try {
+      q.processAllAvailable()
+      in.addData(Event(2, ts(2), 1, "click", 1.0)) // replay across batches
+      q.processAllAvailable()
+      val total = spark.sql("SELECT sum(n_events) FROM st03_out").collect()(0).getLong(0)
+      assert(total == 2, s"expected 2 distinct events, got $total")
+    } finally q.stop()
+  }
+
   test("st02 stateful sessionize closes sessions on observed gaps") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
