@@ -42,6 +42,7 @@ object SparkEntry {
     "q25_set_ops"           -> Relational.q25SetOps _,
     "q26_full_outer"        -> Relational.q26FullOuter _,
     "q27_window_suite"      -> Relational.q27WindowSuite _,
+    "q28_range_join"        -> Relational.q28RangeJoin _,
     "ev01_tumbling_counts"  -> Events.ev01TumblingCounts _,
     "ev02_sessionize"       -> Events.ev02Sessionize _,
     "ev03_funnel"           -> Events.ev03Funnel _,
@@ -322,6 +323,16 @@ object SparkEntry {
         | ntile(4) OVER w AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q28_range_join" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        |  ('low', 0.0, 100000.0),
+        |  ('mid', 100000.0, 300000.0),
+        |  ('high', 300000.0, 1e12))
+        |SELECT tier, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders JOIN tiers
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier""".stripMargin,
 
     "tx08_tfidf" ->
       """WITH terms AS (

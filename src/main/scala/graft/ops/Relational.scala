@@ -322,6 +322,23 @@ object Relational {
       ntile(4).over(w).as("quartile"))
   }
 
+  /** q28: non-equi (range-predicate) join — orders banded into price
+    * tiers. The tier table is a broadcast literal, so the range join is
+    * a streaming pass over the fact side (BroadcastNestedLoopJoin with
+    * a 3-row build), never a shuffle. */
+  def q28RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq(
+      ("low", 0.0, 100000.0),
+      ("mid", 100000.0, 300000.0),
+      ("high", 300000.0, 1e12)).toDF("tier", "lo", "hi")
+    Tables.orders(s, d)
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   /** q22: multi-column sort with limit and deterministic tie-break. */
   def q22MultiSort(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
