@@ -71,6 +71,7 @@ object SparkEntry {
     "ss03_centroid_outliers" -> Similarity.ss03CentroidOutliers _,
     "mm01_binary_meta"      -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample"     -> Multimodal.mm02FrameSample _,
+    "mm03_chunking"         -> Multimodal.mm03Chunking _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -569,6 +570,18 @@ object SparkEntry {
         | sha256(text) AS content_hash,
         | 'text/plain' AS mime
         |FROM documents""".stripMargin,
+
+    "mm03_chunking" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)))
+        |      AS chunk_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |  md5(substring(text, CAST(chunk_idx*32 + 1 AS BIGINT), 32)) AS chunk_md5,
+        |  CAST(length(substring(text, CAST(chunk_idx*32 + 1 AS BIGINT), 32)) AS INTEGER)
+        |    AS chunk_bytes
+        |FROM c""".stripMargin,
 
     "mm02_frame_sample" ->
       """WITH f AS (SELECT doc_id, text, unnest(range(n_chars % 5 + 1)) AS i

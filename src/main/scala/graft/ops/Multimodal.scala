@@ -32,6 +32,23 @@ object Multimodal {
         sha2(col("payload"), 256).as("content_hash"),
         lit("text/plain").as("mime"))
 
+  /** mm03: fixed-size binary chunking — the audio/video ingestion
+    * shape: a large opaque payload split into addressable 32-byte
+    * chunks with per-chunk content hashes (dedup/CDC-friendly). All
+    * chunk arithmetic happens on the binary column; rows fan out via
+    * explode, never through the driver. */
+  def mm03Chunking(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          ceil(octet_length(col("payload")) / 32.0).cast("int") - 1)))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        md5(expr("substring(payload, chunk_idx*32 + 1, 32)")).as("chunk_md5"),
+        octet_length(expr("substring(payload, chunk_idx*32 + 1, 32)")).as("chunk_bytes"))
+
   /** STUB decoder: stands in for an image/video codec. Deterministic:
     * n_chars mod 5 + 1 "frames", each hashed from (text, index). A real
     * deployment swaps only this function body for the codec call; the

@@ -98,6 +98,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("approximate aggregates land within tolerance of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_orderkey"), 0.02))
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL estimate $approx too far from exact $exact")
+    val exactMedian = li.selectExpr("percentile(l_quantity, 0.5)").collect()(0).getDouble(0)
+    val approxMedian = li.selectExpr("approx_percentile(l_quantity, 0.5, 1000)")
+      .collect()(0).getDouble(0)
+    assert(math.abs(approxMedian - exactMedian) <= 1.0)
+  }
+
   test("mm02 frame fan-out count matches n_chars formula") {
     val expected = Tables.documents(spark, sf)
       .select(sum(col("n_chars") % 5 + 1)).collect()(0).getLong(0)
