@@ -118,7 +118,7 @@ object SparkEntry {
 
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-        | round(l_extendedprice*(1-l_discount),2) AS net_price
+        | round(l_extendedprice*(1-l_discount),4) AS net_price
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
         |  AND l_discount > 0.08 AND l_quantity >= 45""".stripMargin,

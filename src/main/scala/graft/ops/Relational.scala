@@ -41,7 +41,7 @@ object Relational {
       .filter(col("l_shipdate") >= ts("1999-01-01 00:00:00") &&
               col("l_discount") > 0.08 && col("l_quantity") >= 45)
       .select(col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"))
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"))
 
   /** q03: customer ⋈ orders ⋈ lineitem, agg, deterministic top-10.
     * customer side is small relative to facts → broadcast; the
