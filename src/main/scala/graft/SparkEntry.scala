@@ -43,6 +43,7 @@ object SparkEntry {
     "q26_full_outer"        -> Relational.q26FullOuter _,
     "q27_window_suite"      -> Relational.q27WindowSuite _,
     "q28_range_join"        -> Relational.q28RangeJoin _,
+    "q29_sql_surface"       -> Relational.q29SqlSurface _,
     "ev01_tumbling_counts"  -> Events.ev01TumblingCounts _,
     "ev02_sessionize"       -> Events.ev02Sessionize _,
     "ev03_funnel"           -> Events.ev03Funnel _,
@@ -334,6 +335,14 @@ object SparkEntry {
         |FROM orders JOIN tiers
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY tier""".stripMargin,
+
+    "q29_sql_surface" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "tx08_tfidf" ->
       """WITH terms AS (

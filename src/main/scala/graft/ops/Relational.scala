@@ -339,6 +339,21 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** q29: the SQL-text surface — the same engine consumed through
+    * `spark.sql` over registered views (what a BI tool or notebook
+    * user writes). The oracle is literally the same SQL. */
+  def q29SqlSurface(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM orders_v JOIN lineitem_v ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   /** q22: multi-column sort with limit and deterministic tie-break. */
   def q22MultiSort(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
