@@ -62,6 +62,7 @@ object SparkEntry {
     "tx07_hash_sample"      -> Text.tx07HashSample _,
     "tx08_tfidf"            -> Text.tx08Tfidf _,
     "dd06_dup_clusters"     -> Dedup.dd06DupClusters _,
+    "dd07_keep_best"        -> Dedup.dd07KeepBest _,
     "dd01_exact"            -> Dedup.dd01Exact _,
     "dd02_minhash_lsh"      -> Dedup.dd02MinhashLsh _,
     "dd03_simhash"          -> Dedup.dd03Simhash _,
@@ -70,6 +71,9 @@ object SparkEntry {
     "ss01_brute_topk"       -> Similarity.ss01BruteTopk _,
     "ss02_lsh_topk"         -> Similarity.ss02LshTopk _,
     "ss03_centroid_outliers" -> Similarity.ss03CentroidOutliers _,
+    "ss04_knn_classify"     -> Similarity.ss04KnnClassify _,
+    "ev10_sliding_windows"  -> Events.ev10SlidingWindows _,
+    "tx09_normalize"        -> Text.tx09Normalize _,
     "mm01_binary_meta"      -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample"     -> Multimodal.mm02FrameSample _,
     "mm03_chunking"         -> Multimodal.mm03Chunking _,
@@ -93,6 +97,49 @@ object SparkEntry {
       |        round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
       |      FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
       |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin
+
+  /** dd06's oracle, also the cluster CTE of dd07's. */
+  private val dupClustersSql: String =
+    s"""WITH pairs AS ($ngramJaccardSql),
+       |bi AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |       UNION ALL SELECT d2, d1 FROM pairs),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT a, b FROM bi
+       |    UNION
+       |    SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a)
+       |  SELECT * FROM r)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |FROM reach GROUP BY a""".stripMargin
+
+  /** tx02's oracle, also the score CTE of dd07's. */
+  private val qualityScoreSql: String =
+    """WITH t AS (SELECT doc_id, text, string_split(trim(text),' ') AS tk
+      |           FROM documents),
+      |x AS (SELECT doc_id,
+      |  len(tk) AS n_tokens,
+      |  len(list_filter(tk, s -> s IN ('the','a','of','and','to','in'))) AS stop_cnt,
+      |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS punct_cnt,
+      |  round(length(regexp_replace(trim(text), ' ', '', 'g')) * 1.0 / len(tk), 4)
+      |    AS avg_token_len
+      |  FROM t)
+      |SELECT doc_id, n_tokens, stop_cnt, punct_cnt, avg_token_len,
+      |  round(stop_cnt * 0.5 / n_tokens +
+      |    CASE WHEN n_tokens BETWEEN 5 AND 200 THEN 0.5 ELSE 0.0 END, 4) AS score
+      |FROM x""".stripMargin
+
+  /** ss01's oracle, also the neighbor CTE of ss04's. */
+  private val bruteTopkSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT qid, e.vec_id AS neighbor_id,
+      |        list_cosine_similarity(qe, e.embedding) AS cos
+      |      FROM q, embeddings e WHERE e.vec_id != qid),
+      |r AS (SELECT qid, neighbor_id,
+      |        row_number() OVER (PARTITION BY qid
+      |          ORDER BY cos DESC, neighbor_id) AS rk
+      |      FROM c)
+      |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin
 
   /** DuckDB replica of ss02's LSH bucket ids: the same seed-42 planes
     * inlined as list literals (sign noise at the 0-boundary is
@@ -458,20 +505,7 @@ object SparkEntry {
         | length(text) AS n_text_chars
         |FROM documents""".stripMargin,
 
-    "tx02_quality_score" ->
-      """WITH t AS (SELECT doc_id, text, string_split(trim(text),' ') AS tk
-        |           FROM documents),
-        |x AS (SELECT doc_id,
-        |  len(tk) AS n_tokens,
-        |  len(list_filter(tk, s -> s IN ('the','a','of','and','to','in'))) AS stop_cnt,
-        |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS punct_cnt,
-        |  round(length(regexp_replace(trim(text), ' ', '', 'g')) * 1.0 / len(tk), 4)
-        |    AS avg_token_len
-        |  FROM t)
-        |SELECT doc_id, n_tokens, stop_cnt, punct_cnt, avg_token_len,
-        |  round(stop_cnt * 0.5 / n_tokens +
-        |    CASE WHEN n_tokens BETWEEN 5 AND 200 THEN 0.5 ELSE 0.0 END, 4) AS score
-        |FROM x""".stripMargin,
+    "tx02_quality_score" -> qualityScoreSql,
 
     "tx03_langid" ->
       """WITH x AS (SELECT doc_id, lang,
@@ -509,18 +543,20 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')""".stripMargin,
 
-    "dd06_dup_clusters" ->
-      s"""WITH pairs AS ($ngramJaccardSql),
-         |bi AS (SELECT d1 AS a, d2 AS b FROM pairs
-         |       UNION ALL SELECT d2, d1 FROM pairs),
-         |reach AS (
-         |  WITH RECURSIVE r(a, b) AS (
-         |    SELECT a, b FROM bi
-         |    UNION
-         |    SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a)
-         |  SELECT * FROM r)
-         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |FROM reach GROUP BY a""".stripMargin,
+    "dd06_dup_clusters" -> dupClustersSql,
+
+    "dd07_keep_best" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |scores AS ($qualityScoreSql),
+         |j AS (SELECT c.cluster_id, c.doc_id, s.score
+         |      FROM clusters c JOIN scores s USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY score DESC, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |      FROM j)
+         |SELECT cluster_id, doc_id AS keeper_id, n_members
+         |FROM r WHERE rk = 1""".stripMargin,
 
     "dd05_embed_neardup" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label
@@ -528,17 +564,40 @@ object SparkEntry {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin,
 
-    "ss01_brute_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
-        |           FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT qid, e.vec_id AS neighbor_id,
-        |        list_cosine_similarity(qe, e.embedding) AS cos
-        |      FROM q, embeddings e WHERE e.vec_id != qid),
-        |r AS (SELECT qid, neighbor_id,
-        |        row_number() OVER (PARTITION BY qid
-        |          ORDER BY cos DESC, neighbor_id) AS rk
-        |      FROM c)
-        |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
+    "ss01_brute_topk" -> bruteTopkSql,
+
+    "ss04_knn_classify" ->
+      s"""WITH knn AS ($bruteTopkSql),
+         |v AS (SELECT knn.qid, e.label, count(*) AS votes
+         |      FROM knn JOIN embeddings e ON knn.neighbor_id = e.vec_id
+         |      GROUP BY 1, 2),
+         |b AS (SELECT qid, label,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY votes DESC, label) AS rk2
+         |      FROM v)
+         |SELECT b.qid, b.label AS pred_label, t.label AS true_label,
+         |  b.label = t.label AS is_correct
+         |FROM b JOIN embeddings t ON b.qid = t.vec_id
+         |WHERE rk2 = 1""".stripMargin,
+
+    "ev10_sliding_windows" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+        |            CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR])
+        |      AS window_start
+        |  FROM events)
+        |SELECT window_start, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY 1""".stripMargin,
+
+    "tx09_normalize" ->
+      """SELECT doc_id,
+        | length(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_len,
+        | md5(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |FROM documents""".stripMargin,
 
     "ss02_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding,

@@ -164,6 +164,24 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** dd07: canonical document per duplicate cluster — the terminal op
+    * of a dedup pipeline: within each dd06 cluster keep the
+    * highest-quality member (tx02 score, ties → smaller id); emit the
+    * keeper and the member count so the discarded mass is auditable. */
+  def dd07KeepBest(s: SparkSession, d: String): DataFrame = {
+    val clusters = dd06DupClusters(s, d)
+    val scores = Text.tx02QualityScore(s, d).select(col("doc_id"), col("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    clusters.join(scores, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"), col("n_members"))
+  }
+
   /** dd05: embedding-cosine near-duplicates, blocked by `label` (the
     * coarse cluster id) so the pairwise step is per-block, not corpus².
     * Cosine runs in the codegen'd CosineSim expression.

@@ -145,6 +145,18 @@ object Events {
         date_trunc("second", col("v_ts")).cast("timestamp").as("prior_view_ts"))
   }
 
+  /** ev10: SLIDING window aggregation (2-hour window, 1-hour slide) —
+    * each event lands in two windows; Spark's window() expands them
+    * natively, the oracle replays the expansion with an explicit
+    * 2-element unnest. */
+  def ev10SlidingWindows(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").cast("timestamp").as("window_start"),
+        col("n_events"), col("n_users"))
+
   /** ev07: keep-first dedup for idempotent replay — collapse duplicate
     * (user, type, minute) triples to the earliest event. */
   def ev07EventDedup(s: SparkSession, d: String): DataFrame =

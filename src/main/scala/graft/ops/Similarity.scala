@@ -67,6 +67,26 @@ object Similarity {
       .select(col("label"), col("rk"), col("vec_id"))
   }
 
+  /** ss04: kNN label prediction — majority vote over each query's
+    * exact top-5 cosine neighbors (ties broken by smaller label),
+    * scored against the query's true label. Builds on the ss01 plan;
+    * the extra cost is one small aggregation over 5·|queries| rows. */
+  def ss04KnnClassify(s: SparkSession, d: String): DataFrame = {
+    val neighbors = ss01BruteTopk(s, d)
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = neighbors
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(labels.withColumnRenamed("vec_id", "qid")
+        .withColumnRenamed("label", "true_label"), Seq("qid"))
+      .select(col("qid"), col("label").as("pred_label"), col("true_label"),
+        (col("label") === col("true_label")).as("is_correct"))
+  }
+
   /** ss01: exact brute-force cosine top-5 for query vectors vec_id<10. */
   def ss01BruteTopk(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)

@@ -107,6 +107,18 @@ object Text {
       .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
   }
 
+  /** tx09: canonical text normalization — lowercase, strip
+    * non-alphanumerics, collapse runs of whitespace; emits the
+    * normalized text's hash so downstream exact-dedup runs on the
+    * canonical form. */
+  def tx09Normalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")))
+      .select(col("doc_id"), length(col("norm")).as("norm_len"),
+        md5(col("norm")).as("norm_hash"))
+
   /** tx05: corpus-level bigram frequency, top-20. */
   def tx05BigramFreq(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

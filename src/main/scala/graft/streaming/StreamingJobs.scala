@@ -31,6 +31,27 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** st04: stream-stream interval join — purchases matched to same-user
+    * views at most 30 minutes older. Both sides are watermarked so
+    * Spark can bound the join state (views older than the watermark +
+    * interval are evicted); the time-bound predicate is what makes the
+    * state finite — an unbounded stream-stream join never GCs. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") < col("p_ts"))
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("v_id"), col("v_ts"))
+  }
+
   /** st02: stateful gap sessionization (30-minute inactivity) with
     * explicit per-key state via flatMapGroupsWithState. State per user
     * is O(1) — just the open session bounds — and is emitted+cleared

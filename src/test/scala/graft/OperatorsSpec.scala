@@ -111,6 +111,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(approxMedian - exactMedian) <= 1.0)
   }
 
+  test("optimizer rule pushes left-side filters below the as-of join") {
+    import graft.plans.{AsOf, AsOfJoinPlan}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val joined = AsOf.asofJoin(purchases, views, "user_id", "ts", "v_user", "v_ts")
+      .filter(col("user_id") < 50)   // written ABOVE the join
+    val optimized = joined.queryExecution.optimizedPlan
+    // after the rule, no Filter may remain above the AsOfJoinPlan node
+    optimized match {
+      case Filter(_, _: AsOfJoinPlan) => fail(s"filter not pushed:\n$optimized")
+      case _ => // pushed below
+    }
+    assert(optimized.collect { case a: AsOfJoinPlan => a }.nonEmpty)
+    // and results are unchanged vs filtering before the join
+    val expected = AsOf.asofJoin(
+      purchases.filter(col("user_id") < 50), views,
+      "user_id", "ts", "v_user", "v_ts").count()
+    assert(joined.count() == expected)
+  }
+
   test("mm02 frame fan-out count matches n_chars formula") {
     val expected = Tables.documents(spark, sf)
       .select(sum(col("n_chars") % 5 + 1)).collect()(0).getLong(0)

@@ -50,6 +50,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st04 stream-stream interval join attributes purchases to recent views") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 1, "view", 1.0),      // within 30min of purchase -> match
+      Event(2, ts(10), 1, "purchase", 5.0),
+      Event(3, ts(100), 1, "view", 1.0),    // no purchase after -> no row
+      Event(4, ts(200), 2, "purchase", 5.0)) // user 2 has no views -> no row
+    val q = graft.streaming.StreamingJobs.purchaseAttribution(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("st04_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT p_id, v_id FROM st04_out").collect()
+      assert(rows.length == 1 && rows(0).getLong(0) == 2 && rows(0).getLong(1) == 1)
+    } finally q.stop()
+  }
+
   test("st02 stateful sessionize closes sessions on observed gaps") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
