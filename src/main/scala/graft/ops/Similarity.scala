@@ -52,15 +52,23 @@ object Similarity {
     * replay it; a TypedImperativeAggregate vector-sum would cut the
     * explode cost 64× at scale (round-2 candidate). */
   def ss03CentroidOutliers(s: SparkSession, d: String): DataFrame = {
-    val ex = Tables.embeddings(s, d)
+    val emb = Tables.embeddings(s, d)
+    val embAttr = emb.queryExecution.analyzed.output.find(_.name == "embedding").get
+    val vecSum = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.VecSumAgg(embAttr, dim).toAggregateExpression())
+    val cent = emb.groupBy(col("label"))
+      .agg(vecSum.as("vsum"), count(lit(1)).as("cnt"))
+      .select(col("label"),
+        expr("transform(vsum, x -> x / cnt)").as("cent"))
+    val cos = emb.join(broadcast(cent), Seq("label"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(embedding, cent, (a, b) -> CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("nx", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("nc", expr(
+        "aggregate(cent, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
       .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-      .withColumn("x", col("x").cast("double"))
-    val cent = ex.groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
-    val cos = ex.join(broadcast(cent), Seq("label", "i"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg((sum(col("x") * col("c")) /
-        (sqrt(sum(col("x") * col("x"))) * sqrt(sum(col("c") * col("c"))))).as("cos"))
+        (col("dot") / (sqrt(col("nx")) * sqrt(col("nc")))).as("cos"))
     val w = Window.partitionBy(col("label")).orderBy(col("cos").asc, col("vec_id"))
     cos.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 2)

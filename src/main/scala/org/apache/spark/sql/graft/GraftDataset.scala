@@ -12,4 +12,11 @@ object GraftDataset {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Wrap a raw Catalyst expression as a user-facing Column (needed for
+    * catalyst-internal aggregates like TypedImperativeAggregate that
+    * have no public Column constructor). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression):
+      org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
