@@ -72,6 +72,7 @@ object SparkEntry {
     "ss02_lsh_topk"         -> Similarity.ss02LshTopk _,
     "ss03_centroid_outliers" -> Similarity.ss03CentroidOutliers _,
     "ss04_knn_classify"     -> Similarity.ss04KnnClassify _,
+    "ss05_ivf_topk"         -> Similarity.ss05IvfTopk _,
     "ev10_sliding_windows"  -> Events.ev10SlidingWindows _,
     "tx09_normalize"        -> Text.tx09Normalize _,
     "mm01_binary_meta"      -> Multimodal.mm01BinaryMeta _,
@@ -579,6 +580,35 @@ object SparkEntry {
          |  b.label = t.label AS is_correct
          |FROM b JOIN embeddings t ON b.qid = t.vec_id
          |WHERE rk2 = 1""".stripMargin,
+
+    "ss05_ivf_topk" ->
+      """WITH ex AS (SELECT vec_id, label, i,
+        |       CAST(embedding[i+1] AS DOUBLE) AS x
+        |     FROM embeddings, range(64) t(i)),
+        |cent AS (SELECT label AS cell, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |vc AS (SELECT ex.vec_id, cent.cell,
+        |         sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS ccos
+        |       FROM ex JOIN cent ON ex.i = cent.i
+        |       GROUP BY 1, 2),
+        |assigned AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crk
+        |  FROM vc) WHERE crk = 1),
+        |probes AS (SELECT vec_id AS qid, cell AS probe_cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crk
+        |  FROM vc WHERE vec_id < 10) WHERE crk <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qe.embedding, e.embedding) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.probe_cell AND a.vec_id != p.qid
+        |  JOIN embeddings qe ON qe.vec_id = p.qid
+        |  JOIN embeddings e ON e.vec_id = a.vec_id),
+        |r AS (SELECT qid, neighbor_id,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos DESC, neighbor_id) AS rk
+        |      FROM cand)
+        |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
 
     "ev10_sliding_windows" ->
       """WITH w AS (

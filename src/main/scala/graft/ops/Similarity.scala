@@ -95,6 +95,60 @@ object Similarity {
         (col("label") === col("true_label")).as("is_correct"))
   }
 
+  /** Cosine of each (row's float embedding) against a carried
+    * `array<double>` centroid column, via sequential HOF aggregates. */
+  private def centCosine(embCol: String, centCol: String): Column =
+    (expr(s"aggregate(zip_with($embCol, $centCol, (a, b) -> CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)") /
+      (sqrt(expr(s"aggregate($embCol, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")) *
+        sqrt(expr(s"aggregate($centCol, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))))
+
+  /** Label-centroid table (label, cent: array<double>) via VecSumAgg. */
+  private def centroids(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val embAttr = emb.queryExecution.analyzed.output.find(_.name == "embedding").get
+    val vecSum = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.VecSumAgg(embAttr, dim).toAggregateExpression())
+    emb.groupBy(col("label"))
+      .agg(vecSum.as("vsum"), count(lit(1)).as("cnt"))
+      .select(col("label").as("cell"), expr("transform(vsum, x -> x / cnt)").as("cent"))
+  }
+
+  /** ss05: IVF-style ANN — the corpus is partitioned into coarse cells
+    * (nearest label-centroid); a query probes only its 2 closest cells
+    * and ranks candidates there. Cell assignment and probing are both
+    * broadcast joins against the 10-row centroid table, so the corpus
+    * is scanned, never shuffled; the candidate set is ∝ probed cells,
+    * not the corpus. */
+  def ss05IvfTopk(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cent = centroids(s, d).cache()
+    def nearestCells(df: DataFrame, n: Int, out: String): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cell"))
+      df.join(broadcast(cent))
+        .withColumn("ccos", centCosine("embedding", "cent"))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= n)
+        .select(col("vec_id"), col("cell").as(out))
+    }
+    val emb = Tables.embeddings(s, d)
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .transform(nearestCells(_, 1, "cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .transform(nearestCells(_, 2, "probe_cell"))
+      .join(emb.select(col("vec_id"), col("embedding").as("q_emb")), Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("probe_cell"), col("q_emb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"))
+  }
+
   /** ss01: exact brute-force cosine top-5 for query vectors vec_id<10. */
   def ss01BruteTopk(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)

@@ -62,6 +62,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall@5 $recall too low")
   }
 
+  test("ss05 IVF recall@5 vs brute force is useful") {
+    val brute = ops.Similarity.ss01BruteTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = ops.Similarity.ss05IvfTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall@5 $recall too low")
+  }
+
   test("cosine_sim expression matches reference computation") {
     graft.functions.GraftFunctions.register(spark)
     val rows = Tables.embeddings(spark, sf).limit(2)
