@@ -44,6 +44,7 @@ object SparkEntry {
     "q27_window_suite"      -> Relational.q27WindowSuite _,
     "q28_range_join"        -> Relational.q28RangeJoin _,
     "q29_sql_surface"       -> Relational.q29SqlSurface _,
+    "q30_typed_api"         -> Relational.q30TypedApi _,
     "ev01_tumbling_counts"  -> Events.ev01TumblingCounts _,
     "ev02_sessionize"       -> Events.ev02Sessionize _,
     "ev03_funnel"           -> Events.ev03Funnel _,
@@ -383,6 +384,10 @@ object SparkEntry {
         |FROM orders JOIN tiers
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY tier""".stripMargin,
+
+    "q30_typed_api" ->
+      """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q29_sql_surface" ->
       """SELECT o_orderpriority,

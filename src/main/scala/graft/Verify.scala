@@ -16,7 +16,15 @@ object Verify {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // clear any previous run: a stale result dir would otherwise mask a
+    // query that failed this run as a false pass
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
+    val out = new java.io.File(outDir)
+    if (out.exists()) rmTree(out)
+    out.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -146,6 +146,13 @@ object Dedup {
     var labels = edges.select(col("d1").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
       .localCheckpoint()
+    // convergence via a per-round label checksum: one scalar aggregate on
+    // the (tiny, already-materialized) label frame instead of a
+    // next-vs-previous join — labels only ever decrease, so an unchanged
+    // checksum means a fixed point.
+    def checksum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(bit_xor(xxhash64(col("doc"), col("lbl")))).collect()(0).getLong(0)
+    var prevChk = checksum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -156,8 +163,9 @@ object Dedup {
       val next = labels.join(prop, labels("doc") === prop("ndoc"), "left_outer")
         .select(col("doc"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      val chk = checksum(next)
+      converged = chk == prevChk
+      prevChk = chk
       labels = next
       rounds += 1
     }

@@ -1,7 +1,8 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -15,6 +16,9 @@ import org.apache.spark.sql.expressions.Window
   * plan and the DuckDB oracle so that summation-order noise (~1e-10)
   * cannot flip the comparison hash.
   */
+/** Typed row for the q30 Dataset-API demonstration. */
+case class OrderRow(o_orderkey: Long, o_orderstatus: String, o_totalprice: Double)
+
 object Relational {
 
   private def ts(lit0: String) = to_timestamp(lit(lit0))
@@ -352,6 +356,29 @@ object Relational {
         |FROM orders_v JOIN lineitem_v ON o_orderkey = l_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** q30: the typed Dataset surface — case-class rows, compile-time
+    * field checks, groupByKey + typed Aggregator. Same engine, same
+    * Catalyst plan underneath; the Encoder keeps rows in Tungsten
+    * binary format, deserializing only inside the lambda. */
+  def q30TypedApi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[OrderRow] = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .as[OrderRow]
+    val sumPrice = new Aggregator[OrderRow, Double, Double] {
+      def zero = 0.0
+      def reduce(b: Double, o: OrderRow) = b + o.o_totalprice
+      def merge(a: Double, b: Double) = a + b
+      def finish(b: Double) = b
+      def bufferEncoder = Encoders.scalaDouble
+      def outputEncoder = Encoders.scalaDouble
+    }.toColumn
+    ds.groupByKey(_.o_orderstatus)
+      .agg(sumPrice.name("total_raw"))
+      .toDF("o_orderstatus", "total_raw")
+      .select(col("o_orderstatus"), round(col("total_raw"), 2).as("total"))
   }
 
   /** q22: multi-column sort with limit and deterministic tie-break. */
