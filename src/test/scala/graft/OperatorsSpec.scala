@@ -145,6 +145,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(joined.count() == expected)
   }
 
+  test("native as-of join edge cases: no match, exact-tie, multi-session") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Long) = new Timestamp(1704067200000L + m * 60000L)
+    // left: probes; right: builds. user 1 has builds before+after; user 2
+    // has none; user 3's build is at the EXACT probe ts (strict < -> no match)
+    val probes = Seq((1L, t(100), "p1"), (1L, t(5), "p2"), (2L, t(50), "p3"),
+      (3L, t(30), "p4")).toDF("user_id", "ts", "tag")
+    val builds = Seq((1L, t(10), "b1"), (1L, t(90), "b2"), (3L, t(30), "b3"))
+      .toDF("b_user", "b_ts", "b_tag")
+    val out = graft.plans.AsOf.asofJoin(probes, builds, "user_id", "ts", "b_user", "b_ts")
+      .select(col("tag"), col("b_tag")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(
+      "p1" -> Some("b2"),   // latest strictly-earlier build
+      "p2" -> None,         // probe before any build
+      "p3" -> None,         // user with no builds
+      "p4" -> None))        // exact timestamp tie is NOT a match (strict <)
+  }
+
   test("mm02 frame fan-out count matches n_chars formula") {
     val expected = Tables.documents(spark, sf)
       .select(sum(col("n_chars") % 5 + 1)).collect()(0).getLong(0)

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style checks for the custom aggregation/expression logic —
+  * pure-JVM (no Spark session), sampling each generator 200 times with
+  * a fixed seed so failures are reproducible. */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 200): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("TopKAggregator equals sort-and-take for any input in any order") {
+    val agg = new graft.functions.TopKAggregator(5)
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(-1e9, 1e9))
+      splits <- Gen.chooseNum(1, 8)
+    } yield (xs, splits)
+    samples(gen).foreach { case (xs, splits) =>
+      val chunks = xs.grouped(math.max(1, xs.length / splits)).toList
+      val merged = chunks
+        .map(c => c.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == xs.sorted(Ordering[Double].reverse).take(5),
+        s"input $xs split $splits")
+    }
+  }
+
+  test("VecSumAgg merge matches element-wise sum; serialize round-trips") {
+    val dim = 8
+    val gen = Gen.listOf(Gen.listOfN(dim, Gen.chooseNum(-1000.0, 1000.0)))
+    samples(gen, 100).foreach { vecs =>
+      val agg = graft.functions.VecSumAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(1), dim)
+      val bufs = vecs.map { v =>
+        val b = agg.createAggregationBuffer()
+        v.zipWithIndex.foreach { case (x, i) => b(i) += x.toFloat }
+        b
+      }
+      val total = bufs.foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val expected = (0 until dim).map(i => vecs.map(_(i).toFloat.toDouble).sum)
+      (0 until dim).foreach(i => assert(math.abs(total(i) - expected(i)) < 1e-6))
+      assert(agg.deserialize(agg.serialize(total)).sameElements(total))
+    }
+  }
+
+  test("CosineSim eval is symmetric, bounded, and 1 on self") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val expr = graft.functions.CosineSim(Literal(1), Literal(1))
+    val vec = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    val pairGen = for { a <- vec; b <- vec } yield (a, b)
+    samples(pairGen).foreach { case (a, b) =>
+      val ad = new GenericArrayData(a.toArray)
+      val bd = new GenericArrayData(b.toArray)
+      val ab = expr.nullSafeEval(ad, bd).asInstanceOf[Double]
+      val ba = expr.nullSafeEval(bd, ad).asInstanceOf[Double]
+      assert(ab == ba)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+      assert(math.abs(expr.nullSafeEval(ad, ad).asInstanceOf[Double] - 1.0) < 1e-9)
+    }
+  }
+}
