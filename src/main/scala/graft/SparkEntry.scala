@@ -130,6 +130,17 @@ object SparkEntry {
       |    CASE WHEN n_tokens BETWEEN 5 AND 200 THEN 0.5 ELSE 0.0 END, 4) AS score
       |FROM x""".stripMargin
 
+  /** DuckDB replica of ss02's multi-probe list: exact bucket + every
+    * 1-bit flip. */
+  private def probeListSql(b: String): String =
+    s"""list_transform(range(0, ${Similarity.bitsPerTable + 1}), i ->
+       | CASE WHEN i = 0 THEN $b
+       | ELSE substr($b, 1, CAST(i - 1 AS BIGINT)) ||
+       |      (CASE WHEN substr($b, CAST(i AS BIGINT), 1) = '1'
+       |            THEN '0' ELSE '1' END) ||
+       |      substr($b, CAST(i + 1 AS BIGINT))
+       | END)""".stripMargin
+
   /** ss01's oracle, also the neighbor CTE of ss04's. */
   private val bruteTopkSql: String =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qe
@@ -641,8 +652,15 @@ object SparkEntry {
          |           FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe, b0 AS qb0, b1 AS qb1
          |      FROM e WHERE vec_id < 10),
-         |c AS (SELECT DISTINCT qid, e.vec_id AS neighbor_id, qe, e.embedding AS emb
-         |      FROM q JOIN e ON (e.b0 = qb0 OR e.b1 = qb1) AND e.vec_id != qid),
+         |p0 AS (SELECT qid, qe, unnest(${probeListSql("qb0")}) AS probe FROM q),
+         |p1 AS (SELECT qid, qe, unnest(${probeListSql("qb1")}) AS probe FROM q),
+         |u AS (SELECT p0.qid, e.vec_id, p0.qe, e.embedding AS emb
+         |      FROM p0 JOIN e ON e.b0 = p0.probe
+         |      UNION
+         |      SELECT p1.qid, e.vec_id, p1.qe, e.embedding
+         |      FROM p1 JOIN e ON e.b1 = p1.probe),
+         |c AS (SELECT DISTINCT qid, vec_id AS neighbor_id, qe, emb
+         |      FROM u WHERE vec_id != qid),
          |r AS (SELECT qid, neighbor_id,
          |        row_number() OVER (PARTITION BY qid
          |          ORDER BY list_cosine_similarity(qe, emb) DESC, neighbor_id) AS rk

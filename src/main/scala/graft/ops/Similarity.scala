@@ -164,12 +164,24 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"))
   }
 
+  /** Multi-probe list for a bucket column: the exact bucket plus every
+    * 1-bit flip — 5 probes per 4-bit table. */
+  private def probesExpr(bucketCol: String): Column = expr(
+    s"""transform(sequence(0, $bitsPerTable), i ->
+       |  CASE WHEN i = 0 THEN $bucketCol
+       |  ELSE concat(substring($bucketCol, 1, i - 1),
+       |              CASE WHEN substring($bucketCol, i, 1) = '1'
+       |                   THEN '0' ELSE '1' END,
+       |              substring($bucketCol, i + 1))
+       |  END)""".stripMargin)
+
   /** ss02: LSH-bucketed top-5 — same output shape as ss01 but neighbors
     * are drawn only from the query's LSH buckets. Two independent hash
-    * tables (4 sign bits each); a candidate matches if it collides in
-    * EITHER table — the standard multi-table recall boost, implemented
-    * as two equi-joins + distinct (each join shuffles only on its
-    * bucket key; nothing ever goes corpus²). */
+    * tables (4 sign bits each) with MULTI-PROBE querying: each query
+    * also probes every bucket at Hamming distance 1 — the standard
+    * recall boost that costs extra probes on the (tiny) query side
+    * instead of extra tables over the (huge) corpus side. Candidates
+    * come from equi-joins on the bucket key; nothing ever goes corpus². */
   def ss02LshTopk(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
@@ -178,8 +190,12 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("b0").as("qb0"), col("b1").as("qb1"))
-    val cand0 = emb.join(broadcast(queries), col("b0") === col("qb0"))
-    val cand1 = emb.join(broadcast(queries), col("b1") === col("qb1"))
+    val p0 = queries.select(col("qid"), col("q_emb"),
+      explode(probesExpr("qb0")).as("probe"))
+    val p1 = queries.select(col("qid"), col("q_emb"),
+      explode(probesExpr("qb1")).as("probe"))
+    val cand0 = emb.join(broadcast(p0), col("b0") === col("probe"))
+    val cand1 = emb.join(broadcast(p1), col("b1") === col("probe"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
     cand0.unionByName(cand1)

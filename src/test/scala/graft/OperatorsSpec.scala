@@ -59,7 +59,7 @@ class OperatorsSpec extends SparkTestBase {
     val lsh = ops.Similarity.ss02LshTopk(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.2, s"recall@5 $recall too low")
+    assert(recall >= 0.5, s"recall@5 $recall too low")
   }
 
   test("ss05 IVF recall@5 vs brute force is useful") {
