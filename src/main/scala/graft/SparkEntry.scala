@@ -79,6 +79,7 @@ object SparkEntry {
     "mm01_binary_meta"      -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample"     -> Multimodal.mm02FrameSample _,
     "mm03_chunking"         -> Multimodal.mm03Chunking _,
+    "pp01_training_pipeline" -> Pipelines.pp01TrainingPipeline _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -574,6 +575,27 @@ object SparkEntry {
          |      FROM j)
          |SELECT cluster_id, doc_id AS keeper_id, n_members
          |FROM r WHERE rk = 1""".stripMargin,
+
+    "pp01_training_pipeline" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |scores AS ($qualityScoreSql),
+         |j AS (SELECT c.cluster_id, c.doc_id, s.score
+         |      FROM clusters c JOIN scores s USING (doc_id)),
+         |keep AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM j) WHERE rk = 1),
+         |removed AS (SELECT c.doc_id FROM clusters c
+         |            JOIN keep k ON c.cluster_id = k.cluster_id
+         |            WHERE c.doc_id != k.keeper_id)
+         |SELECT d.doc_id,
+         |  CASE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+         |    WHEN 'f' THEN 'test' WHEN 'e' THEN 'val' ELSE 'train' END AS split,
+         |  s.score
+         |FROM documents d
+         |JOIN scores s ON d.doc_id = s.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = d.doc_id)
+         |  AND s.score >= 0.5""".stripMargin,
 
     "dd05_embed_neardup" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline (SURVEY.md §2) — the capstone
+  * composition the engine exists for, as ONE lazy plan:
+  *
+  *   documents → near-dup clustering (MinHash path) → keep only each
+  *   cluster's best-quality member → quality-score floor →
+  *   deterministic hash split (train/val/test) → per-doc record.
+  *
+  * Every stage is one of the already-verified operators, so the whole
+  * pipeline inherits their scale properties: sketch-blocked pairwise
+  * steps, broadcast of the (tiny) removal list, no collects. The
+  * output is written partitioned by `split` in PipelineSpec.
+  */
+object Pipelines {
+
+  /** pp01: the full pipeline; returns (doc_id, split, score) of kept docs. */
+  def pp01TrainingPipeline(s: SparkSession, d: String): DataFrame = {
+    val clusters = Dedup.dd06DupClusters(s, d)
+    val keepers = Dedup.dd07KeepBest(s, d).select(col("cluster_id"), col("keeper_id"))
+    // cluster members that are NOT their cluster's keeper get dropped
+    val removed = clusters.join(keepers, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id"))
+    val scores = Text.tx02QualityScore(s, d).select(col("doc_id"), col("score"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .join(scores, Seq("doc_id"))
+      .filter(col("score") >= 0.5)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) === "f", "test")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 1) === "e", "val")
+          .otherwise("train"))
+      .select(col("doc_id"), col("split"), col("score"))
+  }
+}

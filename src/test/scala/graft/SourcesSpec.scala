@@ -39,6 +39,16 @@ class SourcesSpec extends SparkTestBase {
     assert(pruned.count() == o.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("pp01 pipeline writes split-partitioned training data") {
+    val out = ops.Pipelines.pp01TrainingPipeline(spark, sf)
+    graft.sources.Sources.writePartitioned(out, s"$tmp/training", "split")
+    val back = graft.sources.Sources.readParquet(spark, s"$tmp/training")
+    assert(back.count() == out.count())
+    val splits = back.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.contains("train") && splits.subsetOf(Set("train", "val", "test")))
+  }
+
   test("bucketed tables join without a shuffle") {
     // the in-memory metastore is fresh each JVM but the warehouse dir
     // persists — clear leftovers from previous runs
