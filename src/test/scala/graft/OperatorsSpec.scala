@@ -25,6 +25,14 @@ class OperatorsSpec extends SparkTestBase {
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
 
+  test("oracle coverage is complete and key-consistent") {
+    val rowsOnly = Set("dd03_simhash")   // declared in SURVEY.md §2
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
   test("q01 aggregates the expected groups") {
     val rf = ops.Relational.q01PricingSummary(spark, sf)
       .select("l_returnflag").distinct().collect().map(_.getString(0)).toSet
