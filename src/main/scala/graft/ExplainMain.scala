@@ -10,7 +10,10 @@ object ExplainMain {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("q01_pricing_summary","q02_filter_project","q05_local_supplier","ss01_brute_topk")) {
+    val queries = if (args.nonEmpty) args.toSeq
+      else Seq("q01_pricing_summary", "q02_filter_project", "q05_local_supplier",
+        "ss01_brute_topk", "dd02_minhash_lsh", "ev09_asof_native", "pp01_training_pipeline")
+    for (q <- queries) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

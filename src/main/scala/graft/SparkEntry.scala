@@ -75,6 +75,7 @@ object SparkEntry {
     "ss04_knn_classify"     -> Similarity.ss04KnnClassify _,
     "ss05_ivf_topk"         -> Similarity.ss05IvfTopk _,
     "ev10_sliding_windows"  -> Events.ev10SlidingWindows _,
+    "ev11_upsert_merge"     -> Events.ev11UpsertMerge _,
     "tx09_normalize"        -> Text.tx09Normalize _,
     "mm01_binary_meta"      -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample"     -> Multimodal.mm02FrameSample _,
@@ -658,6 +659,17 @@ object SparkEntry {
         |SELECT window_start, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
         |FROM w GROUP BY 1""".stripMargin,
+
+    "ev11_upsert_merge" ->
+      """SELECT user_id, event_type, latest_event_id, latest_ts, latest_value
+        |FROM (
+        |  SELECT user_id, event_type, event_id AS latest_event_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS latest_ts,
+        |    round(value, 2) AS latest_value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk = 1""".stripMargin,
 
     "tx09_normalize" ->
       """SELECT doc_id,

@@ -157,6 +157,25 @@ object Events {
       .select(col("window.start").cast("timestamp").as("window_start"),
         col("n_events"), col("n_users"))
 
+  /** ev11: CDC-style merge/upsert without a table format — a "snapshot"
+    * (events before Jan 15) merged with a "changes" batch (events
+    * after): per (user_id, event_type) key the latest record wins.
+    * Union + one keyed window, the merge shape that needs no
+    * per-key state and shuffles each side exactly once. */
+  def ev11UpsertMerge(s: SparkSession, d: String): DataFrame = {
+    val split = to_timestamp(lit("2024-01-15 00:00:00"))
+    val e = ev(s, d)
+    val snapshot = e.filter(col("ts") < split)
+    val changes = e.filter(col("ts") >= split)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    snapshot.unionByName(changes)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("latest_event_id"),
+        sec("ts", "latest_ts"), round(col("value"), 2).as("latest_value"))
+  }
+
   /** ev07: keep-first dedup for idempotent replay — collapse duplicate
     * (user, type, minute) triples to the earliest event. */
   def ev07EventDedup(s: SparkSession, d: String): DataFrame =

@@ -39,6 +39,31 @@ class SourcesSpec extends SparkTestBase {
     assert(pruned.count() == o.filter(col("o_orderstatus") === "F").count())
   }
 
+  /** The in-memory metastore is fresh each JVM but the warehouse dir
+    * persists — clear leftovers from previous runs before (re)writing. */
+  private def dropBucketedTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val dir = new java.io.File(s"/tmp/graft-warehouse/$name")
+    if (dir.exists()) {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("bucketed table aggregates on the bucket key without a shuffle") {
+    if (!spark.catalog.tableExists("orders_b")) {
+      dropBucketedTable("orders_b")
+      Sources.writeBucketed(
+        Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "orders_b", "o_custkey", 4)
+    }
+    val agg = spark.table("orders_b").groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("total"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in bucketed agg:\n$plan")
+    assert(agg.count() ==
+      Tables.orders(spark, sf).select("o_custkey").distinct().count())
+  }
+
   test("pp01 pipeline writes split-partitioned training data") {
     val out = ops.Pipelines.pp01TrainingPipeline(spark, sf)
     graft.sources.Sources.writePartitioned(out, s"$tmp/training", "split")
@@ -50,15 +75,7 @@ class SourcesSpec extends SparkTestBase {
   }
 
   test("bucketed tables join without a shuffle") {
-    // the in-memory metastore is fresh each JVM but the warehouse dir
-    // persists — clear leftovers from previous runs
-    for (t <- Seq("orders_b", "customer_b")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
-      if (dir.exists()) {
-        dir.listFiles().foreach(_.delete()); dir.delete()
-      }
-    }
+    Seq("orders_b", "customer_b").foreach(dropBucketedTable)
     val o = Tables.orders(spark, sf)
     val c = Tables.customer(spark, sf)
     Sources.writeBucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
