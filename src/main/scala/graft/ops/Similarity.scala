@@ -31,7 +31,8 @@ object Similarity {
   }
 
   /** Signed dot-product bit for one hyperplane, via higher-order
-    * functions (stays inside codegen; no UDF). */
+    * functions — kept as the reference formulation the LshBits
+    * expression is spec-checked against. */
   private def planeBit(p: Int, embCol: String): Column = {
     val arr = planes(p).map(v => s"CAST($v AS DOUBLE)").mkString("array(", ",", ")")
     val dot = expr(
@@ -40,10 +41,19 @@ object Similarity {
     when(dot >= 0, lit("1")).otherwise(lit("0"))
   }
 
-  /** Sign-pattern bucket id for hash table `t` (bitsPerTable planes). */
-  private[graft] def bucket(embCol: String, t: Int): Column =
+  /** Reference (interpreted HOF) bucket id — used only by the spec. */
+  private[graft] def bucketReference(embCol: String, t: Int): Column =
     concat((t * bitsPerTable until (t + 1) * bitsPerTable)
       .map(planeBit(_, embCol)): _*)
+
+  /** Sign-pattern bucket id for hash table `t`: the codegen'd LshBits
+    * expression — all plane dot-products fused into one primitive loop
+    * per row, bit-identical to bucketReference (same arithmetic, same
+    * order). */
+  private[graft] def bucket(embCol: String, t: Int): Column =
+    org.apache.spark.sql.graft.GraftDataset.column(graft.functions.LshBits(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(embCol),
+      planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)))
 
   /** ss03: per-label centroids + embedding outliers — element-wise mean
     * vector per label (relational: posexplode → groupBy(label, pos)),

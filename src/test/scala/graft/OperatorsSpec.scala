@@ -79,6 +79,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.2, s"IVF recall@5 $recall too low")
   }
 
+  test("LshBits codegen expression equals the HOF reference buckets") {
+    val emb = Tables.embeddings(spark, sf)
+    val both = emb.select(
+      ops.Similarity.bucket("embedding", 0).as("fast0"),
+      ops.Similarity.bucketReference("embedding", 0).as("ref0"),
+      ops.Similarity.bucket("embedding", 1).as("fast1"),
+      ops.Similarity.bucketReference("embedding", 1).as("ref1"))
+    val mismatches = both
+      .filter(col("fast0") =!= col("ref0") || col("fast1") =!= col("ref1"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("cosine_sim expression matches reference computation") {
     graft.functions.GraftFunctions.register(spark)
     val rows = Tables.embeddings(spark, sf).limit(2)
