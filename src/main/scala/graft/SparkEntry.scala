@@ -77,6 +77,8 @@ object SparkEntry {
     "ev10_sliding_windows"  -> Events.ev10SlidingWindows _,
     "ev11_upsert_merge"     -> Events.ev11UpsertMerge _,
     "tx09_normalize"        -> Text.tx09Normalize _,
+    "tx10_rolling_hash"     -> Text.tx10RollingHash _,
+    "mm04_feature_extract"  -> Multimodal.mm04FeatureExtract _,
     "mm01_binary_meta"      -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample"     -> Multimodal.mm02FrameSample _,
     "mm03_chunking"         -> Multimodal.mm03Chunking _,
@@ -670,6 +672,12 @@ object SparkEntry {
         |                       ORDER BY ts DESC, event_id DESC) AS rk
         |  FROM events)
         |WHERE rk = 1""".stripMargin,
+
+    "tx10_rolling_hash" ->
+      """SELECT doc_id,
+        | list_reduce(string_split(trim(text),' '),
+        |             (x, y) -> md5(x || y)) AS rolling_hash
+        |FROM documents""".stripMargin,
 
     "tx09_normalize" ->
       """SELECT doc_id,

@@ -49,6 +49,31 @@ object Multimodal {
         md5(expr("substring(payload, chunk_idx*32 + 1, 32)")).as("chunk_md5"),
         octet_length(expr("substring(payload, chunk_idx*32 + 1, 32)")).as("chunk_bytes"))
 
+  /** One extracted "feature vector" row per document (stub embedding). */
+  case class DocFeatures(doc_id: Long, dim: Int, norm: Double)
+
+  /** mm04: batched feature extraction over binary payloads — the
+    * embed-the-modality step of a multimodal pipeline. The model call
+    * is STUBBED with a deterministic hash-derived 8-dim vector; the
+    * real part is the partition-batched shape: one extractor instance
+    * per partition (the expensive model-load happens once per
+    * partition, NOT once per row), rows streamed through it. */
+  def mm04FeatureExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars")).as[MediaDoc]
+    docs.mapPartitions { iter =>
+      // per-partition "model load" (stub): one digest instance reused
+      val md = java.security.MessageDigest.getInstance("MD5")
+      iter.map { doc =>
+        md.reset()
+        val h = md.digest(doc.text.getBytes("UTF-8"))
+        val feats = (0 until 8).map(i => ((h(i) & 0xFF) - 128) / 128.0)
+        DocFeatures(doc.doc_id, feats.length, math.sqrt(feats.map(x => x * x).sum))
+      }
+    }.toDF()
+  }
+
   /** STUB decoder: stands in for an image/video codec. Deterministic:
     * n_chars mod 5 + 1 "frames", each hashed from (text, index). A real
     * deployment swaps only this function body for the codec call; the

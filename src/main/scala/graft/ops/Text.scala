@@ -119,6 +119,17 @@ object Text {
       .select(col("doc_id"), length(col("norm")).as("norm_len"),
         md5(col("norm")).as("norm_hash"))
 
+  /** tx10: order-SENSITIVE document fingerprint — a chained (rolling)
+    * hash folded left-to-right over the token stream, complementing
+    * tx04's order-invariant set hash: reordered tokens change tx10 but
+    * not tx04. One pass, no shuffle. */
+  def tx10RollingHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("tk", tokens)
+      .select(col("doc_id"), expr(
+        "aggregate(slice(tk, 2, size(tk) - 1), element_at(tk, 1), (acc, t) -> md5(concat(acc, t)))")
+        .as("rolling_hash"))
+
   /** tx05: corpus-level bigram frequency, top-20. */
   def tx05BigramFreq(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

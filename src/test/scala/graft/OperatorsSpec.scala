@@ -26,7 +26,7 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("oracle coverage is complete and key-consistent") {
-    val rowsOnly = Set("dd03_simhash")   // declared in SURVEY.md §2
+    val rowsOnly = Set("dd03_simhash", "mm04_feature_extract")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -184,6 +184,16 @@ class OperatorsSpec extends SparkTestBase {
       "p2" -> None,         // probe before any build
       "p3" -> None,         // user with no builds
       "p4" -> None))        // exact timestamp tie is NOT a match (strict <)
+  }
+
+  test("mm04 feature extraction is deterministic with fixed dims") {
+    val a = ops.Multimodal.mm04FeatureExtract(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    val b = ops.Multimodal.mm04FeatureExtract(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+    assert(a.forall { case (_, dim, norm) =>
+      dim == 8 && norm >= 0.0 && norm <= math.sqrt(8.0) })
   }
 
   test("mm02 frame fan-out count matches n_chars formula") {
