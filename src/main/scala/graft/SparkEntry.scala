@@ -7,6 +7,12 @@ import graft.ops._
   * `queries` keys correspond 1:1 to SURVEY.md §2's operator inventory;
   * `oracleSql` holds the DuckDB-equivalent SQL for each hash-compared
   * entry (rows-only entries are intentionally absent from `oracleSql`).
+  *
+  * Reference: `diewaldnicole/dsia_big_data` — at the mirrored revision
+  * the repo holds only its README (/root/reference/README.md:1-2,
+  * "project for big data processing, dsia.bbm.19"); the capability
+  * surface is reconstructed in SURVEY.md §1 and implemented
+  * Spark-first throughout.
   */
 object SparkEntry {
 
