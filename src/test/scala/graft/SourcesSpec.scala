@@ -27,6 +27,26 @@ class SourcesSpec extends SparkTestBase {
     assert(back.count() == docs.count())
   }
 
+  test("FAILFAST readers reject malformed input instead of nulling it") {
+    import java.nio.file.{Files, Paths}
+    val dir = s"$tmp/bad_json"
+    new java.io.File(dir).mkdirs()
+    Files.writeString(Paths.get(s"$dir/part-0.json"),
+      """{"doc_id": 1, "text": "ok"}
+        |{"doc_id": "not-a-number", "text": 12}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Sources.readJsonLines(spark, dir, schema).collect()
+    }
+    assert(ex.getMessage.contains("MALFORMED_RECORD") ||
+      ex.getCause != null)
+  }
+
   test("partitioned write enables partition pruning") {
     val o = Tables.orders(spark, sf)
     Sources.writePartitioned(o, s"$tmp/orders_part", "o_orderstatus")

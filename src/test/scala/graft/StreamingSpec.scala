@@ -68,6 +68,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st05 foreachBatch sink writes each micro-batch to parquet") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-st05").toString
+    val in = MemoryStream[Event]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }
+      .start()
+    try {
+      in.addData(Event(1, ts(0), 1, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(2, ts(1), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out").count() == 2)
+    } finally q.stop()
+  }
+
   test("st02 stateful sessionize closes sessions on observed gaps") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
