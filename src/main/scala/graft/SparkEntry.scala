@@ -82,6 +82,7 @@ object SparkEntry {
     "ss05_ivf_topk"         -> Similarity.ss05IvfTopk _,
     "ev10_sliding_windows"  -> Events.ev10SlidingWindows _,
     "ev11_upsert_merge"     -> Events.ev11UpsertMerge _,
+    "ev12_user_features"    -> Events.ev12UserFeatures _,
     "tx09_normalize"        -> Text.tx09Normalize _,
     "tx10_rolling_hash"     -> Text.tx10RollingHash _,
     "mm04_feature_extract"  -> Multimodal.mm04FeatureExtract _,
@@ -678,6 +679,18 @@ object SparkEntry {
         |                       ORDER BY ts DESC, event_id DESC) AS rk
         |  FROM events)
         |WHERE rk = 1""".stripMargin,
+
+    "ev12_user_features" ->
+      """SELECT user_id,
+        | count(*) AS n_events,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+        |   AS purchase_value,
+        | CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS last_seen,
+        | count(DISTINCT date_trunc('day', ts)) AS active_days
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "tx10_rolling_hash" ->
       """SELECT doc_id,

@@ -176,6 +176,23 @@ object Events {
         sec("ts", "latest_ts"), round(col("value"), 2).as("latest_value"))
   }
 
+  /** ev12: per-user behavioral feature table — the feature-engineering
+    * shape for downstream ML: event-type counts (wide conditional
+    * aggs), monetary aggregates, and recency, all in ONE groupBy pass
+    * over the fact table. */
+  def ev12UserFeatures(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "view", 1)).as("n_views"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))), 2).as("purchase_value"),
+        date_trunc("second", max(col("ts"))).cast("timestamp").as("last_seen"),
+        countDistinct(date_trunc("day", col("ts"))).as("active_days"))
+
   /** ev07: keep-first dedup for idempotent replay — collapse duplicate
     * (user, type, minute) triples to the earliest event. */
   def ev07EventDedup(s: SparkSession, d: String): DataFrame =
