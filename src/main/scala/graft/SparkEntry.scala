@@ -51,6 +51,8 @@ object SparkEntry {
     "q28_range_join"        -> Relational.q28RangeJoin _,
     "q29_sql_surface"       -> Relational.q29SqlSurface _,
     "q30_typed_api"         -> Relational.q30TypedApi _,
+    "q31_above_segment_avg" -> Relational.q31AboveSegmentAvg _,
+    "tx11_stopword_filter"  -> Text.tx11StopwordFilter _,
     "ev01_tumbling_counts"  -> Events.ev01TumblingCounts _,
     "ev02_sessionize"       -> Events.ev02Sessionize _,
     "ev03_funnel"           -> Events.ev03Funnel _,
@@ -410,6 +412,28 @@ object SparkEntry {
     "q30_typed_api" ->
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q31_above_segment_avg" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, c_mktsegment, count(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_custkey, c_mktsegment),
+        |sa AS (SELECT c_mktsegment AS seg, avg(n_orders) AS seg_avg
+        |       FROM pc GROUP BY 1)
+        |SELECT c_custkey, c_mktsegment, n_orders
+        |FROM pc JOIN sa ON c_mktsegment = seg
+        |WHERE n_orders > seg_avg""".stripMargin,
+
+    "tx11_stopword_filter" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(trim(text),' '))
+        |   - len(list_filter(string_split(trim(text),' '),
+        |         t -> NOT t IN ('the','a','of','and','to','in'))) AS INTEGER)
+        |   AS n_removed,
+        | md5(array_to_string(list_filter(string_split(trim(text),' '),
+        |       t -> NOT t IN ('the','a','of','and','to','in')), ' '))
+        |   AS filtered_hash
+        |FROM documents""".stripMargin,
 
     "q29_sql_surface" ->
       """SELECT o_orderpriority,

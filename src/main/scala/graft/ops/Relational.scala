@@ -381,6 +381,22 @@ object Relational {
       .select(col("o_orderstatus"), round(col("total_raw"), 2).as("total"))
   }
 
+  /** q31: correlated aggregate comparison — customers ordering more
+    * often than their segment's average (the decorrelated two-level
+    * aggregate join shape Catalyst produces for correlated scalar
+    * subqueries). */
+  def q31AboveSegmentAvg(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("n_orders"))
+    val segAvg = perCust.groupBy(col("c_mktsegment").as("seg"))
+      .agg(avg(col("n_orders")).as("seg_avg"))
+    perCust.join(broadcast(segAvg), col("c_mktsegment") === col("seg"))
+      .filter(col("n_orders") > col("seg_avg"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_orders"))
+  }
+
   /** q22: multi-column sort with limit and deterministic tie-break. */
   def q22MultiSort(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -130,6 +130,19 @@ object Text {
         "aggregate(slice(tk, 2, size(tk) - 1), element_at(tk, 1), (acc, t) -> md5(concat(acc, t)))")
         .as("rolling_hash"))
 
+  /** tx11: stopword filtering — the corpus-cleaning transform: drop
+    * stopword tokens, re-join, and fingerprint the filtered text so the
+    * (large) cleaned column itself never needs to be compared. */
+  def tx11StopwordFilter(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("tk", tokens)
+      .withColumn("kept", filter(col("tk"), t => !array_contains(stopArr, t)))
+      .select(col("doc_id"),
+        (size(col("tk")) - size(col("kept"))).as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("filtered_hash"))
+  }
+
   /** tx05: corpus-level bigram frequency, top-20. */
   def tx05BigramFreq(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
