@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// keep sbt's "[success] Total time" off stdout so the LAST line a
+// runMain prints (e.g. Bench's JSON contract line) stays the last line
+Global / showSuccess := false
+// pass the forked JVM's output through verbatim instead of logging it
+// with "[info] "/"[error] " prefixes — consumers of Bench/Verify parse
+// raw JSON lines from stdout
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.Locale
+
+/** Benchmark main — times every SparkEntry.queries entry at
+  * SPARK_GRAFT_SF_DIR and prints ONE compact JSON contract line LAST.
+  *
+  * The contract line must survive a consumer that keeps only the tail
+  * of stdout (~2000 chars), so it carries the total, a fixed headline
+  * subset of per-query timings, and an explicit failure list — the
+  * full per-query map goes on its own (non-contract) line just above.
+  * Failures are reported as -1 timings + an `errors` list, never as a
+  * silently-near-zero measurement.
+  */
 object Bench {
+  /** One representative per operator family (kept short so the contract
+    * line stays well under the consumer's tail window). */
+  private val headline = Seq(
+    "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier",
+    "q09_window_rank", "ev02_sessionize", "ev09_asof_native",
+    "dd01_exact", "dd02_minhash_lsh", "dd04_ngram_jaccard",
+    "ss01_brute_topk", "ss02_lsh_topk", "tx08_tfidf",
+    "mm03_chunking", "pp01_training_pipeline")
+
+  private def fmt(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,17 +43,30 @@ object Bench {
     // noise (JIT, page cache, shared cached plan segments) so numbers
     // reflect steady-state per-query cost
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val t = if (runs.forall(_._1)) runs.map(_._2).min else -1.0
+      name -> t
+    }
+    val failed = results.collect { case (n, t) if t < 0 => n }
+    val okTimes = results.collect { case (_, t) if t >= 0 => t }
+    val total = okTimes.sum
+    def qmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    // full per-query map: informational line, NOT the contract line
+    println(s"""{"bench_full":${qmap(results)}}""")
+    val head = results.filter { case (n, _) => headline.contains(n) }
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sfName = new java.io.File(sfDir).getName
+    // silence Spark's shutdown chatter, stop the session, THEN print the
+    // contract line so it is the last thing on stdout
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(head)},"n_queries":${results.size},"n_failed":${failed.size},"errors":$errs,"sf":"$sfName"}""")
   }
 }

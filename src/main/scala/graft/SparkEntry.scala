@@ -779,13 +779,13 @@ object SparkEntry {
 
     "mm03_chunking" ->
       """WITH c AS (
-        |  SELECT doc_id, text,
+        |  SELECT doc_id, hex(encode(text)) AS hx,
         |    unnest(range(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)))
         |      AS chunk_idx
         |  FROM documents)
         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
-        |  md5(substring(text, CAST(chunk_idx*32 + 1 AS BIGINT), 32)) AS chunk_md5,
-        |  CAST(length(substring(text, CAST(chunk_idx*32 + 1 AS BIGINT), 32)) AS INTEGER)
+        |  md5(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64)) AS chunk_md5,
+        |  CAST(length(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64)) // 2 AS INTEGER)
         |    AS chunk_bytes
         |FROM c""".stripMargin,
 

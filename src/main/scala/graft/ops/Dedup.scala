@@ -143,32 +143,40 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .cache()
+    // LAZY localCheckpoint: truncates the per-round lineage (the round
+    // plan references `labels` twice, so without truncation the tree
+    // doubles every round) while letting the convergence aggregate be
+    // the ONE job per round that also materializes the checkpoint.
     var labels = edges.select(col("d1").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
-      .localCheckpoint()
-    // convergence via a per-round label checksum: one scalar aggregate on
-    // the (tiny, already-materialized) label frame instead of a
-    // next-vs-previous join — labels only ever decrease, so an unchanged
-    // checksum means a fixed point.
-    def checksum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(bit_xor(xxhash64(col("doc"), col("lbl")))).collect()(0).getLong(0)
-    var prevChk = checksum(labels)
+      .localCheckpoint(eager = false)
+    // convergence via the exact label-sum: labels only ever decrease,
+    // so the sum strictly decreases until the fixed point — no
+    // hash-collision false positive.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
       val prop = edges
         .join(labels, edges("d2") === labels("doc"))
         .groupBy(edges("d1").as("ndoc"))
         .agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(prop, labels("doc") === prop("ndoc"), "left_outer")
         .select(col("doc"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      val chk = checksum(next)
-      converged = chk == prevChk
-      prevChk = chk
+        .localCheckpoint(eager = false)
+      val curSum = labelSum(next)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       labels = next
       rounds += 1
     }
+    // hitting the cap is a hard error, not a silent wrong answer: a
+    // component with diameter > maxRounds would carry stale labels
+    if (!converged) throw new IllegalStateException(
+      s"dd06 label propagation did not converge within $maxRounds rounds")
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -176,9 +184,14 @@ object Dedup {
     * of a dedup pipeline: within each dd06 cluster keep the
     * highest-quality member (tx02 score, ties → smaller id); emit the
     * keeper and the member count so the discarded mass is auditable. */
-  def dd07KeepBest(s: SparkSession, d: String): DataFrame = {
-    val clusters = dd06DupClusters(s, d)
-    val scores = Text.tx02QualityScore(s, d).select(col("doc_id"), col("score"))
+  def dd07KeepBest(s: SparkSession, d: String): DataFrame =
+    keepBestFrom(dd06DupClusters(s, d),
+      Text.tx02QualityScore(s, d).select(col("doc_id"), col("score")))
+
+  /** keep-best over a PRE-COMPUTED cluster frame — lets pp01 run the
+    * iterative clustering once and reuse it for both the keeper list
+    * and the removal list instead of re-running the whole chain. */
+  private[ops] def keepBestFrom(clusters: DataFrame, scores: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
       .orderBy(col("score").desc, col("doc_id"))
     clusters.join(scores, Seq("doc_id"))

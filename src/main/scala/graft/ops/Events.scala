@@ -97,8 +97,11 @@ object Events {
       .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"))
     val purch = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"))
+    // side DESC: at equal ts a purchase (side=1) sorts BEFORE the views,
+    // so same-timestamp views stay out of its preceding frame — the
+    // strictly-earlier (v.ts < p.ts) semantics of the oracle and ev09
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("side"), col("event_id"))
+      .orderBy(col("ts"), col("side").desc, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     views.unionByName(purch)
       .withColumn("prior_view_ts",

@@ -40,13 +40,19 @@ object Multimodal {
   def mm03Chunking(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("payload", encode(col("text"), "UTF-8"))
+      // empty payloads produce no chunks (greatest() guards sequence's
+      // start>stop step=-1 default; the filter drops zero-byte payloads)
+      .filter(octet_length(col("payload")) > 0)
       .withColumn("chunk_idx",
         explode(sequence(lit(0),
-          ceil(octet_length(col("payload")) / 32.0).cast("int") - 1)))
+          greatest(lit(0), ceil(octet_length(col("payload")) / 32.0).cast("int") - 1))))
       .select(
         col("doc_id"),
         col("chunk_idx"),
-        md5(expr("substring(payload, chunk_idx*32 + 1, 32)")).as("chunk_md5"),
+        // hash the hex encoding of the chunk BYTES: byte-faithful on
+        // non-ASCII input and replayable in engines whose md5 is
+        // varchar-only (the oracle slices hex(payload) 2 chars/byte)
+        md5(hex(expr("substring(payload, chunk_idx*32 + 1, 32)"))).as("chunk_md5"),
         octet_length(expr("substring(payload, chunk_idx*32 + 1, 32)")).as("chunk_bytes"))
 
   /** One extracted "feature vector" row per document (stub embedding). */

@@ -20,13 +20,18 @@ object Pipelines {
 
   /** pp01: the full pipeline; returns (doc_id, split, score) of kept docs. */
   def pp01TrainingPipeline(s: SparkSession, d: String): DataFrame = {
+    // run the iterative clustering ONCE (its result frame is cached by
+    // dd06) and derive both the keeper list and the removal list from
+    // it — re-invoking dd07 here would re-run the whole minhash+
+    // propagation chain a second time
+    val scores = Text.tx02QualityScore(s, d).select(col("doc_id"), col("score"))
     val clusters = Dedup.dd06DupClusters(s, d)
-    val keepers = Dedup.dd07KeepBest(s, d).select(col("cluster_id"), col("keeper_id"))
+    val keepers = Dedup.keepBestFrom(clusters, scores)
+      .select(col("cluster_id"), col("keeper_id"))
     // cluster members that are NOT their cluster's keeper get dropped
     val removed = clusters.join(keepers, Seq("cluster_id"))
       .filter(col("doc_id") =!= col("keeper_id"))
       .select(col("doc_id"))
-    val scores = Text.tx02QualityScore(s, d).select(col("doc_id"), col("score"))
     Tables.documents(s, d).select(col("doc_id"))
       .join(broadcast(removed), Seq("doc_id"), "left_anti")
       .join(scores, Seq("doc_id"))

@@ -113,9 +113,20 @@ object AsOf {
       rightKey: String, rightTs: String): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
+    def attr(p: LogicalPlan, n: String): Attribute = {
+      val a = p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+      // the exec extracts key/ts via getLong — fail fast on anything that
+      // is not an 8-byte type rather than silently mis-joining (e.g. an
+      // IntegerType key read without sign extension)
+      a.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => a
+        case dt => throw new IllegalArgumentException(
+          s"as-of join column $n must be LONG/TIMESTAMP (8-byte), got $dt")
+      }
+    }
     org.apache.spark.sql.graft.GraftDataset.ofRows(left.sparkSession,
       AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(lp, leftTs),
         attr(rp, rightKey), attr(rp, rightTs)))
