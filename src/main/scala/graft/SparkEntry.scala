@@ -92,6 +92,25 @@ object SparkEntry {
     "mm02_frame_sample"     -> Multimodal.mm02FrameSample _,
     "mm03_chunking"         -> Multimodal.mm03Chunking _,
     "pp01_training_pipeline" -> Pipelines.pp01TrainingPipeline _,
+    "q32_grouping_sets"     -> Relational.q32GroupingSets _,
+    "q33_argminmax"         -> Relational.q33ArgMinMax _,
+    "q34_array_agg"         -> Relational.q34ArrayAgg _,
+    "q35_gaps_islands"      -> Relational.q35GapsIslands _,
+    "q36_ratio_to_report"   -> Relational.q36RatioToReport _,
+    "ev13_transitions"      -> Events.ev13Transitions _,
+    "ev14_rolling_7d"       -> Events.ev14Rolling7dActive _,
+    "ev15_top_gaps"         -> Events.ev15TopGaps _,
+    "tx12_pii_redact"       -> Text.tx12PiiRedact _,
+    "tx13_word_dedup"       -> Text.tx13WordDedup _,
+    "tx14_char_ngrams"      -> Text.tx14CharNgrams _,
+    "tx15_vocab_coverage"   -> Text.tx15VocabCoverage _,
+    "dd08_chunk_dup"        -> Dedup.dd08ChunkDup _,
+    "ss06_range_search"     -> Similarity.ss06RangeSearch _,
+    "ss07_mips_topk"        -> Similarity.ss07MipsTopk _,
+    "mm05_size_histogram"   -> Multimodal.mm05SizeHistogram _,
+    "pp02_chunk_audit"      -> Pipelines.pp02ChunkDedupAudit _,
+    "sk01_hll_users"        -> Sketches.sk01HllUsers _,
+    "sk02_quantile_sketch"  -> Sketches.sk02QuantileSketch _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -177,7 +196,179 @@ object SparkEntry {
         s"(CASE WHEN list_sum(list_transform(range(64), i -> embedding[i+1] * ($arr)[i+1])) >= 0 THEN '1' ELSE '0' END)"
       }.mkString(" || ")
 
+  /** Shared chunk stream (mm03's CTE body): hex-encoded payload sliced
+    * 64 hex chars (= 32 bytes) per chunk. */
+  private val chunksSql: String =
+    """SELECT doc_id,
+      |  md5(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64)) AS chunk_md5
+      |FROM (SELECT doc_id, hex(encode(text)) AS hx,
+      |        unnest(range(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)))
+      |          AS chunk_idx
+      |      FROM documents)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q32_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS o_orderstatus,
+        | coalesce(o_orderpriority,'ALL') AS o_orderpriority,
+        | count(*) AS cnt, round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())""".stripMargin,
+
+    "q33_argminmax" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment,
+        |  max(CASE WHEN rmax=1 THEN o_orderkey END) AS top_order,
+        |  max(CASE WHEN rmin=1 THEN o_orderkey END) AS bottom_order,
+        |  round(max(CASE WHEN rmax=1 THEN o_totalprice END),2) AS top_price
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q34_array_agg" ->
+      """SELECT o_custkey,
+        | array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+        |   AS priorities,
+        | count(DISTINCT o_orderpriority) AS n_priorities
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q35_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT o_custkey,
+        |    CAST(date_trunc('day', o_orderdate) AS DATE) AS day FROM orders),
+        |x AS (SELECT o_custkey, day,
+        |  date_diff('day', DATE '1970-01-01', day)
+        |    - row_number() OVER (PARTITION BY o_custkey ORDER BY day) AS grp
+        |  FROM days)
+        |SELECT o_custkey, min(day) AS island_start, count(*) AS n_days
+        |FROM x GROUP BY o_custkey, grp HAVING count(*) >= 2""".stripMargin,
+
+    "q36_ratio_to_report" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(price_c * 10000 // sum(price_c) OVER (PARTITION BY o_custkey)
+        |    AS BIGINT) AS share_bp
+        |FROM c""".stripMargin,
+
+    "ev13_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "ev14_rolling_7d" ->
+      """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    user_id FROM events),
+        |spine AS (SELECT DISTINCT day AS d0 FROM du)
+        |SELECT d0 AS day, count(DISTINCT user_id) AS active_7d
+        |FROM du JOIN spine ON du.day BETWEEN d0 - 6 AND d0
+        |GROUP BY 1""".stripMargin,
+
+    "ev15_top_gaps" ->
+      """WITH t AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT)
+        |    AS gap_s,
+        |  CAST(date_trunc('second', prev_ts) AS TIMESTAMP) AS gap_start
+        |FROM t WHERE prev_ts IS NOT NULL
+        |ORDER BY gap_s DESC, user_id, gap_start LIMIT 20""".stripMargin,
+
+    "tx12_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'ref ' || CAST(doc_id * 7919 AS VARCHAR) || ' '
+        |           || substr(trim(text), 1, 30)
+        |      ELSE string_split(trim(text), ' ')[1] || '@' || source
+        |           || '.example.com ref ' || CAST(doc_id * 7919 AS VARCHAR)
+        |           || ' ' || substr(trim(text), 1, 30)
+        |    END AS profile
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(profile, '[A-Za-z0-9.]+@[A-Za-z0-9.]+'))
+        |    AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(profile, '[0-9]+')) AS INTEGER) AS n_numbers,
+        |  md5(regexp_replace(regexp_replace(profile,
+        |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g')) AS redacted_hash
+        |FROM p""".stripMargin,
+
+    "tx13_word_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk FROM documents),
+        |p AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM t),
+        |m AS (SELECT doc_id, tok, min(pos) AS mp FROM p GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_unique,
+        |  md5(array_to_string(list(tok ORDER BY mp), ' ')) AS dedup_hash
+        |FROM m GROUP BY doc_id""".stripMargin,
+
+    "tx14_char_ngrams" ->
+      """WITH g AS (SELECT unnest(list_transform(range(1, length(text)-1),
+        |    i -> substr(text, i, 3))) AS trigram
+        |  FROM documents WHERE length(text) >= 3)
+        |SELECT trigram, count(*) AS cnt FROM g GROUP BY 1
+        |ORDER BY cnt DESC, trigram LIMIT 20""".stripMargin,
+
+    "tx15_vocab_coverage" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text),' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, 1 AS iv FROM (
+        |  SELECT tok, count(*) AS cnt FROM t GROUP BY 1
+        |  ORDER BY cnt DESC, tok LIMIT 50)),
+        |j AS (SELECT t.doc_id, v.iv FROM t LEFT JOIN v USING (tok))
+        |SELECT doc_id, count(*) AS n_tokens, count(iv) AS n_in_vocab,
+        |  count(iv) * 10000 // count(*) AS coverage_bp
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "dd08_chunk_dup" ->
+      s"""WITH h AS ($chunksSql)
+         |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_occurrences
+         |FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "ss06_range_search" ->
+      """SELECT q.vec_id AS qid, e.vec_id AS neighbor_id
+        |FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        |WHERE q.vec_id < 10
+        |  AND list_cosine_similarity(q.embedding, e.embedding) >= 0.25""".stripMargin,
+
+    "ss07_mips_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT qid, e.vec_id AS neighbor_id,
+        |    list_inner_product(CAST(qe AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS dot
+        |  FROM q, embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, neighbor_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot DESC, neighbor_id) AS rk
+        |  FROM c)
+        |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    "mm05_size_histogram" ->
+      """SELECT source,
+        | CAST(octet_length(encode(text)) AS BIGINT) // 50 AS bucket,
+        | count(*) AS n_docs,
+        | min(CAST(octet_length(encode(text)) AS BIGINT)) AS min_bytes,
+        | max(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "pp02_chunk_audit" ->
+      s"""WITH h AS ($chunksSql),
+         |dup AS (SELECT chunk_md5, 1 AS is_dup FROM h
+         |        GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1)
+         |SELECT doc_id, count(*) AS n_chunks, count(is_dup) AS n_shared,
+         |  count(is_dup) * 10000 // count(*) AS shared_bp
+         |FROM h LEFT JOIN dup USING (chunk_md5)
+         |GROUP BY doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

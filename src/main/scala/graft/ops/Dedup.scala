@@ -207,6 +207,17 @@ object Dedup {
     * coarse cluster id) so the pairwise step is per-block, not corpus².
     * Cosine runs in the codegen'd CosineSim expression.
     */
+  /** dd08: cross-document chunk-level dedup — which 32-byte content
+    * chunks (mm03) recur across documents. The content-defined-chunking
+    * dedup shape: one hash-groupBy over the chunk stream, partial-agg'd,
+    * output ∝ duplicated chunks only. */
+  def dd08ChunkDup(s: SparkSession, d: String): DataFrame =
+    Multimodal.mm03Chunking(s, d)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+
   def dd05EmbedNeardup(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)

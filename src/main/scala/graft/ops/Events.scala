@@ -203,4 +203,48 @@ object Events {
       .groupBy(col("user_id"), col("event_type"),
         date_trunc("minute", col("ts")).cast("timestamp").as("bucket"))
       .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** ev13: event-type transition matrix (1st-order Markov counts) —
+    * lag over the per-user timeline, then one aggregate. Shares the
+    * single (user_id)-partitioned sort with every other per-user
+    * window op; the output is |types|² rows regardless of input size. */
+  def ev13Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** ev14: rolling 7-day distinct active users per day. Distinct counts
+    * don't decompose over sliding windows, so the scalable shape is:
+    * collapse to (day, user) once — the big shuffle, input-sized — then
+    * range-join the tiny day spine against that (days × 7 fan-out,
+    * trivial) and count distinct per day. */
+  def ev14Rolling7dActive(s: SparkSession, d: String): DataFrame = {
+    val du = ev(s, d)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+      .distinct()
+    val spine = du.select(col("day")).distinct().select(col("day").as("d0"))
+    du.join(broadcast(spine),
+        col("day") >= date_sub(col("d0"), 6) && col("day") <= col("d0"))
+      .groupBy(col("d0").as("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+  }
+
+  /** ev15: top-20 longest per-user inactivity gaps — lag diff inside
+    * the per-user window, then TakeOrderedAndProject (per-partition
+    * partial top-k, only k rows per task reach the driver merge). */
+  def ev15TopGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("gap_s", col("ts").cast("long") - col("prev_ts").cast("long"))
+      .select(col("user_id"), col("gap_s"),
+        date_trunc("second", col("prev_ts")).cast("timestamp").as("gap_start"))
+      .orderBy(col("gap_s").desc, col("user_id"), col("gap_start"))
+      .limit(20)
+  }
 }

@@ -80,6 +80,18 @@ object Multimodal {
     }.toDF()
   }
 
+  /** mm05: payload size histogram per source — 50-byte buckets over
+    * the binary column, all exact long arithmetic (`div`). The
+    * storage-profiling pass a multimodal ingest runs before choosing
+    * chunk/partition sizes. */
+  def mm05SizeHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("nb", octet_length(col("payload")).cast("long"))
+      .groupBy(col("source"), expr("nb div 50").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nb")).as("min_bytes"), max(col("nb")).as("max_bytes"))
+
   /** STUB decoder: stands in for an image/video codec. Deterministic:
     * n_chars mod 5 + 1 "frames", each hashed from (text, index). A real
     * deployment swaps only this function body for the codec call; the

@@ -42,4 +42,21 @@ object Pipelines {
           .otherwise("train"))
       .select(col("doc_id"), col("split"), col("score"))
   }
+
+  /** pp02: chunk-level dedup audit — per document, how much of its
+    * content (32-byte chunks, mm03) is shared with OTHER documents:
+    * chunk stream → corpus-wide duplicated-chunk set (tiny, broadcast)
+    * → per-doc shared fraction in exact basis points. The audit a
+    * dedup pipeline runs to decide chunk- vs doc-level dedup. */
+  def pp02ChunkDedupAudit(s: SparkSession, d: String): DataFrame = {
+    val chunks = Multimodal.mm03Chunking(s, d).select(col("doc_id"), col("chunk_md5"))
+    val dupSet = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("chunk_md5"), lit(1).as("is_dup"))
+    chunks.join(broadcast(dupSet), Seq("chunk_md5"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), count(col("is_dup")).as("n_shared"))
+      .withColumn("shared_bp", expr("n_shared * 10000 div n_chunks"))
+  }
 }

@@ -404,4 +404,81 @@ object Relational {
       .orderBy(col("l_returnflag").asc, col("l_quantity").desc,
         col("l_orderkey").asc, col("l_linenumber").asc)
       .limit(100)
+
+  /** q32: EXPLICIT grouping sets — unlike ROLLUP (q16) / CUBE (q17),
+    * an arbitrary set list that skips a level: ((status, priority),
+    * (priority), ()). One pass, Catalyst expands to a single Expand +
+    * aggregate — no N-times re-scan of the fact table. */
+  def q32GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus,'ALL') AS o_orderstatus,
+        |  coalesce(o_orderpriority,'ALL') AS o_orderpriority,
+        |  count(*) AS cnt, round(sum(o_totalprice),2) AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** q33: arg-max/arg-min aggregation — `max_by`/`min_by` with a
+    * composite (value, key) ordering struct for deterministic
+    * tie-breaks. Single partial-aggregable pass: no window sort, the
+    * per-group champion rides the map-side combine. */
+  def q33ArgMinMax(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("top_order"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("bottom_order"),
+        round(max(col("o_totalprice")), 2).as("top_price"))
+
+  /** q34: ordered array aggregation — per-customer sorted distinct
+    * priority list serialized to one string. collect_list is only safe
+    * under an explicit sort_array: collection order is partition-
+    * dependent, the sort makes it deterministic. */
+  def q34ArrayAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(sort_array(array_distinct(collect_list(col("o_orderpriority")))), ",")
+          .as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+
+  /** q35: gaps-and-islands — runs of CONSECUTIVE order days per
+    * customer via the day_number − row_number grouping trick. One
+    * shuffle on custkey shared by the distinct + window + final agg. */
+  def q35GapsIslands(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+    days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")) - row_number().over(w))
+      .groupBy(col("o_custkey"), col("grp"))
+      .agg(min(col("day")).as("island_start"), count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+      .select(col("o_custkey"), col("island_start"), col("n_days"))
+  }
+
+  /** q36: ratio-to-report — each order's share of its customer's total,
+    * in integer basis points. Prices are converted to exact cents
+    * (long) FIRST, so the window sum and the division are integer
+    * arithmetic end-to-end — a float window sum would be
+    * addition-order-dependent and unstable at floor boundaries.
+    * One window partition, no second scan of the input. */
+  def q36RatioToReport(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, d)
+      .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("total_c", sum(col("price_c")).over(w))
+      .withColumn("share_bp", expr("price_c * 10000 div total_c"))
+      .select(col("o_custkey"), col("o_orderkey"), col("share_bp"))
+  }
 }

@@ -217,4 +217,36 @@ object Similarity {
       .filter(col("rk") <= 5)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"))
   }
+
+  /** ss06: threshold (range) similarity search — ALL neighbors above a
+    * cosine floor rather than a fixed k. Same broadcast-queries /
+    * scan-corpus-in-place shape as ss01: no shuffle of the corpus, no
+    * window sort — the filter keeps it a pure scan. */
+  def ss06RangeSearch(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .filter(expr("cosine_sim(q_emb, embedding)") >= 0.25)
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** ss07: maximum-inner-product search (MIPS) top-k — the retrieval
+    * scoring used when embeddings are NOT length-normalized (e.g.
+    * recommendation scores). Same exact-scan shape as ss01 but ranked
+    * by the codegen'd DotProduct expression. */
+  def ss07MipsTopk(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr("dot_product(q_emb, embedding)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"))
+  }
 }

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregation (SURVEY.md §2) — the 100 TB
+  * answer to "exact is too expensive": mergeable, fixed-size sketches
+  * that partial-aggregate map-side, so the shuffle carries one sketch
+  * per group per task instead of the raw values. Approximate results
+  * cannot hash-match a DuckDB oracle, so these are rows-only entries
+  * whose error bounds are asserted against the exact operators in
+  * SketchesSpec.
+  */
+object Sketches {
+
+  /** sk01: HyperLogLog++ approximate distinct users per event type.
+    * The exact twin is a countDistinct (expands to a two-phase
+    * distinct-then-count shuffle of every distinct pair); the sketch
+    * ships one ~1.5 KB HLL per (type, task). rsd 0.02 → ±2% typical. */
+  def sk01HllUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
+  /** sk02: quantile sketch (Greenwald–Khanna via percentile_approx,
+    * accuracy 10000) per order status — the exact twin (q23's
+    * percentile) must co-locate every value of a group; the sketch is
+    * bounded-size and mergeable. */
+  def sk02QuantileSketch(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90_approx"),
+        count(lit(1)).as("cnt"))
+}

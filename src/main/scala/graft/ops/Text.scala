@@ -155,4 +155,75 @@ object Text {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
+
+  /** tx12: PII redaction — the scrub-before-training transform. A
+    * deterministic synthetic "profile" string (the raw corpus carries
+    * no PII) gets email + number-run redaction via chained
+    * regexp_replace; per-row counts make the removed mass auditable.
+    * Pure per-row codegen'd regex work — no shuffle at all. */
+  def tx12PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9.]+@[A-Za-z0-9.]+"
+    val profile = when(col("doc_id") % 3 === 0,
+        concat(lit("ref "), (col("doc_id") * 7919).cast("string"), lit(" "),
+          substring(trim(col("text")), 1, 30)))
+      .otherwise(
+        concat(element_at(tokens, 1), lit("@"), col("source"), lit(".example.com ref "),
+          (col("doc_id") * 7919).cast("string"), lit(" "),
+          substring(trim(col("text")), 1, 30)))
+    Tables.documents(s, d)
+      .withColumn("profile", profile)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("profile"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("profile"), lit("[0-9]+"), lit(0))).as("n_numbers"),
+        md5(regexp_replace(regexp_replace(col("profile"), emailRe, "<EMAIL>"),
+          "[0-9]+", "<NUM>")).as("redacted_hash"))
+  }
+
+  /** tx13: order-preserving within-document token dedup — repeated
+    * tokens collapse to their FIRST occurrence (repetition removal for
+    * training text). posexplode → min(pos) per token → re-assembled by
+    * an explicit array_sort on (pos, token): order is deterministic,
+    * never collection order. */
+  def tx13WordDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(min(col("pos")).as("mp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("mp"), col("tok")))),
+            x => x.getField("tok")), " ")).as("dedup_hash"))
+
+  /** tx14: character-trigram frequency table, top-20 — the char-level
+    * n-gram feature base of language-ID / script detection. */
+  def tx14CharNgrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))"))
+        .as("trigram"))
+      .groupBy(col("trigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("trigram"))
+      .limit(20)
+
+  /** tx15: vocabulary coverage — fraction of each document's tokens in
+    * the corpus top-50 vocabulary, in integer basis points (exact long
+    * arithmetic end-to-end). The two-level shape is the scalable one:
+    * the vocab aggregate shrinks the corpus to 50 rows that broadcast
+    * back onto the exploded token stream. */
+  def tx15VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(50)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), count(col("in_vocab")).as("n_in_vocab"))
+      .withColumn("coverage_bp", expr("n_in_vocab * 10000 div n_tokens"))
+  }
 }

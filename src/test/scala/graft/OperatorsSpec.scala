@@ -20,13 +20,17 @@ class OperatorsSpec extends SparkTestBase {
     }
     // ss02/dd02/dd03/dd04 may legitimately be empty at sf0.001 (few docs,
     // near-dup pairs are planted at larger SFs); everything else must hit.
-    val allowedEmpty = Set("dd02_minhash_lsh", "dd03_simhash", "dd04_ngram_jaccard")
+    val allowedEmpty = Set("dd02_minhash_lsh", "dd03_simhash", "dd04_ngram_jaccard",
+      // near-dup chunks / multi-day islands / threshold matches may not
+      // exist in the tiny sf0.001 slice
+      "dd08_chunk_dup", "q35_gaps_islands", "ss06_range_search")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
 
   test("oracle coverage is complete and key-consistent") {
-    val rowsOnly = Set("dd03_simhash", "mm04_feature_extract")  // SURVEY.md §2
+    val rowsOnly = Set("dd03_simhash", "mm04_feature_extract",
+      "sk01_hll_users", "sk02_quantile_sketch")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -200,5 +204,91 @@ class OperatorsSpec extends SparkTestBase {
     val expected = Tables.documents(spark, sf)
       .select(sum(col("n_chars") % 5 + 1)).collect()(0).getLong(0)
     assert(ops.Multimodal.mm02FrameSample(spark, sf).count() == expected)
+  }
+
+  test("sk01 HLL distinct users within 5% of exact per event type") {
+    val approx = ops.Sketches.sk01HllUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(approx(k) - ex).toDouble / ex
+      assert(err <= 0.05, s"sk01 $k: approx ${approx(k)} vs exact $ex (err $err)")
+    }
+  }
+
+  test("sk02 quantile sketch within 2% of exact per status") {
+    val approx = ops.Sketches.sk02QuantileSketch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02, s"sk02 $k p50")
+      assert(math.abs(approx(k)._2 - p90) / p90 <= 0.02, s"sk02 $k p90")
+    }
+  }
+
+  test("DotProduct expression matches HOF-aggregate reference") {
+    graft.functions.GraftFunctions.register(spark)
+    val bad = Tables.embeddings(spark, sf).limit(50)
+      .select(expr("dot_product(embedding, embedding)").as("fast"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
+  test("ss07 top-1 is the argmax inner product") {
+    graft.functions.GraftFunctions.register(spark)
+    val top1 = ops.Similarity.ss07MipsTopk(spark, sf)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val best = emb.join(q, col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr("dot_product(qe, embedding)"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("vec_id"))))
+      .filter(col("rk") === 1).collect().map(r =>
+        r.getAs[Long]("qid") -> r.getAs[Long]("vec_id")).toMap
+    assert(top1 == best)
+  }
+
+  test("tx13 unique-token counts agree with tx01 distinct counts") {
+    val dedup = ops.Text.tx13WordDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stats = ops.Text.tx01TokenStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // n_distinct (col 2 of tx01) vs tx13 n_unique
+    val distinct = ops.Text.tx01TokenStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    assert(dedup == distinct, "tx13 n_unique must equal tx01 n_distinct")
+    assert(stats.keySet == dedup.keySet)
+  }
+
+  test("q36 per-customer shares sum to ~10000 bp") {
+    val sums = ops.Relational.q36RatioToReport(spark, sf)
+      .groupBy(col("o_custkey")).agg(sum(col("share_bp")).as("s"),
+        count(lit(1)).as("n")).collect()
+    sums.foreach { r =>
+      val s = r.getLong(1); val n = r.getLong(2)
+      // each floor loses < 1 bp: total in (10000 - n, 10000]
+      assert(s <= 10000 && s > 10000 - n, s"bad share sum $s for n=$n")
+    }
+  }
+
+  test("pp02 shared mass is consistent with dd08 duplicate chunks") {
+    val viaDocs = ops.Pipelines.pp02ChunkDedupAudit(spark, sf)
+      .agg(sum(col("n_shared"))).collect()(0).getLong(0)
+    val viaChunks = ops.Dedup.dd08ChunkDup(spark, sf)
+      .agg(coalesce(sum(col("n_occurrences")), lit(0L))).collect()(0).getLong(0)
+    assert(viaDocs == viaChunks)
   }
 }
