@@ -52,6 +52,23 @@ object StreamingJobs {
       .select(col("p_id"), col("p_user"), col("p_ts"), col("v_id"), col("v_ts"))
   }
 
+  /** st06: streaming upsert — a continuously-maintained latest-record
+    * view per (user, type) key, the streaming twin of batch ev11.
+    * Declarative max_by keeps O(1) state per key (one champion row);
+    * emitted in Update mode so each micro-batch only re-emits keys it
+    * touched. The Kappa property: identical semantics replayed batch
+    * or streamed. */
+  def latestPerKey(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("latest"))
+      .select(col("user_id"), col("event_type"),
+        col("latest.event_id").as("latest_event_id"),
+        col("latest.ts").as("latest_ts"),
+        col("latest.value").as("latest_value"))
+
   /** st02: stateful gap sessionization (30-minute inactivity) with
     * explicit per-key state via flatMapGroupsWithState. State per user
     * is O(1) — just the open session bounds — and is emitted+cleared

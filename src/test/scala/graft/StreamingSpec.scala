@@ -87,6 +87,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st06 streaming upsert keeps the latest record per key") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(1), 1, "view", 1.0),
+      Event(2, ts(5), 1, "view", 2.0))   // same key, later → wins
+    val q = StreamingJobs.latestPerKey(in.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("st06_out").start()
+    try {
+      q.processAllAvailable()
+      in.addData(Event(3, ts(9), 1, "view", 7.5)) // cross-batch upsert
+      in.addData(Event(4, ts(2), 1, "view", 9.9)) // LATE record must NOT win
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM st06_out").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("latest_event_id") == 3)
+      assert(rows(0).getAs[Double]("latest_value") == 7.5)
+    } finally q.stop()
+  }
+
   test("st02 stateful sessionize closes sessions on observed gaps") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
