@@ -111,6 +111,9 @@ object SparkEntry {
     "pp02_chunk_audit"      -> Pipelines.pp02ChunkDedupAudit _,
     "sk01_hll_users"        -> Sketches.sk01HllUsers _,
     "sk02_quantile_sketch"  -> Sketches.sk02QuantileSketch _,
+    "sk03_cms_tokens"       -> Sketches.sk03CmsTokenCounts _,
+    "q37_notin_antijoin"    -> Relational.q37NotinAntijoin _,
+    "q38_rank_suite"        -> Relational.q38RankSuite _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -254,6 +257,22 @@ object SparkEntry {
         |  CAST(price_c * 10000 // sum(price_c) OVER (PARTITION BY o_custkey)
         |    AS BIGINT) AS share_bp
         |FROM c""".stripMargin,
+
+    "q37_notin_antijoin" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT nullif(o_custkey, -1) FROM orders
+        |   WHERE o_totalprice > 450000)""".stripMargin,
+
+    "q38_rank_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        | percent_rank() OVER w AS prk,
+        | cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
 
     "ev13_transitions" ->
       """WITH t AS (SELECT user_id, event_type,

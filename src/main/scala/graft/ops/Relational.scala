@@ -467,6 +467,36 @@ object Relational {
       .select(col("o_custkey"), col("island_start"), col("n_days"))
   }
 
+  /** q37: null-aware anti join — `NOT IN (subquery)` over a NULLABLE
+    * subquery column has three-valued semantics a plain anti join gets
+    * wrong (one NULL in the list empties the result). The nullif keeps
+    * the column nullable so Catalyst must plan its null-aware anti
+    * join; Spark broadcasts the (small, filtered) list side. */
+  def q37NotinAntijoin(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_naaj")
+    Tables.orders(s, d).createOrReplaceTempView("orders_naaj")
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer_naaj
+        |WHERE c_custkey NOT IN
+        |  (SELECT nullif(o_custkey, -1) FROM orders_naaj
+        |   WHERE o_totalprice > 450000)""".stripMargin)
+  }
+
+  /** q38: normalized-rank analytics — dense_rank / percent_rank /
+    * cume_dist sharing ONE window sort. The rank ratios are exact
+    * integer quotients evaluated in IEEE double: engine-stable without
+    * rounding. */
+  def q38RankSuite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      dense_rank().over(w).as("drk"),
+      percent_rank().over(w).as("prk"),
+      cume_dist().over(w).as("cd"))
+  }
+
   /** q36: ratio-to-report — each order's share of its customer's total,
     * in integer basis points. Prices are converted to exact cents
     * (long) FIRST, so the window sum and the division are integer

@@ -36,4 +36,25 @@ object Sketches {
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
         percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90_approx"),
         count(lit(1)).as("cnt"))
+
+  /** Probe list for sk03: the stopwords + common corpus terms. */
+  private[graft] val cmsProbes: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "table", "query", "data", "spark",
+    "value", "scan", "row", "fast", "key", "part", "line", "sort",
+    "window", "batch")
+
+  /** sk03: count–min heavy-hitter estimates over the token stream via
+    * the custom CountMinAgg (TypedImperativeAggregate around Spark's
+    * public CountMinSketch). One pass, one fixed-size grid per task on
+    * the exchange — never a per-token shuffle. Error bound
+    * (exact ≤ est ≤ exact + ε·N) asserted in the spec. */
+  def sk03CmsTokenCounts(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("tok"))
+    val tokAttr = toks.queryExecution.analyzed.output.find(_.name == "tok").get
+    val cms = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.CountMinAgg(tokAttr, cmsProbes).toAggregateExpression())
+    toks.agg(cms.as("est_map"))
+      .select(explode(col("est_map")).as(Seq("token", "est_count")))
+  }
 }

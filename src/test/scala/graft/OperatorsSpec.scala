@@ -30,7 +30,7 @@ class OperatorsSpec extends SparkTestBase {
 
   test("oracle coverage is complete and key-consistent") {
     val rowsOnly = Set("dd03_simhash", "mm04_feature_extract",
-      "sk01_hll_users", "sk02_quantile_sketch")  // SURVEY.md §2
+      "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -282,6 +282,37 @@ class OperatorsSpec extends SparkTestBase {
       // each floor loses < 1 bp: total in (10000 - n, 10000]
       assert(s <= 10000 && s > 10000 - n, s"bad share sum $s for n=$n")
     }
+  }
+
+  test("sk03 CMS estimates respect the count-min error bound") {
+    val est = ops.Sketches.sk03CmsTokenCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), " ")).as("tok"))
+    val total = toks.count()
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ops.Sketches.cmsProbes.foreach { p =>
+      val ex = exact.getOrElse(p, 0L)
+      val e = est(p)
+      // CMS never under-counts; over-count bounded by eps * N
+      assert(e >= ex, s"sk03 $p: est $e < exact $ex")
+      assert(e <= ex + math.ceil(1e-4 * total).toLong + 1,
+        s"sk03 $p: est $e exceeds exact $ex + eps*N")
+    }
+  }
+
+  test("q37 NOT IN plans a null-aware anti join and matches left_anti") {
+    val df = ops.Relational.q37NotinAntijoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("NullAwareAntiJoin") || plan.contains("LeftAnti"),
+      s"expected an anti-join plan:\n$plan")
+    val big = Tables.orders(spark, sf).filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey"))
+    val expected = Tables.customer(spark, sf)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(df.count() == expected)
   }
 
   test("pp02 shared mass is consistent with dd08 duplicate chunks") {
