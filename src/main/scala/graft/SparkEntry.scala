@@ -114,6 +114,10 @@ object SparkEntry {
     "sk03_cms_tokens"       -> Sketches.sk03CmsTokenCounts _,
     "q37_notin_antijoin"    -> Relational.q37NotinAntijoin _,
     "q38_rank_suite"        -> Relational.q38RankSuite _,
+    "ev16_windowed_funnel"  -> Events.ev16WindowedFunnel _,
+    "ev17_rfm_scores"       -> Events.ev17RfmScores _,
+    "tx16_length_band"      -> Text.tx16LengthBand _,
+    "pp03_audited_set"      -> Pipelines.pp03AuditedTrainingSet _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -273,6 +277,44 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    "ev16_windowed_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT DISTINCT e.user_id AS c_user
+        |      FROM events e JOIN su ON e.user_id = su.user_id
+        |        AND e.ts >= su.s_ts AND e.ts <= su.s_ts + INTERVAL 7 DAY
+        |      WHERE e.event_type = 'purchase')
+        |SELECT count(*) AS n_signup, count(c_user) AS n_converted_7d
+        |FROM su LEFT JOIN c ON su.user_id = c.c_user""".stripMargin,
+
+    "ev17_rfm_scores" ->
+      """WITH pu AS (SELECT user_id,
+        |    max(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+        |    count(CASE WHEN event_type='purchase' THEN 1 END) AS frequency,
+        |    round(sum(CASE WHEN event_type='purchase' THEN value ELSE 0.0 END), 2)
+        |      AS monetary
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS corpus_max
+        |       FROM events)
+        |SELECT user_id,
+        |  CAST(date_diff('day', last_day, corpus_max) AS INTEGER) AS recency_days,
+        |  frequency, monetary,
+        |  CAST(ntile(4) OVER (ORDER BY date_diff('day', last_day, corpus_max),
+        |    user_id) AS INTEGER) AS r_score,
+        |  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER)
+        |    AS f_score,
+        |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER)
+        |    AS m_score
+        |FROM pu CROSS JOIN mx""".stripMargin,
+
+    "tx16_length_band" ->
+      """WITH d AS (SELECT doc_id, len(string_split(trim(text),' ')) AS n_tokens
+        |           FROM documents),
+        |b AS (SELECT quantile_cont(n_tokens, 0.05) AS p05,
+        |        quantile_cont(n_tokens, 0.95) AS p95 FROM d)
+        |SELECT doc_id, n_tokens FROM d CROSS JOIN b
+        |WHERE n_tokens >= p05 AND n_tokens <= p95""".stripMargin,
 
     "ev13_transitions" ->
       """WITH t AS (SELECT user_id, event_type,
@@ -840,6 +882,36 @@ object SparkEntry {
          |JOIN scores s ON d.doc_id = s.doc_id
          |WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = d.doc_id)
          |  AND s.score >= 0.5""".stripMargin,
+
+    "pp03_audited_set" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |scores AS ($qualityScoreSql),
+         |j AS (SELECT c.cluster_id, c.doc_id, s.score
+         |      FROM clusters c JOIN scores s USING (doc_id)),
+         |keep AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM j) WHERE rk = 1),
+         |removed AS (SELECT c.doc_id FROM clusters c
+         |            JOIN keep k ON c.cluster_id = k.cluster_id
+         |            WHERE c.doc_id != k.keeper_id),
+         |kept AS (SELECT d.doc_id,
+         |  CASE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+         |    WHEN 'f' THEN 'test' WHEN 'e' THEN 'val' ELSE 'train' END AS split,
+         |  s.score
+         |  FROM documents d
+         |  JOIN scores s ON d.doc_id = s.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = d.doc_id)
+         |    AND s.score >= 0.5),
+         |h AS ($chunksSql),
+         |dup AS (SELECT chunk_md5, 1 AS is_dup FROM h
+         |        GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1),
+         |audit AS (SELECT doc_id, count(*) AS n_chunks,
+         |    count(is_dup) * 10000 // count(*) AS shared_bp
+         |  FROM h LEFT JOIN dup USING (chunk_md5)
+         |  GROUP BY doc_id)
+         |SELECT k.doc_id, k.split, k.score, a.n_chunks, a.shared_bp
+         |FROM kept k JOIN audit a ON k.doc_id = a.doc_id""".stripMargin,
 
     "dd05_embed_neardup" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label

@@ -233,6 +233,54 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_7d"))
   }
 
+  /** ev16: time-bounded conversion funnel — signup → purchase within
+    * 7 days (ev03 without a bound over-credits late conversions). The
+    * join predicate carries the window, so Spark can still plan it as
+    * one shuffled equi-join on user with a range residual. */
+  def ev16WindowedFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val converted = purchases
+      .join(signups, col("p_user") === col("user_id") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+      .select(col("user_id")).distinct()
+    signups.join(converted.withColumnRenamed("user_id", "c_user"),
+        col("user_id") === col("c_user"), "left_outer")
+      .agg(count(lit(1)).as("n_signup"), count(col("c_user")).as("n_converted_7d"))
+  }
+
+  /** ev17: RFM segmentation — recency / frequency / monetary quartile
+    * scores per user, the classic behavioral-segmentation feature. All
+    * three metrics come from ONE groupBy pass; the corpus max-day
+    * scalar broadcasts; ntile ties are made deterministic by a
+    * (metric, user_id) total order. The per-user frame is |users|-sized
+    * (≪ events); if even that outgrows one sort partition, swap the
+    * exact ntile for sk02 quantile boundaries + a broadcast range join
+    * (the q28 shape) — same scores up to sketch error. */
+  def ev17RfmScores(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val perUser = e.groupBy(col("user_id")).agg(
+      max(date_trunc("day", col("ts")).cast("date")).as("last_day"),
+      count(when(col("event_type") === "purchase", 1)).as("frequency"),
+      round(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0))), 2).as("monetary"))
+    val maxDay = e.agg(max(date_trunc("day", col("ts")).cast("date")).as("corpus_max"))
+    def quart(c: String) = ntile(4).over(
+      Window.orderBy(col(c).desc, col("user_id")))
+    perUser.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", datediff(col("corpus_max"), col("last_day")))
+      .withColumn("r_score", ntile(4).over(
+        Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("f_score", quart("frequency"))
+      .withColumn("m_score", quart("monetary"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
+  }
+
   /** ev15: top-20 longest per-user inactivity gaps — lag diff inside
     * the per-user window, then TakeOrderedAndProject (per-partition
     * partial top-k, only k rows per task reach the driver merge). */

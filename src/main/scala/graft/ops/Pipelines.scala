@@ -48,6 +48,17 @@ object Pipelines {
     * chunk stream → corpus-wide duplicated-chunk set (tiny, broadcast)
     * → per-doc shared fraction in exact basis points. The audit a
     * dedup pipeline runs to decide chunk- vs doc-level dedup. */
+  /** pp03: audited training set — the pp01 kept/split records joined
+    * with pp02's chunk-level shared-content audit, the form a dataset
+    * card actually ships: every kept doc with its split, quality score,
+    * and how much of its content is duplicated elsewhere in the corpus.
+    * Both inputs are already-verified pipelines; the join key is the
+    * doc id, so this is one extra shuffle-or-broadcast join. */
+  def pp03AuditedTrainingSet(s: SparkSession, d: String): DataFrame =
+    pp01TrainingPipeline(s, d)
+      .join(pp02ChunkDedupAudit(s, d)
+        .select(col("doc_id"), col("n_chunks"), col("shared_bp")), Seq("doc_id"))
+
   def pp02ChunkDedupAudit(s: SparkSession, d: String): DataFrame = {
     val chunks = Multimodal.mm03Chunking(s, d).select(col("doc_id"), col("chunk_md5"))
     val dupSet = chunks.groupBy(col("chunk_md5"))

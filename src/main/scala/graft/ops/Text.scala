@@ -210,6 +210,22 @@ object Text {
       .orderBy(col("cnt").desc, col("trigram"))
       .limit(20)
 
+  /** tx16: length-band quality filter — keep documents whose token
+    * count sits inside the corpus [p05, p95] band (outlier-length docs
+    * are noise for training). The two exact percentiles are one scalar
+    * aggregate broadcast back over the stream — the same
+    * scalar-subquery shape as q14. */
+  def tx16LengthBand(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens).as("n_tokens"))
+    val bounds = docs.agg(
+      expr("percentile(n_tokens, 0.05)").as("p05"),
+      expr("percentile(n_tokens, 0.95)").as("p95"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col("n_tokens") >= col("p05") && col("n_tokens") <= col("p95"))
+      .select(col("doc_id"), col("n_tokens"))
+  }
+
   /** tx15: vocabulary coverage — fraction of each document's tokens in
     * the corpus top-50 vocabulary, in integer basis points (exact long
     * arithmetic end-to-end). The two-level shape is the scalable one:
