@@ -118,6 +118,7 @@ object SparkEntry {
     "ev17_rfm_scores"       -> Events.ev17RfmScores _,
     "tx16_length_band"      -> Text.tx16LengthBand _,
     "pp03_audited_set"      -> Pipelines.pp03AuditedTrainingSet _,
+    "ev18_asof_tolerance"   -> Events.ev18AsofTolerance _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -793,6 +794,16 @@ object SparkEntry {
         | CAST(date_trunc('second', max(v.ts)) AS TIMESTAMP) AS prior_view_ts
         |FROM events p LEFT JOIN events v
         |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin,
+
+    "ev18_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        | CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS p_ts,
+        | CAST(date_trunc('second', max(v.ts)) AS TIMESTAMP) AS prior_view_ts
+        |FROM events p LEFT JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin,
 

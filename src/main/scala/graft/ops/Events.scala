@@ -148,6 +148,27 @@ object Events {
         date_trunc("second", col("v_ts")).cast("timestamp").as("prior_view_ts"))
   }
 
+  /** ev18: as-of join with a STALENESS TOLERANCE — ev09's native
+    * operator bounded to views at most 1 hour before the purchase
+    * (attribution windows, sensor freshness). Same one-shuffle
+    * merge-scan plan; the tolerance is an O(1) check on the buffered
+    * match, not an extra join. */
+  def ev18AsofTolerance(s: SparkSession, d: String): DataFrame = {
+    if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    val purchases = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev(s, d).filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    graft.plans.AsOf.asofJoin(purchases, views, "user_id", "ts", "v_user", "v_ts",
+        toleranceUs = 3600L * 1000000)
+      .select(col("event_id"), col("user_id"),
+        sec("ts", "p_ts"),
+        date_trunc("second", col("v_ts")).cast("timestamp").as("prior_view_ts"))
+  }
+
   /** ev10: SLIDING window aggregation (2-hour window, 1-hour slide) —
     * each event lands in two windows; Spark's window() expands them
     * natively, the oracle replays the expansion with an explicit

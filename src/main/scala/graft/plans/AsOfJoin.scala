@@ -27,7 +27,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTs: Expression,
-    rightKey: Expression, rightTs: Expression) extends BinaryNode {
+    rightKey: Expression, rightTs: Expression,
+    toleranceUs: Long = Long.MaxValue) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -39,7 +40,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTs: Expression,
-    rightKey: Expression, rightTs: Expression) extends BinaryExecNode {
+    rightKey: Expression, rightTs: Expression,
+    toleranceUs: Long = Long.MaxValue) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -60,6 +62,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val leftOut = left.output
     val rightOut = right.output
     val lKey = leftKey; val lTs = leftTs; val rKey = rightKey; val rTs = rightTs
+    val tol = toleranceUs
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lProj = UnsafeProjection.create(Seq(lKey, lTs), leftOut)
@@ -70,6 +73,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
       var lastMatch: InternalRow = null
       var lastMatchKey = 0L
+      var lastMatchTs = 0L
       lIter.map { lRow =>
         val lkt = lProj(lRow)
         val k = lkt.getLong(0)
@@ -80,12 +84,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val rk = rkt.getLong(0)
           val rt = rkt.getLong(1)
           if (rk < k || (rk == k && rt < t)) {
-            if (rk == k) { lastMatch = rHead.copy(); lastMatchKey = rk }
+            if (rk == k) { lastMatch = rHead.copy(); lastMatchKey = rk; lastMatchTs = rt }
             rHead = if (rIter.hasNext) rIter.next() else null
           } else scanning = false
         }
+        // the buffered match must also be recent enough: t - lastMatchTs
+        // is non-negative (strictly-earlier), so no overflow
         val rightPart =
-          if (lastMatch != null && lastMatchKey == k) lastMatch else nullRight
+          if (lastMatch != null && lastMatchKey == k && t - lastMatchTs <= tol)
+            lastMatch else nullRight
         resultProj(joined(lRow, rightPart))
       }
     }
@@ -98,8 +105,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -107,10 +114,14 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** Public entry point for the native as-of join. */
 object AsOf {
   /** `left` and `right` must come from independent reads (fresh
-    * attribute ids); key/ts columns are referenced by name. */
+    * attribute ids); key/ts columns are referenced by name.
+    * `toleranceUs` (microseconds) bounds how stale the matched right
+    * row may be (the merge-asof `tolerance` notion): matches older
+    * than `leftTs - toleranceUs` become nulls. Default: unbounded. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, leftTs: String,
-      rightKey: String, rightTs: String): DataFrame = {
+      rightKey: String, rightTs: String,
+      toleranceUs: Long = Long.MaxValue): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute = {
@@ -129,6 +140,6 @@ object AsOf {
     }
     org.apache.spark.sql.graft.GraftDataset.ofRows(left.sparkSession,
       AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(lp, leftTs),
-        attr(rp, rightKey), attr(rp, rightTs)))
+        attr(rp, rightKey), attr(rp, rightTs), toleranceUs))
   }
 }

@@ -190,6 +190,21 @@ class OperatorsSpec extends SparkTestBase {
       "p4" -> None))        // exact timestamp tie is NOT a match (strict <)
   }
 
+  test("as-of join tolerance excludes matches older than the bound") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val probes = Seq((1L, t(100), "p1"), (1L, t(500), "p2"))
+      .toDF("user_id", "ts", "tag")
+    val builds = Seq((1L, t(90), "b1")).toDF("b_user", "b_ts", "b_tag")
+    val out = graft.plans.AsOf.asofJoin(probes, builds,
+        "user_id", "ts", "b_user", "b_ts", toleranceUs = 100L * 1000000)
+      .select(col("tag"), col("b_tag")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(
+      "p1" -> Some("b1"),   // 10s old, within the 100s tolerance
+      "p2" -> None))        // 410s old: buffered match is too stale
+  }
+
   test("mm04 feature extraction is deterministic with fixed dims") {
     val a = ops.Multimodal.mm04FeatureExtract(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
