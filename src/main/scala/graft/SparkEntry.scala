@@ -119,6 +119,8 @@ object SparkEntry {
     "tx16_length_band"      -> Text.tx16LengthBand _,
     "pp03_audited_set"      -> Pipelines.pp03AuditedTrainingSet _,
     "ev18_asof_tolerance"   -> Events.ev18AsofTolerance _,
+    "gr01_triangle_count"   -> Graph.gr01TriangleCount _,
+    "gr02_degree_dist"      -> Graph.gr02DegreeDist _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -859,6 +861,19 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')""".stripMargin,
 
     "dd06_dup_clusters" -> dupClustersSql,
+
+    "gr01_triangle_count" ->
+      s"""WITH j AS ($ngramJaccardSql)
+         |SELECT count(*) AS n_triangles
+         |FROM j a JOIN j b ON a.d2 = b.d1
+         |JOIN j c ON a.d1 = c.d1 AND b.d2 = c.d2""".stripMargin,
+
+    "gr02_degree_dist" ->
+      s"""WITH j AS ($ngramJaccardSql),
+         |deg AS (SELECT doc, count(*) AS degree FROM (
+         |  SELECT d1 AS doc FROM j UNION ALL SELECT d2 FROM j)
+         |  GROUP BY 1)
+         |SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1""".stripMargin,
 
     "dd07_keep_best" ->
       s"""WITH clusters AS ($dupClustersSql),

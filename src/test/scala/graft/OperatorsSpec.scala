@@ -23,7 +23,8 @@ class OperatorsSpec extends SparkTestBase {
     val allowedEmpty = Set("dd02_minhash_lsh", "dd03_simhash", "dd04_ngram_jaccard",
       // near-dup chunks / multi-day islands / threshold matches may not
       // exist in the tiny sf0.001 slice
-      "dd08_chunk_dup", "q35_gaps_islands", "ss06_range_search")
+      "dd08_chunk_dup", "q35_gaps_islands", "ss06_range_search",
+      "gr02_degree_dist")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
