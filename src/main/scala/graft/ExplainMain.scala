@@ -12,7 +12,9 @@ object ExplainMain {
     val d = "/root/testdata/sf0.01"
     val queries = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q02_filter_project", "q05_local_supplier",
-        "ss01_brute_topk", "dd02_minhash_lsh", "ev09_asof_native", "pp01_training_pipeline")
+        "ss01_brute_topk", "dd02_minhash_lsh", "ev09_asof_native", "pp01_training_pipeline",
+        "q33_argminmax", "q37_notin_antijoin", "ev14_rolling_7d", "tx15_vocab_coverage",
+        "ss07_mips_topk", "sk03_cms_tokens", "gr01_triangle_count", "pp03_audited_set")
     for (q <- queries) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -121,6 +121,8 @@ object SparkEntry {
     "ev18_asof_tolerance"   -> Events.ev18AsofTolerance _,
     "gr01_triangle_count"   -> Graph.gr01TriangleCount _,
     "gr02_degree_dist"      -> Graph.gr02DegreeDist _,
+    "tx17_rare_bigrams"     -> Text.tx17RareBigrams _,
+    "ev19_out_of_order"     -> Events.ev19OutOfOrder _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1023,6 +1025,33 @@ object SparkEntry {
         | CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS last_seen,
         | count(DISTINCT date_trunc('day', ts)) AS active_days
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "tx17_rare_bigrams" ->
+      """WITH db AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM (SELECT doc_id, string_split(trim(text),' ') AS tk FROM documents)
+        |  WHERE len(tk) >= 2),
+        |rare AS (SELECT bigram, 1 AS is_rare FROM db
+        |         GROUP BY bigram HAVING count(*) < 3)
+        |SELECT doc_id, count(*) AS n_bigrams, count(is_rare) AS n_rare,
+        |  count(is_rare) * 10000 // count(*) AS rare_bp
+        |FROM db LEFT JOIN rare USING (bigram)
+        |GROUP BY doc_id""".stripMargin,
+
+    "ev19_out_of_order" ->
+      """WITH t AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max_s
+        |  FROM events),
+        |x AS (SELECT user_id, ts_s,
+        |    CASE WHEN ts_s < prior_max_s THEN prior_max_s - ts_s END AS late_s
+        |  FROM t)
+        |SELECT user_id, count(*) AS n_events, count(late_s) AS n_late,
+        |  coalesce(max(late_s), 0) AS max_late_s
+        |FROM x GROUP BY 1""".stripMargin,
 
     "tx10_rolling_hash" ->
       """SELECT doc_id,

@@ -254,6 +254,27 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_7d"))
   }
 
+  /** ev19: out-of-order ingestion audit — per user, how many events
+    * arrived with a timestamp BELOW the running maximum (i.e. would be
+    * "late" to a streaming watermark), and the worst lateness. The
+    * data-quality pass you run before choosing a watermark horizon.
+    * One per-user window, integer-exact output. */
+  def ev19OutOfOrder(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev(s, d)
+      // whole-second event time on both engines (the raw column's
+      // ns-vs-us precision must not decide orderings)
+      .withColumn("ts_s", col("ts").cast("long"))
+      .withColumn("prior_max_s", max(col("ts_s")).over(w))
+      .withColumn("late_s",
+        when(col("ts_s") < col("prior_max_s"), col("prior_max_s") - col("ts_s")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("late_s")).as("n_late"),
+        coalesce(max(col("late_s")), lit(0L)).as("max_late_s"))
+  }
+
   /** ev16: time-bounded conversion funnel — signup → purchase within
     * 7 days (ev03 without a bound over-credits late conversions). The
     * join predicate carries the window, so Spark can still plan it as

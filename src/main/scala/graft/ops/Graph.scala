@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Oriented (d1 < d2) verified near-dup edges. */
+  /** Oriented (d1 < d2) verified near-dup edges. Cached: the triangle
+    * query references this frame three times (and the degree query
+    * twice) — without the cache each reference re-executes the whole
+    * minhash+verify chain inside one job. */
   private def edges(s: SparkSession, d: String): DataFrame =
-    Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2"))
+    Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2")).cache()
 
   /** gr01: triangle count — the standard oriented-wedge formulation:
     * each triangle a<b<c is counted exactly once as the wedge

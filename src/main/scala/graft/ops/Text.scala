@@ -226,6 +226,28 @@ object Text {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  /** tx17: rare-bigram counting — how much of a document is built from
+    * corpus-rare bigrams (freq < 3), a cheap fluency/quality signal
+    * (model-free stand-in for LM perplexity, and exact-integer so it
+    * verifies everywhere). Bigram table aggregates once; the rare set
+    * joins back onto the per-doc bigram stream. */
+  def tx17RareBigrams(s: SparkSession, d: String): DataFrame = {
+    val docBigrams = Tables.documents(s, d)
+      .withColumn("tk", tokens)
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk)-1), i -> concat(element_at(tk, i), ' ', element_at(tk, i+1)))"))
+        .as("bigram"))
+    val rare = docBigrams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") < 3)
+      .select(col("bigram"), lit(1).as("is_rare"))
+    docBigrams.join(rare, Seq("bigram"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), count(col("is_rare")).as("n_rare"))
+      .withColumn("rare_bp", expr("n_rare * 10000 div n_bigrams"))
+  }
+
   /** tx15: vocabulary coverage — fraction of each document's tokens in
     * the corpus top-50 vocabulary, in integer basis points (exact long
     * arithmetic end-to-end). The two-level shape is the scalable one:

@@ -69,6 +69,16 @@ object StreamingJobs {
         col("latest.ts").as("latest_ts"),
         col("latest.value").as("latest_value"))
 
+  /** st07: stream–static enrichment join — the streaming fact joined
+    * to a batch dimension (re-read per micro-batch, so slowly-changing
+    * dims stay fresh). Stateless: no watermark or join state needed on
+    * the static side; Spark broadcasts the dim into each batch. */
+  def enrichedCounts(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+
   /** st02: stateful gap sessionization (30-minute inactivity) with
     * explicit per-key state via flatMapGroupsWithState. State per user
     * is O(1) — just the open session bounds — and is emitted+cleared

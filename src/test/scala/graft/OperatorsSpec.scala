@@ -191,6 +191,17 @@ class OperatorsSpec extends SparkTestBase {
       "p4" -> None))        // exact timestamp tie is NOT a match (strict <)
   }
 
+  test("join strategy hints are honored (broadcast vs shuffle-hash)") {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    val bPlan = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), s"broadcast hint ignored:\n$bPlan")
+    val shPlan = o.join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(shPlan.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n$shPlan")
+  }
+
   test("as-of join tolerance excludes matches older than the bound") {
     import spark.implicits._
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)

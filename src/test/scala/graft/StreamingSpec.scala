@@ -108,6 +108,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st07 stream-static join enriches events with a dimension") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(1), 1, "view", 10.0),
+      Event(2, ts(2), 1, "click", 5.0),
+      Event(3, ts(3), 2, "view", 2.0))
+    val q = StreamingJobs.enrichedCounts(in.toDF(), dim)
+      .writeStream.outputMode("complete").format("memory").queryName("st07_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM st07_out ORDER BY segment").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq(("basic", 1L, 2.0), ("gold", 2L, 15.0)))
+    } finally q.stop()
+  }
+
   test("st02 stateful sessionize closes sessions on observed gaps") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
