@@ -123,6 +123,8 @@ object SparkEntry {
     "gr02_degree_dist"      -> Graph.gr02DegreeDist _,
     "tx17_rare_bigrams"     -> Text.tx17RareBigrams _,
     "ev19_out_of_order"     -> Events.ev19OutOfOrder _,
+    "ev20_validity_intervals" -> Events.ev20ValidityIntervals _,
+    "dd09_minhash_est"      -> Dedup.dd09MinhashEstimate _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1038,6 +1040,16 @@ object SparkEntry {
         |  count(is_rare) * 10000 // count(*) AS rare_bp
         |FROM db LEFT JOIN rare USING (bigram)
         |GROUP BY doc_id""".stripMargin,
+
+    "ev20_validity_intervals" ->
+      """SELECT user_id, event_type, event_id,
+        | CAST(date_trunc('second', ts) AS TIMESTAMP) AS valid_from,
+        | CAST(date_trunc('second',
+        |   lead(ts) OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts, event_id)) AS TIMESTAMP) AS valid_to,
+        | lead(ts) OVER (PARTITION BY user_id, event_type
+        |                ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
 
     "ev19_out_of_order" ->
       """WITH t AS (SELECT user_id,

@@ -79,22 +79,53 @@ object Dedup {
     * exhaustive here while candidate generation stays O(near-dups) —
     * this is the 100 TB dedup path.
     */
-  def dd02MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val k = 32
-    val sh = shingles(s, d).cache()
-    val sigs = sh.groupBy(col("doc_id")).agg(
+  private val minhashK = 32
+
+  /** k-slot MinHash signature per document (one groupBy, k min-aggs). */
+  private def minhashSigs(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(
       min(xxhash64(lit(0), col("s"))).as("m0"),
-      (1 until k).map(j => min(xxhash64(lit(j), col("s"))).as(s"m$j")): _*)
+      (1 until minhashK).map(j => min(xxhash64(lit(j), col("s"))).as(s"m$j")): _*)
+
+  /** LSH candidate pairs (16 bands × 2 rows) from the signatures. */
+  private def lshCandidates(sigs: DataFrame): DataFrame = {
     val bands = array((0 until 16).map(b =>
       xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)
     val buckets = sigs
       .select(col("doc_id"), posexplode(bands).as(Seq("band_idx", "bucket")))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    buckets.as("x").join(buckets.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    verifiedJaccard(sh, cand)
+  }
+
+  def dd02MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    verifiedJaccard(sh, lshCandidates(minhashSigs(sh)))
+  }
+
+  /** dd09: MinHash similarity ESTIMATE for the LSH candidate pairs —
+    * the sketch-only score (fraction of agreeing signature slots),
+    * which at 100 TB replaces the exact-verify join when a calibrated
+    * approximation is enough. Estimates are exact multiples of 1/k so
+    * the output is engine-deterministic; calibration against the exact
+    * Jaccard is asserted in the spec (rows-only: xxhash64 has no
+    * portable SQL twin). */
+  def dd09MinhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val sigs = minhashSigs(sh).cache()
+    val cand = lshCandidates(sigs)
+    val a = sigs.select(col("doc_id").as("d1") +:
+      (0 until minhashK).map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = sigs.select(col("doc_id").as("d2") +:
+      (0 until minhashK).map(j => col(s"m$j").as(s"b$j")): _*)
+    val agree = (0 until minhashK)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(a, Seq("d1")).join(b, Seq("d2"))
+      .select(col("d1"), col("d2"), agree.as("n_agree"))
+      .withColumn("est_sim", col("n_agree") / lit(minhashK.toDouble))
   }
 
   /** dd03: 64-bit SimHash near-dup candidates over trigram shingles.

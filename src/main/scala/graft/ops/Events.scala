@@ -254,6 +254,22 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_7d"))
   }
 
+  /** ev20: SCD2-style validity intervals — each (user, type) state
+    * change becomes a [valid_from, valid_to) row, open-ended for the
+    * current state (the temporal-table shape a warehouse keeps for
+    * point-in-time joins). One keyed window; lead() closes each
+    * interval with the next change's timestamp. */
+  def ev20ValidityIntervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("valid_to_raw", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        sec("ts", "valid_from"),
+        date_trunc("second", col("valid_to_raw")).cast("timestamp").as("valid_to"),
+        col("valid_to_raw").isNull.as("is_current"))
+  }
+
   /** ev19: out-of-order ingestion audit — per user, how many events
     * arrived with a timestamp BELOW the running maximum (i.e. would be
     * "late" to a streaming watermark), and the worst lateness. The

@@ -24,14 +24,15 @@ class OperatorsSpec extends SparkTestBase {
       // near-dup chunks / multi-day islands / threshold matches may not
       // exist in the tiny sf0.001 slice
       "dd08_chunk_dup", "q35_gaps_islands", "ss06_range_search",
-      "gr02_degree_dist")
+      "gr02_degree_dist", "dd09_minhash_est")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
 
   test("oracle coverage is complete and key-consistent") {
     val rowsOnly = Set("dd03_simhash", "mm04_feature_extract",
-      "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens")  // SURVEY.md §2
+      "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
+      "dd09_minhash_est")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -340,6 +341,21 @@ class OperatorsSpec extends SparkTestBase {
       .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
       .count()
     assert(df.count() == expected)
+  }
+
+  test("dd09 minhash estimates are calibrated against exact Jaccard") {
+    // at sf0.001 there may be no candidate pairs; the assertion is
+    // vacuously true then (dd02/dd04 are allowed-empty too)
+    val exact = ops.Dedup.dd04NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = ops.Dedup.dd09MinhashEstimate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_sim")).toMap
+    exact.foreach { case (pair, j) =>
+      est.get(pair).foreach { e =>
+        assert(math.abs(e - j) <= 0.35,
+          s"dd09 $pair: estimate $e far from exact $j")
+      }
+    }
   }
 
   test("pp02 shared mass is consistent with dd08 duplicate chunks") {
