@@ -203,6 +203,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(shPlan.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n$shPlan")
   }
 
+  test("probe-side filters push below the native as-of join") {
+    import spark.implicits._
+    val probes = (1L to 50L).map(i => (i % 5, i * 100, i))
+      .toDF("user_id", "ts", "pid")
+    val builds = (1L to 20L).map(i => (i % 5, i * 37)).toDF("b_user", "b_ts")
+    val joined = graft.plans.AsOf
+      .asofJoin(probes, builds, "user_id", "ts", "b_user", "b_ts")
+      .filter(col("pid") <= 10)
+    // PushFilterThroughAsOfJoin must sink the probe-only predicate, so
+    // the optimized plan's top node is no longer that Filter
+    val opt = joined.queryExecution.optimizedPlan
+    assert(!opt.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter],
+      s"probe-side filter stayed above the as-of join:\n$opt")
+    assert(joined.count() == 10)
+  }
+
   test("as-of join tolerance excludes matches older than the bound") {
     import spark.implicits._
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
