@@ -125,6 +125,7 @@ object SparkEntry {
     "ev19_out_of_order"     -> Events.ev19OutOfOrder _,
     "ev20_validity_intervals" -> Events.ev20ValidityIntervals _,
     "dd09_minhash_est"      -> Dedup.dd09MinhashEstimate _,
+    "gr03_pagerank"         -> Graph.gr03PageRank _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1137,6 +1138,18 @@ object SparkEntry {
         |  CAST(length(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64)) // 2 AS INTEGER)
         |    AS chunk_bytes
         |FROM c""".stripMargin,
+
+    // mm04's "model" stub is md5-derived, so the oracle can replay it:
+    // byte i of md5(text) → ((b-128)/128)², summed left-to-right, sqrt.
+    // (x*x, not pow(x,2) — pow need not be bit-exact for squares.)
+    "mm04_feature_extract" ->
+      """SELECT doc_id, 8 AS dim,
+        | sqrt(list_sum(list_transform(range(8), i ->
+        |   ((CAST(('0x' || substr(md5(text), CAST(i*2+1 AS BIGINT), 2)) AS INTEGER)
+        |     - 128) / 128.0)
+        |   * ((CAST(('0x' || substr(md5(text), CAST(i*2+1 AS BIGINT), 2)) AS INTEGER)
+        |     - 128) / 128.0)))) AS norm
+        |FROM documents""".stripMargin,
 
     "mm02_frame_sample" ->
       """WITH f AS (SELECT doc_id, text, unnest(range(n_chars % 5 + 1)) AS i

@@ -42,4 +42,37 @@ object Graph {
       .groupBy(col("doc")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
   }
+
+  /** PageRank over a SYMMETRIC (src,dst) edge frame: damping 0.85,
+    * ranks initialized to 1.0 (the all-ranks sum is then invariantly
+    * |nodes| — no driver-side count needed), a FIXED 10 iterations
+    * unrolled as one lazy plan: unlike the convergence-driven dd06
+    * loop this is a pure plan builder — zero driver actions, Catalyst
+    * sees the whole 10-round dataflow. Each round is join+agg on
+    * frames ∝ |edges|. */
+  private[graft] def pageRankFrom(bi: DataFrame, iterations: Int = 10): DataFrame = {
+    val deg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = bi
+        .join(ranks, bi("src") === ranks("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node2"), (col("rank") / col("deg")).as("c"))
+      ranks = contrib.groupBy(col("node2")).agg(sum(col("c")).as("in_sum"))
+        .select(col("node2").as("node"),
+          (lit(0.15) + lit(0.85) * col("in_sum")).as("rank"))
+    }
+    ranks
+  }
+
+  /** gr03: PageRank of the near-dup graph — which documents sit at the
+    * center of duplication families (dedup-priority signal). Float
+    * iteration → rows-only + spec (rank-sum invariant, hub ordering). */
+  def gr03PageRank(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = e.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(e.select(col("d2").as("src"), col("d1").as("dst")))
+    pageRankFrom(bi)
+      .select(col("node").as("doc_id"), col("rank"))
+  }
 }

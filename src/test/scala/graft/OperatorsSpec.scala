@@ -24,15 +24,15 @@ class OperatorsSpec extends SparkTestBase {
       // near-dup chunks / multi-day islands / threshold matches may not
       // exist in the tiny sf0.001 slice
       "dd08_chunk_dup", "q35_gaps_islands", "ss06_range_search",
-      "gr02_degree_dist", "dd09_minhash_est")
+      "gr02_degree_dist", "dd09_minhash_est", "gr03_pagerank")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
 
   test("oracle coverage is complete and key-consistent") {
-    val rowsOnly = Set("dd03_simhash", "mm04_feature_extract",
+    val rowsOnly = Set("dd03_simhash",
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
-      "dd09_minhash_est")  // SURVEY.md §2
+      "dd09_minhash_est", "gr03_pagerank")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -357,6 +357,20 @@ class OperatorsSpec extends SparkTestBase {
       .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
       .count()
     assert(df.count() == expected)
+  }
+
+  test("pageRank preserves the rank-sum invariant and ranks hubs first") {
+    import spark.implicits._
+    // star: node 0 linked to 1..4, plus an isolated pair 5-6
+    val e = (1L to 4L).map(i => (0L, i)) ++ Seq((5L, 6L))
+    val bi = e.toDF("src", "dst")
+      .unionByName(e.map(_.swap).toDF("src", "dst"))
+    val ranks = ops.Graph.pageRankFrom(bi).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 7.0) < 1e-9,
+      s"rank sum ${ranks.values.sum} != n nodes")
+    assert(ranks(0L) > ranks(1L), "star center must out-rank a leaf")
+    assert(math.abs(ranks(5L) - ranks(6L)) < 1e-12, "symmetric pair ranks equal")
   }
 
   test("dd09 minhash estimates are calibrated against exact Jaccard") {
