@@ -126,6 +126,9 @@ object SparkEntry {
     "ev20_validity_intervals" -> Events.ev20ValidityIntervals _,
     "dd09_minhash_est"      -> Dedup.dd09MinhashEstimate _,
     "gr03_pagerank"         -> Graph.gr03PageRank _,
+    "ev21_funnel_latency"   -> Events.ev21FunnelLatency _,
+    "q39_moving_avg"        -> Relational.q39MovingAvg _,
+    "ss08_sq8_rerank"       -> Similarity.ss08Sq8Rerank _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1041,6 +1044,30 @@ object SparkEntry {
         |  count(is_rare) * 10000 // count(*) AS rare_bp
         |FROM db LEFT JOIN rare USING (bigram)
         |GROUP BY doc_id""".stripMargin,
+
+    "ev21_funnel_latency" ->
+      """WITH su AS (SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS s_s
+        |            FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |lat AS (SELECT e.user_id,
+        |    min(CAST(floor(epoch(e.ts)) AS BIGINT) - su.s_s) AS latency_s
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= su.s_s
+        |  GROUP BY 1)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(latency_s, 0.9), 4) AS p90_s
+        |FROM lat""".stripMargin,
+
+    "q39_moving_avg" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(sum(price_c) OVER w // count(*) OVER w AS BIGINT) AS avg_price_c
+        |FROM c
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "ev20_validity_intervals" ->
       """SELECT user_id, event_type, event_id,

@@ -254,6 +254,26 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_7d"))
   }
 
+  /** ev21: funnel latency distribution — seconds from signup to FIRST
+    * subsequent purchase per converted user, summarized as exact
+    * p50/p90 (integer-second deltas → percentile interpolation is
+    * engine-stable). The per-user reduction happens in one agg; the
+    * percentile runs on the (tiny) converted-user frame. */
+  def ev21FunnelLatency(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts").cast("long")).as("s_s"))
+    val latencies = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("long").as("p_s"))
+      .join(signups, Seq("user_id"))
+      .filter(col("p_s") >= col("s_s"))
+      .groupBy(col("user_id")).agg(min(col("p_s") - col("s_s")).as("latency_s"))
+    latencies.agg(
+      count(lit(1)).as("n_converted"),
+      round(expr("percentile(latency_s, 0.5)"), 4).as("p50_s"),
+      round(expr("percentile(latency_s, 0.9)"), 4).as("p90_s"))
+  }
+
   /** ev20: SCD2-style validity intervals — each (user, type) state
     * change becomes a [valid_from, valid_to) row, open-ended for the
     * current state (the temporal-table shape a warehouse keeps for

