@@ -129,6 +129,7 @@ object SparkEntry {
     "ev21_funnel_latency"   -> Events.ev21FunnelLatency _,
     "q39_moving_avg"        -> Relational.q39MovingAvg _,
     "ss08_sq8_rerank"       -> Similarity.ss08Sq8Rerank _,
+    "sk04_kll_quantiles"    -> Sketches.sk04KllQuantiles _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact

@@ -37,6 +37,25 @@ object Sketches {
         percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90_approx"),
         count(lit(1)).as("cnt"))
 
+  /** sk04: graft's own KLL-style quantile sketch (custom
+    * TypedImperativeAggregate, see functions.KllQuantileAgg) — unlike
+    * sk02's built-in GK this one is fully owned: compactor stack,
+    * level-wise merge, weighted-rank query. Error vs the exact
+    * percentile is asserted in the spec. */
+  def sk04KllQuantiles(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val priceAttr = o.queryExecution.analyzed.output
+      .find(_.name == "o_totalprice").get
+    val kll = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.KllQuantileAgg(priceAttr, Seq(0.5, 0.9)).toAggregateExpression())
+    o.groupBy(col("o_orderstatus"))
+      .agg(kll.as("qs"), count(lit(1)).as("cnt"))
+      .select(col("o_orderstatus"),
+        col("qs").getItem(0).as("p50_kll"),
+        col("qs").getItem(1).as("p90_kll"),
+        col("cnt"))
+  }
+
   /** Probe list for sk03: the stopwords + common corpus terms. */
   private[graft] val cmsProbes: Seq[String] = Seq(
     "the", "a", "of", "and", "to", "in", "table", "query", "data", "spark",

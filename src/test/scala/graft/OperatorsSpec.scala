@@ -32,7 +32,8 @@ class OperatorsSpec extends SparkTestBase {
   test("oracle coverage is complete and key-consistent") {
     val rowsOnly = Set("dd03_simhash",
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
-      "dd09_minhash_est", "gr03_pagerank", "ss08_sq8_rerank")  // SURVEY.md §2
+      "dd09_minhash_est", "gr03_pagerank", "ss08_sq8_rerank",
+      "sk04_kll_quantiles")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -357,6 +358,20 @@ class OperatorsSpec extends SparkTestBase {
       .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
       .count()
     assert(df.count() == expected)
+  }
+
+  test("sk04 KLL quantiles within 5% of exact per status") {
+    val approx = ops.Sketches.sk04KllQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.05, s"sk04 $k p50 ${approx(k)._1} vs $p50")
+      assert(math.abs(approx(k)._2 - p90) / p90 <= 0.05, s"sk04 $k p90 ${approx(k)._2} vs $p90")
+    }
   }
 
   test("ss08 SQ8+rerank achieves high recall against exact ss01") {

@@ -46,6 +46,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KllSketch: merged partitions track exact ranks within 3%") {
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(20000)(rnd.nextDouble() * 1000)
+    // simulate map-side partials + merge, as Spark would execute it
+    val a = new graft.functions.KllSketch(200)
+    val b = new graft.functions.KllSketch(200)
+    data.take(10000).foreach(a.update)
+    data.drop(10000).foreach(b.update)
+    a.merge(b)
+    val sorted = data.sorted
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = a.quantile(q)
+      val rank = sorted.count(_ <= est).toDouble / data.length
+      assert(math.abs(rank - q) <= 0.03, s"KLL q=$q landed at rank $rank")
+    }
+  }
+
   test("CosineSim eval is symmetric, bounded, and 1 on self") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData
