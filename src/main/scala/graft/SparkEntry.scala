@@ -130,6 +130,7 @@ object SparkEntry {
     "q39_moving_avg"        -> Relational.q39MovingAvg _,
     "ss08_sq8_rerank"       -> Similarity.ss08Sq8Rerank _,
     "sk04_kll_quantiles"    -> Sketches.sk04KllQuantiles _,
+    "ev22_top_paths"        -> Events.ev22TopPaths _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1045,6 +1046,30 @@ object SparkEntry {
         |  count(is_rare) * 10000 // count(*) AS rare_bp
         |FROM db LEFT JOIN rare USING (bigram)
         |GROUP BY doc_id""".stripMargin,
+
+    "ev22_top_paths" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM x),
+        |p AS (
+        |  SELECT array_to_string(
+        |    list_slice(list(event_type ORDER BY ts, event_id), 1, 3), '>') AS path
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
 
     "ev21_funnel_latency" ->
       """WITH su AS (SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS s_s

@@ -254,6 +254,31 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_7d"))
   }
 
+  /** ev22: top session paths — the 10 most common session-opening
+    * event-type sequences (first 3 events per session), the
+    * sequence-mining summary product teams read. Reuses the ev02
+    * sessionization windows; the per-session sequence is assembled
+    * with an explicit (ts, event_id) sort, never collection order. */
+  def ev22TopPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = ev(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+    sessions
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(
+        expr("transform(slice(evs, 1, 3), x -> x.event_type)"), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
   /** ev21: funnel latency distribution — seconds from signup to FIRST
     * subsequent purchase per converted user, summarized as exact
     * p50/p90 (integer-second deltas → percentile interpolation is

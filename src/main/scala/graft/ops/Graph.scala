@@ -50,10 +50,15 @@ object Graph {
     * loop this is a pure plan builder — zero driver actions, Catalyst
     * sees the whole 10-round dataflow. Each round is join+agg on
     * frames ∝ |edges|. */
-  private[graft] def pageRankFrom(bi: DataFrame, iterations: Int = 10): DataFrame = {
-    val deg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+  private[graft] def pageRankFrom(bi0: DataFrame, iterations: Int = 10): DataFrame = {
+    // the edge and degree frames are referenced every iteration — cache
+    // them; periodically eager-checkpoint the rank chain so the final
+    // plan stays shallow (a 10-join-deep tree costs more in planning
+    // and stage count than the two tiny extra jobs do)
+    val bi = bi0.cache()
+    val deg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
     var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val contrib = bi
         .join(ranks, bi("src") === ranks("node"))
         .join(deg, Seq("src"))
@@ -61,6 +66,7 @@ object Graph {
       ranks = contrib.groupBy(col("node2")).agg(sum(col("c")).as("in_sum"))
         .select(col("node2").as("node"),
           (lit(0.15) + lit(0.85) * col("in_sum")).as("rank"))
+      if (it % 4 == 0 && it < iterations) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink surface (SURVEY.md §2): schema-explicit readers (never
@@ -55,4 +56,41 @@ object Sources {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Morton (Z-order) curve value for two non-negative int columns:
+    * bit-interleaved so rows close in BOTH dimensions land close on
+    * the curve. All plain bit-arithmetic Columns — codegen'd. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** Z-ordered parquet layout: both columns are min-max normalized to
+    * 16-bit coordinates (so unequal ranges interleave fairly), rows
+    * are range-partitioned + sorted by the Morton value, and parquet's
+    * per-file column min/max then bound every file in BOTH dimensions
+    * — a reader filtering on EITHER column skips most files. The
+    * multi-dimensional cousin of `writePartitioned`, for
+    * high-cardinality numeric columns where directory partitioning
+    * would explode. (A 1-D sort prunes perfectly on its sort column
+    * and not at all on the other; Z-order splits the skipping power
+    * across both.) */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      nFiles: Int = 8): Unit = {
+    val stats = df.agg(
+      min(col(c1)).cast("double").as("mn1"), max(col(c1)).cast("double").as("mx1"),
+      min(col(c2)).cast("double").as("mn2"), max(col(c2)).cast("double").as("mx2"))
+    def norm(c: String, mn: Column, mx: Column): Column =
+      ((col(c).cast("double") - mn) / greatest(mx - mn, lit(1.0)) * 65535.0)
+        .cast("long")
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", zValue(
+        norm(c1, col("mn1"), col("mx1")), norm(c2, col("mn2"), col("mx2"))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "mn1", "mx1", "mn2", "mx2")
+      .write.mode("overwrite").parquet(path)
+  }
 }

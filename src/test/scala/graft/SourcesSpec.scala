@@ -84,6 +84,39 @@ class SourcesSpec extends SparkTestBase {
       Tables.orders(spark, sf).select("o_custkey").distinct().count())
   }
 
+  test("z-ordered layout tightens per-file bounding boxes vs 1-D sort") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf).select(col("o_custkey"),
+      datediff(date_trunc("day", col("o_orderdate")).cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+    Sources.writeZOrdered(o, s"$tmp/z_orders", "o_custkey", "day")
+    o.repartitionByRange(8, col("day")).sortWithinPartitions(col("day"))
+      .write.mode("overwrite").parquet(s"$tmp/lin_orders")
+    // expected files scanned by a uniform point query on each column =
+    // Σ_files span_fraction. A 1-D sort is perfect on its own column
+    // and useless (full span every file) on the other; z-order must
+    // beat it on the COMBINED two-column pruning power.
+    def spans(p: String): (Double, Double) = {
+      val per = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("o_custkey"), max("o_custkey"), min("day"), max("day"))
+            .collect()(0)
+          ((r.getLong(1) - r.getLong(0) + 1).toDouble,
+            (r.getLong(3) - r.getLong(2) + 1).toDouble)
+        }
+      (per.map(_._1).sum, per.map(_._2).sum)
+    }
+    val (zCust, zDay) = spans(s"$tmp/z_orders")
+    val (lCust, lDay) = spans(s"$tmp/lin_orders")
+    val custRange = o.agg(max("o_custkey")).collect()(0).getLong(0).toDouble
+    val dayRange = o.agg(max("day") - min("day")).collect()(0).getLong(0).toDouble
+    val zHits = zCust / custRange + zDay / dayRange
+    val lHits = lCust / custRange + lDay / dayRange
+    assert(zHits < lHits,
+      s"z-order combined pruning $zHits not better than 1-D sort $lHits")
+  }
+
   test("pp01 pipeline writes split-partitioned training data") {
     val out = ops.Pipelines.pp01TrainingPipeline(spark, sf)
     graft.sources.Sources.writePartitioned(out, s"$tmp/training", "split")
