@@ -131,6 +131,7 @@ object SparkEntry {
     "ss08_sq8_rerank"       -> Similarity.ss08Sq8Rerank _,
     "sk04_kll_quantiles"    -> Sketches.sk04KllQuantiles _,
     "ev22_top_paths"        -> Events.ev22TopPaths _,
+    "mm06_chunk_manifest"   -> Multimodal.mm06ChunkManifest _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -426,6 +427,18 @@ object SparkEntry {
         |      ORDER BY dot DESC, neighbor_id) AS rk
         |  FROM c)
         |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    "mm06_chunk_manifest" ->
+      """WITH c AS (
+        |  SELECT doc_id, chunk_idx,
+        |    md5(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64)) AS chunk_md5
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+        |          unnest(range(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)))
+        |            AS chunk_idx
+        |        FROM documents))
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  md5(array_to_string(list(chunk_md5 ORDER BY chunk_idx), '')) AS manifest_md5
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "mm05_size_histogram" ->
       """SELECT source,

@@ -66,7 +66,7 @@ object Graph {
       ranks = contrib.groupBy(col("node2")).agg(sum(col("c")).as("in_sum"))
         .select(col("node2").as("node"),
           (lit(0.15) + lit(0.85) * col("in_sum")).as("rank"))
-      if (it % 4 == 0 && it < iterations) ranks = ranks.localCheckpoint()
+      if (it % 3 == 0 && it < iterations) ranks = ranks.localCheckpoint()
     }
     ranks
   }

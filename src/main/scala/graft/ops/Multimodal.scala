@@ -92,6 +92,19 @@ object Multimodal {
       .agg(count(lit(1)).as("n_docs"),
         min(col("nb")).as("min_bytes"), max(col("nb")).as("max_bytes"))
 
+  /** mm06: per-document chunk manifest — the ordered chunk-hash list
+    * collapsed to one content-address (the shape a CAS/dedup store
+    * keys blobs by: same manifest hash ⇒ byte-identical payload,
+    * shared chunks dedup underneath). Order is explicit (chunk_idx),
+    * never collection order. */
+  def mm06ChunkManifest(s: SparkSession, d: String): DataFrame =
+    mm03Chunking(s, d)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        md5(array_join(
+          expr("transform(array_sort(collect_list(struct(chunk_idx, chunk_md5))), x -> x.chunk_md5)"),
+          "")).as("manifest_md5"))
+
   /** STUB decoder: stands in for an image/video codec. Deterministic:
     * n_chars mod 5 + 1 "frames", each hashed from (text, index). A real
     * deployment swaps only this function body for the codec call; the
