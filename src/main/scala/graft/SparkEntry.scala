@@ -132,6 +132,8 @@ object SparkEntry {
     "sk04_kll_quantiles"    -> Sketches.sk04KllQuantiles _,
     "ev22_top_paths"        -> Events.ev22TopPaths _,
     "mm06_chunk_manifest"   -> Multimodal.mm06ChunkManifest _,
+    "ev23_type_lift"        -> Events.ev23TypeLift _,
+    "tx18_char_classes"     -> Text.tx18CharClasses _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1059,6 +1061,29 @@ object SparkEntry {
         |  count(is_rare) * 10000 // count(*) AS rare_bp
         |FROM db LEFT JOIN rare USING (bigram)
         |GROUP BY doc_id""".stripMargin,
+
+    "ev23_type_lift" ->
+      """WITH u AS (SELECT user_id, event_type, count(*) AS n_ut
+        |           FROM events GROUP BY 1, 2),
+        |ut AS (SELECT user_id, count(*) AS n_u FROM events GROUP BY 1),
+        |g AS (SELECT event_type, count(*) AS n_t FROM events GROUP BY 1),
+        |a AS (SELECT count(*) AS n_all FROM events)
+        |SELECT u.user_id, u.event_type,
+        |  CAST(n_ut * 10000 // n_u AS BIGINT) AS user_bp,
+        |  CAST(n_t * 10000 // n_all AS BIGINT) AS global_bp
+        |FROM u JOIN ut USING (user_id) JOIN g USING (event_type)
+        |CROSS JOIN a""".stripMargin,
+
+    "tx18_char_classes" ->
+      """SELECT doc_id,
+        | length(text) AS n_chars,
+        | length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+        |   AS n_alpha,
+        | length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |   AS n_digit,
+        | length(text) - length(regexp_replace(text, ' ', '', 'g'))
+        |   AS n_space
+        |FROM documents""".stripMargin,
 
     "ev22_top_paths" ->
       """WITH t AS (

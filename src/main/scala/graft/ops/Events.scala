@@ -254,6 +254,25 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_7d"))
   }
 
+  /** ev23: behavioral lift profile — each user's event-type mix (in
+    * exact basis points) beside the corpus-wide mix, the
+    * over/under-indexing table a segmentation model consumes. The
+    * global mix is a 5-row broadcast; everything stays integer. */
+  def ev23TypeLift(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val user = e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_ut"))
+    val userTot = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_u"))
+    val global = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val total = e.agg(count(lit(1)).as("n_all"))
+    user.join(userTot, Seq("user_id"))
+      .join(broadcast(global), Seq("event_type"))
+      .crossJoin(broadcast(total))
+      .select(col("user_id"), col("event_type"),
+        expr("n_ut * 10000 div n_u").as("user_bp"),
+        expr("n_t * 10000 div n_all").as("global_bp"))
+  }
+
   /** ev22: top session paths — the 10 most common session-opening
     * event-type sequences (first 3 events per session), the
     * sequence-mining summary product teams read. Reuses the ev02

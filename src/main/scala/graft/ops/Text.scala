@@ -226,6 +226,21 @@ object Text {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  /** tx18: character-class profile — alpha / digit / whitespace /
+    * punctuation counts per document (the script/format signal feeding
+    * corpus routing and garbage detection). Pure per-row regex
+    * arithmetic, integer-exact. */
+  def tx18CharClasses(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[A-Za-z]", ""))).as("n_alpha"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), " ", ""))).as("n_space"))
+
   /** tx17: rare-bigram counting — how much of a document is built from
     * corpus-rare bigrams (freq < 3), a cheap fluency/quality signal
     * (model-free stand-in for LM perplexity, and exact-integer so it
