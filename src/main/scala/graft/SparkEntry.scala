@@ -134,6 +134,7 @@ object SparkEntry {
     "mm06_chunk_manifest"   -> Multimodal.mm06ChunkManifest _,
     "ev23_type_lift"        -> Events.ev23TypeLift _,
     "tx18_char_classes"     -> Text.tx18CharClasses _,
+    "ev24_time_range_join"  -> Events.ev24TimeRangeJoin _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1061,6 +1062,15 @@ object SparkEntry {
         |  count(is_rare) * 10000 // count(*) AS rare_bp
         |FROM db LEFT JOIN rare USING (bigram)
         |GROUP BY doc_id""".stripMargin,
+
+    "ev24_time_range_join" ->
+      """WITH p AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS v_s
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, count(v.v_s) AS n_recent_views
+        |FROM p LEFT JOIN v ON v.v_s >= p.ts_s - 300 AND v.v_s < p.ts_s
+        |GROUP BY p.event_id""".stripMargin,
 
     "ev23_type_lift" ->
       """WITH u AS (SELECT user_id, event_type, count(*) AS n_ut

@@ -254,6 +254,31 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_7d"))
   }
 
+  /** ev24: big-big TIME-RANGE join via bin bucketization — for every
+    * purchase, the count of views (any user) in the preceding 5
+    * minutes. There is NO equi-key, so a naive plan is a quadratic
+    * nested-loop; binning both sides by the window width and exploding
+    * each probe into its two candidate bins turns it into a plain
+    * equi-join on `bin` + a residual filter — shuffle ∝ input, exact
+    * result, the composed-operator answer to interval joins at 100 TB. */
+  def ev24TimeRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val win = 300L
+    val e = ev(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").cast("long").as("ts_s"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("ts").cast("long").as("v_s"))
+      .withColumn("bin", expr(s"v_s div $win"))
+    val probes = purchases
+      .withColumn("bin0", expr(s"ts_s div $win"))
+      .withColumn("bin", explode(array(col("bin0") - 1, col("bin0"))))
+    val counts = probes.join(views, Seq("bin"))
+      .filter(col("v_s") >= col("ts_s") - win && col("v_s") < col("ts_s"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+    purchases.join(counts, Seq("event_id"), "left_outer")
+      .select(col("event_id"), coalesce(col("n"), lit(0L)).as("n_recent_views"))
+  }
+
   /** ev23: behavioral lift profile — each user's event-type mix (in
     * exact basis points) beside the corpus-wide mix, the
     * over/under-indexing table a segmentation model consumes. The
