@@ -79,6 +79,23 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
 
+  /** st08: streaming quantiles through graft's own KLL sketch — the
+    * custom TypedImperativeAggregate serializes its compactor stack
+    * into the streaming state store like any built-in agg, so a
+    * continuously-updated p50/p90 per event type costs O(k·levels)
+    * state per group instead of retaining the stream. */
+  def streamingQuantiles(events: DataFrame): DataFrame = {
+    val valueAttr = events.queryExecution.analyzed.output
+      .find(_.name == "value").get
+    val kll = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.KllQuantileAgg(valueAttr, Seq(0.5, 0.9))
+        .toAggregateExpression())
+    events.groupBy(col("event_type"))
+      .agg(kll.as("qs"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        col("qs").getItem(0).as("p50"), col("qs").getItem(1).as("p90"), col("n"))
+  }
+
   /** st02: stateful gap sessionization (30-minute inactivity) with
     * explicit per-key state via flatMapGroupsWithState. State per user
     * is O(1) — just the open session bounds — and is emitted+cleared

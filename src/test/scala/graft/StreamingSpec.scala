@@ -127,6 +127,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st08 streaming KLL quantiles track the stream across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData((1 to 50).map(i => Event(i, ts(i), 1, "view", i.toDouble)): _*)
+    val q = StreamingJobs.streamingQuantiles(in.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("st08_out").start()
+    try {
+      q.processAllAvailable()
+      in.addData((51 to 100).map(i => Event(i, ts(i), 1, "view", i.toDouble)): _*)
+      q.processAllAvailable()
+      val r = spark.sql("SELECT * FROM st08_out").collect()(0)
+      assert(r.getAs[Long]("n") == 100)
+      assert(math.abs(r.getAs[Double]("p50") - 50.0) <= 5.0,
+        s"p50 ${r.getAs[Double]("p50")}")
+      assert(math.abs(r.getAs[Double]("p90") - 90.0) <= 5.0,
+        s"p90 ${r.getAs[Double]("p90")}")
+    } finally q.stop()
+  }
+
   test("st02 stateful sessionize closes sessions on observed gaps") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
