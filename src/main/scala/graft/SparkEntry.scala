@@ -135,6 +135,9 @@ object SparkEntry {
     "ev23_type_lift"        -> Events.ev23TypeLift _,
     "tx18_char_classes"     -> Text.tx18CharClasses _,
     "ev24_time_range_join"  -> Events.ev24TimeRangeJoin _,
+    "q40_lateral_explode"   -> Relational.q40LateralExplode _,
+    "dd10_containment"      -> Dedup.dd10Containment _,
+    "mm07_magic_bytes"      -> Multimodal.mm07MagicBytes _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1062,6 +1065,38 @@ object SparkEntry {
         |  count(is_rare) * 10000 // count(*) AS rare_bp
         |FROM db LEFT JOIN rare USING (bigram)
         |GROUP BY doc_id""".stripMargin,
+
+    "q40_lateral_explode" ->
+      """SELECT word, count(DISTINCT p_brand) AS n_brands, count(*) AS n_parts
+        |FROM (SELECT p_brand, unnest(string_split(p_name, ' ')) AS word
+        |      FROM part)
+        |GROUP BY word
+        |ORDER BY n_brands DESC, word LIMIT 25""".stripMargin,
+
+    "dd10_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |c AS (SELECT d1, d2,
+        |        CAST(shared * 10000 // x.n AS BIGINT) AS contain_1_bp,
+        |        CAST(shared * 10000 // y.n AS BIGINT) AS contain_2_bp
+        |      FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
+        |SELECT d1, d2, contain_1_bp, contain_2_bp FROM c
+        |WHERE contain_1_bp >= 5000 OR contain_2_bp >= 5000""".stripMargin,
+
+    "mm07_magic_bytes" ->
+      """SELECT substr(hex(encode(text)), 1, 4) AS magic,
+        | count(*) AS n_docs,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents WHERE octet_length(encode(text)) >= 2
+        |GROUP BY 1""".stripMargin,
 
     "ev24_time_range_join" ->
       """WITH p AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

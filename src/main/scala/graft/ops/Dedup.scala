@@ -238,6 +238,29 @@ object Dedup {
     * coarse cluster id) so the pairwise step is per-block, not corpus².
     * Cosine runs in the codegen'd CosineSim expression.
     */
+  /** dd10: asymmetric CONTAINMENT scoring — |A∩B|/|A| in both
+    * directions. Jaccard misses subset-duplicates (a doc quoted
+    * wholesale inside a larger one scores low J but containment ≈ 1);
+    * training pipelines drop the contained copy. Exhaustive
+    * inverted-index blocking (the dd04 exact tier — LSH banding is
+    * tuned for symmetric Jaccard and under-recalls asymmetric
+    * subset pairs); exact integer ratios in basis points. */
+  def dd10Containment(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("s"))
+    val b = sh.select(col("doc_id").as("d2"), col("s"))
+    val shared = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        expr("shared * 10000 div n1").as("contain_1_bp"),
+        expr("shared * 10000 div n2").as("contain_2_bp"))
+      .filter(col("contain_1_bp") >= 5000 || col("contain_2_bp") >= 5000)
+  }
+
   /** dd08: cross-document chunk-level dedup — which 32-byte content
     * chunks (mm03) recur across documents. The content-defined-chunking
     * dedup shape: one hash-groupBy over the chunk stream, partial-agg'd,

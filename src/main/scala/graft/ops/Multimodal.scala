@@ -105,6 +105,18 @@ object Multimodal {
           expr("transform(array_sort(collect_list(struct(chunk_idx, chunk_md5))), x -> x.chunk_md5)"),
           "")).as("manifest_md5"))
 
+  /** mm07: magic-byte format sniffing — route payloads by their
+    * leading bytes (the real-world dispatch step before choosing a
+    * decoder). The "format" here is the first byte pair of the opaque
+    * payload; per-format counts and byte mass. */
+  def mm07MagicBytes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .filter(octet_length(col("payload")) >= 2)
+      .groupBy(hex(expr("substring(payload, 1, 2)")).as("magic"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("payload")).cast("long")).as("total_bytes"))
+
   /** STUB decoder: stands in for an image/video codec. Deterministic:
     * n_chars mod 5 + 1 "frames", each hashed from (text, index). A real
     * deployment swaps only this function body for the codec call; the

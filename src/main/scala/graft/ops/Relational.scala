@@ -497,6 +497,18 @@ object Relational {
       cume_dist().over(w).as("cd"))
   }
 
+  /** q40: lateral explode — relational fan-out of a computed
+    * collection (part-name tokens) with re-aggregation: tokens ranked
+    * by how many distinct brands use them. The generate step stays
+    * inside the scan stage (no shuffle until the aggregate). */
+  def q40LateralExplode(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_brand"), explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(countDistinct(col("p_brand")).as("n_brands"), count(lit(1)).as("n_parts"))
+      .orderBy(col("n_brands").desc, col("word"))
+      .limit(25)
+
   /** q39: moving-frame aggregate — trailing 3-order average price per
     * customer (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). Frame sums
     * run on exact integer cents: engines disagree on float frame

@@ -24,7 +24,8 @@ class OperatorsSpec extends SparkTestBase {
       // near-dup chunks / multi-day islands / threshold matches may not
       // exist in the tiny sf0.001 slice
       "dd08_chunk_dup", "q35_gaps_islands", "ss06_range_search",
-      "gr02_degree_dist", "dd09_minhash_est", "gr03_pagerank")
+      "gr02_degree_dist", "dd09_minhash_est", "gr03_pagerank",
+      "dd10_containment")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
