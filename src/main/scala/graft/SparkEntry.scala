@@ -138,6 +138,7 @@ object SparkEntry {
     "q40_lateral_explode"   -> Relational.q40LateralExplode _,
     "dd10_containment"      -> Dedup.dd10Containment _,
     "mm07_magic_bytes"      -> Multimodal.mm07MagicBytes _,
+    "sk05_bloom_prejoin"    -> Sketches.sk05BloomPrejoin _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact

@@ -56,6 +56,37 @@ object Sketches {
         col("cnt"))
   }
 
+  /** sk05: Bloom-filter semi-join pre-filter — the membership sketch:
+    * high-value order custkeys fold into one bloom (BloomFilterAgg),
+    * which broadcasts and probes every customer (BloomMightContain).
+    * The audit row compares bloom passes against exact membership:
+    * the pattern that prunes a 100 TB probe table down before the
+    * real join, at the cost of a spec-bounded false-positive rate. */
+  def sk05BloomPrejoin(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey"))
+    val keyAttr = big.queryExecution.analyzed.output.find(_.name == "o_custkey").get
+    val bloom = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.BloomFilterAgg(keyAttr, expectedItems = 10000L)
+        .toAggregateExpression())
+    val bloomRow = big.agg(bloom.as("bf"))
+    val members = big.distinct().withColumn("is_member", lit(1))
+    val probed = Tables.customer(s, d).select(col("c_custkey"))
+      .crossJoin(broadcast(bloomRow))
+    val probedAttrs = probed.queryExecution.analyzed.output
+    val maybe = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.BloomMightContain(
+        probedAttrs.find(_.name == "bf").get,
+        probedAttrs.find(_.name == "c_custkey").get))
+    probed.withColumn("maybe", maybe)
+      .join(broadcast(members), col("c_custkey") === col("o_custkey"), "left_outer")
+      .agg(
+        count(when(col("is_member") === 1, 1)).as("n_exact_members"),
+        count(when(col("maybe"), 1)).as("n_bloom_pass"),
+        count(when(col("maybe") && col("is_member").isNull, 1)).as("n_false_pos"))
+  }
+
   /** Probe list for sk03: the stopwords + common corpus terms. */
   private[graft] val cmsProbes: Seq[String] = Seq(
     "the", "a", "of", "and", "to", "in", "table", "query", "data", "spark",

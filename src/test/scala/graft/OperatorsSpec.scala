@@ -34,7 +34,7 @@ class OperatorsSpec extends SparkTestBase {
     val rowsOnly = Set("dd03_simhash",
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
       "dd09_minhash_est", "gr03_pagerank", "ss08_sq8_rerank",
-      "sk04_kll_quantiles")  // SURVEY.md §2
+      "sk04_kll_quantiles", "sk05_bloom_prejoin")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -359,6 +359,15 @@ class OperatorsSpec extends SparkTestBase {
       .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
       .count()
     assert(df.count() == expected)
+  }
+
+  test("sk05 bloom pre-filter: no false negatives, bounded false positives") {
+    val r = ops.Sketches.sk05BloomPrejoin(spark, sf).collect()(0)
+    val exact = r.getLong(0); val pass = r.getLong(1); val fp = r.getLong(2)
+    assert(pass >= exact, "bloom must never drop a true member")
+    assert(pass - fp == exact, "bloom passes = exact members + false positives")
+    val probed = Tables.customer(spark, sf).count()
+    assert(fp.toDouble / probed <= 0.05, s"false-positive rate ${fp.toDouble / probed}")
   }
 
   test("sk04 KLL quantiles within 5% of exact per status") {
