@@ -139,6 +139,9 @@ object SparkEntry {
     "dd10_containment"      -> Dedup.dd10Containment _,
     "mm07_magic_bytes"      -> Multimodal.mm07MagicBytes _,
     "sk05_bloom_prejoin"    -> Sketches.sk05BloomPrejoin _,
+    "q41_range_frame"       -> Relational.q41RangeFrame _,
+    "ss09_ann_recall"       -> Similarity.ss09AnnRecall _,
+    "pp04_session_features" -> Pipelines.pp04UserSessionFeatures _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -233,6 +236,53 @@ object SparkEntry {
       |        unnest(range(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)))
       |          AS chunk_idx
       |      FROM documents)""".stripMargin
+
+  /** ev02's oracle, reused by pp04's session rollup. */
+  private val sessionizeSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |x AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN prev_ts IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT)
+      |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM t),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM x)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  count(*) AS n_events,
+      |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+      |  CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS session_end
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  /** ss02's oracle, reused by ss09's recall audit. */
+  private val ss02Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${lshBucketSqlExpr(0)} AS b0,
+         |             ${lshBucketSqlExpr(1)} AS b1
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, b0 AS qb0, b1 AS qb1
+         |      FROM e WHERE vec_id < 10),
+         |p0 AS (SELECT qid, qe, unnest(${probeListSql("qb0")}) AS probe FROM q),
+         |p1 AS (SELECT qid, qe, unnest(${probeListSql("qb1")}) AS probe FROM q),
+         |u AS (SELECT p0.qid, e.vec_id, p0.qe, e.embedding AS emb
+         |      FROM p0 JOIN e ON e.b0 = p0.probe
+         |      UNION
+         |      SELECT p1.qid, e.vec_id, p1.qe, e.embedding
+         |      FROM p1 JOIN e ON e.b1 = p1.probe),
+         |c AS (SELECT DISTINCT qid, vec_id AS neighbor_id, qe, emb
+         |      FROM u WHERE vec_id != qid),
+         |r AS (SELECT qid, neighbor_id,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY list_cosine_similarity(qe, emb) DESC, neighbor_id) AS rk
+         |      FROM c)
+         |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q32_grouping_sets" ->
@@ -763,28 +813,40 @@ object SparkEntry {
         | event_type, count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "ev02_sessionize" ->
-      """WITH t AS (
-        |  SELECT user_id, event_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |x AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN prev_ts IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT)
-        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM t),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM x)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-        |  count(*) AS n_events,
-        |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
-        |  CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS session_end
-        |FROM s GROUP BY 1, 2""".stripMargin,
+    "ev02_sessionize" -> sessionizeSql,
+
+    "q41_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | count(*) OVER (PARTITION BY o_custkey
+        |   ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |   RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING) AS n_prior_30d
+        |FROM orders""".stripMargin,
+
+    "ss09_ann_recall" ->
+      s"""WITH e AS ($bruteTopkSql),
+         |l AS ($ss02Sql)
+         |SELECT e.qid, count(*) AS k, count(l.neighbor_id) AS n_hit,
+         |  CAST(count(l.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_bp
+         |FROM e LEFT JOIN l ON e.qid = l.qid AND e.neighbor_id = l.neighbor_id
+         |GROUP BY e.qid""".stripMargin,
+
+    "pp04_session_features" ->
+      s"""WITH s AS ($sessionizeSql),
+         |sess AS (SELECT user_id, count(*) AS n_sessions,
+         |    CAST(sum(n_events) * 10000 // count(*) AS BIGINT)
+         |      AS events_per_session_bp,
+         |    CAST(sum(CAST(floor(epoch(session_end)) AS BIGINT)
+         |      - CAST(floor(epoch(session_start)) AS BIGINT)) AS BIGINT)
+         |      AS total_session_s
+         |  FROM s GROUP BY 1),
+         |f AS (SELECT user_id, count(*) AS n_events,
+         |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+         |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+         |      AS purchase_value
+         |  FROM events GROUP BY user_id)
+         |SELECT f.user_id, f.n_events, f.n_purchases, f.purchase_value,
+         |  sess.n_sessions, sess.events_per_session_bp, sess.total_session_s
+         |FROM f JOIN sess USING (user_id)""".stripMargin,
 
     "ev03_funnel" ->
       """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
@@ -1217,27 +1279,7 @@ object SparkEntry {
         |   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
         |FROM documents""".stripMargin,
 
-    "ss02_lsh_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |             ${lshBucketSqlExpr(0)} AS b0,
-         |             ${lshBucketSqlExpr(1)} AS b1
-         |           FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qe, b0 AS qb0, b1 AS qb1
-         |      FROM e WHERE vec_id < 10),
-         |p0 AS (SELECT qid, qe, unnest(${probeListSql("qb0")}) AS probe FROM q),
-         |p1 AS (SELECT qid, qe, unnest(${probeListSql("qb1")}) AS probe FROM q),
-         |u AS (SELECT p0.qid, e.vec_id, p0.qe, e.embedding AS emb
-         |      FROM p0 JOIN e ON e.b0 = p0.probe
-         |      UNION
-         |      SELECT p1.qid, e.vec_id, p1.qe, e.embedding
-         |      FROM p1 JOIN e ON e.b1 = p1.probe),
-         |c AS (SELECT DISTINCT qid, vec_id AS neighbor_id, qe, emb
-         |      FROM u WHERE vec_id != qid),
-         |r AS (SELECT qid, neighbor_id,
-         |        row_number() OVER (PARTITION BY qid
-         |          ORDER BY list_cosine_similarity(qe, emb) DESC, neighbor_id) AS rk
-         |      FROM c)
-         |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
+    "ss02_lsh_topk" -> ss02Sql,
 
     "ss03_centroid_outliers" ->
       """WITH ex AS (

@@ -59,6 +59,24 @@ object Pipelines {
       .join(pp02ChunkDedupAudit(s, d)
         .select(col("doc_id"), col("n_chunks"), col("shared_bp")), Seq("doc_id"))
 
+  /** pp04: user session-feature table — the events-side capstone:
+    * sessionization rolled up per user (session count, events/session,
+    * total engaged seconds — all exact integers) joined onto the ev12
+    * behavioral features. One |users|-sized join after two
+    * already-verified aggregations. */
+  def pp04UserSessionFeatures(s: SparkSession, d: String): DataFrame = {
+    val sess = Events.ev02Sessionize(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        expr("sum(n_events) * 10000 div count(1)").as("events_per_session_bp"),
+        sum(col("session_end").cast("long") - col("session_start").cast("long"))
+          .as("total_session_s"))
+    Events.ev12UserFeatures(s, d)
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("purchase_value"))
+      .join(sess, Seq("user_id"))
+  }
+
   def pp02ChunkDedupAudit(s: SparkSession, d: String): DataFrame = {
     val chunks = Multimodal.mm03Chunking(s, d).select(col("doc_id"), col("chunk_md5"))
     val dupSet = chunks.groupBy(col("chunk_md5"))

@@ -497,6 +497,19 @@ object Relational {
       cume_dist().over(w).as("cd"))
   }
 
+  /** q41: RANGE window frame — orders placed by the same customer in
+    * the 30 days BEFORE each order (value-based frame over epoch
+    * seconds, vs q39's row-count frame). Counting only: integer-exact
+    * on both engines. */
+  def q41RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts_s"))
+      .rangeBetween(-30L * 86400, -1)
+    Tables.orders(s, d)
+      .withColumn("ts_s", col("o_orderdate").cast("timestamp").cast("long"))
+      .withColumn("n_prior_30d", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("n_prior_30d"))
+  }
+
   /** q40: lateral explode — relational fan-out of a computed
     * collection (part-name tokens) with re-aggregation: tokens ranked
     * by how many distinct brands use them. The generate step stays

@@ -218,6 +218,21 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"))
   }
 
+  /** ss09: ANN recall audit AS AN OPERATOR — per-query recall of the
+    * LSH tier (ss02) against the exact baseline (ss01), in exact basis
+    * points. The evaluation harness a production ANN deployment runs
+    * continuously on a sampled query set to catch index drift. */
+  def ss09AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = ss01BruteTopk(s, d).select(col("qid"), col("neighbor_id"))
+    val approx = ss02LshTopk(s, d)
+      .select(col("qid").as("aqid"), col("neighbor_id").as("an"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("neighbor_id") === col("an"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("an")).as("n_hit"))
+      .withColumn("recall_bp", expr("n_hit * 10000 div k"))
+  }
+
   /** ss08: scalar-quantization (SQ8) ANN with exact re-rank — the
     * memory-compression tier: per-dimension min/max (one 64-group agg)
     * quantizes every vector to int8 codes (4× smaller than float32, a
