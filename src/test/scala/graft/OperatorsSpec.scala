@@ -30,6 +30,19 @@ class OperatorsSpec extends SparkTestBase {
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
 
+  test("SURVEY §2 inventory matches SparkEntry.queries exactly") {
+    val path = Seq("SURVEY.md", "/root/repo/SURVEY.md")
+      .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_)).get
+    val survey = new String(java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val s2 = survey.split("\\Q## §2\\E")(1).split("\\Q## §3\\E")(0)
+    val keys = "(?m)^\\| ((?:q|ev|dd|ss|tx|mm|pp|sk|gr)\\d+\\w*) \\|".r
+      .findAllMatchIn(s2).map(_.group(1)).toSet
+    assert(keys == SparkEntry.queries.keySet,
+      s"survey-only: ${keys -- SparkEntry.queries.keySet}; " +
+        s"entry-only: ${SparkEntry.queries.keySet -- keys}")
+  }
+
   test("oracle coverage is complete and key-consistent") {
     val rowsOnly = Set("dd03_simhash",
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
