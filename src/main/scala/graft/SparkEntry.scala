@@ -142,6 +142,7 @@ object SparkEntry {
     "q41_range_frame"       -> Relational.q41RangeFrame _,
     "ss09_ann_recall"       -> Similarity.ss09AnnRecall _,
     "pp04_session_features" -> Pipelines.pp04UserSessionFeatures _,
+    "gr04_common_neighbors" -> Graph.gr04CommonNeighbors _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -959,6 +960,17 @@ object SparkEntry {
          |SELECT count(*) AS n_triangles
          |FROM j a JOIN j b ON a.d2 = b.d1
          |JOIN j c ON a.d1 = c.d1 AND b.d2 = c.d2""".stripMargin,
+
+    "gr04_common_neighbors" ->
+      s"""WITH j AS ($ngramJaccardSql),
+         |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
+         |cn AS (SELECT x.n AS a, y.n AS b, count(*) AS common
+         |       FROM bi x JOIN bi y ON x.m = y.m AND x.n < y.n
+         |       GROUP BY 1, 2)
+         |SELECT a, b, common,
+         |  CASE WHEN EXISTS (SELECT 1 FROM j WHERE j.d1 = cn.a AND j.d2 = cn.b)
+         |       THEN 1 ELSE 0 END AS is_edge
+         |FROM cn""".stripMargin,
 
     "gr02_degree_dist" ->
       s"""WITH j AS ($ngramJaccardSql),

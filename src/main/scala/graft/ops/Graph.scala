@@ -43,6 +43,26 @@ object Graph {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
   }
 
+  /** gr04: common-neighbors scoring — every doc pair sharing ≥1
+    * near-dup neighbor, with its shared count and whether the pair is
+    * already an edge (the classic link-prediction score: open wedges
+    * with high `common` are likely missed duplicates worth exact
+    * verification; in a clean clique-shaped dup graph every wedge is
+    * closed, which this output makes auditable). */
+  def gr04CommonNeighbors(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = e.select(col("d1").as("m"), col("d2").as("n"))
+      .unionByName(e.select(col("d2").as("m"), col("d1").as("n")))
+    val n1 = bi.select(col("m"), col("n").as("a"))
+    val n2 = bi.select(col("m").as("m2"), col("n").as("b"))
+    n1.join(n2, col("m") === col("m2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .join(e.select(col("d1"), col("d2"), lit(1).as("flag")),
+        col("a") === col("d1") && col("b") === col("d2"), "left_outer")
+      .select(col("a"), col("b"), col("common"),
+        coalesce(col("flag"), lit(0)).as("is_edge"))
+  }
+
   /** PageRank over a SYMMETRIC (src,dst) edge frame: damping 0.85,
     * ranks initialized to 1.0 (the all-ranks sum is then invariantly
     * |nodes| — no driver-side count needed), a FIXED 10 iterations
