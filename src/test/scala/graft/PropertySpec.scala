@@ -46,6 +46,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KllSketch serialize/deserialize round-trips the quantile state") {
+    val agg = graft.functions.KllQuantileAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0), Seq(0.25, 0.5, 0.9))
+    val rnd = new scala.util.Random(11)
+    val sk = new graft.functions.KllSketch(200)
+    (1 to 5000).foreach(_ => sk.update(rnd.nextDouble() * 100))
+    val back = agg.deserialize(agg.serialize(sk))
+    assert(back.count == sk.count)
+    for (q <- Seq(0.25, 0.5, 0.9))
+      assert(back.quantile(q) == sk.quantile(q),
+        s"quantile $q changed across serialization")
+  }
+
   test("KllSketch: merged partitions track exact ranks within 3%") {
     val rnd = new scala.util.Random(7)
     val data = Array.fill(20000)(rnd.nextDouble() * 1000)

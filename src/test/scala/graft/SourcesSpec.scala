@@ -84,6 +84,21 @@ class SourcesSpec extends SparkTestBase {
       Tables.orders(spark, sf).select("o_custkey").distinct().count())
   }
 
+  test("zValue matches the reference Morton bit interleave") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ref(a: Long, b: Long): Long = (0 until 16)
+      .map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+      .reduce(_ | _)
+    val pts = for (a <- 0L to 40L; b <- Seq(0L, 1L, 7L, 255L, 65535L)) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"), Sources.zValue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b), s"zValue($a,$b)")
+    }
+  }
+
   test("z-ordered layout tightens per-file bounding boxes vs 1-D sort") {
     import org.apache.spark.sql.functions._
     val o = Tables.orders(spark, sf).select(col("o_custkey"),
