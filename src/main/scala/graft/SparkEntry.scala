@@ -143,6 +143,9 @@ object SparkEntry {
     "ss09_ann_recall"       -> Similarity.ss09AnnRecall _,
     "pp04_session_features" -> Pipelines.pp04UserSessionFeatures _,
     "gr04_common_neighbors" -> Graph.gr04CommonNeighbors _,
+    "q42_bag_set_ops"       -> Relational.q42BagSetOps _,
+    "ev25_anomaly_days"     -> Events.ev25AnomalyDays _,
+    "tx19_dedup_impact"     -> Text.tx19DedupImpact _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -971,6 +974,47 @@ object SparkEntry {
          |  CASE WHEN EXISTS (SELECT 1 FROM j WHERE j.d1 = cn.a AND j.d2 = cn.b)
          |       THEN 1 ELSE 0 END AS is_edge
          |FROM cn""".stripMargin,
+
+    "q42_bag_set_ops" ->
+      """WITH high AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+        |recent AS (SELECT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+        |u AS (
+        |  SELECT 'high_minus_recent' AS tag, o_custkey FROM
+        |    (SELECT o_custkey FROM high EXCEPT ALL SELECT o_custkey FROM recent)
+        |  UNION ALL
+        |  SELECT 'both' AS tag, o_custkey FROM
+        |    (SELECT o_custkey FROM high INTERSECT ALL SELECT o_custkey FROM recent))
+        |SELECT tag, o_custkey, count(*) AS multiplicity
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    "ev25_anomaly_days" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT day, n,
+        |    sum(n) OVER (ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_sum,
+        |    count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_n
+        |  FROM daily)
+        |SELECT day, n, CAST(trail_sum AS BIGINT) AS trail_sum,
+        |  CAST(n * 7 - trail_sum AS BIGINT) AS dev7,
+        |  n * 70 > trail_sum * 12 AS is_spike
+        |FROM t WHERE trail_n = 7""".stripMargin,
+
+    "tx19_dedup_impact" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |scores AS ($qualityScoreSql),
+         |j AS (SELECT c.cluster_id, c.doc_id, s.score
+         |      FROM clusters c JOIN scores s USING (doc_id)),
+         |r AS (SELECT cluster_id, count(*) AS n_members FROM j GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_docs FROM documents),
+         |cl AS (SELECT count(*) AS n_clustered FROM clusters),
+         |dr AS (SELECT CAST(coalesce(sum(n_members - 1), 0) AS BIGINT)
+         |         AS n_dropped FROM r)
+         |SELECT n_docs, n_clustered, n_dropped,
+         |  CAST(n_dropped * 10000 // n_docs AS BIGINT) AS reduction_bp
+         |FROM tot CROSS JOIN cl CROSS JOIN dr""".stripMargin,
 
     "gr02_degree_dist" ->
       s"""WITH j AS ($ngramJaccardSql),

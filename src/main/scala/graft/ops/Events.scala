@@ -254,6 +254,26 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_7d"))
   }
 
+  /** ev25: daily volume-deviation monitor — each full-window day's
+    * event count against its trailing 7-day baseline, with an
+    * anomaly flag at the +20% line. All comparisons are integer
+    * CROSS-MULTIPLICATION (n·window vs k·trailing_sum) — no division,
+    * no floats, engine-exact. The ingest-spike alarm a pipeline runs
+    * before trusting a day's data. */
+  def ev25AnomalyDays(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    daily
+      .withColumn("trail_sum", sum(col("n")).over(w))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .filter(col("trail_n") === 7)
+      .select(col("day"), col("n"), col("trail_sum"),
+        (col("n") * 7 - col("trail_sum")).as("dev7"),
+        (col("n") * 70 > col("trail_sum") * 12).as("is_spike"))
+  }
+
   /** ev24: big-big TIME-RANGE join via bin bucketization — for every
     * purchase, the count of views (any user) in the preceding 5
     * minutes. There is NO equi-key, so a naive plan is a quadratic

@@ -497,6 +497,21 @@ object Relational {
       cume_dist().over(w).as("cd"))
   }
 
+  /** q42: bag-semantics set operators — EXCEPT ALL / INTERSECT ALL
+    * keep multiplicities (q25's INTERSECT/EXCEPT collapse them): the
+    * difference matters for auditing duplicated fact rows. */
+  def q42BagSetOps(s: SparkSession, d: String): DataFrame = {
+    val high = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    high.exceptAll(recent).withColumn("tag", lit("high_minus_recent"))
+      .unionByName(high.intersectAll(recent).withColumn("tag", lit("both")))
+      .groupBy(col("tag"), col("o_custkey"))
+      .agg(count(lit(1)).as("multiplicity"))
+  }
+
   /** q41: RANGE window frame — orders placed by the same customer in
     * the 30 days BEFORE each order (value-based frame over epoch
     * seconds, vs q39's row-count frame). Counting only: integer-exact

@@ -226,6 +226,20 @@ object Text {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  /** tx19: dedup-impact summary — the one-row corpus report a dedup
+    * run publishes: total docs, docs caught in near-dup clusters, docs
+    * that would be dropped (non-keepers), and the reduction in exact
+    * basis points. All integers off already-verified operators. */
+  def tx19DedupImpact(s: SparkSession, d: String): DataFrame = {
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val clustered = Dedup.dd06DupClusters(s, d)
+      .agg(count(lit(1)).as("n_clustered"))
+    val dropped = Dedup.dd07KeepBest(s, d)
+      .agg(coalesce(sum(col("n_members") - 1), lit(0L)).as("n_dropped"))
+    total.crossJoin(clustered).crossJoin(dropped)
+      .withColumn("reduction_bp", expr("n_dropped * 10000 div n_docs"))
+  }
+
   /** tx18: character-class profile — alpha / digit / whitespace /
     * punctuation counts per document (the script/format signal feeding
     * corpus routing and garbage detection). Pure per-row regex
