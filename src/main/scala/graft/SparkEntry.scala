@@ -146,6 +146,9 @@ object SparkEntry {
     "q42_bag_set_ops"       -> Relational.q42BagSetOps _,
     "ev25_anomaly_days"     -> Events.ev25AnomalyDays _,
     "tx19_dedup_impact"     -> Text.tx19DedupImpact _,
+    "q43_join_skew_audit"   -> Relational.q43JoinSkewAudit _,
+    "ev26_watermark_horizon" -> Events.ev26WatermarkHorizon _,
+    "dd11_index_stats"      -> Dedup.dd11IndexStats _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -974,6 +977,40 @@ object SparkEntry {
          |  CASE WHEN EXISTS (SELECT 1 FROM j WHERE j.d1 = cn.a AND j.d2 = cn.b)
          |       THEN 1 ELSE 0 END AS is_edge
          |FROM cn""".stripMargin,
+
+    "q43_join_skew_audit" ->
+      """WITH k AS (SELECT l_orderkey, count(*) AS n_rows
+        |           FROM lineitem GROUP BY 1
+        |           ORDER BY n_rows DESC, l_orderkey LIMIT 10),
+        |t AS (SELECT count(*) AS n_total FROM lineitem)
+        |SELECT l_orderkey, n_rows,
+        |  CAST(n_rows * 1000000 // n_total AS BIGINT) AS share_ppm
+        |FROM k CROSS JOIN t""".stripMargin,
+
+    "ev26_watermark_horizon" ->
+      """WITH t AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max_s
+        |  FROM events),
+        |l AS (SELECT prior_max_s - ts_s AS late_s FROM t
+        |      WHERE ts_s < prior_max_s)
+        |SELECT count(*) AS n_late,
+        |  round(quantile_cont(late_s, 0.5), 4) AS p50_late_s,
+        |  round(quantile_cont(late_s, 0.95), 4) AS p95_late_s,
+        |  max(late_s) AS max_late_s
+        |FROM l""".stripMargin,
+
+    "dd11_index_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM t),
+        |p AS (SELECT s, count(*) AS postings FROM sh GROUP BY 1)
+        |SELECT postings, count(*) AS n_shingles FROM p GROUP BY 1""".stripMargin,
 
     "q42_bag_set_ops" ->
       """WITH high AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),

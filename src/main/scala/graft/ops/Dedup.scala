@@ -238,6 +238,15 @@ object Dedup {
     * coarse cluster id) so the pairwise step is per-block, not corpus².
     * Cosine runs in the codegen'd CosineSim expression.
     */
+  /** dd11: dedup-index diagnostics — the postings-list size
+    * distribution of the shingle inverted index. dd04's shuffle cost
+    * is Σ|postings|², so this histogram (plus the hottest lists) is
+    * what you read BEFORE deciding exact-vs-sketch tiering at scale. */
+  def dd11IndexStats(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .groupBy(col("s")).agg(count(lit(1)).as("postings"))
+      .groupBy(col("postings")).agg(count(lit(1)).as("n_shingles"))
+
   /** dd10: asymmetric CONTAINMENT scoring — |A∩B|/|A| in both
     * directions. Jaccard misses subset-duplicates (a doc quoted
     * wholesale inside a larger one scores low J but containment ≈ 1);

@@ -254,6 +254,27 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_7d"))
   }
 
+  /** ev26: watermark-horizon recommendation — the lateness
+    * distribution of out-of-order events (ev19's signal) reduced to
+    * the p50/p95/max a streaming job needs to pick its watermark:
+    * a horizon at p95 lateness bounds state while admitting 95% of
+    * stragglers. Integer seconds end-to-end; percentiles rounded on
+    * the shared 4-decimal grid. */
+  def ev26WatermarkHorizon(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lateness = ev(s, d)
+      .withColumn("ts_s", col("ts").cast("long"))
+      .withColumn("prior_max_s", max(col("ts_s")).over(w))
+      .filter(col("ts_s") < col("prior_max_s"))
+      .select((col("prior_max_s") - col("ts_s")).as("late_s"))
+    lateness.agg(
+      count(lit(1)).as("n_late"),
+      round(expr("percentile(late_s, 0.5)"), 4).as("p50_late_s"),
+      round(expr("percentile(late_s, 0.95)"), 4).as("p95_late_s"),
+      max(col("late_s")).as("max_late_s"))
+  }
+
   /** ev25: daily volume-deviation monitor — each full-window day's
     * event count against its trailing 7-day baseline, with an
     * anomaly flag at the +20% line. All comparisons are integer

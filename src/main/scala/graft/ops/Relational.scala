@@ -497,6 +497,20 @@ object Relational {
       cume_dist().over(w).as("cd"))
   }
 
+  /** q43: join-skew diagnostics — the heaviest join keys on the fact
+    * table plus the share of the whole table they carry (exact bp).
+    * THIS is the audit that decides whether a join needs ev08-style
+    * salting or AQE skew handling before it runs at 100 TB. */
+  def q43JoinSkewAudit(s: SparkSession, d: String): DataFrame = {
+    val byKey = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_rows"))
+    val total = Tables.lineitem(s, d).agg(count(lit(1)).as("n_total"))
+    byKey.orderBy(col("n_rows").desc, col("l_orderkey")).limit(10)
+      .crossJoin(broadcast(total))
+      .select(col("l_orderkey"), col("n_rows"),
+        expr("n_rows * 1000000 div n_total").as("share_ppm"))
+  }
+
   /** q42: bag-semantics set operators — EXCEPT ALL / INTERSECT ALL
     * keep multiplicities (q25's INTERSECT/EXCEPT collapse them): the
     * difference matters for auditing duplicated fact rows. */
