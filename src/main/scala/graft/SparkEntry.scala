@@ -149,6 +149,8 @@ object SparkEntry {
     "q43_join_skew_audit"   -> Relational.q43JoinSkewAudit _,
     "ev26_watermark_horizon" -> Events.ev26WatermarkHorizon _,
     "dd11_index_stats"      -> Dedup.dd11IndexStats _,
+    "ev27_cohort_ltv"       -> Events.ev27CohortLtv _,
+    "tx20_ttr"              -> Text.tx20TypeTokenRatio _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -977,6 +979,27 @@ object SparkEntry {
          |  CASE WHEN EXISTS (SELECT 1 FROM j WHERE j.d1 = cn.a AND j.d2 = cn.b)
          |       THEN 1 ELSE 0 END AS is_edge
          |FROM cn""".stripMargin,
+
+    "ev27_cohort_ltv" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(min(date_trunc('month', ts)) AS DATE) AS cohort_month
+        |  FROM events GROUP BY 1)
+        |SELECT cohort_month,
+        |  CAST(datediff('month', cohort_month,
+        |    CAST(date_trunc('month', e.ts) AS DATE)) AS INTEGER) AS month_offset,
+        |  count(DISTINCT e.user_id) AS n_payers,
+        |  round(sum(e.value), 2) AS total_value
+        |FROM events e JOIN f USING (user_id)
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "tx20_ttr" ->
+      """SELECT doc_id,
+        | len(string_split(trim(text),' ')) AS n_tokens,
+        | len(list_distinct(string_split(trim(text),' '))) AS n_types,
+        | CAST(len(list_distinct(string_split(trim(text),' '))) * 10000
+        |   // len(string_split(trim(text),' ')) AS BIGINT) AS ttr_bp
+        |FROM documents""".stripMargin,
 
     "q43_join_skew_audit" ->
       """WITH k AS (SELECT l_orderkey, count(*) AS n_rows

@@ -254,6 +254,24 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_7d"))
   }
 
+  /** ev27: cohort LTV matrix — the VALUE twin of ev04's retention
+    * counts: per (signup-month cohort × months-since) cell, cumulative
+    * purchase value and payer counts. One first-seen aggregate + one
+    * fact pass. */
+  def ev27CohortLtv(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val first = e.groupBy(col("user_id"))
+      .agg(min(date_trunc("month", col("ts"))).cast("date").as("cohort_month"))
+    e.filter(col("event_type") === "purchase")
+      .join(first, Seq("user_id"))
+      .withColumn("month_offset",
+        months_between(date_trunc("month", col("ts")).cast("date"),
+          col("cohort_month")).cast("int"))
+      .groupBy(col("cohort_month"), col("month_offset"))
+      .agg(countDistinct(col("user_id")).as("n_payers"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
   /** ev26: watermark-horizon recommendation — the lateness
     * distribution of out-of-order events (ev19's signal) reduced to
     * the p50/p95/max a streaming job needs to pick its watermark:

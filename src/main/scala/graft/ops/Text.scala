@@ -226,6 +226,17 @@ object Text {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  /** tx20: type-token ratio — lexical diversity per document in exact
+    * basis points (distinct tokens / total tokens); low TTR flags
+    * repetitive, low-information text for the quality floor. */
+  def tx20TypeTokenRatio(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(tokens).as("n_tokens"),
+      size(array_distinct(tokens)).as("n_types"))
+      .withColumn("ttr_bp",
+        expr("CAST(n_types AS BIGINT) * 10000 div n_tokens"))
+
   /** tx19: dedup-impact summary — the one-row corpus report a dedup
     * run publishes: total docs, docs caught in near-dup clusters, docs
     * that would be dropped (non-keepers), and the reduction in exact
