@@ -435,6 +435,44 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("tx20 TTR components agree with tx01 token stats") {
+    val ttr = ops.Text.tx20TypeTokenRatio(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val stats = ops.Text.tx01TokenStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(ttr == stats, "tx20 (n_tokens, n_types) must equal tx01 (n_tokens, n_distinct)")
+  }
+
+  test("q43 skew shares are sane fractions of the table") {
+    val rows = ops.Relational.q43JoinSkewAudit(spark, sf).collect()
+    assert(rows.length <= 10)
+    rows.foreach { r =>
+      val ppm = r.getLong(2)
+      assert(ppm >= 0 && ppm <= 1000000, s"share_ppm $ppm out of range")
+    }
+    // top-10 keys carry at most the whole table
+    assert(rows.map(_.getLong(2)).sum <= 1000000)
+  }
+
+  test("ev26 watermark percentiles are ordered and bounded by the max") {
+    val r = ops.Events.ev26WatermarkHorizon(spark, sf).collect()(0)
+    if (r.getLong(0) > 0) { // no late events at all ⇒ NULL percentiles
+      val (p50, p95, mx) = (r.getDouble(1), r.getDouble(2), r.getLong(3))
+      assert(p50 <= p95 && p95 <= mx.toDouble,
+        s"lateness percentiles not ordered: $p50 / $p95 / $mx")
+    }
+  }
+
+  test("ev27 cohort LTV totals equal the purchase totals of ev12") {
+    val ltv = ops.Events.ev27CohortLtv(spark, sf)
+      .agg(sum(col("total_value"))).collect()(0).getDouble(0)
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    // per-cell rounding to cents bounds the drift
+    assert(math.abs(ltv - direct) < 1.0, s"LTV mass $ltv vs direct $direct")
+  }
+
   test("pp02 shared mass is consistent with dd08 duplicate chunks") {
     val viaDocs = ops.Pipelines.pp02ChunkDedupAudit(spark, sf)
       .agg(sum(col("n_shared"))).collect()(0).getLong(0)
