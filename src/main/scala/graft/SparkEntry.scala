@@ -105,6 +105,7 @@ object SparkEntry {
     "tx14_char_ngrams"      -> Text.tx14CharNgrams _,
     "tx15_vocab_coverage"   -> Text.tx15VocabCoverage _,
     "dd08_chunk_dup"        -> Dedup.dd08ChunkDup _,
+    "dd12_token_windows"    -> Dedup.dd12TokenWindowDup _,
     "ss06_range_search"     -> Similarity.ss06RangeSearch _,
     "ss07_mips_topk"        -> Similarity.ss07MipsTopk _,
     "mm05_size_histogram"   -> Multimodal.mm05SizeHistogram _,
@@ -141,12 +142,14 @@ object SparkEntry {
     "sk05_bloom_prejoin"    -> Sketches.sk05BloomPrejoin _,
     "q41_range_frame"       -> Relational.q41RangeFrame _,
     "ss09_ann_recall"       -> Similarity.ss09AnnRecall _,
+    "ss10_pq_topk"          -> Similarity.ss10PqTopk _,
     "pp04_session_features" -> Pipelines.pp04UserSessionFeatures _,
     "gr04_common_neighbors" -> Graph.gr04CommonNeighbors _,
     "q42_bag_set_ops"       -> Relational.q42BagSetOps _,
     "ev25_anomaly_days"     -> Events.ev25AnomalyDays _,
     "tx19_dedup_impact"     -> Text.tx19DedupImpact _,
     "q43_join_skew_audit"   -> Relational.q43JoinSkewAudit _,
+    "q44_bucketed_join"     -> Relational.q44BucketedJoin _,
     "ev26_watermark_horizon" -> Events.ev26WatermarkHorizon _,
     "dd11_index_stats"      -> Dedup.dd11IndexStats _,
     "ev27_cohort_ltv"       -> Events.ev27CohortLtv _,
@@ -185,6 +188,28 @@ object SparkEntry {
        |  SELECT * FROM r)
        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
        |FROM reach GROUP BY a""".stripMargin
+
+  /** gr03's oracle: the FIXED 10-iteration PageRank unrolled as ten
+    * chained CTEs (standard SQL — and DuckDB — forbids aggregates in a
+    * recursive CTE's recursive term, so the fixed loop is spelled
+    * out). All arithmetic forced to DOUBLE to match Spark (DuckDB
+    * numeric literals default to DECIMAL); ranks rounded to 6 dp on
+    * both engines — summation-order ulps sit ~1e-10 below that grid. */
+  private val pageRankSql: String = {
+    val iters = (1 to 10).map { i =>
+      s"r$i AS (SELECT b.dst AS node, " +
+        "CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank " +
+        s"FROM bi b JOIN r${i - 1} r ON b.src = r.node " +
+        "JOIN deg d ON b.src = d.src GROUP BY 1)"
+    }.mkString(",\n")
+    s"""WITH pairs AS ($ngramJaccardSql),
+       |bi AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |       UNION ALL SELECT d2, d1 FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+       |$iters
+       |SELECT node AS doc_id, round(rank, 6) AS rank FROM r10""".stripMargin
+  }
 
   /** tx02's oracle, also the score CTE of dd07's. */
   private val qualityScoreSql: String =
@@ -956,6 +981,26 @@ object SparkEntry {
 
     "dd04_ngram_jaccard" -> ngramJaccardSql,
     "dd02_minhash_lsh"   -> ngramJaccardSql,
+    "gr03_pagerank"      -> pageRankSql,
+
+    "dd12_token_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents
+        |           WHERE len(string_split(trim(text),' ')) >= 20),
+        |w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-20+2),
+        |         i -> md5(array_to_string(list_slice(tk, i, i+19), ' '))))) AS win_hash
+        |      FROM t)
+        |SELECT win_hash, count(*) AS n_docs FROM w GROUP BY 1
+        |HAVING count(*) >= 2""".stripMargin,
+
+    "q44_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS revenue_c4
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "tx07_hash_sample" ->
       """SELECT doc_id, source, lang FROM documents
@@ -1018,12 +1063,24 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max_s
         |  FROM events),
         |l AS (SELECT prior_max_s - ts_s AS late_s FROM t
-        |      WHERE ts_s < prior_max_s)
-        |SELECT count(*) AS n_late,
-        |  round(quantile_cont(late_s, 0.5), 4) AS p50_late_s,
-        |  round(quantile_cont(late_s, 0.95), 4) AS p95_late_s,
-        |  max(late_s) AS max_late_s
-        |FROM l""".stripMargin,
+        |      WHERE ts_s < prior_max_s),
+        |st AS (SELECT count(*) AS n FROM l),
+        |h AS (SELECT late_s, count(*) AS c FROM l GROUP BY 1),
+        |hc AS (SELECT late_s, sum(c) OVER (ORDER BY late_s) AS cum FROM h),
+        |v AS (SELECT
+        |    min(CASE WHEN cum >= (50*(n-1))//100 + 1 THEN late_s END) AS v50lo,
+        |    min(CASE WHEN cum >= (50*(n-1)+99)//100 + 1 THEN late_s END) AS v50hi,
+        |    min(CASE WHEN cum >= (95*(n-1))//100 + 1 THEN late_s END) AS v95lo,
+        |    min(CASE WHEN cum >= (95*(n-1)+99)//100 + 1 THEN late_s END) AS v95hi,
+        |    max(late_s) AS max_late_s
+        |  FROM hc CROSS JOIN st)
+        |SELECT st.n AS n_late,
+        |  v50lo * (100 - (50*(st.n-1)) % 100) + v50hi * ((50*(st.n-1)) % 100)
+        |    AS p50_late_cs,
+        |  v95lo * (100 - (95*(st.n-1)) % 100) + v95hi * ((95*(st.n-1)) % 100)
+        |    AS p95_late_cs,
+        |  max_late_s
+        |FROM v CROSS JOIN st""".stripMargin,
 
     "dd11_index_stats" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
@@ -1341,11 +1398,22 @@ object SparkEntry {
         |  FROM events e JOIN su ON e.user_id = su.user_id
         |  WHERE e.event_type = 'purchase'
         |    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= su.s_s
-        |  GROUP BY 1)
-        |SELECT count(*) AS n_converted,
-        |  round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
-        |  round(quantile_cont(latency_s, 0.9), 4) AS p90_s
-        |FROM lat""".stripMargin,
+        |  GROUP BY 1),
+        |st AS (SELECT count(*) AS n FROM lat),
+        |h AS (SELECT latency_s, count(*) AS c FROM lat GROUP BY 1),
+        |hc AS (SELECT latency_s, sum(c) OVER (ORDER BY latency_s) AS cum FROM h),
+        |v AS (SELECT
+        |    min(CASE WHEN cum >= (50*(n-1))//100 + 1 THEN latency_s END) AS v50lo,
+        |    min(CASE WHEN cum >= (50*(n-1)+99)//100 + 1 THEN latency_s END) AS v50hi,
+        |    min(CASE WHEN cum >= (90*(n-1))//100 + 1 THEN latency_s END) AS v90lo,
+        |    min(CASE WHEN cum >= (90*(n-1)+99)//100 + 1 THEN latency_s END) AS v90hi
+        |  FROM hc CROSS JOIN st)
+        |SELECT st.n AS n_converted,
+        |  v50lo * (100 - (50*(st.n-1)) % 100) + v50hi * ((50*(st.n-1)) % 100)
+        |    AS p50_cs,
+        |  v90lo * (100 - (90*(st.n-1)) % 100) + v90hi * ((90*(st.n-1)) % 100)
+        |    AS p90_cs
+        |FROM v CROSS JOIN st""".stripMargin,
 
     "q39_moving_avg" ->
       """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,

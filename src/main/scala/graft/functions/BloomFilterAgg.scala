@@ -80,16 +80,33 @@ case class BloomMightContain(left: Expression, right: Expression)
           s"might_contain expects (binary, bigint), got ($l, $r)")
     }
 
-  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedFp: Long = 0L
   @transient private var cachedFilter: BloomFilter = _
+
+  /** O(1) change-detection fingerprint: length + 16 evenly-sampled
+    * bytes FNV-folded. Rows hand back fresh arrays, so reference
+    * equality never hits, and a full Arrays.equals would pay O(filter
+    * size) per probed row — significant for multi-MB filters. A
+    * sampled fingerprint keeps the per-row probe cost constant; for
+    * the broadcast single-filter case (the intended shape) it is
+    * exact, and distinct filters share it only on a ~2^-64 accident. */
+  private def fingerprint(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L ^ b.length
+    val step = math.max(1, b.length / 16)
+    var i = 0
+    while (i < b.length) {
+      h = (h ^ b(i)) * 0x100000001b3L
+      i += step
+    }
+    h
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val bytes = l.asInstanceOf[Array[Byte]]
-    // rows hand back fresh arrays, so reference equality never hits;
-    // a byte compare (~KBs) is still far cheaper than re-deserializing
-    if (cachedBytes == null || !java.util.Arrays.equals(bytes, cachedBytes)) {
+    val fp = fingerprint(bytes)
+    if (cachedFilter == null || fp != cachedFp) {
       cachedFilter = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-      cachedBytes = bytes.clone()
+      cachedFp = fp
     }
     cachedFilter.mightContainLong(r.asInstanceOf[Long])
   }

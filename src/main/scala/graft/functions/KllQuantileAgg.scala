@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   */
 class KllSketch(val k: Int) extends Serializable {
   val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
+  /** per-level compaction offsets (as in the KLL paper) — serialized
+    * with the buffer, so the alternation survives shuffle round-trips
+    * instead of resetting to 0 (which would systematically keep the
+    * same half and bias ranks). */
+  val parities: ArrayBuffer[Int] = ArrayBuffer(0)
   var count: Long = 0L
-  private var parity: Int = 0
 
   def update(x: Double): Unit = {
     levels(0) += x
@@ -38,11 +42,11 @@ class KllSketch(val k: Int) extends Serializable {
     math.max(8, (k * math.pow(2.0 / 3.0, levels.length - 1 - i)).toInt)
 
   private def compact(i: Int): Unit = {
-    if (i + 1 >= levels.length) levels += ArrayBuffer.empty[Double]
+    if (i + 1 >= levels.length) { levels += ArrayBuffer.empty[Double]; parities += 0 }
     val lvl = levels(i).sortInPlace()
     val keep = ArrayBuffer.empty[Double]
-    var j = parity
-    parity ^= 1
+    var j = parities(i)
+    parities(i) ^= 1
     while (j < lvl.length) { keep += lvl(j); j += 2 }
     // an odd leftover item (when parity skips the last) is dropped with
     // its weight accounted by the alternating offset across compactions
@@ -51,7 +55,9 @@ class KllSketch(val k: Int) extends Serializable {
   }
 
   def merge(other: KllSketch): Unit = {
-    while (levels.length < other.levels.length) levels += ArrayBuffer.empty[Double]
+    while (levels.length < other.levels.length) {
+      levels += ArrayBuffer.empty[Double]; parities += 0
+    }
     var i = 0
     while (i < other.levels.length) {
       levels(i) ++= other.levels(i)
@@ -117,13 +123,17 @@ case class KllQuantileAgg(
 
   override def serialize(buf: KllSketch): Array[Byte] = {
     val n = buf.levels.map(_.length).sum
-    val bb = ByteBuffer.allocate(4 + 8 + 4 + buf.levels.length * 4 + n * 8)
+    val bb = ByteBuffer.allocate(4 + 8 + 4 + buf.levels.length * 8 + n * 8)
     bb.putInt(buf.k)
     bb.putLong(buf.count)
     bb.putInt(buf.levels.length)
-    buf.levels.foreach { lvl =>
+    var i = 0
+    while (i < buf.levels.length) {
+      val lvl = buf.levels(i)
+      bb.putInt(buf.parities(i))
       bb.putInt(lvl.length)
       lvl.foreach(bb.putDouble)
+      i += 1
     }
     bb.array()
   }
@@ -133,9 +143,12 @@ case class KllQuantileAgg(
     val sk = new KllSketch(bb.getInt)
     sk.count = bb.getLong
     val nLevels = bb.getInt
-    while (sk.levels.length < nLevels) sk.levels += ArrayBuffer.empty[Double]
+    while (sk.levels.length < nLevels) {
+      sk.levels += ArrayBuffer.empty[Double]; sk.parities += 0
+    }
     var i = 0
     while (i < nLevels) {
+      sk.parities(i) = bb.getInt
       val len = bb.getInt
       var j = 0
       while (j < len) { sk.levels(i) += bb.getDouble; j += 1 }

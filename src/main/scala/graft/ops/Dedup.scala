@@ -37,7 +37,7 @@ object Dedup {
     * |A|+|B|-shared, all integer arithmetic so both engines agree
     * bit-exactly before the final division. */
   def dd04NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val sh = CacheScope.cached(shingles(s, d))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("d1"), col("s"))
     val b = sh.select(col("doc_id").as("d2"), col("s"))
@@ -101,7 +101,7 @@ object Dedup {
   }
 
   def dd02MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val sh = CacheScope.cached(shingles(s, d))
     verifiedJaccard(sh, lshCandidates(minhashSigs(sh)))
   }
 
@@ -113,8 +113,8 @@ object Dedup {
     * Jaccard is asserted in the spec (rows-only: xxhash64 has no
     * portable SQL twin). */
   def dd09MinhashEstimate(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
-    val sigs = minhashSigs(sh).cache()
+    val sh = CacheScope.cached(shingles(s, d))
+    val sigs = CacheScope.cached(minhashSigs(sh))
     val cand = lshCandidates(sigs)
     val a = sigs.select(col("doc_id").as("d1") +:
       (0 until minhashK).map(j => col(s"m$j").as(s"a$j")): _*)
@@ -171,9 +171,8 @@ object Dedup {
     // dd04 (so the oracle is unchanged) at a fraction of the cost —
     // at scale you never run the exact all-pairs join just to cluster.
     val pairs = dd02MinhashLsh(s, d).select(col("d1"), col("d2"))
-    val edges = pairs
-      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .cache()
+    val edges = CacheScope.cached(pairs
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
     // LAZY localCheckpoint: truncates the per-round lineage (the round
     // plan references `labels` twice, so without truncation the tree
     // doubles every round) while letting the convergence aggregate be
@@ -255,7 +254,7 @@ object Dedup {
     * tuned for symmetric Jaccard and under-recalls asymmetric
     * subset pairs); exact integer ratios in basis points. */
   def dd10Containment(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val sh = CacheScope.cached(shingles(s, d))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("d1"), col("s"))
     val b = sh.select(col("doc_id").as("d2"), col("s"))
@@ -268,6 +267,29 @@ object Dedup {
         expr("shared * 10000 div n1").as("contain_1_bp"),
         expr("shared * 10000 div n2").as("contain_2_bp"))
       .filter(col("contain_1_bp") >= 5000 || col("contain_2_bp") >= 5000)
+  }
+
+  /** dd12: TOKEN-window substring dedup — the train-set
+    * decontamination / boilerplate-removal primitive: hash every
+    * rolling 20-token window of every document and report windows that
+    * recur across ≥2 documents. Token-aligned (unlike dd08's 32-BYTE
+    * chunks, which miss repeats that differ only in surrounding
+    * whitespace); windows are md5-hashed BEFORE the shuffle so the
+    * exchange carries 32-hex keys, not ~140-char texts, and the
+    * hash-groupBy partial-aggregates map-side — linear at 100 TB.
+    * Window length is a parameter (production decontamination uses
+    * ~50; 20 fits this corpus's 10–99-token documents). */
+  def dd12TokenWindowDup(s: SparkSession, d: String): DataFrame = {
+    val W = 20
+    Tables.documents(s, d)
+      .withColumn("tk", split(trim(col("text")), " "))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(1, size(tk)-$W+1),
+           |  i -> md5(cast(array_join(slice(tk, i, $W), ' ') as binary)))"""
+          .stripMargin))).as("win_hash"))
+      .groupBy(col("win_hash")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
   }
 
   /** dd08: cross-document chunk-level dedup — which 32-byte content

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -272,12 +272,46 @@ object Events {
         round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Exact linearly-interpolated percentiles of an integer column, in
+    * CENTI-units (value × 100) as BIGINT — float-free end to end. The
+    * percentile_cont definition interpolates at pos = p·(n−1); with p
+    * given in hundredths, pos·100 is an integer, so v[⌊pos⌋] and
+    * v[⌈pos⌉] weighted by the integer remainder give the exact result
+    * on a ×100 grid — no IEEE interpolation, no rounding, and no
+    * true-half hazard (rounding an interpolated double was the latent
+    * cross-engine hash risk). Order statistics come from a value
+    * HISTOGRAM with a cumulative count: the one partition-less window
+    * runs over |distinct values| rows (bounded by the value domain,
+    * e.g. seconds of lateness — never by row count). */
+  private def centiPercentiles(vals: DataFrame, c: String, nName: String,
+      ps: Seq[(Int, String)], maxName: Option[String]): DataFrame = {
+    val stats = vals.agg(count(lit(1)).as("_n"))
+    val hist = vals.groupBy(col(c)).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(Window.orderBy(col(c))))
+      .crossJoin(broadcast(stats))
+    // coalesce: an EMPTY input (e.g. no late events at tiny SFs) must
+    // report n = 0 with NULL percentiles, not a NULL count
+    val aggs: Seq[Column] = Seq(coalesce(max(col("_n")), lit(0L)).as(nName)) ++
+      ps.flatMap { case (p, out) => Seq(
+        min(when(expr(s"_cum >= ($p*(_n-1)) div 100 + 1"), col(c)))
+          .as(s"_${out}_lo"),
+        min(when(expr(s"_cum >= ($p*(_n-1)+99) div 100 + 1"), col(c)))
+          .as(s"_${out}_hi"))
+      } ++ maxName.map(m => max(col(c)).as(m)).toSeq
+    val agged = hist.agg(aggs.head, aggs.tail: _*)
+    val outs: Seq[Column] = Seq(col(nName)) ++ ps.map { case (p, out) =>
+      expr(s"_${out}_lo * (100 - ($p*($nName-1)) % 100) + " +
+        s"_${out}_hi * (($p*($nName-1)) % 100)").as(out)
+    } ++ maxName.map(col).toSeq
+    agged.select(outs: _*)
+  }
+
   /** ev26: watermark-horizon recommendation — the lateness
     * distribution of out-of-order events (ev19's signal) reduced to
     * the p50/p95/max a streaming job needs to pick its watermark:
     * a horizon at p95 lateness bounds state while admitting 95% of
-    * stragglers. Integer seconds end-to-end; percentiles rounded on
-    * the shared 4-decimal grid. */
+    * stragglers. Integer seconds end-to-end; percentiles exact in
+    * centi-seconds (no float interpolation on either engine). */
   def ev26WatermarkHorizon(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -286,11 +320,8 @@ object Events {
       .withColumn("prior_max_s", max(col("ts_s")).over(w))
       .filter(col("ts_s") < col("prior_max_s"))
       .select((col("prior_max_s") - col("ts_s")).as("late_s"))
-    lateness.agg(
-      count(lit(1)).as("n_late"),
-      round(expr("percentile(late_s, 0.5)"), 4).as("p50_late_s"),
-      round(expr("percentile(late_s, 0.95)"), 4).as("p95_late_s"),
-      max(col("late_s")).as("max_late_s"))
+    centiPercentiles(lateness, "late_s", "n_late",
+      Seq(50 -> "p50_late_cs", 95 -> "p95_late_cs"), Some("max_late_s"))
   }
 
   /** ev25: daily volume-deviation monitor — each full-window day's
@@ -396,10 +427,8 @@ object Events {
       .join(signups, Seq("user_id"))
       .filter(col("p_s") >= col("s_s"))
       .groupBy(col("user_id")).agg(min(col("p_s") - col("s_s")).as("latency_s"))
-    latencies.agg(
-      count(lit(1)).as("n_converted"),
-      round(expr("percentile(latency_s, 0.5)"), 4).as("p50_s"),
-      round(expr("percentile(latency_s, 0.9)"), 4).as("p90_s"))
+    centiPercentiles(latencies.select(col("latency_s")), "latency_s",
+      "n_converted", Seq(50 -> "p50_cs", 90 -> "p90_cs"), None)
   }
 
   /** ev20: SCD2-style validity intervals — each (user, type) state
@@ -459,14 +488,55 @@ object Events {
       .agg(count(lit(1)).as("n_signup"), count(col("c_user")).as("n_converted_7d"))
   }
 
+  /** Exact DISTRIBUTED ntile(4) over a unique (key, user_id) order —
+    * the scale-safe replacement for `ntile(4).over(Window.orderBy(…))`,
+    * which funnels the whole frame through ONE sort partition. The
+    * classic two-phase distributed rank: (1) sketch quantile boundaries
+    * split the key space into ≤8 contiguous range buckets — the
+    * boundaries are approximate, but they only affect LOAD BALANCE:
+    * any contiguous bucketization yields the same final ranks;
+    * (2) exact per-bucket counts prefix-sum into bucket offsets (a
+    * ≤8-row frame — constant-sized, not data-sized); (3) a per-BUCKET
+    * window rank plus the bucket offset is the exact global rank, and
+    * ntile's bucket assignment is closed-form in (rank, n). Output is
+    * bit-identical to the single-partition ntile it replaces. */
+  private def exactNtile4(df: DataFrame, key: Column, out: String): DataFrame = {
+    val keyed = df.withColumn("_k", key.cast("double"))
+    val bnds = keyed.agg(percentile_approx(col("_k"),
+      array((1 to 7).map(i => lit(i / 8.0)): _*), lit(1000)).as("_bnds"))
+    val bucketed = keyed.crossJoin(broadcast(bnds))
+      .withColumn("_b", expr(
+        "aggregate(_bnds, 0, (acc, b) -> acc + CASE WHEN _k > b THEN 1 ELSE 0 END)"))
+      .drop("_bnds")
+    val counts = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+    // ≤8 rows: the only partition-less window runs over a frame whose
+    // size is bounded by the boundary count, never by the data
+    val offs = counts
+      .withColumn("_off", coalesce(sum(col("_c")).over(
+        Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over())
+    bucketed
+      .join(broadcast(offs.select(col("_b"), col("_off"), col("_n"))), Seq("_b"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("_b")).orderBy(col("_k"), col("user_id")))
+        .cast("long") + col("_off"))
+      .withColumn(out, expr(
+        """CAST(CASE WHEN (_r - 1) < (_n % 4) * (_n div 4 + 1)
+          |  THEN (_r - 1) div (_n div 4 + 1)
+          |  ELSE (_n % 4) + (_r - 1 - (_n % 4) * (_n div 4 + 1)) div (_n div 4)
+          |END + 1 AS INT)""".stripMargin))
+      .drop("_k", "_b", "_off", "_n", "_r")
+  }
+
   /** ev17: RFM segmentation — recency / frequency / monetary quartile
     * scores per user, the classic behavioral-segmentation feature. All
     * three metrics come from ONE groupBy pass; the corpus max-day
-    * scalar broadcasts; ntile ties are made deterministic by a
-    * (metric, user_id) total order. The per-user frame is |users|-sized
-    * (≪ events); if even that outgrows one sort partition, swap the
-    * exact ntile for sk02 quantile boundaries + a broadcast range join
-    * (the q28 shape) — same scores up to sketch error. */
+    * scalar broadcasts; quartile ties are made deterministic by a
+    * (metric, user_id) total order. Each quartile assignment runs in
+    * the exact distributed ntile above (range-bucketed rank, no
+    * |users|-sized single-partition sort); descending metrics are
+    * ranked on the negated key — an exact order flip. */
   def ev17RfmScores(s: SparkSession, d: String): DataFrame = {
     val e = ev(s, d)
     val perUser = e.groupBy(col("user_id")).agg(
@@ -475,14 +545,13 @@ object Events {
       round(sum(when(col("event_type") === "purchase", col("value"))
         .otherwise(lit(0.0))), 2).as("monetary"))
     val maxDay = e.agg(max(date_trunc("day", col("ts")).cast("date")).as("corpus_max"))
-    def quart(c: String) = ntile(4).over(
-      Window.orderBy(col(c).desc, col("user_id")))
-    perUser.crossJoin(broadcast(maxDay))
+    val base = perUser.crossJoin(broadcast(maxDay))
       .withColumn("recency_days", datediff(col("corpus_max"), col("last_day")))
-      .withColumn("r_score", ntile(4).over(
-        Window.orderBy(col("recency_days"), col("user_id"))))
-      .withColumn("f_score", quart("frequency"))
-      .withColumn("m_score", quart("monetary"))
+    exactNtile4(
+      exactNtile4(
+        exactNtile4(base, col("recency_days"), "r_score"),
+        negate(col("frequency")), "f_score"),
+      negate(col("monetary")), "m_score")
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"))
   }

@@ -17,7 +17,7 @@ object Graph {
     * twice) — without the cache each reference re-executes the whole
     * minhash+verify chain inside one job. */
   private def edges(s: SparkSession, d: String): DataFrame =
-    Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2")).cache()
+    CacheScope.cached(Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2")))
 
   /** gr01: triangle count — the standard oriented-wedge formulation:
     * each triangle a<b<c is counted exactly once as the wedge
@@ -75,8 +75,9 @@ object Graph {
     // them; periodically eager-checkpoint the rank chain so the final
     // plan stays shallow (a 10-join-deep tree costs more in planning
     // and stage count than the two tiny extra jobs do)
-    val bi = bi0.cache()
-    val deg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    val bi = CacheScope.cached(bi0)
+    val deg = CacheScope.cached(
+      bi.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
     for (it <- 1 to iterations) {
       val contrib = bi
@@ -92,13 +93,15 @@ object Graph {
   }
 
   /** gr03: PageRank of the near-dup graph — which documents sit at the
-    * center of duplication families (dedup-priority signal). Float
-    * iteration → rows-only + spec (rank-sum invariant, hub ordering). */
+    * center of duplication families (dedup-priority signal). Fixed
+    * 10-iteration run; ranks rounded to 6 dp on both engines so
+    * summation-order ulps cannot flip the oracle hash (the underlying
+    * values are not on a decimal grid, so no true-half hazard). */
   def gr03PageRank(s: SparkSession, d: String): DataFrame = {
     val e = edges(s, d)
     val bi = e.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(e.select(col("d2").as("src"), col("d1").as("dst")))
     pageRankFrom(bi)
-      .select(col("node").as("doc_id"), col("rank"))
+      .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
   }
 }

@@ -582,4 +582,49 @@ object Relational {
       .withColumn("share_bp", expr("price_c * 10000 div total_c"))
       .select(col("o_custkey"), col("o_orderkey"), col("share_bp"))
   }
+
+  /** q44: BUCKETED fact-fact join — orders⋈lineitem with BOTH sides
+    * pre-bucketed on the order key, so the join plans with NO Exchange
+    * (asserted in SourcesSpec): at 100 TB this is the difference
+    * between re-shuffling two fact tables per query and paying the
+    * layout cost once at write time. The builder (re)writes the two
+    * bucketed tables from the given SF dir — the one deliberately
+    * non-lazy entry, standing in for the nightly layout job; revenue
+    * is exact integer 10^-4-dollar arithmetic (cents × (100−disc_pc)).
+    */
+  def q44BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    // per-SF table names: a stale table written from another data dir
+    // must never satisfy this query
+    val suffix = java.lang.Integer.toHexString(d.hashCode)
+    val ot = s"graft_orders_bkt_$suffix"
+    val lt = s"graft_lineitem_bkt_$suffix"
+    // idempotent relayout: a prior JVM's table dir survives on disk
+    // while the (in-memory) catalog starts empty — drop both sides
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(ot, lt).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(s"$wh/$t"))
+    }
+    graft.sources.Sources.writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      ot, "o_orderkey", 8)
+    graft.sources.Sources.writeBucketed(
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+      lt, "l_orderkey", 8)
+    val o = s.table(ot)
+    val l = s.table(lt)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+        sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+          "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))"))
+          .as("revenue_c4"))
+  }
 }

@@ -10,8 +10,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * ss01 is the exact baseline: broadcast the (small) query set against
   * the full corpus — one scan, no shuffle of the corpus, cosine runs in
-  * the codegen'd `CosineSim` expression, top-k via per-partition
-  * row_number. At 100 TB the corpus side stays partition-local.
+  * the codegen'd `CosineSim` expression, top-k selection in the
+  * partial-aggregable `TopKPairAggregator` (map-side combine keeps ≤k
+  * pairs per query per task — never a per-query window sort). At
+  * 100 TB the corpus side stays partition-local.
   *
   * ss02 is the scale path: 16-bit random-hyperplane LSH. Corpus and
   * queries hash to sign-pattern buckets; candidate generation is a
@@ -55,13 +57,35 @@ object Similarity {
       org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(embCol),
       planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)))
 
+  /** Scale-safe per-query top-k selection: partial-aggregable
+    * TopKPairAggregator instead of `row_number().over(partitionBy(qid))`
+    * — the window shape funnels every candidate (the whole corpus, for
+    * brute-force tiers) through ONE partition per query; the aggregator
+    * keeps ≤k pairs per (query, map task), so the exchange carries
+    * k·|tasks| rows per query and the plan is a partial/final
+    * HashAggregate pair. Ordering (score DESC, id ASC) is identical to
+    * the window tie-break it replaces. `df` needs columns qid, vec_id
+    * and the score expression. */
+  private def topkPairs(df: DataFrame, score: Column, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKPairAggregator(k))
+    df.withColumn("score", score)
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("qid"), col("pair._2").as("neighbor_id"),
+        (col("pos") + lit(1)).as("rk"))
+  }
+
   /** ss03: per-label centroids + embedding outliers — element-wise mean
-    * vector per label (relational: posexplode → groupBy(label, pos)),
-    * then each vector's cosine to its centroid; the 2 least-similar
-    * vectors per label are flagged. Fully declarative so the oracle can
-    * replay it; a TypedImperativeAggregate vector-sum would cut the
-    * explode cost 64× at scale (round-2 candidate). */
+    * vector per label via the VecSumAgg TypedImperativeAggregate (only
+    * |dims| doubles per label cross the shuffle), then each vector's
+    * cosine to its centroid in the codegen'd CosineSim (same
+    * sequential-fold arithmetic as the HOF formulation the oracle
+    * replays); the 2 least-similar vectors per label are flagged via
+    * the partial-aggregable top-k on negated cosine — no per-label
+    * single-partition window sort. */
   def ss03CentroidOutliers(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val embAttr = emb.queryExecution.analyzed.output.find(_.name == "embedding").get
     val vecSum = org.apache.spark.sql.graft.GraftDataset.column(
@@ -71,18 +95,16 @@ object Similarity {
       .select(col("label"),
         expr("transform(vsum, x -> x / cnt)").as("cent"))
     val cos = emb.join(broadcast(cent), Seq("label"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(embedding, cent, (a, b) -> CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
-      .withColumn("nx", expr(
-        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
-      .withColumn("nc", expr(
-        "aggregate(cent, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
       .select(col("vec_id"), col("label"),
-        (col("dot") / (sqrt(col("nx")) * sqrt(col("nc")))).as("cos"))
-    val w = Window.partitionBy(col("label")).orderBy(col("cos").asc, col("vec_id"))
-    cos.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 2)
-      .select(col("label"), col("rk"), col("vec_id"))
+        expr("cosine_sim(embedding, cent)").as("cos"))
+    // bottom-2 per label == top-2 on negated score (ties by vec_id asc
+    // either way); negation is an exact order flip for doubles
+    val topk = udaf(new graft.functions.TopKPairAggregator(2))
+    cos.groupBy(col("label"))
+      .agg(topk(negate(col("cos")), col("vec_id")).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("label"), (col("pos") + lit(1)).as("rk"),
+        col("pair._2").as("vec_id"))
   }
 
   /** ss04: kNN label prediction — majority vote over each query's
@@ -105,13 +127,6 @@ object Similarity {
         (col("label") === col("true_label")).as("is_correct"))
   }
 
-  /** Cosine of each (row's float embedding) against a carried
-    * `array<double>` centroid column, via sequential HOF aggregates. */
-  private def centCosine(embCol: String, centCol: String): Column =
-    (expr(s"aggregate(zip_with($embCol, $centCol, (a, b) -> CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)") /
-      (sqrt(expr(s"aggregate($embCol, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")) *
-        sqrt(expr(s"aggregate($centCol, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))))
-
   /** Label-centroid table (label, cent: array<double>) via VecSumAgg. */
   private def centroids(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -131,15 +146,20 @@ object Similarity {
     * not the corpus. */
   def ss05IvfTopk(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val cent = centroids(s, d).cache()
+    val cent = CacheScope.cached(centroids(s, d))
+    // nearest-n cells per vector: cosine to each of the ~10 broadcast
+    // centroids in the codegen'd CosineSim, then the partial-aggregable
+    // top-n — the 10× row fan-out collapses back to one row per vector
+    // inside each map task, so the exchange carries |vectors| rows, not
+    // 10×, and there is no per-vector window sort.
     def nearestCells(df: DataFrame, n: Int, out: String): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cell"))
+      val topk = udaf(new graft.functions.TopKPairAggregator(n))
       df.join(broadcast(cent))
-        .withColumn("ccos", centCosine("embedding", "cent"))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= n)
-        .select(col("vec_id"), col("cell").as(out))
+        .withColumn("ccos", expr("cosine_sim(embedding, cent)"))
+        .groupBy(col("vec_id"))
+        .agg(topk(col("ccos"), col("cell").cast("long")).as("top"))
+        .select(col("vec_id"), explode(col("top")).as("pair"))
+        .select(col("vec_id"), col("pair._2").as(out))
     }
     val emb = Tables.embeddings(s, d)
     val assigned = emb.select(col("vec_id"), col("embedding"))
@@ -150,28 +170,24 @@ object Similarity {
       .transform(nearestCells(_, 2, "probe_cell"))
       .join(emb.select(col("vec_id"), col("embedding").as("q_emb")), Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("probe_cell"), col("q_emb"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probes), col("cell") === col("probe_cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"))
+    topkPairs(
+      assigned.join(broadcast(probes), col("cell") === col("probe_cell"))
+        .filter(col("vec_id") =!= col("qid")),
+      expr("cosine_sim(q_emb, embedding)"), 5)
   }
 
-  /** ss01: exact brute-force cosine top-5 for query vectors vec_id<10. */
+  /** ss01: exact brute-force cosine top-5 for query vectors vec_id<10.
+    * Queries broadcast, corpus scanned in place, scoring in the
+    * codegen'd CosineSim, selection in the partial-aggregable top-k —
+    * no shuffle ever carries more than k pairs per (query, task). */
   def ss01BruteTopk(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"))
+    topkPairs(
+      emb.join(broadcast(queries), col("vec_id") =!= col("qid")),
+      expr("cosine_sim(q_emb, embedding)"), 5)
   }
 
   /** Multi-probe list for a bucket column: the exact bucket plus every
@@ -206,16 +222,14 @@ object Similarity {
       explode(probesExpr("qb1")).as("probe"))
     val cand0 = emb.join(broadcast(p0), col("b0") === col("probe"))
     val cand1 = emb.join(broadcast(p1), col("b1") === col("probe"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand0.unionByName(cand1)
-      .select(col("qid"), col("vec_id"), col("q_emb"), col("embedding"))
-      .filter(col("vec_id") =!= col("qid"))
-      .distinct()
-      .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"))
+    // a neighbor surfacing from both hash tables (or several probes) is
+    // deduped INSIDE the top-k aggregator — the former corpus-wide
+    // `distinct()` shuffle of (qid, embedding, …) rows is gone
+    topkPairs(
+      cand0.unionByName(cand1)
+        .select(col("qid"), col("vec_id"), col("q_emb"), col("embedding"))
+        .filter(col("vec_id") =!= col("qid")),
+      expr("cosine_sim(q_emb, embedding)"), 5)
   }
 
   /** ss09: ANN recall audit AS AN OPERATOR — per-query recall of the
@@ -253,23 +267,96 @@ object Similarity {
         "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
       .withColumn("qv", expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / nrm * 127, 0) AS BIGINT))"))
-      .select(col("vec_id"), col("embedding"), col("qv"))
+      .select(col("vec_id"), col("qv"))
     val queries = codes.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("qv").as("qqv"))
-    val wApprox = Window.partitionBy(col("qid"))
-      .orderBy(col("approx_dot").desc, col("vec_id"))
-    val cand = codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .withColumn("approx_dot", expr(
-        "aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-      .withColumn("ark", row_number().over(wApprox))
-      .filter(col("ark") <= 100)
-    val wExact = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand
-      .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
-      .withColumn("rk", row_number().over(wExact))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"))
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    // candidate scores in the codegen'd integer dot (long_dot) — the
+    // interpreted zip_with/aggregate HOF broke whole-stage codegen on
+    // the hottest loop of the scan; top-100 selection rides the
+    // partial-aggregable top-k (long→double widening is exact:
+    // |dot| ≤ 64·127² ≪ 2^53, so the order is unchanged)
+    val candIds = topkPairs(
+      codes.join(broadcast(queries), col("vec_id") =!= col("qid")),
+      expr("long_dot(qqv, qv)").cast("double"), 100)
+      .select(col("qid"), col("neighbor_id"))
+    // exact re-rank: re-fetch the ~100·|queries| candidate vectors by
+    // broadcasting the tiny id list back onto the corpus scan — the
+    // corpus itself is never shuffled
+    val qEmb = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    topkPairs(
+      emb.join(broadcast(candIds), col("vec_id") === col("neighbor_id"))
+        .join(broadcast(qEmb), Seq("qid"))
+        .select(col("qid"), col("vec_id"), col("q_emb"), col("embedding")),
+      expr("cosine_sim(q_emb, embedding)"), 5)
+  }
+
+  /** ss10: PRODUCT-quantization (PQ) ANN with asymmetric-distance
+    * scoring and exact re-rank — the compression tier past ss08's
+    * scalar quantization: each 64-dim vector becomes EIGHT 1-byte
+    * codes (one per 8-dim sub-vector, nearest sub-centroid), a 32×
+    * memory cut vs float32. Codebooks are the label-centroid
+    * sub-vectors (VecSumAgg machinery — 10 codewords × 8 sub-spaces,
+    * a one-row broadcast). Scoring is classic ADC: each query
+    * pre-computes dot(q_m, codeword) lookup tables (8×10 doubles,
+    * broadcast with the query), so a candidate's approximate dot is 8
+    * table lookups — no float vector ever read on the scan side. The
+    * top-100 ADC candidates per query then pay the exact cosine for
+    * the final top-5. Corpus shuffles: ZERO (encode and score are
+    * projections; selection partial-aggregates). rows+spec (recall vs
+    * ss01, ≥ the ss08 floor). At production scale the interpreted HOF
+    * encode/lookup would graduate to a codegen'd PqEncode expression —
+    * the plan shape (broadcast codebook, in-place projection) stays. */
+  def ss10PqTopk(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    // codebook: label-centroid sub-vectors → one broadcast row:
+    // cb = array over m=0..7 of struct(m, entries: array<(cell, cvec)>)
+    // with entries sorted by cell (= dense 0..9, so code IS the index)
+    val cbArr = centroids(s, d)
+      .select(col("cell"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, slice(cent, m*8+1, 8) AS cvec))")).as("e"))
+      .select(col("cell"), col("e.m").as("m"), col("e.cvec").as("cvec"))
+      .groupBy(col("m"))
+      .agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("entries"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("m"), col("entries")))).as("cb"))
+    // encode: per sub-space, the argmin-L2 codeword (ties → smaller
+    // cell: entries are cell-sorted and only a strict improvement
+    // replaces the running best)
+    val l2 = "aggregate(zip_with(slice(embedding, e.m*8+1, 8), c.cvec, " +
+      "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), " +
+      "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    val coded = emb.crossJoin(broadcast(cbArr))
+      .withColumn("codes", expr(
+        s"""transform(cb, e -> aggregate(e.entries,
+           |  named_struct('best', CAST(-1 AS INT), 'bd', CAST('Infinity' AS DOUBLE)),
+           |  (acc, c) -> CASE WHEN $l2 < acc.bd
+           |    THEN named_struct('best', c.cell, 'bd', $l2) ELSE acc END).best)"""
+          .stripMargin))
+      .select(col("vec_id"), col("codes"))
+    // per-query ADC lookup tables: ltab[m][cell] = dot(q_m, codeword)
+    val queries = emb.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(cbArr))
+      .select(col("vec_id").as("qid"), expr(
+        """transform(cb, e -> transform(e.entries, c ->
+          |  aggregate(zip_with(slice(embedding, e.m*8+1, 8), c.cvec,
+          |    (a, b) -> CAST(a AS DOUBLE) * b),
+          |    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)))""".stripMargin).as("ltab"))
+    val candIds = topkPairs(
+      coded.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .withColumn("adc", expr(
+          "aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, m) -> " +
+            "acc + element_at(element_at(ltab, m+1), element_at(codes, m+1) + 1))")),
+      col("adc"), 100)
+      .select(col("qid"), col("neighbor_id"))
+    val qEmb = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    topkPairs(
+      emb.join(broadcast(candIds), col("vec_id") === col("neighbor_id"))
+        .join(broadcast(qEmb), Seq("qid"))
+        .select(col("qid"), col("vec_id"), col("q_emb"), col("embedding")),
+      expr("cosine_sim(q_emb, embedding)"), 5)
   }
 
   /** ss06: threshold (range) similarity search — ALL neighbors above a
@@ -295,12 +382,8 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("dot").desc, col("vec_id"))
-    emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .withColumn("dot", expr("dot_product(q_emb, embedding)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rk"))
+    topkPairs(
+      emb.join(broadcast(queries), col("vec_id") =!= col("qid")),
+      expr("dot_product(q_emb, embedding)"), 5)
   }
 }

@@ -242,10 +242,15 @@ object Text {
     * that would be dropped (non-keepers), and the reduction in exact
     * basis points. All integers off already-verified operators. */
   def tx19DedupImpact(s: SparkSession, d: String): DataFrame = {
+    // run the iterative clustering ONCE (the pp01 pattern) and derive
+    // both the clustered count and the keeper audit from that frame —
+    // re-invoking dd07 here would re-run the whole minhash+propagation
+    // chain a second time
+    val clusters = Dedup.dd06DupClusters(s, d)
     val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val clustered = Dedup.dd06DupClusters(s, d)
-      .agg(count(lit(1)).as("n_clustered"))
-    val dropped = Dedup.dd07KeepBest(s, d)
+    val clustered = clusters.agg(count(lit(1)).as("n_clustered"))
+    val dropped = Dedup.keepBestFrom(clusters,
+        Text.tx02QualityScore(s, d).select(col("doc_id"), col("score")))
       .agg(coalesce(sum(col("n_members") - 1), lit(0L)).as("n_dropped"))
     total.crossJoin(clustered).crossJoin(dropped)
       .withColumn("reduction_bp", expr("n_dropped * 10000 div n_docs"))

@@ -46,7 +46,7 @@ class OperatorsSpec extends SparkTestBase {
   test("oracle coverage is complete and key-consistent") {
     val rowsOnly = Set("dd03_simhash",
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
-      "dd09_minhash_est", "gr03_pagerank", "ss08_sq8_rerank",
+      "dd09_minhash_est", "ss08_sq8_rerank", "ss10_pq_topk",
       "sk04_kll_quantiles", "sk05_bloom_prejoin")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
@@ -406,6 +406,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"ss08 recall $recall below 0.8")
   }
 
+  test("ss10 PQ+ADC+rerank achieves useful recall against exact ss01") {
+    val exact = ops.Similarity.ss01BruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = ops.Similarity.ss10PqTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 codewords × 8 sub-spaces is a coarse codebook; the top-100
+    // exact re-rank is what buys the recall back
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ss10 recall $recall below 0.6")
+    assert(pq.size == exact.size, "ss10 must return a full top-5 per query")
+  }
+
   test("pageRank preserves the rank-sum invariant and ranks hubs first") {
     import spark.implicits._
     // star: node 0 linked to 1..4, plus an isolated pair 5-6
@@ -457,8 +469,9 @@ class OperatorsSpec extends SparkTestBase {
   test("ev26 watermark percentiles are ordered and bounded by the max") {
     val r = ops.Events.ev26WatermarkHorizon(spark, sf).collect()(0)
     if (r.getLong(0) > 0) { // no late events at all ⇒ NULL percentiles
-      val (p50, p95, mx) = (r.getDouble(1), r.getDouble(2), r.getLong(3))
-      assert(p50 <= p95 && p95 <= mx.toDouble,
+      // centi-second grid: exact integers, max is still whole seconds
+      val (p50, p95, mx) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(p50 <= p95 && p95 <= mx * 100,
         s"lateness percentiles not ordered: $p50 / $p95 / $mx")
     }
   }

@@ -79,7 +79,12 @@ class PropertySpec extends AnyFunSuite {
   test("CosineSim eval is symmetric, bounded, and 1 on self") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val expr = graft.functions.CosineSim(Literal(1), Literal(1))
+    // typed placeholder children: eval reads the children's element
+    // types (float vs double accessors) from the expression tree
+    val arrLit = Literal.create(Seq.empty[Float],
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    val expr = graft.functions.CosineSim(arrLit, arrLit)
     val vec = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
       .suchThat(_.exists(_ != 0.0f))
     val pairGen = for { a <- vec; b <- vec } yield (a, b)
