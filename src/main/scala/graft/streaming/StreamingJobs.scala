@@ -96,6 +96,36 @@ object StreamingJobs {
         col("qs").getItem(0).as("p50"), col("qs").getItem(1).as("p90"), col("n"))
   }
 
+  /** st09: file-source END-TO-END pipeline — the production wiring the
+    * MemoryStream specs abstract away: a JSONL drop directory consumed
+    * incrementally by `readStream` (EXPLICIT schema — never infer on a
+    * stream: inference reads data twice and can flip types between
+    * runs), the st01 tumbling aggregation reused unchanged (the Kappa
+    * property), and an append-mode parquet sink with checkpointed
+    * source offsets + sink manifest — re-runs resume from the
+    * checkpoint, so each input file is aggregated exactly once across
+    * restarts. `Trigger.AvailableNow` drains everything present and
+    * stops: the incremental-batch deployment mode (a nightly catch-up
+    * run and a 24/7 stream share this one code path). Windows close
+    * via the watermark; no-data micro-batches flush closed windows
+    * before the trigger stops. */
+  def fileSourcePipeline(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(inDir)
+    tumblingCounts(in)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** st02: stateful gap sessionization (30-minute inactivity) with
     * explicit per-key state via flatMapGroupsWithState. State per user
     * is O(1) — just the open session bounds — and is emitted+cleared

@@ -147,6 +147,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st09 file-source pipeline is incremental and exactly-once across restarts") {
+    val base = java.nio.file.Files.createTempDirectory("graft-st09")
+    val (inDir, outDir, chkDir) =
+      (s"$base/in", s"$base/out", s"$base/chk")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def writeFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/$name"),
+        lines.mkString("\n").getBytes)
+    def ev(id: Long, t: String, typ: String, v: Double): String =
+      s"""{"event_id":$id,"ts":"2024-01-01T$t:00.000Z","user_id":1,"event_type":"$typ","value":$v}"""
+    // run 1: hour-0 and hour-1 windows, plus an hour-3 event whose
+    // watermark (1h behind) closes both earlier windows
+    writeFile("f1.json", ev(1, "00:05", "view", 1.0), ev(2, "00:20", "view", 2.0))
+    writeFile("f2.json", ev(3, "01:05", "click", 3.0), ev(4, "03:10", "view", 9.0))
+    val q1 = StreamingJobs.fileSourcePipeline(spark, inDir, outDir, chkDir)
+    q1.awaitTermination()
+    val run1 = spark.read.parquet(outDir)
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(run1 == Set(
+      ("2024-01-01 00:00:00.0", "view", 2L),
+      ("2024-01-01 01:00:00.0", "click", 1L)),
+      s"run-1 emitted $run1")
+    // run 2 ("restart"): ONE new file; the checkpoint must skip f1/f2
+    // (no duplicated windows) and the advanced watermark flushes hour 3
+    writeFile("f3.json", ev(5, "05:30", "click", 1.0))
+    val q2 = StreamingJobs.fileSourcePipeline(spark, inDir, outDir, chkDir)
+    q2.awaitTermination()
+    val run2 = spark.read.parquet(outDir)
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(run2.length == run2.toSet.size, s"duplicated windows: ${run2.toList}")
+    assert(run2.toSet == run1 + (("2024-01-01 03:00:00.0", "view", 1L)),
+      s"run-2 emitted ${run2.toSet}")
+  }
+
   test("st02 stateful sessionize closes sessions on observed gaps") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
