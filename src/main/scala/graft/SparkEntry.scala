@@ -153,7 +153,13 @@ object SparkEntry {
     "ev26_watermark_horizon" -> Events.ev26WatermarkHorizon _,
     "dd11_index_stats"      -> Dedup.dd11IndexStats _,
     "ev27_cohort_ltv"       -> Events.ev27CohortLtv _,
+    "ev28_decay_scores"     -> Events.ev28DecayScores _,
     "tx20_ttr"              -> Text.tx20TypeTokenRatio _,
+    "tx21_bigram_lm"        -> Text.tx21BigramLm _,
+    "tx22_zipf_head"        -> Text.tx22ZipfHead _,
+    "q45_decimal_money"     -> Relational.q45DecimalMoney _,
+    "mm08_sig_neardup"      -> Multimodal.mm08SigNeardup _,
+    "sk06_theta_sets"       -> Sketches.sk06ThetaSets _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -992,6 +998,68 @@ object SparkEntry {
         |         i -> md5(array_to_string(list_slice(tk, i, i+19), ' '))))) AS win_hash
         |      FROM t)
         |SELECT win_hash, count(*) AS n_docs FROM w GROUP BY 1
+        |HAVING count(*) >= 2""".stripMargin,
+
+    "q45_decimal_money" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_d,
+        |  min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_d,
+        |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_d,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "ev28_decay_scores" ->
+      """WITH mx AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS corpus_max
+        |            FROM events),
+        |w AS (SELECT user_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS value_c,
+        |    date_diff('day', CAST(date_trunc('day', ts) AS DATE), corpus_max) // 7
+        |      AS age_w
+        |  FROM events CROSS JOIN mx)
+        |SELECT user_id,
+        |  CAST(sum(value_c * (CASE WHEN age_w <= 5
+        |    THEN (CAST(1 AS BIGINT) << CAST(5 - age_w AS INT))
+        |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS decay_score_c32,
+        |  count(*) AS n_events
+        |FROM w GROUP BY 1""".stripMargin,
+
+    "tx21_bigram_lm" ->
+      """WITH t AS (SELECT string_split(trim(text),' ') AS tk FROM documents
+        |           WHERE len(string_split(trim(text),' ')) >= 2),
+        |b AS (SELECT
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+        |  FROM t),
+        |c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |r AS (SELECT w1, w2, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS total,
+        |    row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rk
+        |  FROM c)
+        |SELECT w1, w2 AS top_w2, CAST(cnt AS BIGINT) AS top_cnt,
+        |  CAST(cnt * 1000000 // total AS BIGINT) AS prob_ppm
+        |FROM r WHERE rk = 1 AND total >= 10""".stripMargin,
+
+    "tx22_zipf_head" ->
+      """WITH t AS (SELECT unnest(string_split(trim(text),' ')) AS token
+        |           FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+        |k AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 30)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+        |  token, CAST(cnt AS BIGINT) AS cnt
+        |FROM k""".stripMargin,
+
+    "mm08_sig_neardup" ->
+      """WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents
+        |           WHERE octet_length(encode(text)) >= 16),
+        |x AS (SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n FROM p),
+        |v AS (SELECT doc_id, list_transform(range(0, 16), j ->
+        |    (strpos('0123456789ABCDEF', substr(h, (j * n // 16) * 2 + 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789ABCDEF', substr(h, (j * n // 16) * 2 + 2, 1)) - 1)) AS vals
+        |  FROM x),
+        |m AS (SELECT doc_id, vals, list_sum(vals) // 16 AS m FROM v),
+        |sg AS (SELECT array_to_string(list_transform(vals,
+        |    v -> CASE WHEN v > m THEN '1' ELSE '0' END), '') AS sig FROM m)
+        |SELECT sig, count(*) AS n_docs FROM sg GROUP BY 1
         |HAVING count(*) >= 2""".stripMargin,
 
     "q44_bucketed_join" ->

@@ -556,6 +556,28 @@ object Events {
         col("monetary"), col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** ev28: exponentially-decayed engagement score per user — the
+    * freshness-weighted activity feature a ranking pipeline maintains:
+    * each event contributes value·2^−age_weeks, computed EXACTLY as
+    * value_cents·2^(5−age_weeks) (one shared ×2⁵ scaling, events older
+    * than 5 weeks contribute 0) — pure integer shift arithmetic, no
+    * float pow, so both engines agree bit-for-bit. One groupBy pass;
+    * the corpus max-day scalar broadcasts. */
+  def ev28DecayScores(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val maxDay = e.agg(
+      max(date_trunc("day", col("ts")).cast("date")).as("corpus_max"))
+    e.crossJoin(broadcast(maxDay))
+      .withColumn("age_w", expr(
+        "datediff(corpus_max, CAST(date_trunc('day', ts) AS DATE)) div 7"))
+      .withColumn("w", expr(
+        "CASE WHEN age_w <= 5 THEN shiftleft(CAST(1 AS BIGINT), CAST(5 - age_w AS INT)) ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("value_c", expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("value_c") * col("w")).as("decay_score_c32"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** ev15: top-20 longest per-user inactivity gaps — lag diff inside
     * the per-user window, then TakeOrderedAndProject (per-partition
     * partial top-k, only k rows per task reach the driver merge). */

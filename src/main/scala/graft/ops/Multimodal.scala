@@ -143,4 +143,30 @@ object Multimodal {
       Tables.documents(s, d).select(col("doc_id"), col("text"), col("n_chars")).as[MediaDoc]
     docs.mapPartitions(_.flatMap(decodeFrames)).toDF()
   }
+
+  /** mm08: perceptual-hash-STYLE near-dup detection on opaque binary
+    * payloads — the structural-similarity primitive for media dedup:
+    * 16 bytes sampled on an even grid across the payload, thresholded
+    * at the sample mean, bit-packed into a 16-bit signature; payloads
+    * sharing a signature are near-dup candidates (a real pHash decodes
+    * pixels first — grid-sample → threshold-at-mean → bit-pack is
+    * exactly this shape, here over the raw bytes so the arithmetic is
+    * engine-exact). Sampling runs on the hex encoding with integer
+    * ops only; the signature groupBy partial-aggregates. */
+  def mm08SigNeardup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .filter(octet_length(col("payload")) >= 16)
+      .withColumn("h", hex(col("payload")))
+      .withColumn("n", octet_length(col("payload")))
+      .withColumn("vals", expr(
+        """transform(sequence(0, 15), j ->
+          |  (instr('0123456789ABCDEF', substring(h, CAST(j * n div 16 AS INT) * 2 + 1, 1)) - 1) * 16 +
+          |  (instr('0123456789ABCDEF', substring(h, CAST(j * n div 16 AS INT) * 2 + 2, 1)) - 1))"""
+          .stripMargin))
+      .withColumn("m", expr("aggregate(vals, CAST(0 AS BIGINT), (acc, x) -> acc + x) div 16"))
+      .withColumn("sig", expr(
+        "array_join(transform(vals, v -> CASE WHEN v > m THEN '1' ELSE '0' END), '')"))
+      .groupBy(col("sig")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
 }

@@ -627,4 +627,20 @@ object Relational {
           "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))"))
           .as("revenue_c4"))
   }
+
+  /** q45: exact DECIMAL money aggregation — the audit-grade path:
+    * totals cast to DECIMAL(18,2) and summed exactly, so the result is
+    * independent of partitioning and summation order (a double sum is
+    * neither) — no trailing round() step needed. Decimal sums
+    * partial-aggregate like any numeric, so the exactness is free at
+    * 100 TB. */
+  def q45DecimalMoney(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("price_d", col("o_totalprice").cast("decimal(18,2)"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(col("price_d")).cast("decimal(18,2)").as("total_d"),
+        min(col("price_d")).as("min_d"),
+        max(col("price_d")).as("max_d"),
+        count(lit(1)).as("n_orders"))
 }

@@ -56,6 +56,38 @@ object Sketches {
         col("cnt"))
   }
 
+  /** sk06: KMV theta-sketch SET ALGEBRA — audience-overlap estimation:
+    * distinct purchasers, distinct viewers, their union (a direct
+    * sketch estimate — KMV unions by keeping the k smallest hashes of
+    * both, the property HLL lacks) and their intersection by
+    * inclusion–exclusion. All three sketches build in ONE pass via
+    * null-skipping conditional children (`kmv(CASE WHEN segment THEN
+    * user END)`); fixed O(k)=1024 state per sketch partial-aggregates
+    * map-side. Error vs the exact distinct counts is spec-bounded. */
+  def sk06ThetaSets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo, Literal, Or}
+    val e = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val out = e.queryExecution.analyzed.output
+    val et = out.find(_.name == "event_type").get
+    val uid = out.find(_.name == "user_id").get
+    def seg(types: String*) = {
+      val cond = types.map(t => EqualTo(et, Literal(t)):
+        org.apache.spark.sql.catalyst.expressions.Expression).reduce(Or(_, _))
+      org.apache.spark.sql.graft.GraftDataset.column(
+        graft.functions.KmvSketchAgg(CaseWhen(Seq((cond, uid)), None))
+          .toAggregateExpression())
+    }
+    e.agg(
+        seg("purchase").as("est_a"),
+        seg("view").as("est_b"),
+        seg("purchase", "view").as("est_u"))
+      .select(
+        round(col("est_a"), 2).as("est_purchasers"),
+        round(col("est_b"), 2).as("est_viewers"),
+        round(col("est_u"), 2).as("est_union"),
+        round(col("est_a") + col("est_b") - col("est_u"), 2).as("est_overlap"))
+  }
+
   /** sk05: Bloom-filter semi-join pre-filter — the membership sketch:
     * high-value order custkeys fold into one bloom (BloomFilterAgg),
     * which broadcasts and probes every customer (BloomMightContain).

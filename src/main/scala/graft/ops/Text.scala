@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for LLM training-data pipelines
   * (SURVEY.md §2). Everything is per-row and codegen'd — no UDFs, no
@@ -155,6 +156,48 @@ object Text {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
+
+  /** tx21: bigram language-model table — for every token appearing
+    * ≥10 times as a bigram head, its maximum-likelihood successor and
+    * the conditional probability in exact ppm. The argmax is a
+    * `min_by` over the (−count, successor) struct — deterministic,
+    * partial-aggregable, and free of any per-head window sort; both
+    * count layers partial-aggregate map-side. The n-gram LM build
+    * step of a data-quality / perplexity-scoring pipeline. */
+  def tx21BigramLm(s: SparkSession, d: String): DataFrame = {
+    val bi = Tables.documents(s, d)
+      .withColumn("tk", tokens)
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk)-1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i+1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    bi.groupBy(col("w1"))
+      .agg(sum(col("cnt")).as("total"),
+        min_by(struct(col("w2"), col("cnt")),
+          struct(negate(col("cnt")), col("w2"))).as("top"))
+      .filter(col("total") >= 10)
+      .select(col("w1"), col("top.w2").as("top_w2"),
+        col("top.cnt").as("top_cnt"),
+        expr("top.cnt * 1000000 div total").as("prob_ppm"))
+  }
+
+  /** tx22: Zipf head — the top-30 corpus tokens with their frequency
+    * rank, the sanity plot every corpus audit starts with. Counts
+    * partial-aggregate; the global top-30 rides TakeOrdered (k rows
+    * per task), and the rank window runs over the 30 SURVIVORS only —
+    * a constant-size frame, never the vocabulary. */
+  def tx22ZipfHead(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.documents(s, d)
+      .select(explode(tokens).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(30)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .select(col("rank"), col("token"), col("cnt"))
+  }
 
   /** tx12: PII redaction — the scrub-before-training transform. A
     * deterministic synthetic "profile" string (the raw corpus carries

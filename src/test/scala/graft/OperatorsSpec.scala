@@ -47,7 +47,8 @@ class OperatorsSpec extends SparkTestBase {
     val rowsOnly = Set("dd03_simhash",
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
       "dd09_minhash_est", "ss08_sq8_rerank", "ss10_pq_topk",
-      "sk04_kll_quantiles", "sk05_bloom_prejoin")  // SURVEY.md §2
+      "sk04_kll_quantiles", "sk05_bloom_prejoin",
+      "sk06_theta_sets")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -372,6 +373,23 @@ class OperatorsSpec extends SparkTestBase {
       .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
       .count()
     assert(df.count() == expected)
+  }
+
+  test("sk06 KMV theta-sketch set estimates track exact set algebra") {
+    val r = ops.Sketches.sk06ThetaSets(spark, sf).collect()(0)
+    val e = Tables.events(spark, sf)
+    def exact(types: String*): Double = e
+      .filter(col("event_type").isin(types: _*))
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0).toDouble
+    val (exA, exB, exU) = (exact("purchase"), exact("view"),
+      exact("purchase", "view"))
+    val cases = Seq(
+      ("purchasers", r.getDouble(0), exA), ("viewers", r.getDouble(1), exB),
+      ("union", r.getDouble(2), exU), ("overlap", r.getDouble(3), exA + exB - exU))
+    cases.foreach { case (name, est, ex) =>
+      assert(ex == 0 || math.abs(est - ex) / ex <= 0.10,
+        s"sk06 $name: estimate $est vs exact $ex")
+    }
   }
 
   test("sk05 bloom pre-filter: no false negatives, bounded false positives") {
