@@ -989,6 +989,46 @@ object SparkEntry {
     "dd02_minhash_lsh"   -> ngramJaccardSql,
     "gr03_pagerank"      -> pageRankSql,
 
+    "dd03_simhash" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM t),
+        |hx AS (SELECT doc_id, md5(s) AS hh FROM sh),
+        |hv AS (SELECT doc_id,
+        |    list_sum(list_transform(range(0,8), k ->
+        |      CAST(strpos('0123456789abcdef', substr(hh, k+1, 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << (4*(7-k))))) AS hi,
+        |    list_sum(list_transform(range(0,8), k ->
+        |      CAST(strpos('0123456789abcdef', substr(hh, 9+k, 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << (4*(7-k))))) AS lo
+        |  FROM hx),
+        |bits AS (SELECT doc_id, b,
+        |    sum(CASE WHEN ((CASE WHEN b < 32 THEN lo >> b
+        |                    ELSE hi >> (b-32) END) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS sm
+        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+        |  GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN sm > 0 AND b < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sig_lo,
+        |    CAST(sum(CASE WHEN sm > 0 AND b >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sig_hi
+        |  FROM bits GROUP BY 1),
+        |bd AS (SELECT doc_id, sig_lo, sig_hi,
+        |    unnest([sig_lo & 65535, (sig_lo >> 16) & 65535,
+        |            sig_hi & 65535, (sig_hi >> 16) & 65535]) AS band,
+        |    unnest([0, 1, 2, 3]) AS band_idx
+        |  FROM sig),
+        |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+        |    CAST(bit_count(xor(x.sig_lo, y.sig_lo)) +
+        |         bit_count(xor(x.sig_hi, y.sig_hi)) AS INTEGER) AS hamming
+        |  FROM bd x JOIN bd y ON x.band_idx = y.band_idx AND x.band = y.band
+        |    AND x.doc_id < y.doc_id)
+        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 12""".stripMargin,
+
     "dd12_token_windows" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
         |           FROM documents

@@ -129,32 +129,46 @@ object Dedup {
   }
 
   /** dd03: 64-bit SimHash near-dup candidates over trigram shingles.
-    * Signature = sign of the per-bit sum of xxhash64(shingle)
+    * Signature = sign of the per-bit sum of the shingle-hash
     * contributions (64 conditional sums in ONE groupBy — single
     * shuffle); banding on 4×16-bit slices; pairs kept when Hamming
     * distance ≤ 12 (near-dups land low, random pairs center at 32).
-    * Not SQL-expressible (xxhash64) → rows-only + spec coverage.
-    */
+    * The 64 hash bits come from the top 16 hex digits of md5 — an
+    * engine-portable hash — carried as two 32-bit halves so every
+    * value stays inside signed-64 arithmetic on BOTH engines (a
+    * monolithic 1<<63 would overflow DuckDB's checked BIGINT); that
+    * portability is what promotes dd03 from rows-only to a full
+    * hash-checked oracle. */
   def dd03Simhash(s: SparkSession, d: String): DataFrame = {
-    val toks = shingles(s, d).withColumn("h", xxhash64(col("s")))
+    val toks = shingles(s, d)
+      .withColumn("hh", expr("md5(cast(s as binary))"))
+      .withColumn("hi", expr("CAST(conv(substring(hh, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("lo", expr("CAST(conv(substring(hh, 9, 8), 16, 10) AS BIGINT)"))
     val bitSums = toks.groupBy(col("doc_id")).agg(
-      sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
-      (1 until 64).map(i =>
-        sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1)
-          .otherwise(-1)).as(s"b$i")): _*)
-    val sig = (0 until 64).map(i =>
-        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      sum(when(col("lo").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
+      (1 until 64).map { i =>
+        val src = if (i < 32) shiftrightunsigned(col("lo"), i)
+          else shiftrightunsigned(col("hi"), i - 32)
+        sum(when(src.bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"b$i")
+      }: _*)
+    def half(lo0: Int) = (0 until 32).map(i =>
+        when(col(s"b${lo0 + i}") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
-    val signed = bitSums.select(col("doc_id"), sig.as("sig"))
-    val banded = signed.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+    val signed = bitSums.select(col("doc_id"),
+      half(0).as("sig_lo"), half(32).as("sig_hi"))
+    val banded = signed.select(col("doc_id"), col("sig_lo"), col("sig_hi"),
+      posexplode(array(
+        col("sig_lo").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("sig_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("sig_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("sig_hi"), 16).bitwiseAND(lit(0xFFFFL))))
         .as(Seq("band_idx", "band")))
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        (bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))) +
+          bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi")))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 12)
   }

@@ -44,7 +44,7 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("oracle coverage is complete and key-consistent") {
-    val rowsOnly = Set("dd03_simhash",
+    val rowsOnly = Set(
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
       "dd09_minhash_est", "ss08_sq8_rerank", "ss10_pq_topk",
       "sk04_kll_quantiles", "sk05_bloom_prejoin",
