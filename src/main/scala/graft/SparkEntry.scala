@@ -154,6 +154,9 @@ object SparkEntry {
     "dd11_index_stats"      -> Dedup.dd11IndexStats _,
     "ev27_cohort_ltv"       -> Events.ev27CohortLtv _,
     "ev28_decay_scores"     -> Events.ev28DecayScores _,
+    "ev29_session_durations" -> Events.ev29SessionDurations _,
+    "tx23_repetition"       -> Text.tx23RepetitionScore _,
+    "pp05_incremental_ingest" -> Pipelines.pp05IncrementalIngest _,
     "tx20_ttr"              -> Text.tx20TypeTokenRatio _,
     "tx21_bigram_lm"        -> Text.tx21BigramLm _,
     "tx22_zipf_head"        -> Text.tx22ZipfHead _,
@@ -854,6 +857,44 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ev02_sessionize" -> sessionizeSql,
+
+    "ev29_session_durations" ->
+      s"""WITH sess AS ($sessionizeSql),
+         |x AS (SELECT CAST(floor(epoch(session_end)) AS BIGINT)
+         |        - CAST(floor(epoch(session_start)) AS BIGINT) AS dur_s
+         |      FROM sess)
+         |SELECT CAST(length(bin(dur_s + 1)) - 1 AS INTEGER) AS bucket,
+         |  count(*) AS n_sessions, min(dur_s) AS min_s, max(dur_s) AS max_s
+         |FROM x GROUP BY 1""".stripMargin,
+
+    "tx23_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents
+        |           WHERE len(string_split(trim(text),' ')) >= 3),
+        |g AS (SELECT doc_id, list_transform(range(1, len(tk)-1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tg FROM t)
+        |SELECT doc_id, CAST(len(tg) AS INTEGER) AS n_trigrams,
+        |  CAST(len(list_distinct(tg)) AS INTEGER) AS n_distinct,
+        |  CAST((len(tg) - len(list_distinct(tg))) * 1000000 // len(tg) AS BIGINT)
+        |    AS repetition_ppm
+        |FROM g""".stripMargin,
+
+    "pp05_incremental_ingest" ->
+      s"""WITH j AS ($ngramJaccardSql),
+         |sym AS (SELECT d1, d2 FROM j UNION ALL SELECT d2, d1 FROM j),
+         |nd AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+         |fl AS (SELECT s.d1 AS doc_id,
+         |    max(CASE WHEN dd.source <> 'src0' THEN 1 ELSE 0 END) AS has_old,
+         |    max(CASE WHEN dd.source = 'src0' AND s.d2 < s.d1 THEN 1 ELSE 0 END)
+         |      AS has_prior_new
+         |  FROM sym s JOIN nd ON s.d1 = nd.doc_id
+         |  JOIN documents dd ON s.d2 = dd.doc_id
+         |  GROUP BY 1)
+         |SELECT nd.doc_id,
+         |  CASE WHEN fl.has_old = 1 THEN 'dup_old'
+         |       WHEN fl.has_prior_new = 1 THEN 'dup_new'
+         |       ELSE 'kept' END AS status
+         |FROM nd LEFT JOIN fl ON nd.doc_id = fl.doc_id""".stripMargin,
 
     "q41_range_frame" ->
       """SELECT o_custkey, o_orderkey,

@@ -556,6 +556,21 @@ object Events {
         col("monetary"), col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** ev29: session-duration distribution — ev02's sessions reduced to
+    * a log₂-bucketed duration histogram (bucket = ⌊log₂(dur_s+1)⌋ via
+    * the engine-portable `length(bin(x))−1`, no float log): the
+    * constant-size summary a session-quality dashboard reads instead
+    * of |sessions| rows. Buckets partial-aggregate; the only shuffle
+    * beyond ev02's is the ≤~35-group histogram agg. */
+  def ev29SessionDurations(s: SparkSession, d: String): DataFrame =
+    ev02Sessionize(s, d)
+      .withColumn("dur_s",
+        col("session_end").cast("long") - col("session_start").cast("long"))
+      .withColumn("bucket", (length(expr("bin(dur_s + 1)")) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        min(col("dur_s")).as("min_s"), max(col("dur_s")).as("max_s"))
+
   /** ev28: exponentially-decayed engagement score per user — the
     * freshness-weighted activity feature a ranking pipeline maintains:
     * each event contributes value·2^−age_weeks, computed EXACTLY as

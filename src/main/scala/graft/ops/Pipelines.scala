@@ -77,6 +77,39 @@ object Pipelines {
       .join(sess, Seq("user_id"))
   }
 
+  /** pp05: INCREMENTAL corpus ingest — dedup a new document batch
+    * (source `src0` stands in for today's crawl) against the existing
+    * corpus AND against itself: a new doc is `dup_old` if it near-dups
+    * any existing doc, `dup_new` if it near-dups a smaller-id doc of
+    * its own batch, else `kept` — the audit frame an incremental
+    * pipeline emits per ingest. One-shot deterministic semantics
+    * (partner sets, not sequential keep-state — the standard batch
+    * formulation). Pairs come from the MinHash path, so the pair
+    * frame is ∝ near-dups; at 100 TB only the NEW batch's shingles
+    * need hashing — the corpus side is a pre-built signature index. */
+  def pp05IncrementalIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val newDocs = docs.filter(col("source") === "src0").select(col("doc_id"))
+    val pairs = Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2"))
+    val sym = pairs.unionByName(
+      pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val flags = sym
+      .join(newDocs.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("source").as("src2")), Seq("d2"))
+      .groupBy(col("d1"))
+      .agg(
+        max(when(col("src2") =!= "src0", 1).otherwise(0)).as("has_old"),
+        max(when(col("src2") === "src0" && col("d2") < col("d1"), 1)
+          .otherwise(0)).as("has_prior_new"))
+    newDocs
+      .join(flags.withColumnRenamed("d1", "doc_id"), Seq("doc_id"), "left_outer")
+      .withColumn("status",
+        when(col("has_old") === 1, "dup_old")
+          .when(col("has_prior_new") === 1, "dup_new")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("status"))
+  }
+
   def pp02ChunkDedupAudit(s: SparkSession, d: String): DataFrame = {
     val chunks = Multimodal.mm03Chunking(s, d).select(col("doc_id"), col("chunk_md5"))
     val dupSet = chunks.groupBy(col("chunk_md5"))

@@ -199,6 +199,26 @@ object Text {
       .select(col("rank"), col("token"), col("cnt"))
   }
 
+  /** tx23: intra-document repetition score — the fraction of a doc's
+    * trigrams that are repeats of an earlier trigram in the SAME doc,
+    * in exact ppm. The within-doc twin of the cross-doc dedup family:
+    * high repetition flags boilerplate/spam/generation loops (the
+    * classic repetition filter in LLM corpus curation). Pure per-row
+    * array arithmetic — zero shuffles. */
+  def tx23RepetitionScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("tk", tokens)
+      .filter(size(col("tk")) >= 3)
+      .withColumn("tg", expr(
+        """transform(sequence(1, size(tk)-2),
+          |  i -> concat(element_at(tk,i), ' ', element_at(tk,i+1), ' ', element_at(tk,i+2)))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("tg")).as("n_trigrams"),
+        size(array_distinct(col("tg"))).as("n_distinct"))
+      .withColumn("repetition_ppm", expr(
+        "CAST(n_trigrams - n_distinct AS BIGINT) * 1000000 div n_trigrams"))
+
   /** tx12: PII redaction — the scrub-before-training transform. A
     * deterministic synthetic "profile" string (the raw corpus carries
     * no PII) gets email + number-run redaction via chained
