@@ -545,8 +545,12 @@ object Events {
       round(sum(when(col("event_type") === "purchase", col("value"))
         .otherwise(lit(0.0))), 2).as("monetary"))
     val maxDay = e.agg(max(date_trunc("day", col("ts")).cast("date")).as("corpus_max"))
-    val base = perUser.crossJoin(broadcast(maxDay))
-      .withColumn("recency_days", datediff(col("corpus_max"), col("last_day")))
+    // the per-user frame is referenced by every boundary/count/rank
+    // stage of the three ntiles (~9 plan references) — cache it once
+    // (|users| rows, ≪ events) instead of re-running the events scan
+    // + groupBy per reference
+    val base = CacheScope.cached(perUser.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", datediff(col("corpus_max"), col("last_day"))))
     exactNtile4(
       exactNtile4(
         exactNtile4(base, col("recency_days"), "r_score"),

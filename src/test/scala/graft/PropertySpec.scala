@@ -28,6 +28,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKPairAggregator equals sort-and-take and dedups duplicate pairs") {
+    val agg = new graft.functions.TopKPairAggregator(5)
+    val pair = for {
+      s <- Gen.chooseNum(-1e6, 1e6)
+      id <- Gen.chooseNum(0L, 50L)
+    } yield (s, id)
+    val gen = for {
+      xs <- Gen.listOf(pair)
+      dups <- Gen.someOf(xs) // replay a subset — multi-probe duplicates
+      splits <- Gen.chooseNum(1, 8)
+    } yield (xs ++ dups, xs, splits)
+    samples(gen).foreach { case (withDups, xs, splits) =>
+      val chunks = withDups.grouped(math.max(1, withDups.length / splits)).toList
+      val merged = chunks
+        .map(c => c.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val expect = xs.distinct
+        .sortBy { case (s, id) => (-s, id) }.take(5)
+      assert(agg.finish(merged) == expect, s"input $withDups split $splits")
+    }
+  }
+
+  test("KmvSketch estimates distincts within theory error and round-trips") {
+    val agg = graft.functions.KmvSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), k = 256)
+    val gen = Gen.chooseNum(1, 20000)
+    samples(gen, 30).foreach { n =>
+      // two halves built separately then merged — exercises the union path
+      val (a, b) = (new graft.functions.KmvSketch(256), new graft.functions.KmvSketch(256))
+      (0 until n).foreach(i => (if (i % 2 == 0) a else b).update(i.toLong * 2654435761L))
+      a.merge(agg.deserialize(agg.serialize(b))) // serialize round-trip inline
+      val est = a.estimate
+      val tol = if (n < 256) 0.0 else 4.0 / math.sqrt(256) // 4σ
+      assert(math.abs(est - n) <= math.max(1.0, n * tol),
+        s"KMV estimate $est for $n distincts")
+    }
+  }
+
   test("VecSumAgg merge matches element-wise sum; serialize round-trips") {
     val dim = 8
     val gen = Gen.listOf(Gen.listOfN(dim, Gen.chooseNum(-1000.0, 1000.0)))

@@ -160,4 +160,23 @@ class SourcesSpec extends SparkTestBase {
       assert(joined.count() == o.join(c, col("o_custkey") === col("c_custkey")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("q44's fact-fact join itself plans with zero exchanges") {
+    // broadcast disabled so a bucket misalignment would surface as a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.ops.Relational.q44BucketedJoin(spark, sf)
+      // the AQE wrapper hides exec nodes from collect() — assert on the
+      // plan text: both scans bucketed, a sort-merge join, and the ONLY
+      // exchange is the final (tiny) per-priority aggregation ABOVE it
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert("Bucketed: true".r.findAllIn(plan).size == 2,
+        s"both sides must scan bucketed:\n$plan")
+      val belowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!belowJoin.contains("Exchange"),
+        s"exchange under the bucketed join:\n$plan")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }
