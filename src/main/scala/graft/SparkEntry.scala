@@ -155,8 +155,11 @@ object SparkEntry {
     "ev27_cohort_ltv"       -> Events.ev27CohortLtv _,
     "ev28_decay_scores"     -> Events.ev28DecayScores _,
     "ev29_session_durations" -> Events.ev29SessionDurations _,
+    "ev30_stickiness"       -> Events.ev30Stickiness _,
     "tx23_repetition"       -> Text.tx23RepetitionScore _,
+    "tx24_lang_confusion"   -> Text.tx24LangConfusion _,
     "pp05_incremental_ingest" -> Pipelines.pp05IncrementalIngest _,
+    "gr05_kcore"            -> Graph.gr05KCore _,
     "tx20_ttr"              -> Text.tx20TypeTokenRatio _,
     "tx21_bigram_lm"        -> Text.tx21BigramLm _,
     "tx22_zipf_head"        -> Text.tx22ZipfHead _,
@@ -211,13 +214,32 @@ object SparkEntry {
         s"FROM bi b JOIN r${i - 1} r ON b.src = r.node " +
         "JOIN deg d ON b.src = d.src GROUP BY 1)"
     }.mkString(",\n")
-    s"""WITH pairs AS ($ngramJaccardSql),
-       |bi AS (SELECT d1 AS src, d2 AS dst FROM pairs
+    s"""WITH pairs AS MATERIALIZED ($ngramJaccardSql),
+       |bi AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
        |       UNION ALL SELECT d2, d1 FROM pairs),
-       |deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY 1),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM bi GROUP BY 1),
        |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
        |$iters
        |SELECT node AS doc_id, round(rank, 6) AS rank FROM r10""".stripMargin
+  }
+
+  /** gr05's oracle: 10 unrolled peel rounds (peeling is idempotent
+    * once stable, so the fixed unroll is exact). */
+  private val kCoreSql: String = {
+    // MATERIALIZED: each peel round references the previous round 3×;
+    // inlined CTEs would expand the chain exponentially (DuckDB runs
+    // out of file handles re-opening the parquet per reference)
+    val iters = (1 to 10).map { i =>
+      s"k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 2),\n" +
+        s"e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e " +
+        s"JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($ngramJaccardSql),
+       |e0 AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
+       |       UNION ALL SELECT d2, d1 FROM pairs),
+       |$iters
+       |SELECT src AS doc_id, count(*) AS core_degree FROM e10 GROUP BY 1"""
+      .stripMargin
   }
 
   /** tx02's oracle, also the score CTE of dd07's. */
@@ -1029,6 +1051,28 @@ object SparkEntry {
     "dd04_ngram_jaccard" -> ngramJaccardSql,
     "dd02_minhash_lsh"   -> ngramJaccardSql,
     "gr03_pagerank"      -> pageRankSql,
+    "gr05_kcore"         -> kCoreSql,
+
+    "ev30_stickiness" ->
+      """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    user_id FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM du),
+        |a AS (SELECT day AS d, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+        |m AS (SELECT d, count(DISTINCT user_id) AS mau
+        |      FROM du JOIN days ON du.day <= days.d AND du.day >= days.d - 27
+        |      GROUP BY 1)
+        |SELECT a.d AS day, a.dau, m.mau,
+        |  CAST(a.dau * 10000 // m.mau AS BIGINT) AS stickiness_bp
+        |FROM a JOIN m ON a.d = m.d""".stripMargin,
+
+    "tx24_lang_confusion" ->
+      """WITH x AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(trim(text),' '),
+        |      s -> s IN ('the','a','of','and','to','in'))) AS stop_cnt
+        |  FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN stop_cnt >= 2 THEN 'en' ELSE 'unk' END AS pred_lang FROM x)
+        |SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2""".stripMargin,
 
     "dd03_simhash" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk

@@ -575,6 +575,27 @@ object Events {
       .agg(count(lit(1)).as("n_sessions"),
         min(col("dur_s")).as("min_s"), max(col("dur_s")).as("max_s"))
 
+  /** ev30: DAU/MAU stickiness — per day, the distinct daily actives
+    * against the trailing-28-day actives, ratio in exact basis points.
+    * The ev14 collapse-then-range-join shape: events collapse to
+    * (day, user) ONCE (the only input-sized shuffle); the 28× fan-out
+    * joins the collapsed frame against the broadcast day spine, never
+    * the raw events. */
+  def ev30Stickiness(s: SparkSession, d: String): DataFrame = {
+    val du = ev(s, d)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("user_id")).distinct()
+    val days = du.select(col("day").as("d")).distinct()
+    val dau = du.groupBy(col("day").as("d"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = du.join(broadcast(days),
+        col("day") <= col("d") && col("day") >= date_sub(col("d"), 27))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("mau"),
+        expr("dau * 10000 div mau").as("stickiness_bp"))
+  }
+
   /** ev28: exponentially-decayed engagement score per user — the
     * freshness-weighted activity feature a ranking pipeline maintains:
     * each event contributes value·2^−age_weeks, computed EXACTLY as

@@ -92,6 +92,30 @@ object Graph {
     ranks
   }
 
+  /** gr05: 2-core decomposition by iterative peeling — nodes of degree
+    * <2 (pendant docs attached to a single near-dup) are removed, the
+    * removal cascades, and what survives 10 peels is the dense
+    * duplication CORE (the families worth cluster-level review, vs
+    * one-off pairs). 10 peels unrolled as one lazy plan (peeling is a
+    * no-op once stable, so a fixed unroll is deterministic —
+    * oracle-replayable, no driver loop); every round is join+agg on
+    * frames ∝ near-dup docs. */
+  def gr05KCore(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    var bi = e.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(e.select(col("d2").as("src"), col("d1").as("dst")))
+    for (it <- 1 to 10) {
+      val keep = bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select(col("src").as("k"))
+      bi = bi
+        .join(keep, bi("src") === keep("k")).drop("k")
+        .join(keep, bi("dst") === keep("k")).drop("k")
+      if (it % 3 == 0 && it < 10) bi = bi.localCheckpoint()
+    }
+    bi.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("doc_id"), col("core_degree"))
+  }
+
   /** gr03: PageRank of the near-dup graph — which documents sit at the
     * center of duplication families (dedup-priority signal). Fixed
     * 10-iteration run; ranks rounded to 6 dp on both engines so

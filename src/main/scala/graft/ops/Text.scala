@@ -219,6 +219,16 @@ object Text {
       .withColumn("repetition_ppm", expr(
         "CAST(n_trigrams - n_distinct AS BIGINT) * 1000000 div n_trigrams"))
 
+  /** tx24: language-ID confusion matrix — labeled `lang` vs tx03's
+    * prediction, as (lang, pred_lang, n_docs) cells: the calibration
+    * audit that decides whether the cheap n-gram classifier is good
+    * enough to route corpus shards. One partial-agg'd groupBy over
+    * tx03's per-row projection. */
+  def tx24LangConfusion(s: SparkSession, d: String): DataFrame =
+    tx03Langid(s, d)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** tx12: PII redaction — the scrub-before-training transform. A
     * deterministic synthetic "profile" string (the raw corpus carries
     * no PII) gets email + number-run redaction via chained

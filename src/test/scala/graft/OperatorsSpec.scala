@@ -25,7 +25,7 @@ class OperatorsSpec extends SparkTestBase {
       // exist in the tiny sf0.001 slice
       "dd08_chunk_dup", "q35_gaps_islands", "ss06_range_search",
       "gr02_degree_dist", "dd09_minhash_est", "gr03_pagerank",
-      "dd10_containment", "gr04_common_neighbors")
+      "dd10_containment", "gr04_common_neighbors", "gr05_kcore")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
