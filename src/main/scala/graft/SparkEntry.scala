@@ -156,6 +156,7 @@ object SparkEntry {
     "ev28_decay_scores"     -> Events.ev28DecayScores _,
     "ev29_session_durations" -> Events.ev29SessionDurations _,
     "ev30_stickiness"       -> Events.ev30Stickiness _,
+    "ev31_multistep_funnel" -> Events.ev31MultiStepFunnel _,
     "tx23_repetition"       -> Text.tx23RepetitionScore _,
     "tx24_lang_confusion"   -> Text.tx24LangConfusion _,
     "pp05_incremental_ingest" -> Pipelines.pp05IncrementalIngest _,
@@ -1064,6 +1065,21 @@ object SparkEntry {
         |SELECT a.d AS day, a.dau, m.mau,
         |  CAST(a.dau * 10000 // m.mau AS BIGINT) AS stickiness_bp
         |FROM a JOIN m ON a.d = m.d""".stripMargin,
+
+    "ev31_multistep_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |s1 AS (SELECT user_id, min(ts_s) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts_s) AS t2 FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'view' AND ts_s > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts_s) AS t3 FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND ts_s > t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_viewed_after,
+        |       (SELECT count(*) FROM s3) AS n_purchased_after""".stripMargin,
 
     "tx24_lang_confusion" ->
       """WITH x AS (SELECT doc_id, lang,

@@ -575,6 +575,30 @@ object Events {
       .agg(count(lit(1)).as("n_sessions"),
         min(col("dur_s")).as("min_s"), max(col("dur_s")).as("max_s"))
 
+  /** ev31: strict THREE-step ordered funnel — signup, then a view
+    * strictly after the first signup, then a purchase strictly after
+    * that first qualifying view (first-occurrence semantics per step,
+    * so each user counts at most once per stage). Two keyed joins on
+    * |users|-sized frames — the raw event stream is scanned once per
+    * step filter, never self-joined. */
+  def ev31MultiStepFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("user_id"), col("event_type"),
+      col("ts").cast("long").as("ts_s"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
+    val s2 = e.filter(col("event_type") === "view")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts_s") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts_s") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t3"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_viewed_after")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchased_after")))
+  }
+
   /** ev30: DAU/MAU stickiness — per day, the distinct daily actives
     * against the trailing-28-day actives, ratio in exact basis points.
     * The ev14 collapse-then-range-join shape: events collapse to

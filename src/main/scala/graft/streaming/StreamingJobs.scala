@@ -126,6 +126,24 @@ object StreamingJobs {
       .start()
   }
 
+  /** st10: streaming per-group top-k — the TopKPairAggregator (the
+    * batch ANN selection path) running over the streaming state store:
+    * a continuously-maintained "top 3 largest purchases per user"
+    * view. State per key is the aggregator's O(k) pair buffer,
+    * serialized through the same Encoder the batch path uses — one
+    * aggregator, batch and streaming (the Kappa property for custom
+    * aggregates). Update mode re-emits only touched keys. */
+  def streamingTopK(events: DataFrame): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKPairAggregator(3))
+    events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(topk((col("value") * 100).cast("long").cast("double"),
+        col("event_id")).as("top"))
+      .select(col("user_id"), expr("transform(top, p -> p._2)").as("top_event_ids"),
+        expr("transform(top, p -> CAST(p._1 AS BIGINT))").as("top_values_c"))
+  }
+
   /** st02: stateful gap sessionization (30-minute inactivity) with
     * explicit per-key state via flatMapGroupsWithState. State per user
     * is O(1) — just the open session bounds — and is emitted+cleared

@@ -183,6 +183,30 @@ class StreamingSpec extends SparkTestBase {
       s"run-2 emitted ${run2.toSet}")
   }
 
+  test("st10 streaming top-k maintains the k best per key across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(1), 1, "purchase", 10.0),
+      Event(2, ts(2), 1, "purchase", 30.0),
+      Event(3, ts(3), 1, "view", 99.0)) // non-purchase must not count
+    val q = StreamingJobs.streamingTopK(in.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("st10_out").start()
+    try {
+      q.processAllAvailable()
+      // later batch displaces the smallest of the running top-3
+      in.addData(
+        Event(4, ts(4), 1, "purchase", 20.0),
+        Event(5, ts(5), 1, "purchase", 25.0))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT * FROM st10_out WHERE user_id = 1").collect()(0)
+      assert(r.getSeq[Long](1) == Seq(2L, 5L, 4L),
+        s"expected events 2,5,4 got ${r.getSeq[Long](1)}")
+      assert(r.getSeq[Long](2) == Seq(3000L, 2500L, 2000L))
+    } finally q.stop()
+  }
+
   test("st02 stateful sessionize closes sessions on observed gaps") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
