@@ -14,7 +14,11 @@ object ExplainMain {
       else Seq("q01_pricing_summary", "q02_filter_project", "q05_local_supplier",
         "ss01_brute_topk", "dd02_minhash_lsh", "ev09_asof_native", "pp01_training_pipeline",
         "q33_argminmax", "q37_notin_antijoin", "ev14_rolling_7d", "tx15_vocab_coverage",
-        "ss07_mips_topk", "sk03_cms_tokens", "gr01_triangle_count", "pp03_audited_set")
+        "ss07_mips_topk", "sk03_cms_tokens", "gr01_triangle_count", "pp03_audited_set",
+        // round-3 plan-review set: aggregate top-k, PQ ADC, bucketed
+        // fact-fact, distributed ntile, token-window dedup, stickiness
+        "ss10_pq_topk", "q44_bucketed_join", "ev17_rfm_scores",
+        "dd12_token_windows", "ev30_stickiness", "sk06_theta_sets")
     for (q <- queries) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -57,6 +57,15 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Evolved-schema parquet read: merge the footers of every file so a
+    * dataset whose writers added columns over time (the normal state
+    * of a years-old 100 TB corpus) reads as the union schema, old
+    * files null-filling the new columns. Explicitly opt-in —
+    * footer-merging costs one small read per file, so the default
+    * readers skip it. */
+  def readParquetMergedSchema(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
+
   /** Morton (Z-order) curve value for two non-negative int columns:
     * bit-interleaved so rows close in BOTH dimensions land close on
     * the curve. All plain bit-arithmetic Columns — codegen'd. */

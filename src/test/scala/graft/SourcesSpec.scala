@@ -161,6 +161,21 @@ class SourcesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("merged-schema read unions evolved parquet schemas, null-filling old files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.parquet(s"$dir/p=2")
+    val df = Sources.readParquetMergedSchema(spark, dir)
+    assert(df.columns.toSet == Set("id", "v1", "v2", "p"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2")), "old file must null-fill")
+    assert(rows(1).getDouble(rows(1).fieldIndex("v2")) == 9.5)
+    // the default (non-merging) reader sees only the first footer's schema
+    val plain = Sources.readParquet(spark, dir)
+    assert(plain.columns.toSet.subsetOf(Set("id", "v1", "v2", "p")))
+  }
+
   test("q44's fact-fact join itself plans with zero exchanges") {
     // broadcast disabled so a bucket misalignment would surface as a shuffle
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
