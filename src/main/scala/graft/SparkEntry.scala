@@ -106,6 +106,9 @@ object SparkEntry {
     "tx15_vocab_coverage"   -> Text.tx15VocabCoverage _,
     "dd08_chunk_dup"        -> Dedup.dd08ChunkDup _,
     "dd12_token_windows"    -> Dedup.dd12TokenWindowDup _,
+    "dd13_threshold_curve"  -> Dedup.dd13ThresholdCurve _,
+    "ev32_seasonality"      -> Events.ev32Seasonality _,
+    "tx25_source_quality"   -> Text.tx25SourceQuality _,
     "ss06_range_search"     -> Similarity.ss06RangeSearch _,
     "ss07_mips_topk"        -> Similarity.ss07MipsTopk _,
     "mm05_size_histogram"   -> Multimodal.mm05SizeHistogram _,
@@ -1080,6 +1083,50 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s1) AS n_signup,
         |       (SELECT count(*) FROM s2) AS n_viewed_after,
         |       (SELECT count(*) FROM s3) AS n_purchased_after""".stripMargin,
+
+    "ev32_seasonality" ->
+      """WITH e AS (SELECT CAST(hour(ts) AS INTEGER) AS hour,
+        |    dayofweek(ts) IN (0, 6) AS is_weekend,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc
+        |  FROM events),
+        |c AS (SELECT hour, is_weekend, count(*) AS n_events,
+        |    CAST(sum(vc) AS BIGINT) AS value_c FROM e GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM c)
+        |SELECT hour, is_weekend, n_events, value_c,
+        |  CAST(n_events * 10000 // n_total AS BIGINT) AS share_bp
+        |FROM c CROSS JOIN t""".stripMargin,
+
+    "tx25_source_quality" ->
+      s"""WITH q AS ($qualityScoreSql),
+         |j AS (SELECT q.doc_id, q.n_tokens, q.score, d.source
+         |      FROM q JOIN documents d ON q.doc_id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens,
+         |  CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS pass_bp
+         |FROM j GROUP BY 1""".stripMargin,
+
+    "dd13_threshold_curve" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT d1, d2,
+        |        round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
+        |      FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |      WHERE round(shared * 1.0 / (x.n + y.n - shared), 4) >= 0.5),
+        |tt AS (SELECT CAST(unnest([0.50,0.55,0.60,0.65,0.70,0.75,0.80,0.85,0.90])
+        |         AS DOUBLE) AS thresh)
+        |SELECT thresh, count(*) AS n_pairs
+        |FROM j CROSS JOIN tt WHERE jaccard >= thresh
+        |GROUP BY 1""".stripMargin,
 
     "tx24_lang_confusion" ->
       """WITH x AS (SELECT doc_id, lang,

@@ -173,6 +173,33 @@ object Dedup {
       .filter(col("hamming") <= 12)
   }
 
+  /** dd13: dedup-threshold sensitivity curve — how many exact-Jaccard
+    * pairs survive each candidate threshold 0.50…0.90: the tuning
+    * diagnostic read BEFORE committing a near-dup cutoff (a cliff in
+    * this curve marks the planted-duplicate / random-background
+    * boundary). One exact pair pass (floor 0.5, one notch below the
+    * production 0.6), then a 9-row broadcast threshold table — the
+    * pair frame is scanned once, never per threshold. */
+  def dd13ThresholdCurve(s: SparkSession, d: String): DataFrame = {
+    val sh = CacheScope.cached(shingles(s, d))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("s"))
+    val b = sh.select(col("doc_id").as("d2"), col("s"))
+    val pj = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("shared") * 1.0 / (col("n1") + col("n2") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.5)
+    val thr = s.range(1).select(explode(array(
+      (50 to 90 by 5).map(t => lit(t / 100.0)): _*)).as("thresh"))
+    pj.crossJoin(broadcast(thr))
+      .filter(col("jaccard") >= col("thresh"))
+      .groupBy(col("thresh"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** dd06: duplicate-cluster assignment — connected components over the
     * dd04 near-dup pair graph via iterative min-label propagation.
     * Each iteration is one join+agg (fully distributed); the driver

@@ -500,7 +500,13 @@ object Events {
     * window rank plus the bucket offset is the exact global rank, and
     * ntile's bucket assignment is closed-form in (rank, n). Output is
     * bit-identical to the single-partition ntile it replaces. */
-  private def exactNtile4(df: DataFrame, key: Column, out: String): DataFrame = {
+  private def exactNtile4(df0: DataFrame, key: Column, out: String): DataFrame = {
+    // cache the input frame: it feeds the boundary agg, the bucket
+    // counts, AND the final rank join (≥3 plan references) — and when
+    // ntiles chain (ev17 runs three), an uncached level would be
+    // re-executed by every reference of the next level, compounding
+    // ~3× per level. The frame is per-entity (≪ raw events).
+    val df = CacheScope.cached(df0)
     val keyed = df.withColumn("_k", key.cast("double"))
     val bnds = keyed.agg(percentile_approx(col("_k"),
       array((1 to 7).map(i => lit(i / 8.0)): _*), lit(1000)).as("_bnds"))
@@ -545,12 +551,8 @@ object Events {
       round(sum(when(col("event_type") === "purchase", col("value"))
         .otherwise(lit(0.0))), 2).as("monetary"))
     val maxDay = e.agg(max(date_trunc("day", col("ts")).cast("date")).as("corpus_max"))
-    // the per-user frame is referenced by every boundary/count/rank
-    // stage of the three ntiles (~9 plan references) — cache it once
-    // (|users| rows, ≪ events) instead of re-running the events scan
-    // + groupBy per reference
-    val base = CacheScope.cached(perUser.crossJoin(broadcast(maxDay))
-      .withColumn("recency_days", datediff(col("corpus_max"), col("last_day"))))
+    val base = perUser.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", datediff(col("corpus_max"), col("last_day")))
     exactNtile4(
       exactNtile4(
         exactNtile4(base, col("recency_days"), "r_score"),
@@ -574,6 +576,25 @@ object Events {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_sessions"),
         min(col("dur_s")).as("min_s"), max(col("dur_s")).as("max_s"))
+
+  /** ev32: hour-of-day seasonality profile — event volume and value
+    * by (hour-of-day × weekday/weekend), with each cell's share of the
+    * total in exact basis points. The load-shaping profile capacity
+    * planning reads. One partial-agg'd groupBy (≤48 cells) plus a
+    * broadcast total. */
+  def ev32Seasonality(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+      .withColumn("hour", hour(col("ts")))
+      .withColumn("is_weekend", dayofweek(col("ts")).isin(1, 7))
+    val cells = e.groupBy(col("hour"), col("is_weekend"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)")
+          .as("value_c"))
+    val total = cells.agg(sum(col("n_events")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .withColumn("share_bp", expr("n_events * 10000 div n_total"))
+      .drop("n_total")
+  }
 
   /** ev31: strict THREE-step ordered funnel — signup, then a view
     * strictly after the first signup, then a purchase strictly after

@@ -229,6 +229,22 @@ object Text {
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** tx25: per-source corpus-quality dashboard — for every `source`
+    * shard: doc count, token mass, mean doc length (exact integer
+    * div), and the share of docs passing the tx02 quality floor in
+    * exact bp. The governance view that decides which sources feed
+    * the next training mix. One groupBy over per-row projections. */
+  def tx25SourceQuality(s: SparkSession, d: String): DataFrame =
+    tx02QualityScore(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("bigint")).as("total_tokens"),
+        expr("CAST(sum(CAST(n_tokens AS BIGINT)) div count(1) AS BIGINT)")
+          .as("mean_tokens"),
+        expr("CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 10000 " +
+          "div count(1) AS BIGINT)").as("pass_bp"))
+
   /** tx12: PII redaction — the scrub-before-training transform. A
     * deterministic synthetic "profile" string (the raw corpus carries
     * no PII) gets email + number-run redaction via chained
