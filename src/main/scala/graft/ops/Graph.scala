@@ -104,13 +104,16 @@ object Graph {
     val e = edges(s, d)
     var bi = e.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(e.select(col("d2").as("src"), col("d1").as("dst")))
-    for (it <- 1 to 10) {
+    for (_ <- 1 to 10) {
       val keep = bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 2).select(col("src").as("k"))
       bi = bi
         .join(keep, bi("src") === keep("k")).drop("k")
         .join(keep, bi("dst") === keep("k")).drop("k")
-      if (it % 3 == 0 && it < 10) bi = bi.localCheckpoint()
+        // LAZY checkpoint per round: each round references the prior
+        // round three times (keep + both join sides) — without
+        // truncation the re-execution fan-out compounds ~3× per round
+        .localCheckpoint(false)
     }
     bi.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
       .select(col("src").as("doc_id"), col("core_degree"))
