@@ -168,6 +168,8 @@ object SparkEntry {
     "tx21_bigram_lm"        -> Text.tx21BigramLm _,
     "tx22_zipf_head"        -> Text.tx22ZipfHead _,
     "q45_decimal_money"     -> Relational.q45DecimalMoney _,
+    "q46_window_distinct"   -> Relational.q46WindowDistinct _,
+    "tx26_novelty"          -> Text.tx26Novelty _,
     "mm08_sig_neardup"      -> Multimodal.mm08SigNeardup _,
     "sk06_theta_sets"       -> Sketches.sk06ThetaSets _,
   )
@@ -1187,6 +1189,35 @@ object SparkEntry {
         |      FROM t)
         |SELECT win_hash, count(*) AS n_docs FROM w GROUP BY 1
         |HAVING count(*) >= 2""".stripMargin,
+
+    "q46_window_distinct" ->
+      """WITH f AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN row_number() OVER (
+        |      PARTITION BY o_custkey, o_orderpriority
+        |      ORDER BY o_orderdate, o_orderkey) = 1 THEN 1 ELSE 0 END AS is_first
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(sum(is_first) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_distinct_prio
+        |FROM f""".stripMargin,
+
+    "tx26_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM t),
+        |shared AS (SELECT s FROM sh GROUP BY s
+        |           HAVING count(DISTINCT doc_id) > 1)
+        |SELECT sh.doc_id, count(*) AS n_trigrams,
+        |  CAST(count(*) - count(shared.s) AS BIGINT) AS n_unique,
+        |  CAST((count(*) - count(shared.s)) * 1000000 // count(*) AS BIGINT)
+        |    AS novelty_ppm
+        |FROM sh LEFT JOIN shared ON sh.s = shared.s
+        |GROUP BY 1""".stripMargin,
 
     "q45_decimal_money" ->
       """SELECT o_orderstatus,

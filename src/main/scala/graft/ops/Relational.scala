@@ -633,6 +633,26 @@ object Relational {
           .as("revenue_c4"))
   }
 
+  /** q46: RUNNING DISTINCT count over a window — SQL window functions
+    * reject DISTINCT aggregates, so the standard emulation: flag each
+    * (customer, clerk-priority) pair's FIRST row in one keyed window,
+    * then a running sum of flags in a second window over the same
+    * partition — both windows share the customer exchange. Gives each
+    * order the number of distinct priorities the customer has used so
+    * far (a breadth-of-behavior feature). */
+  def q46WindowDistinct(s: SparkSession, d: String): DataFrame = {
+    val wPair = Window.partitionBy(col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("is_first",
+        when(row_number().over(wPair) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_prio", sum(col("is_first")).over(wRun))
+      .select(col("o_custkey"), col("o_orderkey"), col("n_distinct_prio"))
+  }
+
   /** q45: exact DECIMAL money aggregation — the audit-grade path:
     * totals cast to DECIMAL(18,2) and summed exactly, so the result is
     * independent of partitioning and summation order (a double sum is

@@ -245,6 +245,26 @@ object Text {
         expr("CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 10000 " +
           "div count(1) AS BIGINT)").as("pass_bp"))
 
+  /** tx26: cross-document n-gram NOVELTY — the share of a doc's
+    * distinct trigrams that appear in no other document, in exact ppm:
+    * the inverse of the dedup signals (dd12 flags what repeats; this
+    * scores what is new), used to up-weight novel content in a
+    * training mix. Shingle doc-frequency is one partial-agg'd
+    * groupBy; the (tiny, ∝ shared trigrams) non-unique set joins back
+    * onto the per-doc shingle stream. */
+  def tx26Novelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingles(s, d)
+    val shared = sh.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > 1)
+      .select(col("s"), lit(1).as("is_shared"))
+    sh.join(shared, Seq("s"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        (count(lit(1)) - count(col("is_shared"))).as("n_unique"))
+      .withColumn("novelty_ppm", expr("n_unique * 1000000 div n_trigrams"))
+  }
+
   /** tx12: PII redaction — the scrub-before-training transform. A
     * deterministic synthetic "profile" string (the raw corpus carries
     * no PII) gets email + number-run redaction via chained
