@@ -146,6 +146,7 @@ object SparkEntry {
     "q41_range_frame"       -> Relational.q41RangeFrame _,
     "ss09_ann_recall"       -> Similarity.ss09AnnRecall _,
     "ss10_pq_topk"          -> Similarity.ss10PqTopk _,
+    "ss11_embedding_audit"  -> Similarity.ss11EmbeddingAudit _,
     "pp04_session_features" -> Pipelines.pp04UserSessionFeatures _,
     "gr04_common_neighbors" -> Graph.gr04CommonNeighbors _,
     "q42_bag_set_ops"       -> Relational.q42BagSetOps _,
@@ -1189,6 +1190,20 @@ object SparkEntry {
         |      FROM t)
         |SELECT win_hash, count(*) AS n_docs FROM w GROUP BY 1
         |HAVING count(*) >= 2""".stripMargin,
+
+    "ss11_embedding_audit" ->
+      """WITH x AS (SELECT label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(min(nrm), 6) AS min_norm,
+        |  round(max(nrm), 6) AS max_norm,
+        |  CAST(sum(CASE WHEN abs(nrm - 1.0) < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unit,
+        |  CAST(sum(CASE WHEN nrm < 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_degenerate
+        |FROM x GROUP BY 1""".stripMargin,
 
     "q46_window_distinct" ->
       """WITH f AS (SELECT o_custkey, o_orderkey, o_orderdate,

@@ -359,6 +359,25 @@ object Similarity {
       expr("cosine_sim(q_emb, embedding)"), 5)
   }
 
+  /** ss11: embedding-quality audit — the QA gate run BEFORE building
+    * any index: per label, vector count, norm spread (6 dp; the norm
+    * is a deterministic left-to-right fold, so both engines produce
+    * the identical double), near-unit-norm share and degenerate
+    * (near-zero-norm) count. Catches the broken-encoder shard before
+    * it poisons ANN recall. One partial-agg'd groupBy over a per-row
+    * projection. */
+  def ss11EmbeddingAudit(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"),
+        sum(when(abs(col("nrm") - 1.0) < 0.01, 1L).otherwise(0L)).as("n_unit"),
+        sum(when(col("nrm") < 0.001, 1L).otherwise(0L)).as("n_degenerate"))
+
   /** ss06: threshold (range) similarity search — ALL neighbors above a
     * cosine floor rather than a fixed k. Same broadcast-queries /
     * scan-corpus-in-place shape as ss01: no shuffle of the corpus, no
