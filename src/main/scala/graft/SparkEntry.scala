@@ -173,6 +173,7 @@ object SparkEntry {
     "tx26_novelty"          -> Text.tx26Novelty _,
     "mm08_sig_neardup"      -> Multimodal.mm08SigNeardup _,
     "sk06_theta_sets"       -> Sketches.sk06ThetaSets _,
+    "pp06_training_mix"     -> Pipelines.pp06TrainingMix _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1505,6 +1506,51 @@ object SparkEntry {
          |  GROUP BY doc_id)
          |SELECT k.doc_id, k.split, k.score, a.n_chunks, a.shared_bp
          |FROM kept k JOIN audit a ON k.doc_id = a.doc_id""".stripMargin,
+
+    "pp06_training_mix" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |scores AS ($qualityScoreSql),
+         |j AS (SELECT c.cluster_id, c.doc_id, s.score
+         |      FROM clusters c JOIN scores s USING (doc_id)),
+         |keep AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM j) WHERE rk = 1),
+         |removed AS (SELECT c.doc_id FROM clusters c
+         |            JOIN keep k ON c.cluster_id = k.cluster_id
+         |            WHERE c.doc_id != k.keeper_id),
+         |kept AS (SELECT d.doc_id,
+         |  CASE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+         |    WHEN 'f' THEN 'test' WHEN 'e' THEN 'val' ELSE 'train' END AS split
+         |  FROM documents d
+         |  JOIN scores s ON d.doc_id = s.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = d.doc_id)
+         |    AND s.score >= 0.5),
+         |t2 AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+         |       FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+         |sh2 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |          range(1, len(tk)-1),
+         |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |        FROM t2),
+         |shared2 AS (SELECT s FROM sh2 GROUP BY s
+         |            HAVING count(DISTINCT doc_id) > 1),
+         |nov AS (SELECT sh2.doc_id,
+         |    CAST((count(*) - count(shared2.s)) * 1000000 // count(*) AS BIGINT)
+         |      AS novelty_ppm
+         |  FROM sh2 LEFT JOIN shared2 ON sh2.s = shared2.s GROUP BY 1),
+         |e AS (SELECT d.lang, k.split,
+         |    1 + CASE WHEN n.novelty_ppm >= 400000 THEN 1 ELSE 0 END
+         |      + CASE WHEN s.stop_cnt * 10000 // s.n_tokens >= 700 THEN 1 ELSE 0 END
+         |      AS epochs,
+         |    s.n_tokens
+         |  FROM kept k
+         |  JOIN scores s ON k.doc_id = s.doc_id
+         |  JOIN nov n ON k.doc_id = n.doc_id
+         |  JOIN documents d ON k.doc_id = d.doc_id)
+         |SELECT lang, split, epochs, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |  CAST(sum(n_tokens * epochs) AS BIGINT) AS weighted_tokens
+         |FROM e GROUP BY 1, 2, 3""".stripMargin,
 
     "dd05_embed_neardup" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label

@@ -110,6 +110,35 @@ object Pipelines {
       .select(col("doc_id"), col("status"))
   }
 
+  /** pp06: TRAINING-MIX composer — the final data-recipe table: the
+    * pp01 keep/split decisions joined with the per-doc quality and
+    * novelty signals, folded into an integer repeat factor (`epochs`:
+    * 1 + a bonus for high cross-doc novelty + a bonus for fluent
+    * stopword density — the up-weighting every published data recipe
+    * applies to its best slices), then rolled up per
+    * (lang, split, epochs) with exact token masses. All banding is on
+    * exact integers (ppm / basis points), so the mix card is
+    * engine-reproducible bit-for-bit. Reuses pp01's single clustering
+    * pass; the three signal joins are |kept docs|-sized. */
+  def pp06TrainingMix(s: SparkSession, d: String): DataFrame = {
+    val kept = pp01TrainingPipeline(s, d).select(col("doc_id"), col("split"))
+    val sig = Text.tx02QualityScore(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("stop_cnt"))
+    val nov = Text.tx26Novelty(s, d).select(col("doc_id"), col("novelty_ppm"))
+    kept
+      .join(sig, Seq("doc_id"))
+      .join(nov, Seq("doc_id"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("stop_bp", expr("stop_cnt * 10000 div n_tokens"))
+      .withColumn("epochs",
+        lit(1) + when(col("novelty_ppm") >= 400000, 1).otherwise(0)
+               + when(col("stop_bp") >= 700, 1).otherwise(0))
+      .groupBy(col("lang"), col("split"), col("epochs"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("n_tokens") * col("epochs")).as("weighted_tokens"))
+  }
+
   def pp02ChunkDedupAudit(s: SparkSession, d: String): DataFrame = {
     val chunks = Multimodal.mm03Chunking(s, d).select(col("doc_id"), col("chunk_md5"))
     val dupSet = chunks.groupBy(col("chunk_md5"))
