@@ -174,6 +174,10 @@ object SparkEntry {
     "mm08_sig_neardup"      -> Multimodal.mm08SigNeardup _,
     "sk06_theta_sets"       -> Sketches.sk06ThetaSets _,
     "pp06_training_mix"     -> Pipelines.pp06TrainingMix _,
+    "tx27_gopher_rules"     -> Text.tx27GopherRules _,
+    "ev33_interarrival"     -> Events.ev33InterArrival _,
+    "pp07_decontam"         -> Pipelines.pp07Decontam _,
+    "pp08_stratified_sample" -> Pipelines.pp08StratifiedSample _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1868,5 +1872,79 @@ object SparkEntry {
         |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         | md5(text || '#' || CAST(i AS VARCHAR)) AS frame_hash
         |FROM f""".stripMargin,
+
+    "tx27_gopher_rules" ->
+      """WITH x AS (SELECT doc_id, trim(text) AS tt,
+        |             string_split(trim(text),' ') AS tk FROM documents),
+        |y AS (SELECT doc_id, len(tk) AS n_tokens,
+        |  (length(tt) - (len(tk) - 1)) * 100 // len(tk) AS mwl_c,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) * 1000000 // len(tk)
+        |    AS uniq_ppm,
+        |  len(list_filter(tk,
+        |    t -> t IN ('the','a','of','and','to','in'))) AS stop_cnt
+        |  FROM x),
+        |z AS (SELECT *,
+        |  CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END AS r_short,
+        |  CASE WHEN mwl_c < 250 OR mwl_c > 800 THEN 1 ELSE 0 END AS r_mwl,
+        |  CASE WHEN stop_cnt < 2 THEN 1 ELSE 0 END AS r_stop,
+        |  CASE WHEN uniq_ppm < 350000 THEN 1 ELSE 0 END AS r_rep
+        |  FROM y)
+        |SELECT doc_id, n_tokens, mwl_c, uniq_ppm, stop_cnt,
+        |  r_short, r_mwl, r_stop, r_rep,
+        |  CASE WHEN r_short + r_mwl + r_stop + r_rep = 0 THEN 1 ELSE 0 END
+        |    AS keep
+        |FROM z""".stripMargin,
+
+    "ev33_interarrival" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |          PARTITION BY user_id, event_type
+        |          ORDER BY ts, event_id) AS gap_s
+        |  FROM events),
+        |g2 AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |r AS (SELECT event_type, gap_s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap_s) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g2)
+        |SELECT event_type, max(n) AS n_gaps,
+        |  min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s,
+        |  sum(CASE WHEN rn = (50*(n-1)) // 100 + 1
+        |      THEN gap_s * (100 - (50*(n-1)) % 100) ELSE 0 END)
+        |    + sum(CASE WHEN rn = (50*(n-1)+99) // 100 + 1
+        |      THEN gap_s * ((50*(n-1)) % 100) ELSE 0 END) AS p50_cs,
+        |  sum(CASE WHEN rn = (90*(n-1)) // 100 + 1
+        |      THEN gap_s * (100 - (90*(n-1)) % 100) ELSE 0 END)
+        |    + sum(CASE WHEN rn = (90*(n-1)+99) // 100 + 1
+        |      THEN gap_s * ((90*(n-1)) % 100) ELSE 0 END) AS p90_cs
+        |FROM r GROUP BY event_type""".stripMargin,
+
+    "pp07_decontam" ->
+      """WITH t AS (SELECT doc_id,
+        |    substr(md5(text), 1, 1) IN ('0','1') AS is_eval,
+        |    string_split(trim(text),' ') AS tk
+        |  FROM documents
+        |  WHERE len(string_split(trim(text),' ')) >= 15),
+        |w AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-15+2),
+        |         i -> md5(array_to_string(list_slice(tk, i, i+14), ' '))))) AS wh
+        |      FROM t)
+        |SELECT tr.doc_id,
+        |  count(DISTINCT tr.wh) AS n_shared_windows,
+        |  count(DISTINCT ev.doc_id) AS n_eval_docs
+        |FROM w tr JOIN w ev ON tr.wh = ev.wh
+        |WHERE NOT tr.is_eval AND ev.is_eval
+        |GROUP BY tr.doc_id""".stripMargin,
+
+    "pp08_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |q AS (SELECT lang, count(*) * 2 // 5 AS quota FROM h GROUP BY lang),
+        |r AS (SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+        |WHERE r.rn <= q.quota""".stripMargin,
   )
 }

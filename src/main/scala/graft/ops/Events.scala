@@ -677,4 +677,42 @@ object Events {
       .orderBy(col("gap_s").desc, col("user_id"), col("gap_start"))
       .limit(20)
   }
+
+  /** ev33: inter-arrival gap distribution per event type — lag gaps
+    * inside each (user, type) stream, then exact ×100-grid order
+    * statistics per type via the value HISTOGRAM (the ev21/ev26
+    * pattern, grouped): the cumulative window runs over the tiny
+    * (type, gap) histogram — never the raw gap stream — so no
+    * per-type single-partition sort exists at any scale. */
+  def ev33InterArrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = ev(s, d)
+      .withColumn("prev_t", lag(col("ts").cast("long"), 1).over(w))
+      .filter(col("prev_t").isNotNull)
+      .select(col("event_type"),
+        (col("ts").cast("long") - col("prev_t")).as("gap_s"))
+    val hist = gaps.groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c"))
+        .over(Window.partitionBy(col("event_type")).orderBy(col("gap_s"))))
+    val tot = gaps.groupBy(col("event_type")).agg(count(lit(1)).as("_n"))
+    def pCol(p: Int, out: String): Seq[Column] = Seq(
+      min(when(expr(s"_cum >= ($p*(_n-1)) div 100 + 1"), col("gap_s")))
+        .as(s"_${out}_lo"),
+      min(when(expr(s"_cum >= ($p*(_n-1)+99) div 100 + 1"), col("gap_s")))
+        .as(s"_${out}_hi"))
+    val aggs: Seq[Column] = Seq(max(col("_n")).as("n_gaps"),
+      min(col("gap_s")).as("min_gap_s"),
+      max(col("gap_s")).as("max_gap_s")) ++ pCol(50, "p50") ++ pCol(90, "p90")
+    val agged = hist.join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+    agged.select(col("event_type"), col("n_gaps"), col("min_gap_s"),
+      col("max_gap_s"),
+      expr("_p50_lo * (100 - (50*(n_gaps-1)) % 100) + " +
+        "_p50_hi * ((50*(n_gaps-1)) % 100)").as("p50_cs"),
+      expr("_p90_lo * (100 - (90*(n_gaps-1)) % 100) + " +
+        "_p90_hi * ((90*(n_gaps-1)) % 100)").as("p90_cs"))
+  }
 }

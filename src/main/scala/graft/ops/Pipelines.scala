@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** End-to-end training-data pipeline (SURVEY.md §2) — the capstone
   * composition the engine exists for, as ONE lazy plan:
@@ -137,6 +138,81 @@ object Pipelines {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("tokens"),
         sum(col("n_tokens") * col("epochs")).as("weighted_tokens"))
+  }
+
+  /** pp07: benchmark-decontamination report — the train-set hygiene
+    * gate every LLM data pipeline runs before training. A
+    * deterministic hash split carves out a held-out "eval" slice
+    * (md5 first hex in 0..1 ≈ 1/8 of docs — stand-in for the real
+    * benchmark suite); every 15-token rolling window is hashed on
+    * both sides (dd12's machinery) and any train doc sharing a
+    * window with any eval doc is flagged with its overlap mass.
+    * At 100 TB the eval side is tiny and broadcast — the corpus-side
+    * windows stream past it without a shuffle. */
+  def pp07Decontam(s: SparkSession, d: String): DataFrame = {
+    val W = 15
+    val wins = Tables.documents(s, d)
+      .withColumn("is_eval",
+        substring(md5(col("text").cast("binary")), 1, 1).isin("0", "1"))
+      .withColumn("tk", split(trim(col("text")), " "))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"), col("is_eval"), explode(array_distinct(expr(
+        s"""transform(sequence(1, size(tk)-$W+1),
+           |  i -> md5(cast(array_join(slice(tk, i, $W), ' ') as binary)))"""
+          .stripMargin))).as("win_hash"))
+    val evalWins = wins.filter(col("is_eval"))
+      .select(col("win_hash"), col("doc_id").as("eval_id")).distinct()
+    wins.filter(!col("is_eval"))
+      .join(broadcast(evalWins), Seq("win_hash"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("win_hash")).as("n_shared_windows"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** pp08: stratified training-mix sampler with EXACT per-stratum
+    * quotas (40% of each language here) and zero per-stratum sorts —
+    * the piece naive `rank() OVER (PARTITION BY lang ORDER BY hash)`
+    * gets wrong at scale (each stratum funnels through ONE
+    * partition). Two-phase distributed selection instead (the ev17
+    * pattern): docs order by a deterministic md5 draw; a 256-bucket
+    * histogram per stratum finds the boundary bucket by prefix sum
+    * (tiny frame), buckets below it are kept wholesale, and only the
+    * boundary bucket — |stratum|/256 docs — is ranked. Output is
+    * bit-identical to the naive global rank, which is exactly what
+    * the oracle runs. */
+  def pp08StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))
+          .cast("binary")).as("hk"))
+      .withColumn("bucket", substring(col("hk"), 1, 2))
+    val quotas = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("quota", expr("n_docs * 2 div 5"))
+      .select(col("lang"), col("quota"))
+    val hist = docs.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("cum_thru", sum(col("bc"))
+        .over(Window.partitionBy(col("lang")).orderBy(col("bucket"))))
+      .join(broadcast(quotas), Seq("lang"))
+      // docs in strictly-lower buckets already kept before this one
+      .withColumn("cum_before", col("cum_thru") - col("bc"))
+    val fullBuckets = hist.filter(col("cum_thru") <= col("quota"))
+      .select(col("lang"), col("bucket"))
+    val boundary = hist
+      .filter(col("cum_before") < col("quota") && col("cum_thru") > col("quota"))
+      .select(col("lang"), col("bucket"),
+        (col("quota") - col("cum_before")).as("take"))
+    val keptFull = docs.join(broadcast(fullBuckets), Seq("lang", "bucket"))
+      .select(col("doc_id"), col("lang"), col("hk"))
+    val keptBoundary = docs.join(broadcast(boundary), Seq("lang", "bucket"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("lang"), col("bucket"))
+        .orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rn") <= col("take"))
+      .select(col("doc_id"), col("lang"), col("hk"))
+    keptFull.unionByName(keptBoundary)
+      .select(col("doc_id"), col("lang"))
   }
 
   def pp02ChunkDedupAudit(s: SparkSession, d: String): DataFrame = {

@@ -418,4 +418,35 @@ object Text {
       .agg(count(lit(1)).as("n_tokens"), count(col("in_vocab")).as("n_in_vocab"))
       .withColumn("coverage_bp", expr("n_in_vocab * 10000 div n_tokens"))
   }
+
+  /** tx27: Gopher-style rule-based quality filter — the published
+    * composite heuristics (length band, mean-word-length band,
+    * stopword floor, repetition ceiling) as independent per-rule
+    * flags plus the combined keep bit, so downstream mixes can both
+    * filter and audit WHICH rule fired. Every signal is computed on
+    * an exact integer grid (×100 mean word length, ppm uniqueness),
+    * per-row and codegen'd — zero shuffles, linear at any corpus
+    * size. */
+  def tx27GopherRules(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("tk", tokens)
+      .withColumn("n_tokens", size(col("tk")))
+      // mean word length ×100: total non-space chars over token count
+      .withColumn("mwl_c",
+        expr("(length(trim(text)) - (n_tokens - 1)) * 100 div n_tokens"))
+      .withColumn("uniq_ppm",
+        expr("CAST(size(array_distinct(tk)) AS BIGINT) * 1000000 div n_tokens"))
+      .withColumn("stop_cnt",
+        expr("size(filter(tk, t -> t in ('the','a','of','and','to','in')))"))
+      .withColumn("r_short", when(col("n_tokens") < 20, 1).otherwise(0))
+      .withColumn("r_mwl",
+        when(col("mwl_c") < 250 || col("mwl_c") > 800, 1).otherwise(0))
+      .withColumn("r_stop", when(col("stop_cnt") < 2, 1).otherwise(0))
+      .withColumn("r_rep", when(col("uniq_ppm") < 350000, 1).otherwise(0))
+      .withColumn("keep",
+        when(col("r_short") + col("r_mwl") + col("r_stop") + col("r_rep") === 0,
+          1).otherwise(0))
+      .select(col("doc_id"), col("n_tokens"), col("mwl_c"), col("uniq_ppm"),
+        col("stop_cnt"), col("r_short"), col("r_mwl"), col("r_stop"),
+        col("r_rep"), col("keep"))
 }
