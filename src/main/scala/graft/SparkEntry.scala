@@ -178,6 +178,8 @@ object SparkEntry {
     "ev33_interarrival"     -> Events.ev33InterArrival _,
     "pp07_decontam"         -> Pipelines.pp07Decontam _,
     "pp08_stratified_sample" -> Pipelines.pp08StratifiedSample _,
+    "sk07_hll_rollup"       -> Sketches.sk07HllRollup _,
+    "q47_higher_order"      -> Relational.q47HigherOrder _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1935,6 +1937,20 @@ object SparkEntry {
         |FROM w tr JOIN w ev ON tr.wh = ev.wh
         |WHERE NOT tr.is_eval AND ev.is_eval
         |GROUP BY tr.doc_id""".stripMargin,
+
+    "q47_higher_order" ->
+      """WITH a AS (SELECT l_orderkey,
+        |    list_sort(list(CAST(l_quantity AS INTEGER))) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  len(qs) AS n_items,
+        |  CAST(list_sum(qs) AS BIGINT) AS sum_q,
+        |  len(list_filter(qs, x -> x > 25)) AS n_big,
+        |  CASE WHEN len(list_filter(qs, x -> x = 50)) > 0 THEN 1 ELSE 0 END
+        |    AS has_50,
+        |  CAST(list_sum(list_transform(qs, x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS sum_sq
+        |FROM a""".stripMargin,
 
     "pp08_stratified_sample" ->
       """WITH h AS (SELECT doc_id, lang,

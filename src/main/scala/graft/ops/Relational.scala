@@ -668,4 +668,23 @@ object Relational {
         min(col("price_d")).as("min_d"),
         max(col("price_d")).as("max_d"),
         count(lit(1)).as("n_orders"))
+
+  /** q47: higher-order array-function surface — per-order quantity
+    * vectors folded with `aggregate`/`transform`/`filter`/`exists`
+    * lambdas, all codegen-compatible and driver-free. The collect_list
+    * is per-order (bounded ~7 items by the data model), so the array
+    * column is small everywhere; the lambdas then run per-row with no
+    * further shuffle. Quantities are integral by the data model, so
+    * the int cast is exact. */
+  def q47HigherOrder(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("qs"))
+      .select(col("l_orderkey"),
+        expr("size(qs)").as("n_items"),
+        expr("aggregate(qs, 0L, (acc, x) -> acc + x)").as("sum_q"),
+        expr("size(filter(qs, x -> x > 25))").as("n_big"),
+        expr("CAST(exists(qs, x -> x = 50) AS INT)").as("has_50"),
+        expr("aggregate(transform(qs, x -> CAST(x AS BIGINT) * x), 0L, " +
+          "(acc, x) -> acc + x)").as("sum_sq"))
 }

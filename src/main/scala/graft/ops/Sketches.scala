@@ -139,4 +139,27 @@ object Sketches {
     toks.agg(cms.as("est_map"))
       .select(explode(col("est_map")).as(Seq("token", "est_count")))
   }
+
+  /** sk07: mergeable HLL ROLLUP — the canonical 100 TB
+    * re-aggregation: per-(type, day) Datasketches HLL sketches are
+    * built ONCE from the raw stream, then the per-type totals come
+    * from merging the daily sketches (`hll_union_agg`), never from
+    * re-scanning raw events. At scale the daily sketch table is the
+    * stored artifact (a few KB per cell) and every coarser rollup —
+    * week, month, all-time — is a sketch merge. The spec asserts the
+    * merged estimate tracks the exact distinct within the lgK=12
+    * error envelope. */
+  def sk07HllRollup(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n_ev"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_ev")).as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_users_merged"),
+        sum(hll_sketch_estimate(col("sk"))).as("sum_daily_est"))
+  }
 }

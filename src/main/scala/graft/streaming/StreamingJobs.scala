@@ -144,6 +144,21 @@ object StreamingJobs {
         expr("transform(top, p -> CAST(p._1 AS BIGINT))").as("top_values_c"))
   }
 
+  /** st11: streaming approximate-distinct users per event type — the
+    * Datasketches HLL aggregate holding its ~KB sketch in the
+    * streaming state store, the streaming twin of the sk07 batch
+    * rollup: distinct-user counts update incrementally per
+    * micro-batch without retaining user ids, and the same sketch
+    * column could be persisted and later merged with batch sketches
+    * (one sketch format across both planes). Update mode re-emits
+    * only touched types. */
+  def streamingDistinctUsers(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        hll_sketch_estimate(col("sk")).as("est_users"), col("n_events"))
+
   /** st02: stateful gap sessionization (30-minute inactivity) with
     * explicit per-key state via flatMapGroupsWithState. State per user
     * is O(1) — just the open session bounds — and is emitted+cleared

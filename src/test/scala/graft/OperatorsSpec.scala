@@ -48,7 +48,7 @@ class OperatorsSpec extends SparkTestBase {
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
       "dd09_minhash_est", "ss08_sq8_rerank", "ss10_pq_topk",
       "sk04_kll_quantiles", "sk05_bloom_prejoin",
-      "sk06_theta_sets")  // SURVEY.md §2
+      "sk06_theta_sets", "sk07_hll_rollup")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -276,6 +276,26 @@ class OperatorsSpec extends SparkTestBase {
     exact.foreach { case (k, ex) =>
       val err = math.abs(approx(k) - ex).toDouble / ex
       assert(err <= 0.05, s"sk01 $k: approx ${approx(k)} vs exact $ex (err $err)")
+    }
+  }
+
+  test("sk07 merged HLL rollup tracks exact distinct within 5%") {
+    val rolled = ops.Sketches.sk07HllRollup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(rolled(k) - ex).toDouble / ex
+      assert(err <= 0.05, s"sk07 $k: merged ${rolled(k)} vs exact $ex (err $err)")
+    }
+    // the union can never exceed the sum of the per-day estimates by
+    // more than sketch error; with overlapping daily actives it should
+    // sit well below (users repeat across days)
+    ops.Sketches.sk07HllRollup(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4) * 1.05,
+        s"sk07 ${r.getString(0)}: merged > sum of daily estimates")
     }
   }
 

@@ -50,6 +50,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st11 streaming HLL distinct-users updates across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(1), 1, "view", 1.0),
+      Event(2, ts(2), 2, "view", 1.0),
+      Event(3, ts(3), 1, "view", 1.0))   // user 1 repeats — not double-counted
+    val q = StreamingJobs.streamingDistinctUsers(in.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("st11_out").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.sql("SELECT est_users FROM st11_out WHERE event_type='view'")
+        .collect()(0).getLong(0)
+      assert(r1 == 2, s"expected 2 distinct users, got $r1")
+      in.addData(Event(4, ts(4), 3, "view", 1.0))  // new user in a later batch
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT est_users FROM st11_out WHERE event_type='view'")
+        .collect()(0).getLong(0)
+      assert(r2 == 3, s"expected 3 distinct users after second batch, got $r2")
+    } finally q.stop()
+  }
+
   test("st04 stream-stream interval join attributes purchases to recent views") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
