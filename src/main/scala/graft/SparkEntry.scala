@@ -180,6 +180,9 @@ object SparkEntry {
     "pp08_stratified_sample" -> Pipelines.pp08StratifiedSample _,
     "sk07_hll_rollup"       -> Sketches.sk07HllRollup _,
     "q47_higher_order"      -> Relational.q47HigherOrder _,
+    "gr06_minlabel"         -> Graph.gr06MinLabel _,
+    "pp09_quality_gate"     -> Pipelines.pp09QualityGate _,
+    "ss12_mmr_topk"         -> Similarity.ss12MmrTopk _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1937,6 +1940,53 @@ object SparkEntry {
         |FROM w tr JOIN w ev ON tr.wh = ev.wh
         |WHERE NOT tr.is_eval AND ev.is_eval
         |GROUP BY tr.doc_id""".stripMargin,
+
+    "gr06_minlabel" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""l$k AS (SELECT l.node, least(l.lbl, min(nb.lbl)) AS lbl
+           |  FROM l${k - 1} l JOIN e ON e.src = l.node
+           |  JOIN l${k - 1} nb ON nb.node = e.dst
+           |  GROUP BY l.node, l.lbl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+         |    FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         |$rounds
+         |SELECT node AS part_id, lbl AS component_id FROM l5""".stripMargin
+    },
+
+    "pp09_quality_gate" ->
+      """SELECT 'orders' AS table_name, 'fk_custkey' AS check_name,
+        |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_violations, count(*) AS n_rows
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'lineitem', 'fk_orderkey',
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT), count(*)
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem', 'qty_range',
+        |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1
+        |    ELSE 0 END) AS BIGINT), count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'events', 'null_user',
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*) FROM events
+        |UNION ALL
+        |SELECT 'customer', 'pk_unique',
+        |  count(*) - count(DISTINCT c_custkey), count(*) FROM customer
+        |UNION ALL
+        |SELECT 'documents', 'chars_consistent',
+        |  CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+        |    AS BIGINT), count(*) FROM documents
+        |UNION ALL
+        |SELECT 'embeddings', 'dim_consistent',
+        |  CAST(sum(CASE WHEN len(embedding) != 64 THEN 1 ELSE 0 END)
+        |    AS BIGINT), count(*) FROM embeddings""".stripMargin,
 
     "q47_higher_order" ->
       """WITH a AS (SELECT l_orderkey,

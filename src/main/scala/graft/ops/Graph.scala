@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -117,6 +118,40 @@ object Graph {
     }
     bi.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
       .select(col("src").as("doc_id"), col("core_degree"))
+  }
+
+  /** gr06: min-label propagation components on the co-purchase graph
+    * (parts sharing an order) — a FIXED 5 synchronous rounds, the
+    * connected-components kernel in its oracle-replayable form: a
+    * fixed unroll is deterministic where a converge-loop is not, and
+    * five rounds label every node with the min id within graph
+    * distance 5 (on this graph, effectively the component min). Each
+    * round is one edge⋈label join + min-agg, frames ∝ |edges|; labels
+    * cache per round so the lazy unroll doesn't re-execute prior
+    * rounds (the gr05 compounding hazard). The per-order pair
+    * expansion is bounded by the ≤7-items-per-order data model —
+    * never quadratic in the table. */
+  def gr06MinLabel(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+    val bi = CacheScope.cached(e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = bi.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 5) {
+      val nbrMin = bi
+        .join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")),
+          Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_min"))
+      labels = CacheScope.cached(
+        labels.join(nbrMin.select(col("nbr_min"), col("src").as("node")),
+            Seq("node"))
+          .select(col("node"), least(col("lbl"), col("nbr_min")).as("lbl")))
+    }
+    labels.select(col("node").as("part_id"), col("lbl").as("component_id"))
   }
 
   /** gr03: PageRank of the near-dup graph — which documents sit at the

@@ -215,6 +215,53 @@ object Pipelines {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** pp09: declarative data-quality gate — the constraint report run
+    * before any table is admitted to the lake: referential integrity,
+    * primary-key uniqueness, range/null checks, and derived-column
+    * consistency, one row per (table, check) with violation and total
+    * counts. Each check is an independent aggregate over one scan
+    * (the FK checks are broadcast anti-joins against the small key
+    * side), so the whole gate is a handful of parallel linear passes
+    * — no check ever materializes the violating rows unless asked. */
+  def pp09QualityGate(s: SparkSession, d: String): DataFrame = {
+    def checkRow(table: String, check: String, df: DataFrame): DataFrame =
+      df.select(lit(table).as("table_name"), lit(check).as("check_name"),
+        col("n_violations"), col("n_rows"))
+    val custKeys = Tables.customer(s, d).select(col("c_custkey"))
+    val orderKeys = Tables.orders(s, d).select(col("o_orderkey"))
+    val fkOrders = Tables.orders(s, d)
+      .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"),
+        "left_outer")
+      .agg(count(when(col("c_custkey").isNull, 1)).as("n_violations"),
+        count(lit(1)).as("n_rows"))
+    val fkLineitem = Tables.lineitem(s, d)
+      .join(orderKeys, col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .agg(count(when(col("o_orderkey").isNull, 1)).as("n_violations"),
+        count(lit(1)).as("n_rows"))
+    val qtyRange = Tables.lineitem(s, d)
+      .agg(count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+        .as("n_violations"), count(lit(1)).as("n_rows"))
+    val nullUser = Tables.events(s, d)
+      .agg(count(when(col("user_id").isNull, 1)).as("n_violations"),
+        count(lit(1)).as("n_rows"))
+    val pkCust = Tables.customer(s, d)
+      .agg((count(lit(1)) - countDistinct(col("c_custkey")))
+        .as("n_violations"), count(lit(1)).as("n_rows"))
+    val charsConsistent = Tables.documents(s, d)
+      .agg(count(when(col("n_chars") =!= length(col("text")), 1))
+        .as("n_violations"), count(lit(1)).as("n_rows"))
+    val dimConsistent = Tables.embeddings(s, d)
+      .agg(count(when(size(col("embedding")) =!= 64, 1)).as("n_violations"),
+        count(lit(1)).as("n_rows"))
+    checkRow("orders", "fk_custkey", fkOrders)
+      .unionByName(checkRow("lineitem", "fk_orderkey", fkLineitem))
+      .unionByName(checkRow("lineitem", "qty_range", qtyRange))
+      .unionByName(checkRow("events", "null_user", nullUser))
+      .unionByName(checkRow("customer", "pk_unique", pkCust))
+      .unionByName(checkRow("documents", "chars_consistent", charsConsistent))
+      .unionByName(checkRow("embeddings", "dim_consistent", dimConsistent))
+  }
+
   def pp02ChunkDedupAudit(s: SparkSession, d: String): DataFrame = {
     val chunks = Multimodal.mm03Chunking(s, d).select(col("doc_id"), col("chunk_md5"))
     val dupSet = chunks.groupBy(col("chunk_md5"))

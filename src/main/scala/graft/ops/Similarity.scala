@@ -405,4 +405,67 @@ object Similarity {
       emb.join(broadcast(queries), col("vec_id") =!= col("qid")),
       expr("dot_product(q_emb, embedding)"), 5)
   }
+
+  /** ss12: MMR-diversified top-k (maximal marginal relevance, λ=0.7) —
+    * the retrieval-diversification pass run after candidate
+    * generation: from each query's top-20 cosine candidates, greedily
+    * pick 5 maximizing λ·relevance − (1−λ)·max-similarity-to-chosen.
+    * The candidate stage is ss01's scale shape (broadcast queries,
+    * partial-aggregable top-k — the corpus is never shuffled); the
+    * greedy stage runs per query over ≤20 bounded candidates via
+    * mapGroups (genuinely iterative — no relational form), so its
+    * cost is k²·|queries| regardless of corpus size. Deterministic:
+    * candidates sort (score desc, id asc), argmax ties break on id.
+    * Float-fold scores make this rows+spec (vs ss01) like ss08/ss10. */
+  def ss12MmrTopk(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val topk = udaf(new graft.functions.TopKPairAggregator(20))
+    val cand = emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("score", expr("cosine_sim(q_emb, embedding)"))
+      .groupBy(col("qid")).agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(col("qid"), explode(col("top")).as("pair"))
+      .select(col("qid"), col("pair._1").as("score"), col("pair._2").as("cid"))
+    // re-fetch the ~200 candidate vectors via a broadcast id list (the
+    // ss08 pattern) instead of carrying vectors through the aggregation
+    val withVec = emb.select(col("vec_id").as("cid"), col("embedding"))
+      .join(broadcast(cand), Seq("cid"))
+      .select(col("qid"), col("cid"), col("score"), col("embedding"))
+      .as[(Long, Long, Double, Seq[Float])]
+    withVec.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cands = it.toArray.sortBy(c => (-c._3, c._2))
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (chosen.size < 5 && chosen.size < cands.length) {
+        var bestIdx = -1; var bestVal = Double.NegativeInfinity
+        var i = 0
+        while (i < cands.length) {
+          if (!chosen.contains(i)) {
+            val maxSim = if (chosen.isEmpty) 0.0
+              else chosen.map(j => cos(cands(i)._4, cands(j)._4)).max
+            val v = 0.7 * cands(i)._3 - 0.3 * maxSim
+            if (v > bestVal ||
+                (v == bestVal && bestIdx >= 0 && cands(i)._2 < cands(bestIdx)._2)) {
+              bestVal = v; bestIdx = i
+            }
+          }
+          i += 1
+        }
+        chosen += bestIdx
+      }
+      chosen.iterator.zipWithIndex.map { case (ci, rk) =>
+        (qid, rk + 1, cands(ci)._2)
+      }
+    }.toDF("qid", "rk", "neighbor_id")
+  }
 }

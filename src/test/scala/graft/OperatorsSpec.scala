@@ -48,7 +48,7 @@ class OperatorsSpec extends SparkTestBase {
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
       "dd09_minhash_est", "ss08_sq8_rerank", "ss10_pq_topk",
       "sk04_kll_quantiles", "sk05_bloom_prejoin",
-      "sk06_theta_sets", "sk07_hll_rollup")  // SURVEY.md §2
+      "sk06_theta_sets", "sk07_hll_rollup", "ss12_mmr_topk")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -297,6 +297,42 @@ class OperatorsSpec extends SparkTestBase {
       assert(r.getLong(3) <= r.getLong(4) * 1.05,
         s"sk07 ${r.getString(0)}: merged > sum of daily estimates")
     }
+  }
+
+  test("ss12 MMR picks are valid, start at the top hit, and diversify") {
+    val mmr = ops.Similarity.ss12MmrTopk(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)) }
+    val brute = ops.Similarity.ss01BruteTopk(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Number]("rk").longValue).map(_.getLong(1)) }
+    assert(mmr.keySet == brute.keySet)
+    mmr.foreach { case (q, picks) =>
+      assert(picks.length == 5 && picks.distinct.length == 5,
+        s"ss12 q$q: expected 5 distinct picks")
+      // the first MMR pick is pure relevance == ss01's rank-1 neighbor
+      assert(picks.head == brute(q).head,
+        s"ss12 q$q: first pick ${picks.head} != brute rank-1 ${brute(q).head}")
+    }
+    // diversification: averaged over queries, the MMR set's pairwise
+    // cosine must not exceed the plain top-5 set's (small tolerance —
+    // individual queries may tie when candidates are uniformly close)
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def avgPairCos(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length) yield {
+        val (a, b) = (vecs(ids(i)), vecs(ids(j)))
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(b.map(x => x.toDouble * x).sum))
+      }
+      ps.sum / ps.length
+    }
+    val mmrDiv = mmr.map { case (_, p) => avgPairCos(p) }.sum / mmr.size
+    val bruteDiv = brute.map { case (_, p) => avgPairCos(p) }.sum / brute.size
+    assert(mmrDiv <= bruteDiv + 0.02,
+      s"ss12: MMR sets not more diverse (mmr $mmrDiv vs brute $bruteDiv)")
   }
 
   test("sk02 quantile sketch within 2% of exact per status") {
