@@ -18,7 +18,11 @@ object ExplainMain {
         // round-3 plan-review set: aggregate top-k, PQ ADC, bucketed
         // fact-fact, distributed ntile, token-window dedup, stickiness
         "ss10_pq_topk", "q44_bucketed_join", "ev17_rfm_scores",
-        "dd12_token_windows", "ev30_stickiness", "sk06_theta_sets")
+        "dd12_token_windows", "ev30_stickiness", "sk06_theta_sets",
+        // continuation plan-review set: exact-quota sampler, decontam,
+        // grouped histogram percentiles, HLL rollup, GC audit
+        "pp08_stratified_sample", "pp07_decontam", "ev33_interarrival",
+        "sk07_hll_rollup", "mm09_gc_audit", "gr06_minlabel")
     for (q <- queries) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

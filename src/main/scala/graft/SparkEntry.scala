@@ -183,6 +183,9 @@ object SparkEntry {
     "gr06_minlabel"         -> Graph.gr06MinLabel _,
     "pp09_quality_gate"     -> Pipelines.pp09QualityGate _,
     "ss12_mmr_topk"         -> Similarity.ss12MmrTopk _,
+    "tx28_vocab_growth"     -> Text.tx28VocabGrowth _,
+    "mm09_gc_audit"         -> Multimodal.mm09GcAudit _,
+    "q48_calendar_ops"      -> Relational.q48CalendarOps _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1940,6 +1943,60 @@ object SparkEntry {
         |FROM w tr JOIN w ev ON tr.wh = ev.wh
         |WHERE NOT tr.is_eval AND ev.is_eval
         |GROUP BY tr.doc_id""".stripMargin,
+
+    "tx28_vocab_growth" ->
+      """WITH tc AS (SELECT source, tok, count(*) AS cnt
+        |  FROM (SELECT source, unnest(string_split(trim(text),' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY source, tok),
+        |agg AS (SELECT source,
+        |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM tc GROUP BY source)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  n_types * 10000 // n_tokens AS ttr_bp,
+        |  n_hapax * 10000 // n_types AS hapax_bp
+        |FROM agg""".stripMargin,
+
+    "mm09_gc_audit" -> {
+      s"""WITH refs AS ($chunksSql),
+         |rules AS (SELECT doc_id,
+         |    len(string_split(trim(text),' ')) AS n_tokens,
+         |    (length(trim(text)) - (len(string_split(trim(text),' ')) - 1))
+         |      * 100 // len(string_split(trim(text),' ')) AS mwl_c,
+         |    CAST(len(list_distinct(string_split(trim(text),' '))) AS BIGINT)
+         |      * 1000000 // len(string_split(trim(text),' ')) AS uniq_ppm,
+         |    len(list_filter(string_split(trim(text),' '),
+         |      t -> t IN ('the','a','of','and','to','in'))) AS stop_cnt
+         |  FROM documents),
+         |live AS (SELECT doc_id FROM rules
+         |  WHERE n_tokens >= 20 AND mwl_c BETWEEN 250 AND 800
+         |    AND stop_cnt >= 2 AND uniq_ppm >= 350000),
+         |flags AS (SELECT r.chunk_md5,
+         |    CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS lv
+         |  FROM refs r LEFT JOIN live l ON r.doc_id = l.doc_id),
+         |blobs AS (SELECT chunk_md5, max(lv) AS has_live, min(lv) AS all_live,
+         |    count(*) AS n_refs
+         |  FROM flags GROUP BY chunk_md5)
+         |SELECT CASE WHEN has_live = 0 THEN 'garbage'
+         |            WHEN all_live = 1 THEN 'live_only'
+         |            ELSE 'mixed' END AS status,
+         |  count(*) AS n_blobs, CAST(sum(n_refs) AS BIGINT) AS n_refs
+         |FROM blobs GROUP BY 1""".stripMargin
+    },
+
+    "q48_calendar_ops" ->
+      """WITH x AS (SELECT o_orderkey, o_orderdate,
+        |    date_trunc('quarter', o_orderdate) AS qtr_start,
+        |    last_day(o_orderdate + INTERVAL 3 MONTH) AS due_eom
+        |  FROM orders)
+        |SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+        |  count(*) AS n_orders,
+        |  max(date_diff('day', qtr_start, o_orderdate)) AS max_days_into_q,
+        |  min(due_eom) AS min_due_eom, max(due_eom) AS max_due_eom
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "gr06_minlabel" -> {
       val rounds = (1 to 5).map { k =>

@@ -169,4 +169,32 @@ object Multimodal {
         "array_join(transform(vals, v -> CASE WHEN v > m THEN '1' ELSE '0' END), '')"))
       .groupBy(col("sig")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
+
+  /** mm09: content-addressable-store GC audit — the deletion-safety
+    * report run before purging blobs from a dedup'd chunk store: when
+    * the quality gate (tx27) retires documents, a chunk is GARBAGE
+    * only if NO surviving document references it; chunks shared
+    * across the keep boundary must be retained. One groupBy over the
+    * (chunk, doc) reference table with min/max flags — the same
+    * linear shape at any store size, and the classic bug it guards
+    * against (deleting a blob a live doc still references) is
+    * structurally impossible to miss. */
+  def mm09GcAudit(s: SparkSession, d: String): DataFrame = {
+    val refs = mm03Chunking(s, d).select(col("doc_id"), col("chunk_md5"))
+    // keep-list is |docs|-sized — joined on doc_id (never broadcast);
+    // AQE downgrades to broadcast at small SFs on its own
+    val live = Text.tx27GopherRules(s, d)
+      .filter(col("keep") === 1).select(col("doc_id"), lit(1).as("is_live"))
+    refs.join(live, Seq("doc_id"), "left_outer")
+      .withColumn("lv", coalesce(col("is_live"), lit(0)))
+      .groupBy(col("chunk_md5"))
+      .agg(max(col("lv")).as("has_live"), min(col("lv")).as("all_live"),
+        count(lit(1)).as("n_refs"))
+      .withColumn("status",
+        when(col("has_live") === 0, "garbage")
+          .when(col("all_live") === 1, "live_only")
+          .otherwise("mixed"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("n_refs")).as("n_refs"))
+  }
 }

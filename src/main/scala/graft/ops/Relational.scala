@@ -687,4 +687,22 @@ object Relational {
         expr("CAST(exists(qs, x -> x = 50) AS INT)").as("has_50"),
         expr("aggregate(transform(qs, x -> CAST(x AS BIGINT) * x), 0L, " +
           "(acc, x) -> acc + x)").as("sum_sq"))
+
+  /** q48: calendar / interval arithmetic surface — quarter rollup of
+    * orders with end-of-month clamping (`add_months` + `last_day`,
+    * which both engines clamp identically) and day-offset arithmetic,
+    * all on DATE (no timestamp-zone hazard). Per-quarter output stays
+    * tiny at any scale; the date functions are codegen'd per-row. */
+  def q48CalendarOps(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("qtr_start", date_trunc("quarter", col("o_orderdate"))
+        .cast("date"))
+      .withColumn("days_into_q", datediff(col("o_orderdate"), col("qtr_start")))
+      .withColumn("due_eom", last_day(add_months(col("o_orderdate"), 3)))
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("days_into_q")).as("max_days_into_q"),
+        min(col("due_eom")).as("min_due_eom"),
+        max(col("due_eom")).as("max_due_eom"))
 }

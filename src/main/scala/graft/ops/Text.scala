@@ -449,4 +449,22 @@ object Text {
       .select(col("doc_id"), col("n_tokens"), col("mwl_c"), col("uniq_ppm"),
         col("stop_cnt"), col("r_short"), col("r_mwl"), col("r_stop"),
         col("r_rep"), col("keep"))
+
+  /** tx28: vocabulary-growth (Heaps-law) audit per source — token
+    * mass, distinct vocabulary, hapax count (types seen once), and
+    * type-token ratio in exact bp. The per-(source, token) aggregate
+    * shrinks the exploded stream map-side before anything shuffles;
+    * sources whose hapax share collapses are the ones whose crawler
+    * is re-fetching the same pages (vocabulary stops growing — the
+    * corpus-governance signal this exists for). */
+  def tx28VocabGrowth(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_bp", expr("n_types * 10000 div n_tokens"))
+      .withColumn("hapax_bp", expr("n_hapax * 10000 div n_types"))
 }
