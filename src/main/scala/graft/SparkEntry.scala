@@ -186,6 +186,9 @@ object SparkEntry {
     "tx28_vocab_growth"     -> Text.tx28VocabGrowth _,
     "mm09_gc_audit"         -> Multimodal.mm09GcAudit _,
     "q48_calendar_ops"      -> Relational.q48CalendarOps _,
+    "q49_hot_cold_join"     -> Relational.q49HotColdJoin _,
+    "sk08_bottomk_sample"   -> Sketches.sk08BottomkSample _,
+    "tx29_bigram_coverage"  -> Text.tx29BigramCoverage _,
   )
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -1943,6 +1946,44 @@ object SparkEntry {
         |FROM w tr JOIN w ev ON tr.wh = ev.wh
         |WHERE NOT tr.is_eval AND ev.is_eval
         |GROUP BY tr.doc_id""".stripMargin,
+
+    "q49_hot_cold_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS revenue_c
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "sk08_bottomk_sample" ->
+      """WITH h AS (SELECT event_type, event_id,
+        |    md5(CAST(event_id AS VARCHAR)) AS hh
+        |  FROM events),
+        |v AS (SELECT event_type, event_id,
+        |    CAST(list_sum(list_transform(range(0,8), k ->
+        |      CAST(strpos('0123456789abcdef', substr(hh, k+1, 1)) - 1
+        |        AS BIGINT) * (CAST(1 AS BIGINT) << (4*(7-k))))) AS BIGINT)
+        |      AS hv
+        |  FROM h),
+        |r AS (SELECT event_type, event_id, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY hv, event_id) AS rk
+        |  FROM v)
+        |SELECT event_type, rk, event_id FROM r WHERE rk <= 5""".stripMargin,
+
+    "tx29_bigram_coverage" ->
+      """WITH bg AS (SELECT doc_id, unnest(list_transform(
+        |      range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |        FROM documents)
+        |  WHERE len(tk) >= 2),
+        |vocab AS (SELECT bigram FROM bg GROUP BY bigram
+        |  ORDER BY count(*) DESC, bigram LIMIT 200)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN v.bigram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_in_lm,
+        |  CAST(sum(CASE WHEN v.bigram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    * 10000 // count(*) AS coverage_bp
+        |FROM bg b LEFT JOIN vocab v ON b.bigram = v.bigram
+        |GROUP BY b.doc_id""".stripMargin,
 
     "tx28_vocab_growth" ->
       """WITH tc AS (SELECT source, tok, count(*) AS cnt

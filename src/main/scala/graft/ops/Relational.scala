@@ -705,4 +705,37 @@ object Relational {
         max(col("days_into_q")).as("max_days_into_q"),
         min(col("due_eom")).as("min_due_eom"),
         max(col("due_eom")).as("max_due_eom"))
+
+  /** q49: hot/cold ROUTED join — the manual skew-split pattern for
+    * when one join key dwarfs the rest and AQE's skew splitting isn't
+    * available (e.g. a broadcast-ineligible dimension): keys above a
+    * frequency threshold route through a broadcast map-side join (no
+    * shuffle of their — dominant — fact rows), the long tail through
+    * the ordinary shuffle join, results unioned. The oracle is the
+    * plain join aggregate: routing must be a pure execution-strategy
+    * choice with zero semantic footprint. Threshold ≥6 items marks
+    * ~15% of orders "hot" here; at 100 TB the hot set is whatever
+    * fits the broadcast budget. */
+  def q49HotColdJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val hotKeys = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 6)
+      .select(col("l_orderkey").as("hk"))
+    val liTagged = li.join(broadcast(hotKeys),
+      col("l_orderkey") === col("hk"), "left_outer")
+    val hotSide = liTagged.filter(col("hk").isNotNull)
+      .join(broadcast(ord.join(broadcast(hotKeys),
+        col("o_orderkey") === col("hk")).drop("hk")),
+        col("l_orderkey") === col("o_orderkey"))
+    val coldSide = liTagged.filter(col("hk").isNull)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+    hotSide.unionByName(coldSide)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        expr("CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)")
+          .as("revenue_c"))
+  }
 }

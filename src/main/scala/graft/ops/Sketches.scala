@@ -149,6 +149,26 @@ object Sketches {
     * week, month, all-time — is a sketch merge. The spec asserts the
     * merged estimate tracks the exact distinct within the lgK=12
     * error envelope. */
+  /** sk08: deterministic bottom-k sample per group — the distributed
+    * replacement for reservoir sampling: rank rows by a uniform hash
+    * draw (md5 of the row key) and keep each group's k smallest via
+    * the partial-aggregable TopKPairAggregator on the negated hash.
+    * Mergeable (bottom-k of a union = bottom-k of merged bottom-ks —
+    * the KMV property), map-side combined, and unlike a reservoir it
+    * is ORDER-INDEPENDENT, which is why this one is exactly
+    * oracle-checkable while classic reservoir sampling never is. */
+  def sk08BottomkSample(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKPairAggregator(5))
+    Tables.events(s, d)
+      .withColumn("hv", expr(
+        "CAST(conv(substring(md5(cast(cast(event_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(topk(negate(col("hv")).cast("double"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("event_type"), (col("pos") + 1).as("rk"),
+        col("pair._2").as("event_id"))
+  }
+
   def sk07HllRollup(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .withColumn("day", to_date(col("ts")))

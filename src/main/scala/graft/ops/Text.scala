@@ -467,4 +467,28 @@ object Text {
         sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .withColumn("ttr_bp", expr("n_types * 10000 div n_tokens"))
       .withColumn("hapax_bp", expr("n_hapax * 10000 div n_types"))
+
+  /** tx29: bigram-LM coverage score — the integer-grid stand-in for a
+    * perplexity quality filter: each document's share of bigrams that
+    * appear in the corpus top-200 bigram vocabulary, in exact bp.
+    * Out-of-model bigram mass is the fluency signal (a doc whose
+    * transitions the corpus LM has never seen is noise or novelty —
+    * tx26 separates which). tx15's two-level shape at bigram
+    * granularity: the vocab aggregate shrinks to 200 rows that
+    * broadcast back onto the exploded bigram stream. */
+  def tx29BigramCoverage(s: SparkSession, d: String): DataFrame = {
+    val docBi = Tables.documents(s, d)
+      .withColumn("tk", tokens)
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk)-1), i -> concat(element_at(tk, i), ' ', element_at(tk, i+1)))"))
+        .as("bigram"))
+    val vocab = docBi.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram")).limit(200)
+      .select(col("bigram"), lit(1).as("in_lm"))
+    docBi.join(broadcast(vocab), Seq("bigram"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), count(col("in_lm")).as("n_in_lm"))
+      .withColumn("coverage_bp", expr("n_in_lm * 10000 div n_bigrams"))
+  }
 }
