@@ -189,7 +189,51 @@ object SparkEntry {
     "q49_hot_cold_join"     -> Relational.q49HotColdJoin _,
     "sk08_bottomk_sample"   -> Sketches.sk08BottomkSample _,
     "tx29_bigram_coverage"  -> Text.tx29BigramCoverage _,
+    "q50_null_semantics"    -> Relational.q50NullSemantics _,
+    "dd14_simhash_precision" -> Dedup.dd14SimhashPrecision _,
   )
+
+  /** Shared SimHash candidate+verify CTE chain (through the `pairs`
+    * frame) — used by dd03 (hamming filter) and dd14 (precision
+    * aggregate). */
+  private val simhashPairsSql: String =
+    """t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM t),
+        |hx AS (SELECT doc_id, md5(s) AS hh FROM sh),
+        |hv AS (SELECT doc_id,
+        |    list_sum(list_transform(range(0,8), k ->
+        |      CAST(strpos('0123456789abcdef', substr(hh, k+1, 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << (4*(7-k))))) AS hi,
+        |    list_sum(list_transform(range(0,8), k ->
+        |      CAST(strpos('0123456789abcdef', substr(hh, 9+k, 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << (4*(7-k))))) AS lo
+        |  FROM hx),
+        |bits AS (SELECT doc_id, b,
+        |    sum(CASE WHEN ((CASE WHEN b < 32 THEN lo >> b
+        |                    ELSE hi >> (b-32) END) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS sm
+        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+        |  GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN sm > 0 AND b < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sig_lo,
+        |    CAST(sum(CASE WHEN sm > 0 AND b >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sig_hi
+        |  FROM bits GROUP BY 1),
+        |bd AS (SELECT doc_id, sig_lo, sig_hi,
+        |    unnest([sig_lo & 65535, (sig_lo >> 16) & 65535,
+        |            sig_hi & 65535, (sig_hi >> 16) & 65535]) AS band,
+        |    unnest([0, 1, 2, 3]) AS band_idx
+        |  FROM sig),
+        |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+        |    CAST(bit_count(xor(x.sig_lo, y.sig_lo)) +
+        |         bit_count(xor(x.sig_hi, y.sig_hi)) AS INTEGER) AS hamming
+        |  FROM bd x JOIN bd y ON x.band_idx = y.band_idx AND x.band = y.band
+        |    AND x.doc_id < y.doc_id)""".stripMargin
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
     * pair set (verification removes all false positives; 16-band recall
@@ -1157,44 +1201,30 @@ object SparkEntry {
         |SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2""".stripMargin,
 
     "dd03_simhash" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
-        |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         range(1, len(tk)-1),
-        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-        |       FROM t),
-        |hx AS (SELECT doc_id, md5(s) AS hh FROM sh),
-        |hv AS (SELECT doc_id,
-        |    list_sum(list_transform(range(0,8), k ->
-        |      CAST(strpos('0123456789abcdef', substr(hh, k+1, 1)) - 1 AS BIGINT)
-        |        * (CAST(1 AS BIGINT) << (4*(7-k))))) AS hi,
-        |    list_sum(list_transform(range(0,8), k ->
-        |      CAST(strpos('0123456789abcdef', substr(hh, 9+k, 1)) - 1 AS BIGINT)
-        |        * (CAST(1 AS BIGINT) << (4*(7-k))))) AS lo
-        |  FROM hx),
-        |bits AS (SELECT doc_id, b,
-        |    sum(CASE WHEN ((CASE WHEN b < 32 THEN lo >> b
-        |                    ELSE hi >> (b-32) END) & 1) = 1
-        |        THEN 1 ELSE -1 END) AS sm
-        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
-        |  GROUP BY 1, 2),
-        |sig AS (SELECT doc_id,
-        |    CAST(sum(CASE WHEN sm > 0 AND b < 32
-        |      THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sig_lo,
-        |    CAST(sum(CASE WHEN sm > 0 AND b >= 32
-        |      THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sig_hi
-        |  FROM bits GROUP BY 1),
-        |bd AS (SELECT doc_id, sig_lo, sig_hi,
-        |    unnest([sig_lo & 65535, (sig_lo >> 16) & 65535,
-        |            sig_hi & 65535, (sig_hi >> 16) & 65535]) AS band,
-        |    unnest([0, 1, 2, 3]) AS band_idx
-        |  FROM sig),
-        |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
-        |    CAST(bit_count(xor(x.sig_lo, y.sig_lo)) +
-        |         bit_count(xor(x.sig_hi, y.sig_hi)) AS INTEGER) AS hamming
-        |  FROM bd x JOIN bd y ON x.band_idx = y.band_idx AND x.band = y.band
-        |    AND x.doc_id < y.doc_id)
-        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 12""".stripMargin,
+      s"""WITH $simhashPairsSql
+         |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 12""".stripMargin,
+
+    "dd14_simhash_precision" ->
+      s"""WITH $simhashPairsSql
+         |SELECT count(*) AS n_candidates,
+         |  CAST(sum(CASE WHEN hamming <= 12 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_verified,
+         |  CAST(sum(CASE WHEN hamming <= 12 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 10000 // count(*) AS precision_bp
+         |FROM pairs""".stripMargin,
+
+    "q50_null_semantics" ->
+      """WITH o AS (SELECT nullif(o_custkey % 7, 0) AS x, o_totalprice
+        |  FROM orders),
+        |grouped AS (SELECT x, count(*) AS n_rows, count(x) AS n_x,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS total_c
+        |  FROM o GROUP BY x),
+        |dim AS (SELECT x AS y, n_rows AS dim_rows FROM grouped)
+        |SELECT g.x, g.n_rows, g.n_x, g.total_c,
+        |  (d.dim_rows = g.n_rows) AS nullsafe_match
+        |FROM grouped g LEFT JOIN dim d ON g.x IS NOT DISTINCT FROM d.y""".stripMargin,
+
 
     "dd12_token_windows" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk

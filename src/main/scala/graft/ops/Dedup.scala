@@ -139,7 +139,26 @@ object Dedup {
     * monolithic 1<<63 would overflow DuckDB's checked BIGINT); that
     * portability is what promotes dd03 from rows-only to a full
     * hash-checked oracle. */
-  def dd03Simhash(s: SparkSession, d: String): DataFrame = {
+  def dd03Simhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(s, d).filter(col("hamming") <= 12)
+
+  /** dd14: SimHash band-stage PRECISION audit — of all band-collision
+    * candidate pairs, how many survive the hamming verification.
+    * Band-stage precision is what prices the verify step (candidates
+    * ∝ 1/precision for a fixed true-pair yield), so this one number
+    * decides whether the banding (4×16 bits here) is tuned right for
+    * the corpus before a 100 TB run commits to it. Shares dd03's
+    * verified pair frame — one extra aggregate, no new shuffles. */
+  def dd14SimhashPrecision(s: SparkSession, d: String): DataFrame =
+    simhashPairs(s, d).agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("hamming") <= 12, 1L).otherwise(0L)).as("n_verified"))
+      .withColumn("precision_bp",
+        expr("n_verified * 10000 div n_candidates"))
+
+  /** All distinct band-collision pairs with their full-signature
+    * hamming distance — dd03's candidate+verify frame, pre-filter. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val toks = shingles(s, d)
       .withColumn("hh", expr("md5(cast(s as binary))"))
       .withColumn("hi", expr("CAST(conv(substring(hh, 1, 8), 16, 10) AS BIGINT)"))
@@ -170,7 +189,6 @@ object Dedup {
         (bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))) +
           bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi")))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 12)
   }
 
   /** dd13: dedup-threshold sensitivity curve — how many exact-Jaccard

@@ -738,4 +738,26 @@ object Relational {
         expr("CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)")
           .as("revenue_c"))
   }
+
+  /** q50: NULL-semantics conformance — the SQL corner every engine
+    * must agree on before results are portable: NULL as its own GROUP
+    * BY group, count(*) vs count(col) over nulls, aggregate null
+    * skipping, and null-safe equality (`<=>` here, IS NOT DISTINCT
+    * FROM in the oracle) matching the NULL group in a join where
+    * plain `=` silently drops it. A derived nullable key
+    * (nullif(custkey mod 7, 0)) makes the behavior visible on clean
+    * data. */
+  def q50NullSemantics(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("x", expr("nullif(o_custkey % 7, 0)"))
+    val grouped = o.groupBy(col("x"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("x")).as("n_x"),
+        expr("CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)")
+          .as("total_c"))
+    val dim = grouped.select(col("x").as("y"), col("n_rows").as("dim_rows"))
+    grouped.join(dim, col("x") <=> col("y"), "left_outer")
+      .select(col("x"), col("n_rows"), col("n_x"), col("total_c"),
+        (col("dim_rows") === col("n_rows")).as("nullsafe_match"))
+  }
 }

@@ -418,6 +418,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q49 hot path plans broadcast joins; no window sort anywhere") {
+    val plan = ops.Relational.q49HotColdJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q49 hot route should be a broadcast join:\n$plan")
+    assert(!plan.contains("WindowExec"),
+      s"q49 must not contain a window sort:\n$plan")
+  }
+
+  test("pp08 windows only over (lang, bucket) — never a whole stratum") {
+    // sparkPlan (pre-AQE): AdaptiveSparkPlanExec hides children from
+    // collect until execution
+    val windows = ops.Pipelines.pp08StratifiedSample(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.map(_.toString)
+      }
+    assert(windows.nonEmpty, "expected boundary-bucket/histogram windows")
+    windows.foreach { spec =>
+      // every window must be partitioned by lang (histogram cumsum) or
+      // (lang, bucket) (boundary rank) — a partition spec without lang
+      // would be a stratum- or corpus-wide sort
+      assert(spec.exists(_.contains("lang")),
+        s"window not partitioned by lang: $spec")
+    }
+  }
+
   test("q37 NOT IN plans a null-aware anti join and matches left_anti") {
     val df = ops.Relational.q37NotinAntijoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
