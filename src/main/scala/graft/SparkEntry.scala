@@ -191,6 +191,7 @@ object SparkEntry {
     "tx29_bigram_coverage"  -> Text.tx29BigramCoverage _,
     "q50_null_semantics"    -> Relational.q50NullSemantics _,
     "dd14_simhash_precision" -> Dedup.dd14SimhashPrecision _,
+    "ev34_weekday_anomaly"  -> Events.ev34WeekdayAnomaly _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -1212,6 +1213,25 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN hamming <= 12 THEN 1 ELSE 0 END) AS BIGINT)
          |    * 10000 // count(*) AS precision_bp
          |FROM pairs""".stripMargin,
+
+    "ev34_weekday_anomaly" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |wd AS (SELECT day, n_events, dayofweek(day) + 1 AS weekday
+        |  FROM daily),
+        |r AS (SELECT weekday, n_events, day,
+        |    row_number() OVER (PARTITION BY weekday
+        |      ORDER BY n_events, day) AS rn,
+        |    count(*) OVER (PARTITION BY weekday) AS n_days
+        |  FROM wd),
+        |med AS (SELECT weekday, n_events AS wd_median FROM r
+        |  WHERE rn = (n_days + 1) // 2)
+        |SELECT w.day, w.weekday, w.n_events, m.wd_median,
+        |  abs(w.n_events - m.wd_median) * 10000 // m.wd_median AS dev_bp,
+        |  CASE WHEN abs(w.n_events - m.wd_median) * 10000 // m.wd_median
+        |    > 3000 THEN 1 ELSE 0 END AS is_anomaly
+        |FROM wd w JOIN med m USING (weekday)""".stripMargin,
 
     "q50_null_semantics" ->
       """WITH o AS (SELECT nullif(o_custkey % 7, 0) AS x, o_totalprice

@@ -715,4 +715,32 @@ object Events {
       expr("_p90_lo * (100 - (90*(n_gaps-1)) % 100) + " +
         "_p90_hi * ((90*(n_gaps-1)) % 100)").as("p90_cs"))
   }
+
+  /** ev34: weekday-profile anomaly — each day's volume against the
+    * MEDIAN of its own weekday (Mondays vs Mondays), catching the
+    * weekly-seasonality false-positives a flat global baseline (ev25)
+    * raises on every weekend. Lower-median order statistic keeps it
+    * on the integer grid. The whole computation happens on the
+    * one-row-per-day frame — ~365 rows per year at ANY event volume
+    * — so the windows here are bounded by the calendar, not the
+    * data. */
+  def ev34WeekdayAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("weekday", dayofweek(col("day")))
+    val wWd = Window.partitionBy(col("weekday"))
+      .orderBy(col("n_events"), col("day"))
+    val med = daily
+      .withColumn("rn", row_number().over(wWd))
+      .withColumn("n_days", count(lit(1)).over(Window.partitionBy(col("weekday"))))
+      .filter(col("rn") === expr("(n_days + 1) div 2"))
+      .select(col("weekday"), col("n_events").as("wd_median"))
+    daily.join(broadcast(med), Seq("weekday"))
+      .withColumn("dev_bp",
+        expr("abs(n_events - wd_median) * 10000 div wd_median"))
+      .withColumn("is_anomaly", (col("dev_bp") > 3000).cast("int"))
+      .select(col("day"), col("weekday"), col("n_events"),
+        col("wd_median"), col("dev_bp"), col("is_anomaly"))
+  }
 }

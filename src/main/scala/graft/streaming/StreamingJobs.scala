@@ -159,6 +159,21 @@ object StreamingJobs {
       .select(col("event_type"),
         hll_sketch_estimate(col("sk")).as("est_users"), col("n_events"))
 
+  /** st12: built-in `session_window` sessionization — the declarative
+    * twin of st02's flatMapGroupsWithState: Spark's native session
+    * windows merge on the 30-minute gap inside the state store, emit
+    * on watermark close, and need zero custom state code. Keep both:
+    * session_window when the rollup is an aggregate, the custom state
+    * path when per-session logic doesn't fit an agg. Same gap, so the
+    * spec can assert the session starts/counts line up with st02. */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+
   /** st02: stateful gap sessionization (30-minute inactivity) with
     * explicit per-key state via flatMapGroupsWithState. State per user
     * is O(1) — just the open session bounds — and is emitted+cleared

@@ -230,6 +230,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st12 session_window matches the custom-state sessionizer") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // same shape as the st02 fixture: sessions at 0-10 and 120-125,
+    // then a far-future event to push the watermark past both
+    in.addData(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(10), 1, "click", 1.0),
+      Event(3, ts(120), 1, "view", 1.0),
+      Event(4, ts(125), 1, "view", 1.0))
+    val q = StreamingJobs.sessionWindowCounts(in.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st12_out").start()
+    try {
+      q.processAllAvailable()
+      in.addData(Event(5, ts(600), 1, "view", 1.0))  // watermark push
+      q.processAllAvailable()
+      val closed = spark.sql(
+        "SELECT session_start, n_events FROM st12_out ORDER BY session_start")
+        .collect()
+      assert(closed.length == 2, s"expected 2 closed sessions, got ${closed.length}")
+      assert(closed(0).getTimestamp(0) == ts(0) && closed(0).getLong(1) == 2)
+      assert(closed(1).getTimestamp(0) == ts(120) && closed(1).getLong(1) == 2)
+    } finally q.stop()
+  }
+
   test("st02 stateful sessionize closes sessions on observed gaps") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
