@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    e.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }
 }

@@ -418,6 +418,35 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("approxDistinct rule rewrites count(DISTINCT) to HLL only when opted in") {
+    val q = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"))
+    val exact = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.approxDistinct", "true")
+    try {
+      val rewritten = Tables.events(spark, sf)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users"))
+      val plan = rewritten.queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct") || plan.contains("hyperloglog"),
+        s"expected HLL rewrite in optimized plan:\n$plan")
+      val approx = rewritten.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx.keySet == exact.keySet)
+      exact.foreach { case (k, ex) =>
+        assert(math.abs(approx(k) - ex).toDouble / ex <= 0.05,
+          s"approx ${approx(k)} vs exact $ex for $k")
+      }
+    } finally spark.conf.unset("spark.graft.approxDistinct")
+    // flag off again: the exact two-phase distinct is back
+    val offPlan = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .queryExecution.optimizedPlan.toString
+    assert(!offPlan.contains("approx_count_distinct") &&
+      !offPlan.contains("hyperloglog"), s"rewrite leaked past the flag:\n$offPlan")
+  }
+
   test("q49 hot path plans broadcast joins; no window sort anywhere") {
     val plan = ops.Relational.q49HotColdJoin(spark, sf)
       .queryExecution.executedPlan.toString
