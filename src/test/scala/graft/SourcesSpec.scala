@@ -161,6 +161,35 @@ class SourcesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("graft-synth DSv2 source reads deterministically at any parallelism") {
+    val a = spark.read.format("graft-synth")
+      .option("rows", "500").option("parts", "8").load()
+    val b = spark.read.format("graft-synth")
+      .option("rows", "500").option("parts", "3").load()
+    assert(a.count() == 500 && b.count() == 500)
+    // parallelism must not change content (generation keyed on doc_id)
+    assert(a.orderBy("doc_id").collect().map(_.toString()).toSeq ==
+      b.orderBy("doc_id").collect().map(_.toString()).toSeq)
+    val r = a.filter(col("doc_id") === 42L).collect()(0)
+    assert(r.getAs[Long]("n_chars") == r.getAs[String]("text").length)
+  }
+
+  test("graft-synth pushes doc_id ranges and prunes columns and partitions") {
+    val df = spark.read.format("graft-synth")
+      .option("rows", "1000").option("parts", "10").load()
+      .filter(col("doc_id") >= 900L).select("doc_id", "lang")
+    assert(df.count() == 100)
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanDesc.contains("range=[900,999]"),
+      s"doc_id filter not pushed into the source:\n$scanDesc")
+    assert(scanDesc.contains("cols=doc_id,lang") &&
+      !scanDesc.contains("text"),
+      s"column pruning did not reach the source:\n$scanDesc")
+    // 10 ranges of 100 ids: only the last overlaps [900, 999]
+    assert(df.rdd.getNumPartitions == 1,
+      s"expected pruned single partition, got ${df.rdd.getNumPartitions}")
+  }
+
   test("merged-schema read unions evolved parquet schemas, null-filling old files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
