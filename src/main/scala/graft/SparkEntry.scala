@@ -192,6 +192,10 @@ object SparkEntry {
     "q50_null_semantics"    -> Relational.q50NullSemantics _,
     "dd14_simhash_precision" -> Dedup.dd14SimhashPrecision _,
     "ev34_weekday_anomaly"  -> Events.ev34WeekdayAnomaly _,
+    "dd15_edit_neardup"     -> Dedup.dd15EditNearDup _,
+    "tx30_boilerplate"      -> Text.tx30Boilerplate _,
+    "pp10_temperature_mix"  -> Pipelines.pp10TemperatureMix _,
+    "gr07_personalized_pr"  -> Graph.gr07PersonalizedPr _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -287,6 +291,27 @@ object SparkEntry {
        |       UNION ALL SELECT d2, d1 FROM pairs),
        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM bi GROUP BY 1),
        |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+       |$iters
+       |SELECT node AS doc_id, round(rank, 6) AS rank FROM r10""".stripMargin
+  }
+
+  /** gr07's oracle: the gr03 unroll with the teleport mass restricted
+    * to the seed set (node ≡ 0 mod 3). */
+  private val personalizedPrSql: String = {
+    val tele = "CASE WHEN %s %% 3 = 0 THEN CAST(1.0 AS DOUBLE) " +
+      "ELSE CAST(0.0 AS DOUBLE) END"
+    val iters = (1 to 10).map { i =>
+      s"r$i AS (SELECT b.dst AS node, " +
+        s"CAST(0.15 AS DOUBLE) * ${tele.format("b.dst")} + " +
+        "CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank " +
+        s"FROM bi b JOIN r${i - 1} r ON b.src = r.node " +
+        "JOIN deg d ON b.src = d.src GROUP BY 1)"
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($ngramJaccardSql),
+       |bi AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
+       |       UNION ALL SELECT d2, d1 FROM pairs),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM bi GROUP BY 1),
+       |r0 AS (SELECT src AS node, ${tele.format("src")} AS rank FROM deg),
        |$iters
        |SELECT node AS doc_id, round(rank, 6) AS rank FROM r10""".stripMargin
   }
@@ -1119,6 +1144,7 @@ object SparkEntry {
     "dd04_ngram_jaccard" -> ngramJaccardSql,
     "dd02_minhash_lsh"   -> ngramJaccardSql,
     "gr03_pagerank"      -> pageRankSql,
+    "gr07_personalized_pr" -> personalizedPrSql,
     "gr05_kcore"         -> kCoreSql,
 
     "ev30_stickiness" ->
@@ -2159,6 +2185,45 @@ object SparkEntry {
         |    PARTITION BY lang ORDER BY hk, doc_id) AS rn
         |  FROM h)
         |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+        |WHERE r.rn <= q.quota""".stripMargin,
+
+    "dd15_edit_neardup" ->
+      """WITH t AS (SELECT doc_id, trim(text) AS tx,
+        |             string_split(trim(text), ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, tx, tk[1] AS tok1, len(tk) // 16 AS band FROM t)
+        |SELECT a.doc_id AS d1, c.doc_id AS d2,
+        |  CAST(levenshtein(a.tx, c.tx) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.tok1 = c.tok1 AND a.band = c.band
+        |  AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.tx, c.tx) * 100
+        |  <= 20 * greatest(len(a.tx), len(c.tx))""".stripMargin,
+
+    "tx30_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents),
+        |p AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |        CASE WHEN len(tk) >= 8
+        |             THEN array_to_string(list_slice(tk, 1, 8), ' ') END AS prefix
+        |      FROM t),
+        |bp AS (SELECT prefix FROM p WHERE prefix IS NOT NULL
+        |       GROUP BY 1 HAVING count(*) >= 3)
+        |SELECT p.doc_id, p.n_tokens,
+        |  (bp.prefix IS NOT NULL) AS is_boilerplate,
+        |  CASE WHEN bp.prefix IS NOT NULL THEN p.n_tokens - 8
+        |       ELSE p.n_tokens END AS n_tokens_clean
+        |FROM p LEFT JOIN bp ON p.prefix = bp.prefix""".stripMargin,
+
+    "pp10_temperature_mix" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    md5('mix10:' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |q AS (SELECT source, least(count(*),
+        |    CAST(floor(sqrt(count(*)) * 4) AS BIGINT)) AS quota
+        |  FROM h GROUP BY source),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
         |WHERE r.rn <= q.quota""".stripMargin,
   )
 }

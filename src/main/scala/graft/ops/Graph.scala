@@ -71,15 +71,20 @@ object Graph {
     * loop this is a pure plan builder — zero driver actions, Catalyst
     * sees the whole 10-round dataflow. Each round is join+agg on
     * frames ∝ |edges|. */
-  private[graft] def pageRankFrom(bi0: DataFrame, iterations: Int = 10): DataFrame = {
+  private[graft] def pageRankFrom(bi0: DataFrame, iterations: Int = 10,
+      tele: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ => lit(1.0)): DataFrame = {
     // the edge and degree frames are referenced every iteration — cache
     // them; periodically eager-checkpoint the rank chain so the final
     // plan stays shallow (a 10-join-deep tree costs more in planning
-    // and stage count than the two tiny extra jobs do)
+    // and stage count than the two tiny extra jobs do).
+    // `tele` is the per-node teleport weight: constant 1.0 for classic
+    // PageRank, an indicator for the personalized variant — a pure
+    // node-id expression, so it never costs a join.
     val bi = CacheScope.cached(bi0)
     val deg = CacheScope.cached(
       bi.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
+    var ranks = deg.select(col("src").as("node"), tele(col("src")).as("rank"))
     for (it <- 1 to iterations) {
       val contrib = bi
         .join(ranks, bi("src") === ranks("node"))
@@ -87,7 +92,7 @@ object Graph {
         .select(col("dst").as("node2"), (col("rank") / col("deg")).as("c"))
       ranks = contrib.groupBy(col("node2")).agg(sum(col("c")).as("in_sum"))
         .select(col("node2").as("node"),
-          (lit(0.15) + lit(0.85) * col("in_sum")).as("rank"))
+          (lit(0.15) * tele(col("node2")) + lit(0.85) * col("in_sum")).as("rank"))
       if (it % 3 == 0 && it < iterations) ranks = ranks.localCheckpoint()
     }
     ranks
@@ -164,6 +169,25 @@ object Graph {
     val bi = e.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(e.select(col("d2").as("src"), col("d1").as("dst")))
     pageRankFrom(bi)
+      .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** gr07: PERSONALIZED PageRank — random walks that teleport back to
+    * a SEED set (doc_id ≡ 0 mod 3 here; in production, the curated or
+    * flagged docs) instead of everywhere: rank mass concentrates
+    * around the seeds' graph neighborhood, the standard
+    * "related items given these" / taint-propagation scoring. Same
+    * fixed-10-iteration unrolled lazy plan as gr03 — the teleport
+    * indicator is a pure node-id expression, so the only change to
+    * the dataflow is arithmetic; per-round cost is identical, and the
+    * oracle replays the identical unroll. Nodes outside the seeds'
+    * reachable set keep rank exactly 0 (spec-asserted). */
+  def gr07PersonalizedPr(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = e.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(e.select(col("d2").as("src"), col("d1").as("dst")))
+    pageRankFrom(bi, 10,
+      n => when(n % 3 === 0, lit(1.0)).otherwise(lit(0.0)))
       .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
   }
 }

@@ -182,37 +182,72 @@ object Pipelines {
     * the oracle runs. */
   def pp08StratifiedSample(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang").as("stratum"),
         md5(concat(lit("mix:"), col("doc_id").cast("string"))
           .cast("binary")).as("hk"))
-      .withColumn("bucket", substring(col("hk"), 1, 2))
-    val quotas = docs.groupBy(col("lang"))
+    val quotas = docs.groupBy(col("stratum"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("quota", expr("n_docs * 2 div 5"))
-      .select(col("lang"), col("quota"))
-    val hist = docs.groupBy(col("lang"), col("bucket"))
+      .select(col("stratum"), col("quota"))
+    quotaSelect(docs, quotas).withColumnRenamed("stratum", "lang")
+  }
+
+  /** Two-phase EXACT per-stratum quota selection with no per-stratum
+    * sort (shared by pp08/pp10): docs order by a deterministic md5
+    * draw; a 256-bucket histogram per stratum finds the boundary
+    * bucket by prefix sum (tiny frame), buckets below it are kept
+    * wholesale, and only the boundary bucket — |stratum|/256 docs —
+    * is ranked. Bit-identical to the naive global
+    * `rank() OVER (PARTITION BY stratum ORDER BY hk)`, which is
+    * exactly what the oracle runs. Inputs: docs(doc_id, stratum, hk),
+    * quotas(stratum, quota). */
+  private def quotaSelect(docs0: DataFrame, quotas: DataFrame): DataFrame = {
+    val docs = docs0.withColumn("bucket", substring(col("hk"), 1, 2))
+    val hist = docs.groupBy(col("stratum"), col("bucket"))
       .agg(count(lit(1)).as("bc"))
       .withColumn("cum_thru", sum(col("bc"))
-        .over(Window.partitionBy(col("lang")).orderBy(col("bucket"))))
-      .join(broadcast(quotas), Seq("lang"))
+        .over(Window.partitionBy(col("stratum")).orderBy(col("bucket"))))
+      .join(broadcast(quotas), Seq("stratum"))
       // docs in strictly-lower buckets already kept before this one
       .withColumn("cum_before", col("cum_thru") - col("bc"))
     val fullBuckets = hist.filter(col("cum_thru") <= col("quota"))
-      .select(col("lang"), col("bucket"))
+      .select(col("stratum"), col("bucket"))
     val boundary = hist
       .filter(col("cum_before") < col("quota") && col("cum_thru") > col("quota"))
-      .select(col("lang"), col("bucket"),
+      .select(col("stratum"), col("bucket"),
         (col("quota") - col("cum_before")).as("take"))
-    val keptFull = docs.join(broadcast(fullBuckets), Seq("lang", "bucket"))
-      .select(col("doc_id"), col("lang"), col("hk"))
-    val keptBoundary = docs.join(broadcast(boundary), Seq("lang", "bucket"))
+    val keptFull = docs.join(broadcast(fullBuckets), Seq("stratum", "bucket"))
+      .select(col("doc_id"), col("stratum"), col("hk"))
+    val keptBoundary = docs.join(broadcast(boundary), Seq("stratum", "bucket"))
       .withColumn("rn", row_number().over(Window
-        .partitionBy(col("lang"), col("bucket"))
+        .partitionBy(col("stratum"), col("bucket"))
         .orderBy(col("hk"), col("doc_id"))))
       .filter(col("rn") <= col("take"))
-      .select(col("doc_id"), col("lang"), col("hk"))
+      .select(col("doc_id"), col("stratum"), col("hk"))
     keptFull.unionByName(keptBoundary)
-      .select(col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("stratum"))
+  }
+
+  /** pp10: TEMPERATURE-flattened training mix — the multilingual-mix
+    * primitive: per-source quotas ∝ √count (temperature α = 0.5)
+    * flatten the source distribution so head sources stop drowning
+    * the tail, capped at the source's own size. The quota formula is
+    * per-stratum only (√ of an exact integer count, an IEEE-exact
+    * double, floored back to an integer) — deliberately NOT
+    * normalized by Σ√counts across strata, whose float sum order an
+    * engine cannot pin down. Selection is the shared two-phase exact
+    * quota machinery — same scale shape as pp08. */
+  def pp10TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source").as("stratum"),
+        md5(concat(lit("mix10:"), col("doc_id").cast("string"))
+          .cast("binary")).as("hk"))
+    val quotas = docs.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("quota",
+        least(col("n_docs"), floor(sqrt(col("n_docs")) * 4).cast("long")))
+      .select(col("stratum"), col("quota"))
+    quotaSelect(docs, quotas).withColumnRenamed("stratum", "source")
   }
 
   /** pp09: declarative data-quality gate — the constraint report run

@@ -491,4 +491,31 @@ object Text {
       .agg(count(lit(1)).as("n_bigrams"), count(col("in_lm")).as("n_in_lm"))
       .withColumn("coverage_bp", expr("n_in_lm * 10000 div n_bigrams"))
   }
+
+  /** tx30: shared-opening BOILERPLATE detection — the web-scrape
+    * header/footer cleanup: documents opening with an identical
+    * 8-token prefix repeated across ≥3 documents carry template
+    * boilerplate, and the cleaned token count drops the prefix. The
+    * prefix doubles as its own blocking key: one hash-groupBy over
+    * |docs| short prefixes (partial-agg'd), the flagged-prefix set is
+    * tiny (∝ templates, not docs) and broadcasts back — two linear
+    * passes, no corpus shuffle at any scale. Complements dd12 (which
+    * finds repeats ANYWHERE in the doc); anchoring at position 0 is
+    * what makes removal safe without alignment bookkeeping. */
+  def tx30Boilerplate(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.documents(s, d)
+      .withColumn("tk", split(trim(col("text")), " "))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        when(size(col("tk")) >= 8, array_join(slice(col("tk"), 1, 8), " "))
+          .as("prefix"))
+    val bp = p.filter(col("prefix").isNotNull)
+      .groupBy(col("prefix")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 3)
+      .select(col("prefix"), lit(1).as("is_bp"))
+    p.join(broadcast(bp), Seq("prefix"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        col("is_bp").isNotNull.as("is_boilerplate"),
+        when(col("is_bp").isNotNull, col("n_tokens") - 8)
+          .otherwise(col("n_tokens")).as("n_tokens_clean"))
+  }
 }

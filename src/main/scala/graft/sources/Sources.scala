@@ -86,6 +86,38 @@ object Sources {
     * would explode. (A 1-D sort prunes perfectly on its sort column
     * and not at all on the other; Z-order splits the skipping power
     * across both.) */
+  /** Totally-ordered parquet layout + file-range manifest: rows are
+    * range-partitioned and sorted on `c`, so the files carry DISJOINT
+    * value ranges — a point or range predicate needs only the files
+    * whose [min,max] overlap it, and a merge-reader gets global order
+    * for free (the 1-D perfection writeZOrdered trades away; use this
+    * when there is ONE dominant filter/merge column). `_RANGES.json`
+    * records per-file (min, max, rows) — the driver-side index a
+    * 100 TB table scans instead of its footers; it is built from one
+    * distributed single-column pass, grouped by file, never collected
+    * raw. */
+  def writeRangeOrdered(df: DataFrame, path: String, c: String,
+      nFiles: Int = 8): Unit = {
+    df.repartitionByRange(nFiles, col(c))
+      .sortWithinPartitions(col(c))
+      .write.mode("overwrite").parquet(path)
+    val ranges = df.sparkSession.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(c)).cast("long").as("mn"), max(col(c)).cast("long").as("mx"),
+        count(lit(1)).as("rows"))
+      .collect()
+      .map { r =>
+        val base = r.getString(0).split("/").last
+        (base, r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      .sortBy(_._2)
+    val body = ranges.map { case (f, mn, mx, n) =>
+      s"""{"file":"$f","min":$mn,"max":$mx,"rows":$n}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_RANGES.json"),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
       nFiles: Int = 8): Unit = {
     val stats = df.agg(

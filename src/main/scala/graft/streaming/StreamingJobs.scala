@@ -126,6 +126,31 @@ object StreamingJobs {
       .start()
   }
 
+  /** st13: AUDITED streaming publish — every micro-batch lands
+    * through the graft-manifest two-phase sink into its own
+    * `batch-<id>/` directory with a counts manifest. The batchId-keyed
+    * directory is what makes the publish exactly-once across
+    * restarts: Structured Streaming replays an unacknowledged batch
+    * with the SAME id, and the sink's truncate-mode write makes the
+    * replay overwrite its own directory instead of appending a
+    * duplicate. Downstream consumers admit a batch directory only
+    * once `_MANIFEST.json` exists (the sink writes it last, after the
+    * atomic file publishes), so a crash mid-batch is invisible. */
+  def auditedPublish(events: DataFrame, outDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.format("graft-manifest")
+          .option("path", s"$outDir/batch-$id")
+          .mode("overwrite").save()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** st10: streaming per-group top-k — the TopKPairAggregator (the
     * batch ANN selection path) running over the streaming state store:
     * a continuously-maintained "top 3 largest purchases per user"

@@ -25,7 +25,8 @@ class OperatorsSpec extends SparkTestBase {
       // exist in the tiny sf0.001 slice
       "dd08_chunk_dup", "q35_gaps_islands", "ss06_range_search",
       "gr02_degree_dist", "dd09_minhash_est", "gr03_pagerank",
-      "dd10_containment", "gr04_common_neighbors", "gr05_kcore")
+      "dd10_containment", "gr04_common_neighbors", "gr05_kcore",
+      "gr07_personalized_pr")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
@@ -447,6 +448,55 @@ class OperatorsSpec extends SparkTestBase {
       !offPlan.contains("hyperloglog"), s"rewrite leaked past the flag:\n$offPlan")
   }
 
+  test("plan sweep: no cartesian products or corpus-wide window sorts anywhere") {
+    // Global physical-plan audit over EVERY registered query — the
+    // 100 TB design gate as one spec. Two anti-patterns end a cluster
+    // job regardless of which operator smuggles them in:
+    //  1. CartesianProductExec — corpus² rows materialized;
+    //  2. WindowExec with an EMPTY partition spec — the whole frame
+    //     funneled through one partition for the sort.
+    // Partition-less windows ARE legal over frames already reduced to
+    // a bounded size by an upstream aggregation (a rollup of days,
+    // languages, thresholds…); those queries are allowlisted with the
+    // bound that keeps them safe.
+    val boundedGlobalWindow = Set(
+      "q13_order_histogram",   // ≤ |distinct order counts| rows
+      "q24_topk_agg",          // ≤ |parts per brand| after agg
+      "ev13_transitions",      // |event_type|² transition matrix
+      "ev14_rolling_7d",       // one row per day
+      "ev15_top_gaps",         // top-20 frame
+      "ev17_rfm_scores",       // ≤256-bucket histogram (distributed ntile)
+      "ev21_funnel_latency",   // value histogram: |distinct latency seconds|
+      "ev25_anomaly_days",     // one row per day
+      "ev26_watermark_horizon", // value histogram: |distinct lateness seconds|
+      "ev32_seasonality",      // 7×24 profile grid
+      "ev33_interarrival",     // |event_type| histogram rows
+      "dd11_index_stats",      // log-scale histogram buckets
+      "dd13_threshold_curve",  // 5 thresholds × pairs summary
+      "tx05_bigram_freq",      // top-20 bigrams
+      "tx22_zipf_head",        // top-30 tokens
+      "mm05_size_histogram",   // ≤ |distinct size buckets|
+      "mm07_magic_bytes",      // |magic prefix| groups
+      "gr02_degree_dist")      // |distinct degree| rows
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val cartesian = plan.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }
+        val globalWindows = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        val bad = Seq(
+          if (cartesian.nonEmpty) Some(s"$name: CartesianProduct") else None,
+          if (globalWindows.nonEmpty && !boundedGlobalWindow.contains(name))
+            Some(s"$name: partition-less WindowExec") else None).flatten
+        bad
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("q49 hot path plans broadcast joins; no window sort anywhere") {
     val plan = ops.Relational.q49HotColdJoin(spark, sf)
       .queryExecution.executedPlan.toString
@@ -456,22 +506,74 @@ class OperatorsSpec extends SparkTestBase {
       s"q49 must not contain a window sort:\n$plan")
   }
 
-  test("pp08 windows only over (lang, bucket) — never a whole stratum") {
+  test("pp08/pp10 window only over (stratum, bucket) — never a whole stratum") {
     // sparkPlan (pre-AQE): AdaptiveSparkPlanExec hides children from
     // collect until execution
-    val windows = ops.Pipelines.pp08StratifiedSample(spark, sf)
-      .queryExecution.sparkPlan.collect {
+    for (df <- Seq(ops.Pipelines.pp08StratifiedSample(spark, sf),
+                   ops.Pipelines.pp10TemperatureMix(spark, sf))) {
+      val windows = df.queryExecution.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec =>
           w.partitionSpec.map(_.toString)
       }
-    assert(windows.nonEmpty, "expected boundary-bucket/histogram windows")
-    windows.foreach { spec =>
-      // every window must be partitioned by lang (histogram cumsum) or
-      // (lang, bucket) (boundary rank) — a partition spec without lang
-      // would be a stratum- or corpus-wide sort
-      assert(spec.exists(_.contains("lang")),
-        s"window not partitioned by lang: $spec")
+      assert(windows.nonEmpty, "expected boundary-bucket/histogram windows")
+      windows.foreach { spec =>
+        // every window must be partitioned by the stratum (histogram
+        // cumsum) or (stratum, bucket) (boundary rank) — a partition
+        // spec without it would be a stratum- or corpus-wide sort
+        assert(spec.exists(_.contains("stratum")),
+          s"window not partitioned by stratum: $spec")
+      }
     }
+  }
+
+  test("pp10 kept counts equal the √count temperature quota per source") {
+    val kept = ops.Pipelines.pp10TemperatureMix(spark, sf)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sf)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty && kept.keySet == totals.keySet.filter(s =>
+      math.min(totals(s), math.floor(math.sqrt(totals(s).toDouble) * 4).toLong) > 0))
+    kept.foreach { case (src, n) =>
+      val want = math.min(totals(src),
+        math.floor(math.sqrt(totals(src).toDouble) * 4).toLong)
+      assert(n == want, s"source $src kept $n, quota $want")
+    }
+    // flattening: no source may keep more than its own count, and any
+    // source above 16 docs must be cut (√n·4 < n ⇔ n > 16)
+    totals.filter(_._2 > 16).foreach { case (src, n) =>
+      assert(kept(src) < n, s"source $src with $n docs was not flattened")
+    }
+  }
+
+  test("dd15 blocked edit-distance recovers the minhash near-dup pairs") {
+    val edits = ops.Dedup.dd15EditNearDup(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhash = ops.Dedup.dd02MinhashLsh(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // vacuously fine if no near-dups are planted at this SF
+    if (minhash.nonEmpty) {
+      val recovered = (edits & minhash).size
+      assert(recovered * 10 >= minhash.size * 8,
+        s"dd15 recovered $recovered of ${minhash.size} minhash pairs")
+    }
+  }
+
+  test("tx30 cleans exactly the 8-token prefix of flagged docs") {
+    val rows = ops.Text.tx30Boilerplate(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (n, flagged, clean) =
+        (r.getLong(1), r.getBoolean(2), r.getLong(3))
+      assert(clean == (if (flagged) n - 8 else n))
+    }
+    // the flagged-prefix set must come back via a broadcast join — a
+    // shuffle here would mean the corpus is exchanged to meet it
+    val plan = ops.Text.tx30Boilerplate(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tx30 boilerplate set not broadcast:\n$plan")
   }
 
   test("q37 NOT IN plans a null-aware anti join and matches left_anti") {
@@ -546,6 +648,21 @@ class OperatorsSpec extends SparkTestBase {
     val recall = (exact intersect pq).size.toDouble / exact.size
     assert(recall >= 0.6, s"ss10 recall $recall below 0.6")
     assert(pq.size == exact.size, "ss10 must return a full top-5 per query")
+  }
+
+  test("personalized PageRank concentrates rank mass on the seed set") {
+    val rows = ops.Graph.gr07PersonalizedPr(spark, sf).collect()
+    if (rows.nonEmpty) {
+      // vacuous at SFs where the near-dup graph is empty
+      assert(rows.forall(_.getDouble(1) >= 0.0))
+      val (seeds, rest) = rows.partition(_.getLong(0) % 3 == 0)
+      if (seeds.nonEmpty && rest.nonEmpty) {
+        val seedMean = seeds.map(_.getDouble(1)).sum / seeds.length
+        val restMean = rest.map(_.getDouble(1)).sum / rest.length
+        assert(seedMean > restMean,
+          s"seed mean rank $seedMean not above non-seed mean $restMean")
+      }
+    }
   }
 
   test("pageRank preserves the rank-sum invariant and ranks hubs first") {

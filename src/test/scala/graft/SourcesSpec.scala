@@ -132,6 +132,36 @@ class SourcesSpec extends SparkTestBase {
       s"z-order combined pruning $zHits not better than 1-D sort $lHits")
   }
 
+  test("range-ordered layout yields disjoint file ranges and a usable manifest") {
+    val dir = s"$tmp/range_orders"
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    Sources.writeRangeOrdered(o, dir, "o_orderkey", nFiles = 6)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_RANGES.json")))
+    val entries = """\{"file":"([^"]+)","min":(-?\d+),"max":(-?\d+),"rows":(\d+)\}""".r
+      .findAllMatchIn(manifest)
+      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong))
+      .toSeq
+    assert(entries.length == 6, manifest)
+    assert(entries.map(_._4).sum == o.count())
+    // total order: consecutive file ranges never overlap
+    entries.map(e => (e._2, e._3)).sortBy(_._1).sliding(2).foreach {
+      case Seq((_, mxA), (mnB, _)) =>
+        assert(mxA < mnB, s"overlapping file ranges in $manifest")
+      case _ =>
+    }
+    // manifest-driven pruning: a point lookup overlaps exactly one file,
+    // and that file really contains the row
+    val probe = o.agg(max("o_orderkey")).collect()(0).getLong(0) / 2
+    val cands = entries.filter(e => e._2 <= probe && probe <= e._3)
+    assert(cands.length <= 1, s"point $probe hits ${cands.length} files")
+    cands.foreach { c =>
+      val hit = spark.read.parquet(s"$dir/${c._1}")
+        .filter(col("o_orderkey") === probe).count()
+      assert(hit == o.filter(col("o_orderkey") === probe).count())
+    }
+  }
+
   test("pp01 pipeline writes split-partitioned training data") {
     val out = ops.Pipelines.pp01TrainingPipeline(spark, sf)
     graft.sources.Sources.writePartitioned(out, s"$tmp/training", "split")
@@ -159,6 +189,36 @@ class SourcesSpec extends SparkTestBase {
       assert(!plan.contains("Exchange"), s"unexpected shuffle in bucketed join:\n$plan")
       assert(joined.count() == o.join(c, col("o_custkey") === col("c_custkey")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("graft-manifest DSv2 sink publishes atomically with an audit manifest") {
+    val dir = s"$tmp/manifest_sink"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").repartition(4)
+    docs.write.format("graft-manifest").option("path", dir)
+      .mode("append").save()
+    // manifest totals reconcile with the input — the audit contract
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MANIFEST.json")))
+    assert(manifest.contains(s""""n_rows":${docs.count()}"""), manifest)
+    assert(manifest.contains(""""n_files":4"""), manifest)
+    // exactly the published files — no temp leftovers visible
+    val files = new java.io.File(dir).listFiles.map(_.getName).toSet
+    assert(files.count(_.endsWith(".jsonl")) == 4, files.toString)
+    assert(new java.io.File(s"$dir/_temp").listFiles.isEmpty,
+      "temp attempt files must be cleaned up on publish")
+    // the JSONL content reads back to the same values
+    val back = spark.read.schema(docs.schema).json(
+      s"$dir/part-*.jsonl")
+    assert(back.count() == docs.count())
+    assert(back.agg(sum("n_chars")).collect()(0).getLong(0) ==
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+    // overwrite truncates the previous publish, not doubles it
+    docs.limit(10).repartition(1).write.format("graft-manifest")
+      .option("path", dir).mode("overwrite").save()
+    val m2 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MANIFEST.json")))
+    assert(m2.contains(""""n_rows":10""") && m2.contains(""""n_files":1"""), m2)
   }
 
   test("graft-synth DSv2 source reads deterministically at any parallelism") {

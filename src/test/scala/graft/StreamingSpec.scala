@@ -50,6 +50,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st13 audited streaming publish is manifest-complete and replay-idempotent") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-st13").toString
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(1), 1, "view", 1.0),
+      Event(2, ts(2), 1, "click", 2.0))
+    val q = StreamingJobs.auditedPublish(in.toDF(), s"$base/out", s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      in.addData(Event(3, ts(3), 2, "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    def manifest(batch: Long): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/out/batch-$batch", "_MANIFEST.json")))
+    assert(manifest(0).contains(""""n_rows":2"""), manifest(0))
+    assert(manifest(1).contains(""""n_rows":1"""), manifest(1))
+    // replay: a restarted query re-emits an unacknowledged batch with
+    // the SAME id — the truncate-mode publish must overwrite, not add
+    spark.createDataFrame(Seq((1L, 1L, "view", 1.0), (2L, 1L, "click", 2.0)))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.format("graft-manifest")
+      .option("path", s"$base/out/batch-0").mode("overwrite").save()
+    assert(manifest(0).contains(""""n_rows":2"""), manifest(0))
+    val total = spark.read.schema(
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .json(s"$base/out/batch-*/part-*.jsonl").count()
+    assert(total == 3, s"expected 3 published rows across batches, got $total")
+  }
+
   test("st11 streaming HLL distinct-users updates across micro-batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
