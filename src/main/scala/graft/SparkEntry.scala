@@ -196,6 +196,12 @@ object SparkEntry {
     "tx30_boilerplate"      -> Text.tx30Boilerplate _,
     "pp10_temperature_mix"  -> Pipelines.pp10TemperatureMix _,
     "gr07_personalized_pr"  -> Graph.gr07PersonalizedPr _,
+    "tx31_adaptive_stopwords" -> Text.tx31AdaptiveStopwords _,
+    "ev35_attribution"      -> Events.ev35Attribution _,
+    "gr08_link_predict"     -> Graph.gr08LinkPredict _,
+    "pp11_drop_reasons"     -> Pipelines.pp11DropReasons _,
+    "pp12_column_profile"   -> Pipelines.pp12ColumnProfile _,
+    "q51_dpp_join"          -> Relational.q51DppJoin _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -2225,5 +2231,125 @@ object SparkEntry {
         |  FROM h)
         |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
         |WHERE r.rn <= q.quota""".stripMargin,
+
+    "tx31_adaptive_stopwords" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(trim(text),' ')) AS tok
+        |           FROM documents),
+        |top AS (SELECT tok FROM (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1
+        |  ORDER BY df DESC, tok LIMIT 30)),
+        |g AS (SELECT doc_id, count(*) AS n_tokens,
+        |    count(*) FILTER (WHERE tok IN (SELECT tok FROM top)) AS n_stop
+        |  FROM tk GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_stop,
+        |  n_stop * 1000000 // n_tokens AS stop_ppm FROM g""".stripMargin,
+
+    "ev35_attribution" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch
+        |  FROM events)
+        |SELECT coalesce(last_touch, 'direct') AS channel,
+        |  count(*) AS n_purchases, round(sum(value), 2) AS revenue
+        |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    "gr08_link_predict" ->
+      s"""WITH j AS ($ngramJaccardSql),
+         |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
+         |deg AS (SELECT m, count(*) AS deg FROM bi GROUP BY 1),
+         |w AS (SELECT x.n AS a, y.n AS b, count(*) AS common,
+         |        CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_ppm
+         |      FROM bi x JOIN bi y ON x.m = y.m AND x.n < y.n
+         |      JOIN deg d ON d.m = x.m GROUP BY 1, 2)
+         |SELECT w.a, w.b, w.common,
+         |  CAST(w.common * 1000000 // (da.deg + db.deg - w.common) AS BIGINT)
+         |    AS jaccard_ppm,
+         |  w.ra_ppm,
+         |  CASE WHEN EXISTS (SELECT 1 FROM j WHERE j.d1 = w.a AND j.d2 = w.b)
+         |       THEN 1 ELSE 0 END AS is_edge
+         |FROM w JOIN deg da ON da.m = w.a JOIN deg db ON db.m = w.b"""
+        .stripMargin,
+
+    "pp11_drop_reasons" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |scores AS ($qualityScoreSql),
+         |jj AS (SELECT c.cluster_id, c.doc_id, s.score
+         |      FROM clusters c JOIN scores s USING (doc_id)),
+         |keep AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM jj) WHERE rk = 1),
+         |removed AS (SELECT c.doc_id FROM clusters c
+         |            JOIN keep k ON c.cluster_id = k.cluster_id
+         |            WHERE c.doc_id != k.keeper_id),
+         |tt AS (SELECT doc_id,
+         |    substr(md5(text), 1, 1) IN ('0','1') AS is_eval,
+         |    string_split(trim(text),' ') AS tk
+         |  FROM documents
+         |  WHERE len(string_split(trim(text),' ')) >= 15),
+         |ww AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(
+         |         range(1, len(tk)-15+2),
+         |         i -> md5(array_to_string(list_slice(tk, i, i+14), ' ')))))
+         |         AS wh
+         |      FROM tt),
+         |contam AS (SELECT DISTINCT tr.doc_id
+         |           FROM ww tr JOIN ww ev ON tr.wh = ev.wh
+         |           WHERE NOT tr.is_eval AND ev.is_eval),
+         |base AS (SELECT d.doc_id, d.lang,
+         |    CAST(len(string_split(trim(d.text),' ')) AS BIGINT) AS n_tokens,
+         |    s.score
+         |  FROM documents d JOIN scores s ON d.doc_id = s.doc_id),
+         |lab AS (SELECT lang, n_tokens,
+         |  CASE WHEN doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+         |       WHEN doc_id IN (SELECT doc_id FROM removed) THEN 'duplicate'
+         |       WHEN score < 0.5 THEN 'low_quality' ELSE 'kept' END AS reason
+         |  FROM base)
+         |SELECT lang, reason, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+         |FROM lab GROUP BY 1, 2""".stripMargin,
+
+    "pp12_column_profile" -> {
+      val profiled = Seq("l_orderkey", "l_partkey", "quantity_c", "price_c",
+        "shipdate_d")
+      val branches = profiled.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS BIGINT) AS min_v,
+           |  CAST(max($c) AS BIGINT) AS max_v
+           |FROM l""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH l AS (SELECT l_orderkey, l_partkey,
+         |  CAST(round(l_quantity * 100, 0) AS BIGINT) AS quantity_c,
+         |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         |  CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+         |    AS BIGINT) AS shipdate_d
+         |  FROM lineitem)
+         |$branches""".stripMargin
+    },
+
+    "q51_dpp_join" ->
+      """WITH intake AS (SELECT
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+        |      AS mon,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS intake_c
+        |  FROM orders GROUP BY 1),
+        |bar AS (SELECT CAST(sum(intake_c) // count(*) AS BIGINT)
+        |    AS bar_c FROM intake),
+        |hot AS (SELECT mon, intake_c FROM intake, bar
+        |       WHERE intake_c > bar_c AND intake_c > 0)
+        |SELECT h.mon, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+        |    (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+        |    AS revenue_c4
+        |FROM lineitem l JOIN hot h
+        |  ON CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS INTEGER)
+        |     = h.mon
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -402,4 +402,27 @@ object Dedup {
       .filter(col("dist") * 100 <= lit(20) * greatest(length(col("t1")), length(col("t2"))))
       .select(col("d1"), col("d2"), col("dist"))
   }
+
+  /** dd16: SEMANTIC dedup with learned-cell blocking — embeddings are
+    * assigned to their nearest IVF centroid cell (the ss05 assignment
+    * step: broadcast centroid table, codegen'd cosine, partial-agg'd
+    * argmax — the corpus is scanned, never shuffled for assignment)
+    * and exact cosine runs only WITHIN a cell. The blocking key is
+    * learned from the data rather than given (dd05 blocks on the
+    * `label` column; this is what you run when no label exists).
+    * Within-cell candidate mass is Σ|cell|² — the centroid count is
+    * the knob that keeps cells bounded at corpus scale, and dd11-style
+    * cell-size stats tell you when to raise it. Near-dup pairs
+    * (cos ≥ 0.3) come back with their cell for cluster-level review. */
+  def dd16SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val a = Similarity.cellAssignments(s, d)
+    val l = a.select(col("cell"), col("vec_id").as("v1"),
+      col("embedding").as("e1"))
+    val r = a.select(col("cell"), col("vec_id").as("v2"),
+      col("embedding").as("e2"))
+    l.join(r, Seq("cell")).filter(col("v1") < col("v2"))
+      .filter(expr("cosine_sim(e1, e2)") >= 0.3)
+      .select(col("v1"), col("v2"), col("cell"))
+  }
 }

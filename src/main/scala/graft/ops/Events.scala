@@ -743,4 +743,74 @@ object Events {
       .select(col("day"), col("weekday"), col("n_events"),
         col("wd_median"), col("dev_bp"), col("is_anomaly"))
   }
+
+  /** ev35: last-touch purchase attribution — for every purchase, the
+    * user's most recent preceding non-purchase event is the credited
+    * channel ('direct' when the purchase is the user's first event).
+    * One per-user window (partitioned by user_id — distributes
+    * cleanly; no global sort), ordered on (ts, event_id) so same-
+    * timestamp events resolve identically on both engines; revenue
+    * rounded to cents only at the final per-channel aggregate. */
+  def ev35Attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev(s, d)
+      .withColumn("last_touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("revenue"))
+  }
+
+  /** ev36: peak session concurrency per day — the interval sweep-line
+    * (+1 at session start, −1 one second after it ends; −1 sorts
+    * before +1 at the same instant so back-to-back sessions never
+    * double-count), DISTRIBUTED two-phase instead of one partition-
+    * less running sum: deltas bucket by hour-of-day, each (day, hour)
+    * bucket computes its internal running max, and a ≤25-row per-day
+    * prefix sum over bucket nets turns local maxima into the exact
+    * global peak (the ev17/pp08 pattern — at 100 TB the bucket
+    * granularity is the knob, never the algorithm). Sessions crossing
+    * midnight are clipped into per-day segments first, so every day
+    * counts exactly the sessions live within it. */
+  def ev36PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val sess = ev02Sessionize(s, d)
+      .select(col("session_start"), col("session_end"))
+    val segs = sess
+      .withColumn("day",
+        explode(expr("sequence(to_date(session_start), to_date(session_end))")))
+      .select(col("day"),
+        greatest(col("session_start"), col("day").cast("timestamp"))
+          .as("seg_start"),
+        least(col("session_end"),
+          expr("to_timestamp(day) + INTERVAL 1 DAY - INTERVAL 1 SECOND"))
+          .as("seg_end"))
+    val deltas = segs
+      .select(col("day"), col("seg_start").as("ts"), lit(1).as("delta"))
+      .unionByName(segs.select(col("day"),
+        expr("seg_end + INTERVAL 1 SECOND").as("ts"), lit(-1).as("delta")))
+      // bucket index from the day's own midnight: the −1 emitted at
+      // next-day 00:00:00 lands in bucket 24 and keeps bucket order
+      // aligned with timestamp order inside the day frame
+      .withColumn("hr",
+        expr("(CAST(ts AS LONG) - CAST(to_timestamp(day) AS LONG)) div 3600"))
+    val wIn = Window.partitionBy(col("day"), col("hr"))
+      .orderBy(col("ts"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = deltas
+      .withColumn("run", sum(col("delta")).over(wIn))
+      .groupBy(col("day"), col("hr"))
+      .agg(sum(col("delta")).as("net"), max(col("run")).as("hi"),
+        sum(when(col("delta") === 1, 1).otherwise(0)).as("n_starts"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    buckets
+      .withColumn("offset", coalesce(sum(col("net")).over(wDay), lit(0L)))
+      .groupBy(col("day"))
+      .agg(max(col("offset") + col("hi")).as("peak_concurrency"),
+        sum(col("n_starts")).as("n_sessions"))
+  }
 }

@@ -190,4 +190,42 @@ object Graph {
       n => when(n % 3 === 0, lit(1.0)).otherwise(lit(0.0)))
       .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
   }
+
+  /** gr08: link-prediction scoring over the near-dup graph — every
+    * wedge pair (docs sharing ≥1 neighbor), scored by neighborhood
+    * Jaccard and resource allocation (Σ 1/deg(shared)), both on exact
+    * integer ppm grids (RA sums per-term floors, replayed identically
+    * by the oracle — no float summation order to disagree on), plus
+    * the is_edge flag. High-scoring OPEN wedges (is_edge=0) are the
+    * pairs the sketch tier likely missed — they go to exact
+    * verification first; in a clean clique-shaped dup graph every
+    * wedge is closed, which this output makes auditable (the gr04
+    * story, now with calibrated scores). Scale: wedge enumeration is
+    * the gr04 join over near-dup adjacency (|edges| ∝ true dups,
+    * never corpus²); degree is a tiny per-node aggregate broadcast
+    * into the wedge stream. */
+  def gr08LinkPredict(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = e.select(col("d1").as("m"), col("d2").as("n"))
+      .unionByName(e.select(col("d2").as("m"), col("d1").as("n")))
+    val deg = bi.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+    val n1 = bi.select(col("m"), col("n").as("a"))
+    val n2 = bi.select(col("m").as("m2"), col("n").as("b"))
+    val wedges = n1.join(n2, col("m") === col("m2") && col("a") < col("b"))
+      .join(broadcast(deg), Seq("m"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 div deg")).as("ra_ppm"))
+    val isEdge = e.select(col("d1").as("a"), col("d2").as("b"),
+      lit(1).as("edge_mark"))
+    val dA = deg.select(col("m").as("a"), col("deg").as("deg_a"))
+    val dB = deg.select(col("m").as("b"), col("deg").as("deg_b"))
+    wedges.join(broadcast(isEdge), Seq("a", "b"), "left_outer")
+      .join(broadcast(dA), Seq("a")).join(broadcast(dB), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        expr("common * 1000000 div (deg_a + deg_b - common)")
+          .as("jaccard_ppm"),
+        col("ra_ppm"),
+        col("edge_mark").isNotNull.cast("int").as("is_edge"))
+  }
 }

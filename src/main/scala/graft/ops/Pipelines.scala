@@ -308,4 +308,69 @@ object Pipelines {
       .agg(count(lit(1)).as("n_chunks"), count(col("is_dup")).as("n_shared"))
       .withColumn("shared_bp", expr("n_shared * 10000 div n_chunks"))
   }
+
+  /** pp11: drop-reason funnel — every document's final disposition
+    * (contaminated > duplicate > low_quality > kept, in audit-priority
+    * order) rolled up per language: the one-page answer to "where did
+    * my corpus go?" that every filtering pipeline ships alongside the
+    * data. Reuses the verified builders: pp07's eval-overlap set and
+    * the pp01 keep-best removal list are both tiny (∝ flagged docs)
+    * and broadcast back over a single linear pass of the corpus; the
+    * clustering chain runs ONCE (the pp01 reuse pattern). */
+  def pp11DropReasons(s: SparkSession, d: String): DataFrame = {
+    val scores = Text.tx02QualityScore(s, d).select(col("doc_id"), col("score"))
+    val clusters = Dedup.dd06DupClusters(s, d)
+    val keepers = Dedup.keepBestFrom(clusters, scores)
+      .select(col("cluster_id"), col("keeper_id"))
+    val removed = clusters.join(keepers, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id"), lit(1).as("is_dup"))
+    val contaminated = pp07Decontam(s, d)
+      .select(col("doc_id"), lit(1).as("is_contam"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      .join(scores, Seq("doc_id"))
+      .join(broadcast(removed), Seq("doc_id"), "left_outer")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_outer")
+      .withColumn("reason",
+        when(col("is_contam").isNotNull, "contaminated")
+          .when(col("is_dup").isNotNull, "duplicate")
+          .when(col("score") < 0.5, "low_quality")
+          .otherwise("kept"))
+      .groupBy(col("lang"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_total"))
+  }
+
+  /** pp12: single-pass column profiler (the ANALYZE-TABLE surface) —
+    * row count, null count, exact distinct count, and min/max for the
+    * key lineitem columns, every numeric forced onto an exact integer
+    * grid (cents, epoch days) so no float/string formatting can
+    * disagree across engines. Spark plans the multi-column DISTINCT
+    * as one scan + Expand(×5): each expanded stream carries ONE
+    * column and partial-aggregates map-side — the standard
+    * multi-distinct shape, linear in the input with no per-column
+    * re-scan. The 1-row aggregate is unpivoted with stack(). */
+  def pp12ColumnProfile(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_partkey"),
+      expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").as("quantity_c"),
+      expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("price_c"),
+      expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1992-01-01') AS BIGINT)")
+        .as("shipdate_d"))
+    val cols = Seq("l_orderkey", "l_partkey", "quantity_c", "price_c",
+      "shipdate_d")
+    val aggExprs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast("long").as(s"${c}__min"),
+      max(col(c)).cast("long").as(s"${c}__max")))
+    l.agg(aggExprs.head, aggExprs.tail: _*)
+      .select(expr("stack(5, " + cols.map(c =>
+        s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+        .mkString(", ") + ") AS (col_name, n_nulls, n_distinct, min_v, max_v)"),
+        col("n_rows"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+  }
 }

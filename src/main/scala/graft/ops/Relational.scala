@@ -760,4 +760,47 @@ object Relational {
       .select(col("x"), col("n_rows"), col("n_x"), col("total_c"),
         (col("dim_rows") === col("n_rows")).as("nullsafe_match"))
   }
+
+  /** q51: dynamic-partition-pruned fact scan — lineitem laid out
+    * hive-partitioned by ship month (yyyymm; bounded cardinality at
+    * any SF), then joined to a runtime-derived month dim (months whose
+    * order intake beats the monthly average). The month list
+    * only exists AFTER scanning orders, so static pruning can't help —
+    * Catalyst inserts a DynamicPruningSubquery on the partition column
+    * and the fact scan opens ONLY the qualifying month directories
+    * (plan-asserted in SourcesSpec). At 100 TB this is the difference
+    * between reading 3 months and reading 8 years. The layout job
+    * runs once per (session, data dir) — the same non-lazy builder
+    * contract as q44. */
+  def q51DppJoin(s: SparkSession, d: String): DataFrame = {
+    val suffix = java.lang.Integer.toHexString(d.hashCode)
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val path = s"$wh/graft_lineitem_pmon_$suffix"
+    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      graft.sources.Sources.writePartitioned(
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          expr("year(l_shipdate) * 100 + month(l_shipdate)").as("l_mon")),
+        path, "l_mon")
+    }
+    val fact = s.read.parquet(path)
+    val intake = Tables.orders(s, d)
+      .groupBy(expr("year(o_orderdate) * 100 + month(o_orderdate)").as("mon"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("intake_c"))
+    val bar = intake.agg(
+      expr("sum(intake_c) div count(1)").as("bar_c"))
+    // the literal guard is semantically vacuous (intake is positive)
+    // but it is what PartitionPruning's selectivity check needs to see
+    // before it will insert the DynamicPruningSubquery
+    val hot = intake.join(broadcast(bar))
+      .filter(col("intake_c") > col("bar_c") && col("intake_c") > 0)
+      .select(col("mon"), col("intake_c"))
+    fact.join(broadcast(hot), fact("l_mon") === hot("mon"))
+      .groupBy(col("mon"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+          "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))"))
+          .as("revenue_c4"))
+  }
 }

@@ -138,6 +138,31 @@ object Similarity {
       .select(col("label").as("cell"), expr("transform(vsum, x -> x / cnt)").as("cent"))
   }
 
+  /** Nearest-n centroid cells per vector (shared by ss05 and dd16):
+    * cosine to each broadcast centroid in the codegen'd CosineSim,
+    * then the partial-aggregable top-n — no per-vector window sort. */
+  private[ops] def nearestCellsFrom(cent: DataFrame, df: DataFrame,
+      n: Int, out: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKPairAggregator(n))
+    df.join(broadcast(cent))
+      .withColumn("ccos", expr("cosine_sim(embedding, cent)"))
+      .groupBy(col("vec_id"))
+      .agg(topk(col("ccos"), col("cell").cast("long")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("pair"))
+      .select(col("vec_id"), col("pair._2").as(out))
+  }
+
+  /** Every corpus vector with its nearest-centroid cell id (the IVF
+    * assignment step, exposed for dd16's cell-blocked dedup). */
+  private[ops] def cellAssignments(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cent = CacheScope.cached(centroids(s, d))
+    val emb = Tables.embeddings(s, d)
+    emb.select(col("vec_id"), col("embedding"))
+      .transform(nearestCellsFrom(cent, _, 1, "cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+  }
+
   /** ss05: IVF-style ANN — the corpus is partitioned into coarse cells
     * (nearest label-centroid); a query probes only its 2 closest cells
     * and ranks candidates there. Cell assignment and probing are both
@@ -152,15 +177,8 @@ object Similarity {
     // top-n — the 10× row fan-out collapses back to one row per vector
     // inside each map task, so the exchange carries |vectors| rows, not
     // 10×, and there is no per-vector window sort.
-    def nearestCells(df: DataFrame, n: Int, out: String): DataFrame = {
-      val topk = udaf(new graft.functions.TopKPairAggregator(n))
-      df.join(broadcast(cent))
-        .withColumn("ccos", expr("cosine_sim(embedding, cent)"))
-        .groupBy(col("vec_id"))
-        .agg(topk(col("ccos"), col("cell").cast("long")).as("top"))
-        .select(col("vec_id"), explode(col("top")).as("pair"))
-        .select(col("vec_id"), col("pair._2").as(out))
-    }
+    def nearestCells(df: DataFrame, n: Int, out: String): DataFrame =
+      nearestCellsFrom(cent, df, n, out)
     val emb = Tables.embeddings(s, d)
     val assigned = emb.select(col("vec_id"), col("embedding"))
       .transform(nearestCells(_, 1, "cell"))

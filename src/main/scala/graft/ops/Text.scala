@@ -518,4 +518,49 @@ object Text {
         when(col("is_bp").isNotNull, col("n_tokens") - 8)
           .otherwise(col("n_tokens")).as("n_tokens_clean"))
   }
+
+  /** tx31: corpus-adaptive stopword discovery — instead of a fixed
+    * list (tx11), rank tokens by DOCUMENT frequency and treat the
+    * top-30 as this corpus's stopwords, then score each doc's
+    * stop-mass in exact ppm. The signal a multilingual/code corpus
+    * needs, where a static English list is blind. Scale: the ranking
+    * runs over the (token → doc-frequency) aggregate — |vocab| rows,
+    * partial-agg'd map-side — and the winner set is 30 rows broadcast
+    * back over the token stream; deterministic tie-break (df desc,
+    * token asc) keeps both engines on the same boundary. */
+  def tx31AdaptiveStopwords(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+    val top = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("tok").asc)
+      .limit(30)
+      .select(col("tok"), lit(1).as("is_stop"))
+    toks.join(broadcast(top), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), count(col("is_stop")).as("n_stop"))
+      .withColumn("stop_ppm", expr("n_stop * 1000000 div n_tokens"))
+  }
+
+  /** tx32: distinctive-token extraction — each doc's 3 RAREST tokens
+    * by corpus document frequency (df asc, token asc tie-break): the
+    * integer-exact keyword signal (a rank-only TF-IDF stand-in with
+    * no log floats to disagree on). Scale: the (token → df) table is
+    * |vocab|-sized, so it joins to the token stream by SHUFFLE on the
+    * token key (a vocab can outgrow a broadcast); per-doc selection is
+    * a bounded sort_array over that doc's own distinct tokens — no
+    * corpus-wide window. */
+  def tx32RareTokens(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens)).as("tok"))
+    val dfreq = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    toks.join(dfreq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_list(struct(col("df"), col("tok")))), 1, 3)
+        .as("rare"))
+      .select(col("doc_id"), posexplode(col("rare")))
+      .select(col("doc_id"), (col("pos") + 1).as("rk"),
+        col("col.tok").as("tok"), col("col.df").as("df"))
+  }
 }

@@ -497,6 +497,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("q51 fact scan is dynamically partition-pruned by the month dim") {
+    // the partitioned layout job runs on first invocation; the plan
+    // must then carry a DynamicPruningSubquery on the partition column
+    // (only qualifying month directories are opened at execution)
+    val qe = ops.Relational.q51DppJoin(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"q51 must plan a dynamic partition-pruning filter on l_mon:\n$plan")
+  }
+
   test("q49 hot path plans broadcast joins; no window sort anywhere") {
     val plan = ops.Relational.q49HotColdJoin(spark, sf)
       .queryExecution.executedPlan.toString
