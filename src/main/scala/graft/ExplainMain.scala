@@ -22,7 +22,12 @@ object ExplainMain {
         // continuation plan-review set: exact-quota sampler, decontam,
         // grouped histogram percentiles, HLL rollup, GC audit
         "pp08_stratified_sample", "pp07_decontam", "ev33_interarrival",
-        "sk07_hll_rollup", "mm09_gc_audit", "gr06_minlabel")
+        "sk07_hll_rollup", "mm09_gc_audit", "gr06_minlabel",
+        // round-3 second-session set: DPP, two-pass heavy hitters,
+        // distributed sweep-line, learned-cell dedup, multi-distinct
+        // profiler
+        "q51_dpp_join", "sk09_heavy_hitters", "ev36_peak_concurrency",
+        "dd16_semantic_dedup", "pp12_column_profile")
     for (q <- queries) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -202,6 +202,10 @@ object SparkEntry {
     "pp11_drop_reasons"     -> Pipelines.pp11DropReasons _,
     "pp12_column_profile"   -> Pipelines.pp12ColumnProfile _,
     "q51_dpp_join"          -> Relational.q51DppJoin _,
+    "dd16_semantic_dedup"   -> Dedup.dd16SemanticDedup _,
+    "tx32_rare_tokens"      -> Text.tx32RareTokens _,
+    "ev36_peak_concurrency" -> Events.ev36PeakConcurrency _,
+    "sk09_heavy_hitters"    -> Sketches.sk09HeavyHitters _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -2351,5 +2355,73 @@ object SparkEntry {
         |  ON CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS INTEGER)
         |     = h.mon
         |GROUP BY 1""".stripMargin,
+
+    "dd16_semantic_dedup" ->
+      """WITH ex AS (SELECT vec_id, label, i,
+        |       CAST(embedding[i+1] AS DOUBLE) AS x
+        |     FROM embeddings, range(64) t(i)),
+        |cent AS (SELECT label AS cell, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |vc AS (SELECT ex.vec_id, cent.cell,
+        |         sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS ccos
+        |       FROM ex JOIN cent ON ex.i = cent.i
+        |       GROUP BY 1, 2),
+        |assigned AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell)
+        |      AS crk
+        |  FROM vc) WHERE crk = 1)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(a.cell AS BIGINT) AS cell
+        |FROM assigned a JOIN assigned b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3"""
+        .stripMargin,
+
+    "tx32_rare_tokens" ->
+      """WITH tk AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(trim(text),' ')) AS tok
+        |    FROM documents)),
+        |df AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+        |r AS (SELECT t.doc_id, t.tok, df.df,
+        |        row_number() OVER (PARTITION BY t.doc_id
+        |          ORDER BY df.df, t.tok) AS rk
+        |      FROM tk t JOIN df USING (tok))
+        |SELECT doc_id, rk, tok, df FROM r WHERE rk <= 3""".stripMargin,
+
+    "ev36_peak_concurrency" ->
+      s"""WITH s AS ($sessionizeSql),
+         |seg0 AS (SELECT session_start, session_end,
+         |    unnest(range(CAST(date_diff('day', CAST(session_start AS DATE),
+         |      CAST(session_end AS DATE)) AS BIGINT) + 1)) AS i
+         |  FROM s),
+         |segs AS (SELECT
+         |    CAST(session_start AS DATE) + CAST(i AS INTEGER) AS day,
+         |    greatest(session_start,
+         |      CAST(CAST(session_start AS DATE) + CAST(i AS INTEGER)
+         |        AS TIMESTAMP)) AS seg_start,
+         |    least(session_end,
+         |      CAST(CAST(session_start AS DATE) + CAST(i AS INTEGER)
+         |        AS TIMESTAMP) + INTERVAL 1 DAY - INTERVAL 1 SECOND)
+         |      AS seg_end
+         |  FROM seg0),
+         |deltas AS (SELECT day, seg_start AS ts, 1 AS delta FROM segs
+         |           UNION ALL
+         |           SELECT day, seg_end + INTERVAL 1 SECOND, -1 FROM segs),
+         |r AS (SELECT day, delta,
+         |        sum(delta) OVER (PARTITION BY day ORDER BY ts, delta
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |      FROM deltas)
+         |SELECT day, CAST(max(run) AS BIGINT) AS peak_concurrency,
+         |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sessions
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "sk09_heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(string_split(trim(text),' ')) AS tok
+        |            FROM documents),
+        |t AS (SELECT count(*) AS n_total FROM tk)
+        |SELECT tok, count(*) AS n FROM tk, t
+        |GROUP BY tok, n_total HAVING count(*) * 65 > n_total""".stripMargin,
   )
 }

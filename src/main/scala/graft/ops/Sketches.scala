@@ -182,4 +182,29 @@ object Sketches {
           .as("est_users_merged"),
         sum(hll_sketch_estimate(col("sk"))).as("sum_daily_est"))
   }
+
+  /** sk09: exact heavy hitters by two bounded passes — pass 1 runs the
+    * Misra–Gries sketch (O(k) state, mergeable, partial-agg'd) over
+    * the corpus token stream to get a ≤k candidate set with NO false
+    * negatives; pass 2 recounts ONLY the broadcast candidates exactly
+    * and keeps tokens above the N/(k+1) frequency threshold. The
+    * output is exact and hash-checked against a plain GROUP BY oracle
+    * — but unlike the oracle's shape, neither pass ever shuffles a
+    * per-token aggregate of the full vocabulary: the first carries ≤k
+    * counters per task, the second ≤k tokens. The 100 TB answer to
+    * "top tokens" when the vocab itself is shuffle-sized. */
+  def sk09HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val K = 64
+    val mg = udaf(new graft.functions.MisraGriesAggregator(K))
+    val toks = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("tok"))
+    val cand = toks
+      .agg(mg(col("tok")).as("cands"), count(lit(1)).as("n_total"))
+      .select(explode(col("cands")).as("tok"), col("n_total"))
+    toks.join(broadcast(cand), Seq("tok"))
+      .groupBy(col("tok"), col("n_total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * (K + 1) > col("n_total"))
+      .select(col("tok"), col("n"))
+  }
 }

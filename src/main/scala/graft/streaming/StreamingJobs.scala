@@ -243,4 +243,32 @@ object StreamingJobs {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** st14: streaming ingest decontamination — pp07's semantics at
+    * ingest time. The (tiny) eval-set 15-token window index collapses
+    * to ONE static row of hashes; each incoming doc computes its own
+    * window-hash array per row and drops itself on any overlap — a
+    * stateless stream-static broadcast join, no watermark, no state
+    * store, no per-window explode on the stream side. At 100 TB/day
+    * of ingest the per-doc cost is linear in the doc and the eval
+    * index rides the broadcast, exactly like the batch pp07. Docs
+    * shorter than the window can never overlap and pass through. */
+  def streamDecontam(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val W = 15
+    def winCol = expr(
+      s"""CASE WHEN size(tk) >= $W THEN
+         |  array_distinct(transform(sequence(1, size(tk) - $W + 1),
+         |    i -> md5(cast(array_join(slice(tk, i, $W), ' ') as binary))))
+         |ELSE array() END""".stripMargin)
+    val evalIdx = evalDocs
+      .withColumn("tk", split(trim(col("text")), " "))
+      .select(explode(winCol).as("wh"))
+      .agg(collect_set(col("wh")).as("eval_wins"))
+    docs
+      .withColumn("tk", split(trim(col("text")), " "))
+      .withColumn("wins", winCol)
+      .crossJoin(broadcast(evalIdx))
+      .filter(!arrays_overlap(col("wins"), col("eval_wins")))
+      .select(col("doc_id"), col("text"))
+  }
 }

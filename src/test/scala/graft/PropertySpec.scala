@@ -50,6 +50,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MisraGries never loses a heavy hitter and never exceeds k counters") {
+    val k = 8
+    val agg = new graft.functions.MisraGriesAggregator(k)
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.chooseNum(0, 30).map(i => s"t$i"))
+      splits <- Gen.chooseNum(1, 8)
+    } yield (xs, splits)
+    samples(gen).foreach { case (xs, splits) =>
+      val chunks = xs.grouped(math.max(1, xs.length / splits)).toList
+      val merged = chunks
+        .map(c => c.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(merged.size <= k, s"over $k counters for $xs split $splits")
+      // the MG guarantee: true count > N/(k+1) ⇒ the token survives
+      val n = xs.length
+      val heavy = xs.groupBy(identity).collect {
+        case (t, occ) if occ.length * (k + 1) > n => t
+      }.toSet
+      val survivors = agg.finish(merged).toSet
+      assert(heavy.subsetOf(survivors),
+        s"lost heavy hitters ${heavy -- survivors} in $xs split $splits")
+    }
+  }
+
   test("KmvSketch estimates distincts within theory error and round-trips") {
     val agg = graft.functions.KmvSketchAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(1L), k = 256)

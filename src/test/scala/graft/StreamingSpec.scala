@@ -31,6 +31,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st14 streaming decontamination drops eval-overlapping docs at ingest") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // a 15-token span shared verbatim between an eval doc and one
+    // incoming doc; a second incoming doc is clean; a third is shorter
+    // than the window and must pass through untouched
+    val span = (1 to 15).map(i => s"w$i").mkString(" ")
+    val evalDocs = Seq((100L, s"eval prefix $span eval suffix"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, s"some leading words $span and trailing ones"),
+      (2L, (1 to 40).map(i => s"clean$i").mkString(" ")),
+      (3L, "tiny doc"))
+    val q = StreamingJobs.streamDecontam(
+        in.toDF().toDF("doc_id", "text"), evalDocs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st14_out").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM st14_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(2L, 3L),
+        s"contaminated doc 1 must drop, clean docs 2 and 3 pass: $kept")
+    } finally q.stop()
+  }
+
   test("st03 streaming dedup drops replayed events within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
