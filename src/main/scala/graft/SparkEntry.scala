@@ -206,6 +206,16 @@ object SparkEntry {
     "tx32_rare_tokens"      -> Text.tx32RareTokens _,
     "ev36_peak_concurrency" -> Events.ev36PeakConcurrency _,
     "sk09_heavy_hitters"    -> Sketches.sk09HeavyHitters _,
+    "pp13_pack_manifest"    -> Pipelines.pp13PackManifest _,
+    "pp14_shard_plan"       -> Pipelines.pp14ShardPlan _,
+    "pp15_quality_weighted" -> Pipelines.pp15QualityWeighted _,
+    "tx33_bpe_pairs"        -> Text.tx33BpePairs _,
+    "tx34_source_divergence" -> Text.tx34SourceDivergence _,
+    "ev37_burst_days"       -> Events.ev37BurstDays _,
+    "ev38_linear_attribution" -> Events.ev38LinearAttribution _,
+    "pp16_split_leakage"    -> Pipelines.pp16SplitLeakage _,
+    "tx35_token_ids"        -> Text.tx35TokenIds _,
+    "q52_merge_clauses"     -> Relational.q52MergeClauses _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -2423,5 +2433,189 @@ object SparkEntry {
         |t AS (SELECT count(*) AS n_total FROM tk)
         |SELECT tok, count(*) AS n FROM tk, t
         |GROUP BY tok, n_total HAVING count(*) * 65 > n_total""".stripMargin,
+
+    "pp13_pack_manifest" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(trim(text),' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM t),
+        |sp AS (SELECT doc_id, n, off, off // 2048 AS p0,
+        |    (off + n - 1) // 2048 AS p1 FROM o),
+        |x AS (SELECT doc_id, n, off, p0, p1,
+        |    unnest(range(p0, p1 + 1)) AS pack_id FROM sp)
+        |SELECT CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN p0 <> p1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_spanning_docs,
+        |  CAST(sum(least(2048 * (pack_id + 1), off + n)
+        |    - greatest(2048 * pack_id, off)) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "pp14_shard_plan" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(trim(text),' ')) AS BIGINT) AS n_tokens,
+        |    list_sum(list_transform(range(0,4), k ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5('shard:' || CAST(doc_id AS VARCHAR)), k+1, 1)) - 1
+        |        AS BIGINT) * (CAST(1 AS BIGINT) << (4*(3-k))))) % 16
+        |      AS shard_id
+        |  FROM documents),
+        |g AS (SELECT shard_id, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_bytes
+        |  FROM d GROUP BY 1)
+        |SELECT CAST(shard_id AS BIGINT) AS shard_id, n_docs, n_tokens,
+        |  n_bytes,
+        |  CAST(n_tokens * 10000 // (SELECT sum(n_tokens) FROM g) AS BIGINT)
+        |    AS load_bp
+        |FROM g""".stripMargin,
+
+    "pp15_quality_weighted" ->
+      s"""WITH q AS ($qualityScoreSql),
+         |d AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(trim(text),' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |j AS (SELECT d.lang, d.n_tokens, s.score,
+         |    list_sum(list_transform(range(0,4), k ->
+         |      CAST(strpos('0123456789abcdef',
+         |        substr(md5('qw:' || CAST(d.doc_id AS VARCHAR)), k+1, 1)) - 1
+         |        AS BIGINT) * (CAST(1 AS BIGINT) << (4*(3-k))))) AS draw
+         |  FROM d JOIN q s ON d.doc_id = s.doc_id)
+         |SELECT lang, count(*) AS n_candidates,
+         |  CAST(sum(CASE WHEN draw < score * 65536 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN draw < score * 65536 THEN n_tokens ELSE 0 END)
+         |    AS BIGINT) AS kept_tokens
+         |FROM j GROUP BY 1""".stripMargin,
+
+    "tx33_bpe_pairs" ->
+      """WITH ww AS (SELECT unnest(string_split(trim(text),' ')) AS w
+        |            FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> substr(w, i, 2))) AS pair
+        |  FROM ww WHERE len(w) >= 2)
+        |SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "tx34_source_divergence" ->
+      """WITH tk AS (SELECT source, unnest(string_split(trim(text),' '))
+        |    AS tok FROM documents),
+        |tot AS (SELECT count(*) AS c_tot FROM tk),
+        |v AS (SELECT tok, count(*) AS c_cnt FROM tk GROUP BY 1
+        |      ORDER BY c_cnt DESC, tok LIMIT 100),
+        |vp AS (SELECT tok, CAST(c_cnt * 1000000 // c_tot AS BIGINT)
+        |    AS ppm_c FROM v, tot),
+        |st AS (SELECT source, count(*) AS n_tokens FROM tk GROUP BY 1),
+        |sc AS (SELECT source, tok, count(*) AS s_cnt FROM tk
+        |       WHERE tok IN (SELECT tok FROM v) GROUP BY 1, 2),
+        |g AS (SELECT st.source, st.n_tokens, vp.tok, vp.ppm_c,
+        |    CAST(coalesce(sc.s_cnt, 0) * 1000000 // st.n_tokens AS BIGINT)
+        |      AS ppm_s
+        |  FROM st CROSS JOIN vp
+        |  LEFT JOIN sc ON sc.source = st.source AND sc.tok = vp.tok)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sum(abs(ppm_s - ppm_c)) AS BIGINT) AS tv_ppm
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
+    "ev37_burst_days" ->
+      """WITH dly AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n_events,
+        |    CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |      AS sum_prev,
+        |    CAST(count(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |      AS n_prev
+        |  FROM dly)
+        |SELECT event_type, day, n_events, n_prev, sum_prev
+        |FROM w WHERE n_prev >= 3
+        |  AND 20 * n_events * n_prev > 21 * sum_prev""".stripMargin,
+
+    "ev38_linear_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS t_user, ts AS t_ts, event_type AS channel
+        |      FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.p_id, p.cents, t.channel FROM p LEFT JOIN t
+        |      ON p.p_user = t.t_user AND t.t_ts <= p.p_ts
+        |         AND t.t_ts > p.p_ts - INTERVAL 7 DAY),
+        |c AS (SELECT p_id, cents, channel, count(channel) AS n_ch
+        |      FROM j GROUP BY 1, 2, 3),
+        |tt AS (SELECT p_id, CAST(sum(n_ch) AS BIGINT) AS n_tot
+        |       FROM c GROUP BY 1),
+        |cr AS (SELECT c.channel,
+        |         c.n_ch * (1000000 // tt.n_tot) AS p_micro,
+        |         c.n_ch * ((c.cents * 1000000) // tt.n_tot) AS r_micro
+        |       FROM c JOIN tt ON c.p_id = tt.p_id WHERE c.n_ch > 0
+        |       UNION ALL
+        |       SELECT 'direct', 1000000, c.cents * 1000000
+        |       FROM c JOIN tt ON c.p_id = tt.p_id WHERE tt.n_tot = 0)
+        |SELECT channel, CAST(sum(p_micro) AS BIGINT) AS purchases_micro,
+        |  CAST(sum(r_micro) AS BIGINT) AS revenue_micro
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    "pp16_split_leakage" ->
+      s"""WITH nd AS ($ngramJaccardSql),
+         |sp AS (SELECT d1, d2,
+         |    CASE substr(md5(CAST(d1 AS VARCHAR)), 1, 1)
+         |      WHEN 'f' THEN 'test' WHEN 'e' THEN 'val' ELSE 'train'
+         |    END AS s1,
+         |    CASE substr(md5(CAST(d2 AS VARCHAR)), 1, 1)
+         |      WHEN 'f' THEN 'test' WHEN 'e' THEN 'val' ELSE 'train'
+         |    END AS s2
+         |  FROM nd)
+         |SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b,
+         |  count(*) AS n_leaky_pairs,
+         |  count(DISTINCT CASE WHEN s1 < s2 THEN d1 ELSE d2 END)
+         |    AS n_docs_a,
+         |  count(DISTINCT CASE WHEN s1 < s2 THEN d2 ELSE d1 END)
+         |    AS n_docs_b
+         |FROM sp WHERE s1 != s2 GROUP BY 1, 2""".stripMargin,
+
+    "tx35_token_ids" ->
+      """WITH c AS (SELECT unnest(string_split(trim(text),' ')) AS tok
+        |           FROM documents),
+        |cc AS (SELECT tok, count(*) AS cnt FROM c GROUP BY 1),
+        |v AS (SELECT tok, id FROM (
+        |  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS id
+        |  FROM cc) WHERE id <= 256),
+        |tk AS (SELECT doc_id, string_split(trim(text),' ') AS tks
+        |       FROM documents),
+        |f AS (SELECT doc_id, unnest(tks[1:16]) AS tok,
+        |    unnest(range(1, least(len(tks), 16) + 1)) AS pos
+        |  FROM tk),
+        |j AS (SELECT f.doc_id, f.pos, coalesce(v.id, 0) AS tid
+        |      FROM f LEFT JOIN v USING (tok))
+        |SELECT doc_id, list(tid ORDER BY pos) AS token_ids
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "q52_merge_clauses" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS mx FROM o),
+        |ins AS (SELECT o.o_orderkey + mx.mx + 1 AS o_orderkey, o.cents
+        |        FROM o, mx WHERE o.o_orderkey % 10 = 3),
+        |kept AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 IN (1, 2)
+        |      THEN cents + cents // 20 ELSE cents END AS cents
+        |  FROM o WHERE o_orderkey % 10 != 0),
+        |res AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT (SELECT count(*) FROM o) AS n_target,
+        |  (SELECT count(*) FROM o WHERE o_orderkey % 10 = 0) AS n_deleted,
+        |  (SELECT count(*) FROM o WHERE o_orderkey % 10 IN (1, 2))
+        |    AS n_updated,
+        |  (SELECT count(*) FROM ins) AS n_inserted,
+        |  count(*) AS n_result,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM res""".stripMargin,
   )
 }

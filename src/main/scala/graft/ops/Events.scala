@@ -813,4 +813,76 @@ object Events {
       .agg(max(col("offset") + col("hi")).as("peak_concurrency"),
         sum(col("n_starts")).as("n_sessions"))
   }
+
+  /** ev37: burst-day detection — a day is a burst when its event count
+    * exceeds the mean of its up-to-7 preceding observed days by more
+    * than 5%, compared in cross-multiplied integers
+    * (20·n·n_prev > 21·Σprev) so no float mean exists to disagree on;
+    * ≥3 prior days required to suppress cold-start noise. (The 5%
+    * sensitivity is a config knob; day-volume noise shrinks as √N, so
+    * larger corpora fire it on genuinely smaller relative spikes.)
+    * The raw scan partial-aggregates to the (type, day) frame —
+    * days×types rows — and the trailing window runs on THAT frame,
+    * partitioned by type: window cost is bounded by the calendar,
+    * never by event volume. */
+  def ev37BurstDays(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("sum_prev", sum(col("n_events")).over(w))
+      .withColumn("n_prev", count(col("n_events")).over(w))
+      .filter(col("n_prev") >= 3 &&
+        lit(20L) * col("n_events") * col("n_prev") >
+          lit(21L) * col("sum_prev"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("n_prev"), col("sum_prev"))
+  }
+
+  /** ev38: linear (equal-credit) multi-touch attribution — every
+    * view/click in the 7 days up to a purchase shares the purchase
+    * and its revenue equally; purchases with no touches credit a
+    * 'direct' channel. Credits live on an exact integer micro-grid:
+    * each touch gets 10⁶·(1/n) floor-divided once, so channel sums
+    * are bit-stable across engines (documented floor remainder ≤
+    * n−1 µunits per purchase). Complements ev35's last-touch rule.
+    * Scale: the purchase×touch range join is keyed on user_id (the
+    * ev24 shape — per-user frames bound the expansion; a hot user is
+    * the q43/ev08 salting case); everything after is two bounded
+    * aggregations. */
+  def ev38LinearAttribution(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_type").as("channel"))
+    val perChannel = purchases
+      .join(touches,
+        col("p_user") === col("t_user") && col("t_ts") <= col("p_ts") &&
+          col("t_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"),
+        "left_outer")
+      .groupBy(col("p_id"), col("cents"), col("channel"))
+      .agg(count(col("t_user")).as("n_ch"))
+    val perPurchase = perChannel.groupBy(col("p_id"), col("cents"))
+      .agg(sum(col("n_ch")).as("n_tot"))
+    val touched = perChannel.filter(col("n_ch") > 0)
+      .join(perPurchase.select(col("p_id"), col("n_tot")), Seq("p_id"))
+      .select(col("channel"),
+        (col("n_ch") * expr("1000000 div n_tot")).as("p_micro"),
+        (col("n_ch") * expr("(cents * 1000000) div n_tot")).as("r_micro"))
+    val direct = perPurchase.filter(col("n_tot") === 0)
+      .select(lit("direct").as("channel"),
+        lit(1000000L).as("p_micro"),
+        (col("cents") * 1000000L).as("r_micro"))
+    touched.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(sum(col("p_micro")).as("purchases_micro"),
+        sum(col("r_micro")).as("revenue_micro"))
+  }
 }

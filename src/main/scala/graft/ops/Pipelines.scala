@@ -373,4 +373,116 @@ object Pipelines {
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_v"), col("max_v"))
   }
+
+  /** pp13: context-packing manifest — docs are laid out back-to-back
+    * in doc_id order and cut into fixed 2048-token training contexts;
+    * the manifest reports, per context ("pack"), how many documents it
+    * touches, how many of those straddle a pack boundary, and its
+    * exact token fill. The global token offset is a distributed
+    * two-phase prefix sum (the pp08/ev17 shape): per-4096-doc-range
+    * bucket totals roll into exclusive bucket offsets on a
+    * buckets-sized frame, and the only windows run PER BUCKET — no
+    * corpus-sized single-partition sort anywhere. Every column is an
+    * exact integer. */
+  def pp13PackManifest(s: SparkSession, d: String): DataFrame = {
+    val C = 2048L // context length (tokens)
+    val B = 4096L // docs per prefix-sum bucket
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      size(split(trim(col("text")), " ")).cast("long").as("n"))
+    val bucketed = docs.withColumn("bkt", expr(s"doc_id div $B"))
+    val offs = bucketed.groupBy(col("bkt")).agg(sum(col("n")).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val spans = bucketed.join(broadcast(offs), Seq("bkt"))
+      .withColumn("off", col("boff") + coalesce(sum(col("n")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("p0", expr(s"off div $C"))
+      .withColumn("p1", expr(s"(off + n - 1) div $C"))
+    spans
+      .select(col("doc_id"), col("n"), col("off"), col("p0"), col("p1"),
+        explode(expr("sequence(p0, p1)")).as("pack_id"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p0") =!= col("p1"), 1L).otherwise(0L))
+          .as("n_spanning_docs"),
+        sum(least(lit(C) * (col("pack_id") + 1), col("off") + col("n")) -
+          greatest(lit(C) * col("pack_id"), col("off"))).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** pp14: output-shard plan — deterministic md5 hash-assignment of
+    * docs to 16 training shards plus the balance audit a layout job
+    * needs before committing: per-shard doc/token/byte totals and each
+    * shard's token load in basis points of the corpus (exact integer
+    * grid). One linear scan, one 16-group aggregation; the corpus
+    * total rides the same frame via a window over the 16-row result,
+    * never a second scan. */
+  def pp14ShardPlan(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("n_chars"),
+      size(split(trim(col("text")), " ")).cast("long").as("n_tokens"),
+      expr("CAST(conv(substring(md5(concat('shard:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 16")
+        .as("shard_id"))
+    docs.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"))
+      .withColumn("load_bp",
+        expr("n_tokens * 10000 div sum(n_tokens) OVER ()"))
+  }
+
+  /** pp16: split-leakage audit — near-duplicate pairs (the dd04 exact
+    * tier) whose members land in DIFFERENT pp01 train/val/test splits:
+    * exactly the eval contamination that doc-level hash splitting
+    * cannot see and near-dup-aware dedup must remove. Run BEFORE
+    * dedup, it quantifies what's at stake; zero rows after. Output is
+    * the (split, split) leak matrix with pair and doc counts. Scale:
+    * rides dd04's inverted-index blocking (pairs ∝ true near-dups);
+    * the split label is a per-row md5 — no extra shuffle beyond the
+    * final tiny aggregate. */
+  def pp16SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(substring(md5(c.cast("string")), 1, 1) === "f", "test")
+        .when(substring(md5(c.cast("string")), 1, 1) === "e", "val")
+        .otherwise("train")
+    Dedup.dd04NgramJaccard(s, d)
+      .withColumn("s1", splitOf(col("d1")))
+      .withColumn("s2", splitOf(col("d2")))
+      .filter(col("s1") =!= col("s2"))
+      .withColumn("split_a", least(col("s1"), col("s2")))
+      .withColumn("split_b", greatest(col("s1"), col("s2")))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_leaky_pairs"),
+        countDistinct(when(col("s1") < col("s2"), col("d1"))
+          .otherwise(col("d2"))).as("n_docs_a"),
+        countDistinct(when(col("s1") < col("s2"), col("d2"))
+          .otherwise(col("d1"))).as("n_docs_b"))
+  }
+
+  /** pp15: quality-weighted sampling — each doc is kept with
+    * probability equal to its tx02 quality score, decided by a
+    * deterministic 16-bit md5 draw (draw < score·65536): the
+    * soft-filter between a hard quality floor and keep-everything.
+    * Per-language acceptance audit on exact integer grids. The score
+    * join is per-row and shuffle-free (tx02 is itself one scan); the
+    * only shuffle is the final per-lang aggregate. */
+  def pp15QualityWeighted(s: SparkSession, d: String): DataFrame = {
+    val scores = Text.tx02QualityScore(s, d).select(col("doc_id"), col("score"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      .join(scores, Seq("doc_id"))
+      .withColumn("draw",
+        expr("CAST(conv(substring(md5(concat('qw:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)"))
+      .withColumn("kept", col("draw") < col("score") * 65536.0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+  }
 }

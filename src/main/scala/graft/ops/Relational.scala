@@ -803,4 +803,42 @@ object Relational {
           "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))"))
           .as("revenue_c4"))
   }
+
+  /** q52: full MERGE semantics — all three clauses (matched-DELETE,
+    * matched-UPDATE, not-matched-INSERT) applied to the orders table
+    * as ONE declarative plan, plus the audit row a MERGE job emits.
+    * The change feed derives deterministically from the key space
+    * (key%10: 0 → delete, 1–2 → +5% price update, 3 → insert under a
+    * fresh key), so the oracle replays it exactly. Prices stay on the
+    * cents integer grid throughout. Scale: delete+update fold into
+    * one filtered projection (no join — the clause predicate IS the
+    * match), inserts append via union; the audit aggregates are one
+    * extra scan. Contrast ev11 (upsert-only) and pp05 (incremental
+    * ingest): this is the full three-clause contract. */
+  def q52MergeClauses(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+    val mx = o.agg(max(col("o_orderkey")).as("mx"))
+    val kept = o.filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn("cents",
+        when(col("o_orderkey") % 10 === 1 || col("o_orderkey") % 10 === 2,
+          col("cents") + expr("cents div 20")).otherwise(col("cents")))
+    val ins = o.filter(col("o_orderkey") % 10 === 3).crossJoin(broadcast(mx))
+      .select((col("o_orderkey") + col("mx") + 1).as("o_orderkey"),
+        col("cents"))
+    val res = kept.select(col("o_orderkey"), col("cents")).unionByName(ins)
+    val actions = o.agg(
+      count(lit(1)).as("n_target"),
+      sum(when(col("o_orderkey") % 10 === 0, 1L).otherwise(0L))
+        .as("n_deleted"),
+      sum(when(col("o_orderkey") % 10 === 1 ||
+        col("o_orderkey") % 10 === 2, 1L).otherwise(0L)).as("n_updated"),
+      sum(when(col("o_orderkey") % 10 === 3, 1L).otherwise(0L))
+        .as("n_inserted"))
+    res.agg(count(lit(1)).as("n_result"),
+        sum(col("cents")).as("total_cents"))
+      .crossJoin(broadcast(actions))
+      .select(col("n_target"), col("n_deleted"), col("n_updated"),
+        col("n_inserted"), col("n_result"), col("total_cents"))
+  }
 }

@@ -563,4 +563,78 @@ object Text {
       .select(col("doc_id"), (col("pos") + 1).as("rk"),
         col("col.tok").as("tok"), col("col.df").as("df"))
   }
+
+  /** tx33: BPE merge candidates — the top-20 adjacent CHARACTER pairs
+    * inside words, i.e. the first iteration of byte-pair-encoding
+    * vocabulary training run corpus-wide. Pure per-row expansion
+    * (≤ |word| pairs per word, codegen'd transform + explode) into a
+    * partial-aggregated pair count; the only shuffle carries the
+    * |pair-vocab|-sized partial counts, never the corpus. Top-20 is a
+    * TakeOrderedAndProject (per-partition heap + driver merge of 20),
+    * not a global sort. Ties break on the pair string. */
+  def tx33BpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+
+  /** tx35: vocabulary encoding — map each doc's first 16 tokens to
+    * integer ids from a corpus-derived top-256 vocabulary (rank by
+    * count desc, token asc; OOV → 0): the tokenize-to-ids step every
+    * training pipeline runs before packing. The vocab is a top-k
+    * (per-partition heap, 256 rows) and broadcasts; the id rank is a
+    * window over those 256 rows only. Re-assembly sorts by position
+    * INSIDE each doc's own collected array — no corpus-wide window,
+    * one groupBy shuffle keyed on doc_id. */
+  def tx35TokenIds(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(256)
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+      .select(col("tok"), col("id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(slice(tokens, 1, 16)))
+      .withColumnRenamed("col", "tok")
+      .join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("pos"), coalesce(col("id"), lit(0)).as("tid")))),
+        x => x("tid")).as("token_ids"))
+  }
+
+  /** tx34: per-source distribution drift — total-variation distance
+    * (in exact integer ppm) between each source's unigram
+    * distribution and the corpus distribution, restricted to the
+    * corpus's top-100 tokens: the cheap "did this crawl slice drift?"
+    * monitor. All densities live on a ppm integer grid (count·10⁶
+    * floor-div total), so the distance is exactly reproducible — no
+    * float log/entropy to disagree across engines. Scale: one token
+    * scan feeds all three aggregates; the vocab (100 rows) and the
+    * per-source totals (|sources| rows) broadcast; the scored grid is
+    * |sources|·100 rows. */
+  def tx34SourceDivergence(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(tokens).as("tok"))
+    val corpusTotal = toks.agg(count(lit(1)).as("c_tot"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_cnt"))
+      .orderBy(col("c_cnt").desc, col("tok")).limit(100)
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn("ppm_c", expr("c_cnt * 1000000 div c_tot"))
+      .select(col("tok"), col("ppm_c"))
+    val srcTotals = toks.groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+    val srcCnt = toks.join(broadcast(vocab.select(col("tok"))), Seq("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("s_cnt"))
+    srcTotals.crossJoin(broadcast(vocab))
+      .join(srcCnt, Seq("source", "tok"), "left_outer")
+      .withColumn("ppm_s",
+        expr("coalesce(s_cnt, 0L) * 1000000 div n_tokens"))
+      .groupBy(col("source"), col("n_tokens"))
+      .agg(sum(abs(col("ppm_s") - col("ppm_c"))).as("tv_ppm"))
+  }
 }

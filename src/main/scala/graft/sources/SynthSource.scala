@@ -22,6 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `SupportsPushDownFilters`: doc_id range predicates narrow the
   *     generated key space — and whole input partitions whose range
   *     falls outside it are never planned (partition pruning);
+  *   - `SupportsPushDownLimit`: a LIMIT clamps the generated range
+  *     itself, so `synth.limit(5)` plans 5 generated rows, not
+  *     `rows` generated + 5 kept;
+  *   - `SupportsReportStatistics`: the scan reports POST-pushdown
+  *     row count and byte size, so Catalyst auto-broadcasts a
+  *     filtered synth side with no hint — the "stats make the
+  *     join strategy" contract a real catalog source must honor;
   *   - `planInputPartitions`: the row space splits into `parts`
   *     contiguous ranges, each generated independently on its
   *     executor (no driver materialization, no skew).
@@ -91,11 +98,22 @@ class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
 }
 
 class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var lo = 0L                  // inclusive
   private var hi = rows - 1            // inclusive
+  private var limited = false
   private var pushed = Array.empty[Filter]
   private var required = SynthSource.schema
+
+  override def pushLimit(limit: Int): Boolean = {
+    // the generator is ordered and dense, so "any `limit` rows" is
+    // exactly the first `limit` ids of the (already filter-narrowed)
+    // range — the limit becomes a range clamp and is FULLY consumed
+    hi = math.min(hi, lo + limit - 1)
+    limited = true
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -114,11 +132,28 @@ class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch
+      with SupportsReportStatistics {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-synth range=[$lo,$hi] cols=${required.fieldNames.mkString(",")}"
+      s"graft-synth range=[$lo,$hi] limited=$limited " +
+        s"cols=${required.fieldNames.mkString(",")}"
+    // POST-pushdown estimate: filters/limit already narrowed [lo,hi],
+    // and pruned columns do not count toward the width — a filtered
+    // synth side under the broadcast threshold auto-broadcasts
+    override def estimateStatistics(): Statistics = new Statistics {
+      private val nRows = math.max(0L, hi - lo + 1)
+      private val width = required.fieldNames.map {
+        case "text" => 210L // 10..73 tokens × ~5 chars, mean ~42
+        case "lang" => 2L
+        case "source" => 5L
+        case _ => 8L // long columns
+      }.sum
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(nRows * math.max(width, 1L))
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(nRows)
+    }
     override def planInputPartitions(): Array[InputPartition] = {
       val step = math.max(1L, (rows + parts - 1) / parts)
       (0 until parts).iterator

@@ -26,7 +26,9 @@ class OperatorsSpec extends SparkTestBase {
       "dd08_chunk_dup", "q35_gaps_islands", "ss06_range_search",
       "gr02_degree_dist", "dd09_minhash_est", "gr03_pagerank",
       "dd10_containment", "gr04_common_neighbors", "gr05_kcore",
-      "gr07_personalized_pr")
+      "gr07_personalized_pr",
+      // leakage needs near-dup pairs, absent in the tiny slice
+      "pp16_split_leakage")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
@@ -477,7 +479,10 @@ class OperatorsSpec extends SparkTestBase {
       "tx22_zipf_head",        // top-30 tokens
       "mm05_size_histogram",   // ≤ |distinct size buckets|
       "mm07_magic_bytes",      // |magic prefix| groups
-      "gr02_degree_dist")      // |distinct degree| rows
+      "gr02_degree_dist",      // |distinct degree| rows
+      "pp13_pack_manifest",    // |doc_id ÷ 4096| bucket-offset frame
+      "pp14_shard_plan",       // 16-shard load frame
+      "tx35_token_ids")        // 256-row vocab rank (post-limit)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan
@@ -749,5 +754,98 @@ class OperatorsSpec extends SparkTestBase {
     val viaChunks = ops.Dedup.dd08ChunkDup(spark, sf)
       .agg(coalesce(sum(col("n_occurrences")), lit(0L))).collect()(0).getLong(0)
     assert(viaDocs == viaChunks)
+  }
+
+  test("pp13 packs tile the corpus exactly: every pack full but the last") {
+    val packs = ops.Pipelines.pp13PackManifest(spark, sf)
+      .orderBy(col("pack_id")).collect()
+    val corpusTokens = ops.Text.tx01TokenStats(spark, sf)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(packs.map(_.getLong(3)).sum == corpusTokens,
+      "pack fills must sum to the corpus token count")
+    packs.init.foreach { r =>
+      assert(r.getLong(3) == 2048L, s"non-final pack ${r.getLong(0)} not full")
+    }
+    assert(packs.last.getLong(3) <= 2048L)
+  }
+
+  test("pp14 shards partition the corpus; load in basis points") {
+    val shards = ops.Pipelines.pp14ShardPlan(spark, sf).collect()
+    assert(shards.length <= 16)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(shards.map(_.getLong(1)).sum == nDocs, "shards must cover all docs")
+    val bp = shards.map(_.getLong(4))
+    assert(bp.forall(b => b >= 0 && b <= 10000))
+    // floor-division loses < 1 bp per shard
+    assert(bp.sum > 10000 - 16 && bp.sum <= 10000)
+  }
+
+  test("pp15 keeps a score-weighted subset; acceptance tracks the mean score") {
+    val r = ops.Pipelines.pp15QualityWeighted(spark, sf)
+      .agg(sum(col("n_candidates")), sum(col("n_kept"))).collect()(0)
+    val (cand, kept) = (r.getLong(0), r.getLong(1))
+    assert(kept > 0 && kept < cand,
+      s"expected a proper subset, got $kept of $cand")
+    val meanScore = ops.Text.tx02QualityScore(spark, sf)
+      .agg(avg(col("score"))).collect()(0).getDouble(0)
+    // binomial draw around the mean score: generous 4σ-ish envelope
+    assert(math.abs(kept.toDouble / cand - meanScore) < 0.25,
+      s"acceptance ${kept.toDouble / cand} far from mean score $meanScore")
+  }
+
+  test("ev38 equal-credit totals conserve purchases up to floor remainders") {
+    val nP = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    val credit = ops.Events.ev38LinearAttribution(spark, sf)
+      .agg(sum(col("purchases_micro"))).collect()(0).getLong(0)
+    // each purchase distributes 1e6 µunits minus at most (n_tot−1) floor loss
+    assert(credit <= 1000000L * nP)
+    assert(credit > 1000000L * nP - 1000L * nP,
+      s"credit $credit lost more than floor remainders for $nP purchases")
+  }
+
+  test("tx33 pairs are in-word character bigrams, counted corpus-wide") {
+    val rows = ops.Text.tx33BpePairs(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0).length == 2))
+    // counts are non-increasing in rank order
+    val cnts = rows.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("tx34 divergence is a bounded integer ppm distance") {
+    val rows = ops.Text.tx34SourceDivergence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getLong(2)
+      // TV over a sub-distribution: each side sums to ≤ 1e6 ppm
+      assert(tv >= 0 && tv <= 2000000, s"tv_ppm $tv out of range")
+    }
+  }
+
+  test("tx35 encodes every doc into ≤16 ids from a 256-token vocab") {
+    val rows = ops.Text.tx35TokenIds(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val ids = r.getSeq[Int](1)
+      assert(ids.nonEmpty && ids.length <= 16)
+      assert(ids.forall(id => id >= 0 && id <= 256), s"id out of range: $ids")
+    }
+  }
+
+  test("pp16 leaky pairs are a subset of the near-dup pairs") {
+    val leaky = ops.Pipelines.pp16SplitLeakage(spark, sf)
+      .agg(coalesce(sum(col("n_leaky_pairs")), lit(0L))).collect()(0).getLong(0)
+    val nearDup = ops.Dedup.dd04NgramJaccard(spark, sf).count()
+    assert(leaky <= nearDup, s"$leaky leaks from $nearDup pairs")
+  }
+
+  test("q52 merge audit balances: result = target − deleted + inserted") {
+    val r = ops.Relational.q52MergeClauses(spark, sf).collect()(0)
+    val (tgt, del, upd, ins, res) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(res == tgt - del + ins, s"$res != $tgt - $del + $ins")
+    assert(upd <= tgt - del, "updates must hit surviving rows")
+    assert(r.getLong(5) > 0)
   }
 }

@@ -250,6 +250,38 @@ class SourcesSpec extends SparkTestBase {
       s"expected pruned single partition, got ${df.rdd.getNumPartitions}")
   }
 
+  test("graft-synth pushes LIMIT into the generated range") {
+    val df = spark.read.format("graft-synth")
+      .option("rows", "100000").option("parts", "16").load()
+      .limit(7)
+    assert(df.count() == 7)
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanDesc.contains("range=[0,6]") && scanDesc.contains("limited=true"),
+      s"LIMIT not pushed into the source:\n$scanDesc")
+    // limit composes with a pushed filter: range narrows first, then clamps
+    val df2 = spark.read.format("graft-synth")
+      .option("rows", "100000").option("parts", "16").load()
+      .filter(col("doc_id") >= 500L).limit(3)
+    val desc2 = df2.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(desc2.contains("range=[500,502]"),
+      s"LIMIT did not compose with the pushed filter:\n$desc2")
+  }
+
+  test("graft-synth reported statistics drive an auto-broadcast join") {
+    // a 200-row filtered synth side reports ~tens of KB post-pushdown —
+    // far under the 10 MB broadcast threshold — so Catalyst must pick a
+    // BroadcastHashJoin with NO broadcast() hint from us
+    val synth = spark.read.format("graft-synth")
+      .option("rows", "1000000").option("parts", "16").load()
+      .filter(col("doc_id") < 200L).select("doc_id", "lang")
+    val docs = Tables.documents(spark, sf)
+    val joined = docs.join(synth, Seq("doc_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"post-pushdown stats should auto-broadcast the synth side:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("merged-schema read unions evolved parquet schemas, null-filling old files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
