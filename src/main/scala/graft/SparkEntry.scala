@@ -216,6 +216,7 @@ object SparkEntry {
     "pp16_split_leakage"    -> Pipelines.pp16SplitLeakage _,
     "tx35_token_ids"        -> Text.tx35TokenIds _,
     "q52_merge_clauses"     -> Relational.q52MergeClauses _,
+    "ss13_filtered_topk"    -> Similarity.ss13FilteredTopk _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -2617,5 +2618,18 @@ object SparkEntry {
         |  count(*) AS n_result,
         |  CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM res""".stripMargin,
+
+    "ss13_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT qid, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(qe, e.embedding) AS cos
+        |      FROM q JOIN embeddings e
+        |        ON e.vec_id != q.qid AND e.label = q.label),
+        |r AS (SELECT qid, neighbor_id,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos DESC, neighbor_id) AS rk
+        |      FROM c)
+        |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
   )
 }

@@ -393,11 +393,25 @@ object Dedup {
       .select(col("doc_id"), col("tx"),
         element_at(col("tk"), 1).as("tok1"),
         expr("size(tk) div 16").as("band"))
+    // The DP stage downstream is CPU-dense, not byte-dense: this table
+    // is a single small parquet split, so without an explicit width the
+    // broadcast join and the O(len²) levenshtein behind it would run in
+    // ONE task (and AQE's byte-based advisory agrees with that sizing —
+    // it only counts bytes). Widening the STREAMED side before the join
+    // distributes every pair's DP; a user-specified partition count is
+    // exempt from AQE re-coalescing. At cluster scale the same rule
+    // holds: pick the width from cores, not from input bytes.
     val l = b.select(col("doc_id").as("d1"), col("tx").as("t1"),
-      col("tok1"), col("band"))
-    val r = b.select(col("doc_id").as("d2"), col("tx").as("t2"),
-      col("tok1"), col("band"))
+        col("tok1"), col("band"))
+      .repartition(s.sparkContext.defaultParallelism * 2)
+    val r = broadcast(b.select(col("doc_id").as("d2"), col("tx").as("t2"),
+      col("tok1"), col("band")))
     l.join(r, Seq("tok1", "band")).filter(col("d1") < col("d2"))
+      // free pre-filter: levenshtein ≥ |len₁−len₂|, so a pair whose
+      // length gap already exceeds the 20% budget can never pass —
+      // drop it before paying the O(len²) DP (no recall change)
+      .filter(abs(length(col("t1")) - length(col("t2"))) * 100 <=
+        lit(20) * greatest(length(col("t1")), length(col("t2"))))
       .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
       .filter(col("dist") * 100 <= lit(20) * greatest(length(col("t1")), length(col("t2"))))
       .select(col("d1"), col("d2"), col("dist"))

@@ -208,6 +208,28 @@ object Similarity {
       expr("cosine_sim(q_emb, embedding)"), 5)
   }
 
+  /** ss13: FILTERED vector search — top-5 neighbors restricted to the
+    * query's own label (attribute-constrained retrieval, the "only
+    * documents this tenant may see" shape). The predicate is
+    * PRE-filtering: it sits in the broadcast-join condition, so
+    * non-matching corpus rows are dropped BEFORE the cosine is
+    * computed and candidates scale with the filter's selectivity —
+    * post-filtering a plain top-k would both waste score work and
+    * under-fill k when fewer than k of the global top are eligible.
+    * Same scale shape as ss01: queries broadcast, corpus scanned in
+    * place, selection in the partial-aggregable top-k. */
+  def ss13FilteredTopk(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    topkPairs(
+      emb.join(broadcast(queries),
+        col("vec_id") =!= col("qid") && col("label") === col("q_label")),
+      expr("cosine_sim(q_emb, embedding)"), 5)
+  }
+
   /** Multi-probe list for a bucket column: the exact bucket plus every
     * 1-bit flip — 5 probes per 4-bit table. */
   private def probesExpr(bucketCol: String): Column = expr(

@@ -840,6 +840,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(leaky <= nearDup, s"$leaky leaks from $nearDup pairs")
   }
 
+  test("ss13 filtered search returns only same-label neighbors") {
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+    val bad = ops.Similarity.ss13FilteredTopk(spark, sf)
+      .join(labels.withColumnRenamed("vec_id", "qid")
+        .withColumnRenamed("label", "q_label"), Seq("qid"))
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .filter(col("label") =!= col("q_label"))
+      .count()
+    assert(bad == 0, s"$bad cross-label neighbors escaped the filter")
+  }
+
   test("q52 merge audit balances: result = target − deleted + inserted") {
     val r = ops.Relational.q52MergeClauses(spark, sf).collect()(0)
     val (tgt, del, upd, ins, res) =
