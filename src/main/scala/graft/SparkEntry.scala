@@ -217,6 +217,7 @@ object SparkEntry {
     "tx35_token_ids"        -> Text.tx35TokenIds _,
     "q52_merge_clauses"     -> Relational.q52MergeClauses _,
     "ss13_filtered_topk"    -> Similarity.ss13FilteredTopk _,
+    "mm10_cdc_chunks"       -> Multimodal.mm10CdcChunks _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -2631,5 +2632,26 @@ object SparkEntry {
         |          ORDER BY cos DESC, neighbor_id) AS rk
         |      FROM c)
         |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    "mm10_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, trim(text) AS tx FROM documents),
+        |b AS (SELECT doc_id, tx,
+        |    CASE WHEN length(tx) >= 8 THEN
+        |      list_filter(range(8, length(tx) + 1),
+        |        i -> substr(md5(substr(tx, i - 7, 8)), 1, 1) = '0')
+        |    ELSE [] END AS bnds
+        |  FROM t),
+        |s AS (SELECT doc_id, tx,
+        |    list_concat([1], list_transform(bnds, x -> x + 1)) AS starts,
+        |    list_concat(bnds, [length(tx)]) AS ends
+        |  FROM b),
+        |c AS (SELECT doc_id, unnest(list_filter(
+        |    list_transform(range(1, len(starts) + 1),
+        |      j -> substr(tx, starts[j], ends[j] - starts[j] + 1)),
+        |    ch -> length(ch) > 0)) AS chunk
+        |  FROM s)
+        |SELECT md5(chunk) AS chunk_md5, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occurrences
+        |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
   )
 }

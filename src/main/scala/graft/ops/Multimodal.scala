@@ -197,4 +197,42 @@ object Multimodal {
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_blobs"), sum(col("n_refs")).as("n_refs"))
   }
+
+  /** mm10: CONTENT-DEFINED chunking — cross-doc duplicate chunks where
+    * a chunk ends wherever the hash of its trailing 8-char window
+    * "rolls a zero" (leading md5 nibble = '0', so chunks average ~16
+    * chars). Unlike mm03's fixed-width grid, boundaries move WITH the
+    * content: inserting one character near a duplicate span shifts
+    * every downstream fixed chunk but leaves CDC boundaries inside
+    * the span untouched — the rsync/backup-store trick, and the
+    * reason a CAS dedup layer survives prepended headers. Everything
+    * is per-row higher-order expressions (filter/zip_with over the
+    * position sequence — no explode until the final chunk stream);
+    * the only shuffle is the chunk-hash groupBy, keyed on 32-hex
+    * digests, never chunk text. */
+  def mm10CdcChunks(s: SparkSession, d: String): DataFrame = {
+    val chunks = Tables.documents(s, d)
+      .withColumn("tx", trim(col("text")))
+      // boundary rule undefined below one window; short docs = 1 chunk
+      .withColumn("bnds",
+        when(length(col("tx")) >= 8, expr(
+          """filter(sequence(8, length(tx)),
+            |  i -> substring(md5(cast(substring(tx, i - 7, 8) as binary)), 1, 1) = '0')"""
+            .stripMargin))
+          .otherwise(expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("starts",
+        expr("concat(array(1), transform(bnds, b -> b + 1))"))
+      .withColumn("ends", expr("concat(bnds, array(length(tx)))"))
+      // a boundary on the last char leaves an empty tail — drop it
+      .withColumn("chunks", expr(
+        """filter(zip_with(starts, ends,
+          |  (s, e) -> substring(tx, s, e - s + 1)), c -> length(c) > 0)"""
+          .stripMargin))
+      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+    chunks
+      .groupBy(md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+  }
 }

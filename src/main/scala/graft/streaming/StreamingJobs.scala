@@ -36,7 +36,20 @@ object StreamingJobs {
     * Spark can bound the join state (views older than the watermark +
     * interval are evicted); the time-bound predicate is what makes the
     * state finite — an unbounded stream-stream join never GCs. */
-  def purchaseAttribution(events: DataFrame): DataFrame = {
+  def purchaseAttribution(events: DataFrame): DataFrame =
+    attributionJoin(events, "inner")
+
+  /** st15: the LEFT OUTER form of st04 — purchases with NO qualifying
+    * view are also emitted (v_id null), i.e. attribution including
+    * organic purchases. Outer emission is watermark-driven: the null
+    * row for a purchase appears only once the watermark proves no
+    * in-window view can still arrive, which is the same bound that
+    * lets the state store evict it — completeness and bounded state
+    * come from the one mechanism. */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame =
+    attributionJoin(events, "left_outer")
+
+  private def attributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
@@ -48,7 +61,8 @@ object StreamingJobs {
     purchases.join(views,
       col("p_user") === col("v_user") &&
         col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("v_ts") < col("p_ts"))
+        col("v_ts") < col("p_ts"),
+      joinType)
       .select(col("p_id"), col("p_user"), col("p_ts"), col("v_id"), col("v_ts"))
   }
 

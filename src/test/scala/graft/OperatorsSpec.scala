@@ -840,6 +840,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(leaky <= nearDup, s"$leaky leaks from $nearDup pairs")
   }
 
+  test("mm10 CDC boundaries are shift-robust where fixed chunks are not") {
+    val rows = ops.Multimodal.mm10CdcChunks(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus must share some content-defined chunks")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2 && r.getLong(2) >= r.getLong(1),
+        "occurrences must cover the distinct docs")
+    }
+    // the defining property: boundaries depend only on content, so a
+    // prefix insertion must leave downstream chunk hashes unchanged —
+    // replay the chunker on a doc and its 1-char-shifted twin
+    import spark.implicits._
+    val base = Tables.documents(spark, sf)
+      .orderBy(col("doc_id")).select(col("text")).as[String].head()
+    val shifted = "Z" + base
+    val two = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val chunked = two
+      .withColumn("tx", trim(col("text")))
+      .withColumn("bnds", expr(
+        """filter(sequence(8, length(tx)),
+          |  i -> substring(md5(cast(substring(tx, i - 7, 8) as binary)), 1, 1) = '0')"""
+          .stripMargin))
+      .withColumn("starts", expr("concat(array(1), transform(bnds, b -> b + 1))"))
+      .withColumn("ends", expr("concat(bnds, array(length(tx)))"))
+      .select(col("doc_id"), explode(expr(
+        """filter(zip_with(starts, ends,
+          |  (s, e) -> substring(tx, s, e - s + 1)), c -> length(c) > 0)"""
+          .stripMargin)).as("chunk"))
+    val shared = chunked.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") === 2).count()
+    assert(shared >= 2,
+      s"a 1-char prefix shift should preserve most CDC chunks, shared=$shared")
+  }
+
   test("ss13 filtered search returns only same-label neighbors") {
     val labels = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"))

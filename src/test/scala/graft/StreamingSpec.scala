@@ -149,6 +149,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st15 outer interval join emits organic purchases on watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 1, "view", 1.0),       // matches p2
+      Event(2, ts(10), 1, "purchase", 5.0),
+      Event(4, ts(200), 2, "purchase", 5.0)) // organic: user 2 never views
+    val q = graft.streaming.StreamingJobs.purchaseAttributionOuter(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("st15_out").start()
+    try {
+      q.processAllAvailable()
+      // push the watermark far past p4's join window so its null row
+      // must be emitted (and its state evicted). The query watermark is
+      // the MIN across both sides' watermark nodes, so BOTH the view
+      // and the purchase stream need fresh events to advance it.
+      in.addData(Event(101, ts(600), 3, "view", 1.0),
+        Event(102, ts(600), 3, "purchase", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(103, ts(900), 3, "view", 1.0),
+        Event(104, ts(900), 3, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT p_id, v_id FROM st15_out WHERE p_id IN (2, 4) ORDER BY p_id")
+        .collect()
+      assert(rows.length == 2, s"expected matched + organic, got ${rows.length}")
+      assert(rows(0).getLong(0) == 2 && rows(0).getLong(1) == 1)
+      assert(rows(1).getLong(0) == 4 && rows(1).isNullAt(1),
+        "organic purchase must emit a null-view row once the watermark passes")
+    } finally q.stop()
+  }
+
   test("st05 foreachBatch sink writes each micro-batch to parquet") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
