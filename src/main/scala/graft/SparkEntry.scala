@@ -218,6 +218,7 @@ object SparkEntry {
     "q52_merge_clauses"     -> Relational.q52MergeClauses _,
     "ss13_filtered_topk"    -> Similarity.ss13FilteredTopk _,
     "mm10_cdc_chunks"       -> Multimodal.mm10CdcChunks _,
+    "q53_recursive_cte"     -> Relational.q53RecursiveCte _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -2653,5 +2654,23 @@ object SparkEntry {
         |SELECT md5(chunk) AS chunk_md5, count(DISTINCT doc_id) AS n_docs,
         |  count(*) AS n_occurrences
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "q53_recursive_cte" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+        |       FROM lineitem x JOIN lineitem y
+        |         ON x.l_orderkey = y.l_orderkey
+        |        AND x.l_partkey < y.l_partkey),
+        |edges AS (SELECT src, dst FROM e0
+        |          UNION ALL
+        |          SELECT dst AS src, src AS dst FROM e0),
+        |reach(p, hops) AS (
+        |  SELECT DISTINCT src AS p, 0 AS hops FROM edges WHERE src % 100 = 0
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1
+        |  FROM reach r JOIN edges e ON e.src = r.p
+        |  WHERE r.hops < 2)
+        |SELECT p, CAST(min(hops) AS BIGINT) AS min_hops
+        |FROM reach GROUP BY p""".stripMargin,
   )
 }

@@ -841,4 +841,35 @@ object Relational {
       .select(col("n_target"), col("n_deleted"), col("n_updated"),
         col("n_inserted"), col("n_result"), col("total_cents"))
   }
+
+  /** q53: WITH RECURSIVE transitive closure — 2-hop reachability over
+    * the co-purchase graph from seed parts, written as a recursive CTE
+    * (new SQL surface in Spark 4: UnionLoop executes the anchor, then
+    * iterates the recursive term on the previous frontier until the
+    * hop guard empties it). Per iteration the work is one
+    * frontier⋈edges equi-join — frontier-sized, shuffled on the join
+    * key — which is exactly the BFS dataflow gr06 spells out by hand;
+    * the hop guard (not a row limit) bounds the recursion so the plan
+    * is deterministic and oracle-replayable. UNION ALL frontiers can
+    * revisit nodes; the final min(hops) aggregate canonicalizes. */
+  def q53RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+        |       FROM lineitem_v x JOIN lineitem_v y
+        |         ON x.l_orderkey = y.l_orderkey
+        |        AND x.l_partkey < y.l_partkey),
+        |edges AS (SELECT src, dst FROM e0
+        |          UNION ALL
+        |          SELECT dst AS src, src AS dst FROM e0),
+        |reach(p, hops) AS (
+        |  SELECT DISTINCT src AS p, 0 AS hops FROM edges WHERE src % 100 = 0
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1
+        |  FROM reach r JOIN edges e ON e.src = r.p
+        |  WHERE r.hops < 2)
+        |SELECT p, CAST(min(hops) AS BIGINT) AS min_hops
+        |FROM reach GROUP BY p""".stripMargin)
+  }
 }
