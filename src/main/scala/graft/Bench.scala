@@ -42,7 +42,13 @@ object Bench {
     // two timed runs per query, report the min: strips run-ordering
     // noise (JIT, page cache, shared cached plan segments) so numbers
     // reflect steady-state per-query cost
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg (local dev only): comma-separated query filter —
+    // the driver always runs with no args (full sweep)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

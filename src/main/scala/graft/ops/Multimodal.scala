@@ -211,15 +211,19 @@ object Multimodal {
     * the only shuffle is the chunk-hash groupBy, keyed on 32-hex
     * digests, never chunk text. */
   def mm10CdcChunks(s: SparkSession, d: String): DataFrame = {
+    // CPU-dense, byte-small input (one md5 per char position, but the
+    // whole corpus is a single parquet split): widen explicitly or the
+    // entire boundary scan runs in ONE task — same rule as dd15's DP.
+    // The boundary scan itself is the codegen'd CdcBoundaries
+    // expression (one reused digest, byte-slice windows); the oracle
+    // replays the equivalent declarative filter/md5 form in DuckDB.
     val chunks = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism * 2)
       .withColumn("tx", trim(col("text")))
       // boundary rule undefined below one window; short docs = 1 chunk
-      .withColumn("bnds",
-        when(length(col("tx")) >= 8, expr(
-          """filter(sequence(8, length(tx)),
-            |  i -> substring(md5(cast(substring(tx, i - 7, 8) as binary)), 1, 1) = '0')"""
-            .stripMargin))
-          .otherwise(expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("bnds", org.apache.spark.sql.graft.GraftDataset.column(
+        graft.functions.CdcBoundaries(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("tx"))))
       .withColumn("starts",
         expr("concat(array(1), transform(bnds, b -> b + 1))"))
       .withColumn("ends", expr("concat(bnds, array(length(tx)))"))

@@ -160,4 +160,32 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(expr.nullSafeEval(ad, ad).asInstanceOf[Double] - 1.0) < 1e-9)
     }
   }
+
+  test("CdcBoundaries matches the declarative md5-window rule on any string") {
+    // reference implementation: the exact rule the mm10 oracle replays —
+    // 1-based char positions i in [8, len] whose trailing 8-char window
+    // md5-hexes to a leading '0'
+    def reference(t: String): Seq[Int] = {
+      val cps = t.codePointCount(0, t.length)
+      (8 to cps).filter { i =>
+        val from = t.offsetByCodePoints(0, i - 8)
+        val to = t.offsetByCodePoints(0, i)
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.substring(from, to).getBytes("UTF-8"))
+        (d(0) & 0xF0) == 0
+      }
+    }
+    val gen = for {
+      n <- Gen.chooseNum(0, 64)
+      // mix ASCII with multi-byte chars so the offset walk is exercised
+      cs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaNumChar, 1 -> Gen.const('é'), 1 -> Gen.const('→')))
+    } yield cs.mkString
+    samples(gen, 300).foreach { t =>
+      val got = graft.functions.CdcBoundaries
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .toIntArray().toSeq
+      assert(got == reference(t), s"mismatch on ${t.take(40)}")
+    }
+  }
 }
