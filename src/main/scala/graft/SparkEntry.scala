@@ -219,6 +219,10 @@ object SparkEntry {
     "ss13_filtered_topk"    -> Similarity.ss13FilteredTopk _,
     "mm10_cdc_chunks"       -> Multimodal.mm10CdcChunks _,
     "q53_recursive_cte"     -> Relational.q53RecursiveCte _,
+    "q54_unpivot"           -> Relational.q54Unpivot _,
+    "ev39_twap"             -> Events.ev39Twap _,
+    "ev40_ohlc"             -> Events.ev40Ohlc _,
+    "gr09_cluster_coeff"    -> Graph.gr09ClusterCoeff _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -2667,10 +2671,71 @@ object SparkEntry {
         |reach(p, hops) AS (
         |  SELECT DISTINCT src AS p, 0 AS hops FROM edges WHERE src % 100 = 0
         |  UNION ALL
-        |  SELECT e.dst, r.hops + 1
+        |  SELECT DISTINCT e.dst, r.hops + 1
         |  FROM reach r JOIN edges e ON e.src = r.p
         |  WHERE r.hops < 2)
         |SELECT p, CAST(min(hops) AS BIGINT) AS min_hops
         |FROM reach GROUP BY p""".stripMargin,
+
+    "q54_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS total_c
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+        |UNION ALL
+        |SELECT o_orderpriority, 'n_customers', n_customers FROM w
+        |UNION ALL
+        |SELECT o_orderpriority, 'total_c', total_c FROM w""".stripMargin,
+
+    "ev39_twap" ->
+      """WITH g AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc,
+        |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS next_t
+        |  FROM events),
+        |i AS (SELECT user_id, vc, next_t - t_s AS dur_s
+        |      FROM g WHERE next_t IS NOT NULL)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dur_s) AS BIGINT) AS held_s,
+        |  CAST(sum(vc * dur_s) AS BIGINT) AS vsum_cs,
+        |  CAST(sum(vc * dur_s) // sum(dur_s) AS BIGINT) AS twap_c
+        |FROM i GROUP BY 1 HAVING sum(dur_s) > 0""".stripMargin,
+
+    "ev40_ohlc" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    event_type, ts, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |w AS (SELECT day, event_type, vc,
+        |    first_value(vc) OVER (PARTITION BY day, event_type
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS open_c,
+        |    first_value(vc) OVER (PARTITION BY day, event_type
+        |      ORDER BY ts DESC, event_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS close_c
+        |  FROM e)
+        |SELECT day, event_type, count(*) AS n_events, max(open_c) AS open_c,
+        |  max(vc) AS high_c, min(vc) AS low_c, max(close_c) AS close_c
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "gr09_cluster_coeff" ->
+      s"""WITH j AS ($ngramJaccardSql),
+         |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
+         |deg AS (SELECT m, count(*) AS degree FROM bi GROUP BY 1),
+         |tri AS (SELECT x.m, count(*) AS n_tri
+         |        FROM bi x JOIN bi y ON x.m = y.m AND x.n < y.n
+         |        JOIN j e ON e.d1 = x.n AND e.d2 = y.n
+         |        GROUP BY 1)
+         |SELECT d.m AS doc_id, CAST(d.degree AS BIGINT) AS degree,
+         |  CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(coalesce(t.n_tri, 0) * 2 * 1000000
+         |       // (d.degree * (d.degree - 1)) AS BIGINT) AS coeff_ppm
+         |FROM deg d LEFT JOIN tri t ON d.m = t.m
+         |WHERE d.degree >= 2""".stripMargin,
   )
 }

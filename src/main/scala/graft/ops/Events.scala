@@ -885,4 +885,49 @@ object Events {
       .agg(sum(col("p_micro")).as("purchases_micro"),
         sum(col("r_micro")).as("revenue_micro"))
   }
+
+  /** ev39: time-weighted average value per user (the TWAP / average-
+    * position shape): each event's value counts for the SECONDS until
+    * the user's next event, so a reading held for an hour weighs 3600×
+    * one held for a second — the correct average for state-like series
+    * (sensor levels, account balances) where plain avg() overweights
+    * chatty bursts. One per-user lead() window (partitioned, scales
+    * with the user-hash shuffle) + one aggregate; cents × seconds stay
+    * on exact integer grids, the final ratio is integer division both
+    * engines replay identically. Last event per user holds nothing. */
+  def ev39Twap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("ts").cast("long").as("t_s"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+      .withColumn("next_t", lead(col("t_s"), 1).over(w))
+      .filter(col("next_t").isNotNull)
+      .withColumn("dur_s", col("next_t") - col("t_s"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_s")).as("held_s"),
+        sum(col("vc") * col("dur_s")).as("vsum_cs"))
+      .filter(col("held_s") > 0)
+      .withColumn("twap_c", expr("vsum_cs div held_s"))
+  }
+
+  /** ev40: OHLC bars — per day × event type: first (open), highest,
+    * lowest and last (close) value, the candlestick primitive every
+    * monitoring/market surface draws. open/close are min_by/max_by on
+    * the (ts, event_id) struct — deterministic under ts ties, one
+    * partial-aggregable pass, no window, no sort: at 100 TB this is a
+    * single map-side-combined shuffle on (day, type), not a per-group
+    * ordering. Cents grid throughout. */
+  def ev40Ohlc(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("vc"), struct(col("ts"), col("event_id"))).as("open_c"),
+        max(col("vc")).as("high_c"),
+        min(col("vc")).as("low_c"),
+        max_by(col("vc"), struct(col("ts"), col("event_id"))).as("close_c"))
 }

@@ -228,4 +228,31 @@ object Graph {
         col("ra_ppm"),
         col("edge_mark").isNotNull.cast("int").as("is_edge"))
   }
+
+  /** gr09: local clustering coefficient — per node, how close its
+    * near-dup neighborhood is to a clique: 2·triangles ⁄ deg·(deg−1)
+    * on a ppm grid. High coefficient = tight duplicate family (safe to
+    * keep one representative); low coefficient on high degree = a hub
+    * doc chaining otherwise-unrelated texts — exactly the boilerplate/
+    * template signature worth routing to substring dedup instead of
+    * whole-doc dedup. Triangles per node come from the gr01 wedge
+    * join restricted to wedges CENTERED at the node (a<b dedups each
+    * triangle to one wedge per center); frames stay ∝ |edges|. */
+  def gr09ClusterCoeff(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = e.select(col("d1").as("m"), col("d2").as("n"))
+      .unionByName(e.select(col("d2").as("m"), col("d1").as("n")))
+    val deg = bi.groupBy(col("m")).agg(count(lit(1)).as("degree"))
+    val n1 = bi.select(col("m"), col("n").as("a"))
+    val n2 = bi.select(col("m").as("m2"), col("n").as("b"))
+    val tri = n1.join(n2, col("m") === col("m2") && col("a") < col("b"))
+      .join(e.select(col("d1").as("a"), col("d2").as("b")), Seq("a", "b"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("m"), "left_outer")
+      .select(col("m").as("doc_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_ppm",
+        expr("n_tri * 2 * 1000000 div (degree * (degree - 1))"))
+  }
 }

@@ -866,10 +866,30 @@ object Relational {
         |reach(p, hops) AS (
         |  SELECT DISTINCT src AS p, 0 AS hops FROM edges WHERE src % 100 = 0
         |  UNION ALL
-        |  SELECT e.dst, r.hops + 1
+        |  SELECT DISTINCT e.dst, r.hops + 1
         |  FROM reach r JOIN edges e ON e.src = r.p
         |  WHERE r.hops < 2)
         |SELECT p, CAST(min(hops) AS BIGINT) AS min_hops
         |FROM reach GROUP BY p""".stripMargin)
+  }
+
+  /** q54: wide→long reshaping with the Dataset.unpivot operator (the
+    * melt/stack surface): three per-priority order metrics computed
+    * wide in one aggregate pass, then unpivoted to (priority, metric,
+    * value) rows. unpivot plans as a single Expand — metrics × rows
+    * with NO shuffle and no self-join back (the naive long-form
+    * formulation would re-aggregate the fact table once per metric).
+    * All measures cast to one type (long) as the operator requires. */
+  def q54Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        countDistinct(col("o_custkey")).cast("long").as("n_customers"),
+        expr("CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)")
+          .as("total_c"))
+    wide.unpivot(
+      Array(col("o_orderpriority")),
+      Array(col("n_orders"), col("n_customers"), col("total_c")),
+      "metric", "value")
   }
 }
