@@ -223,6 +223,8 @@ object SparkEntry {
     "ev39_twap"             -> Events.ev39Twap _,
     "ev40_ohlc"             -> Events.ev40Ohlc _,
     "gr09_cluster_coeff"    -> Graph.gr09ClusterCoeff _,
+    "sk10_power_sums"       -> Sketches.sk10PowerSums _,
+    "tx36_sentence_stats"   -> Text.tx36SentenceStats _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -2737,5 +2739,29 @@ object SparkEntry {
          |       // (d.degree * (d.degree - 1)) AS BIGINT) AS coeff_ppm
          |FROM deg d LEFT JOIN tri t ON d.m = t.m
          |WHERE d.degree >= 2""".stripMargin,
+
+    "sk10_power_sums" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) // 100 AS vd FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(vd) AS BIGINT) AS s1,
+        |  CAST(sum(vd * vd) AS BIGINT) AS s2,
+        |  CAST(sum(vd * vd * vd) AS BIGINT) AS s3,
+        |  CAST(sum(vd * vd * vd * vd) AS BIGINT) AS s4
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "tx36_sentence_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split_regex(trim(text), '[.!?]+'), x -> trim(x)),
+        |      x -> regexp_matches(x, '[a-zA-Z0-9]')) AS sents
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_transform(sents,
+        |      x -> len(string_split_regex(x, ' +')))) AS BIGINT) AS n_words
+        |  FROM t WHERE len(sents) > 0)
+        |SELECT doc_id, n_sentences, n_words,
+        |  CAST(n_words * 100 // n_sentences AS BIGINT) AS words_per_sent_x100
+        |FROM f""".stripMargin,
   )
 }

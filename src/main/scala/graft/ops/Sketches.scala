@@ -207,4 +207,28 @@ object Sketches {
       .filter(col("n") * (K + 1) > col("n_total"))
       .select(col("tok"), col("n"))
   }
+
+  /** sk10: mergeable raw-moment accumulator — per event type, the
+    * five power sums (n, Σv, Σv², Σv³, Σv⁴) on an exact whole-dollar
+    * integer grid. This is the fixed-size-summary pattern at its
+    * simplest: 5 longs per group, partial-aggregated map-side, merged
+    * associatively — mean/variance/skewness/kurtosis all derive from
+    * them downstream with NO second pass over the data (the same
+    * "accumulate tiny state, derive at the end" contract as the HLL/
+    * KLL/CMS family, except the summary is exact). Whole dollars keep
+    * Σv⁴ far from int64 overflow (490⁴ ≈ 5.8e10 per row) while still
+    * hash-comparable — and the grid is cents-then-integer-divide, NOT
+    * round(value, 0): a 2-decimal input like 3.50 sits exactly on a
+    * half at 0 decimals, where Spark (HALF_UP) and DuckDB (half-even)
+    * disagree. */
+  def sk10PowerSums(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT) div 100").as("vd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vd")).as("s1"),
+        sum(col("vd") * col("vd")).as("s2"),
+        sum(col("vd") * col("vd") * col("vd")).as("s3"),
+        sum(col("vd") * col("vd") * col("vd") * col("vd")).as("s4"))
 }

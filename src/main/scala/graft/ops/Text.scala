@@ -637,4 +637,25 @@ object Text {
       .groupBy(col("source"), col("n_tokens"))
       .agg(sum(abs(col("ppm_s") - col("ppm_c"))).as("tv_ppm"))
   }
+
+  /** tx36: sentence segmentation stats — per doc, sentence count and
+    * mean sentence length (words-per-sentence ×100, integer grid), the
+    * readability signal quality classifiers lean on (wall-of-text docs
+    * and staccato keyword spam sit at the two extremes). Segments are
+    * [.!?]+ splits; only segments containing a word character count
+    * (split-boundary artifacts — empty or punctuation-only tails —
+    * are filtered IDENTICALLY on both engines rather than relying on
+    * either's trailing-empty behavior). One codegen'd per-row pass,
+    * zero shuffles. */
+  def tx36SentenceStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("sents", expr(
+        """filter(transform(split(trim(text), '[.!?]+'), x -> trim(x)),
+          |  x -> x rlike '[a-zA-Z0-9]')""".stripMargin))
+      .withColumn("n_sentences", size(col("sents")).cast("long"))
+      .filter(col("n_sentences") > 0)
+      .withColumn("n_words", expr(
+        "CAST(aggregate(sents, 0, (a, x) -> a + size(split(x, ' +'))) AS BIGINT)"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        expr("n_words * 100 div n_sentences").as("words_per_sent_x100"))
 }

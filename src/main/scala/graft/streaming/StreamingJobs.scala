@@ -285,4 +285,76 @@ object StreamingJobs {
       .filter(!arrays_overlap(col("wins"), col("eval_wins")))
       .select(col("doc_id"), col("text"))
   }
+
+  /** st16: the st02 sessionizer on Spark 4's transformWithState state
+    * API v2 — same 30-minute-gap semantics, third implementation of the
+    * one contract (st02 flatMapGroupsWithState, st12 session_window;
+    * the spec asserts all agree). What v2 buys at scale: NAMED state
+    * slots (schema'd per-slot in the RocksDB store, evolvable
+    * independently), explicit event-time TIMERS (many per key if
+    * needed; v1 allowed one timeout, set-only), and TTL support — the
+    * API the old GroupState path can't express. Session close is
+    * timer-driven: each update re-registers the key's gap timer
+    * (delete-then-register, tracked in its own ValueState slot) and
+    * the expired-timer callback emits + clears. Requires the RocksDB
+    * state store provider. */
+  class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    private val gapMs = 30L * 60 * 1000
+    @transient private var cur: ValueState[Session] = _
+    @transient private var timer: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cur = getHandle.getValueState[Session]("session",
+        Encoders.product[Session], TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("gap_timer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Session] = {
+      var closed = List.empty[Session]
+      var c = if (cur.exists()) Some(cur.get()) else None
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        c match {
+          case Some(sess) if e.ts.getTime - sess.session_end.getTime <= gapMs =>
+            c = Some(sess.copy(session_end = e.ts, n_events = sess.n_events + 1))
+          case Some(sess) =>
+            closed ::= sess
+            c = Some(Session(key, e.ts, e.ts, 1))
+          case None =>
+            c = Some(Session(key, e.ts, e.ts, 1))
+        }
+      }
+      c.foreach { sess =>
+        cur.update(sess)
+        // one live gap timer per key: delete the stale one, register at
+        // the new session end + gap (clamped past the watermark so an
+        // already-passed horizon still fires, the st02 clamp)
+        if (timer.exists()) getHandle.deleteTimer(timer.get())
+        val at = math.max(sess.session_end.getTime + gapMs,
+          tv.getCurrentWatermarkInMs() + 1)
+        getHandle.registerTimer(at)
+        timer.update(at)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      val out = if (cur.exists()) Iterator.single(cur.get()) else Iterator.empty
+      cur.clear(); timer.clear()
+      out
+    }
+  }
+
+  def sessionizeV2(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
 }

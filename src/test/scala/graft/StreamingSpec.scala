@@ -347,6 +347,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st16 transformWithState sessionizer matches st02 on the same fixture") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider;
+    // scope the conf to this query and restore the default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      in.addData( // the st02 fixture: sessions at 0-10, 120-125, open at 300
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(10), 1, "click", 1.0),
+        Event(3, ts(120), 1, "view", 1.0),
+        Event(4, ts(125), 1, "view", 1.0),
+        Event(5, ts(300), 1, "purchase", 1.0))
+      val q = StreamingJobs.sessionizeV2(in.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("st16_out").start()
+      try {
+        q.processAllAvailable()
+        val sessions = spark.sql("SELECT * FROM st16_out ORDER BY session_start")
+          .as[Session].collect()
+        // identical emission to st02: the two closed sessions, third open
+        assert(sessions.length == 2)
+        assert(sessions(0).n_events == 2 && sessions(0).session_start == ts(0))
+        assert(sessions(1).n_events == 2 && sessions(1).session_start == ts(120))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("st02 stateful sessionize closes sessions on observed gaps") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
