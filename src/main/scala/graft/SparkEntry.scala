@@ -225,6 +225,8 @@ object SparkEntry {
     "gr09_cluster_coeff"    -> Graph.gr09ClusterCoeff _,
     "sk10_power_sums"       -> Sketches.sk10PowerSums _,
     "tx36_sentence_stats"   -> Text.tx36SentenceStats _,
+    "ev41_locf"             -> Events.ev41Locf _,
+    "q55_variant"           -> Relational.q55Variant _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -2763,5 +2765,25 @@ object SparkEntry {
         |SELECT doc_id, n_sentences, n_words,
         |  CAST(n_words * 100 // n_sentences AS BIGINT) AS words_per_sent_x100
         |FROM f""".stripMargin,
+
+    "ev41_locf" ->
+      """SELECT event_id, user_id, event_type,
+        |  coalesce(last_value(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+        |    AS last_purchase_c
+        |FROM events""".stripMargin,
+
+    "q55_variant" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS INT) AS k,
+        |    json_extract(props, '$.missing') AS absent
+        |  FROM events)
+        |SELECT event_type, k % 10 AS k_mod, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(sum(CASE WHEN absent IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_miss
+        |FROM e GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -930,4 +930,27 @@ object Events {
         max(col("vc")).as("high_c"),
         min(col("vc")).as("low_c"),
         max_by(col("vc"), struct(col("ts"), col("event_id"))).as("close_c"))
+
+  /** ev41: LOCF gap-fill (last observation carried forward) — every
+    * event annotated with the user's most recent purchase value at
+    * that moment, the standard way to densify a sparse state series
+    * (prices, sensor readings, account balances) onto an event grid.
+    * The engine primitive is `last(..., ignoreNulls)` over the
+    * preceding frame — one partitioned window, no self-join, no
+    * per-row subquery (the naive correlated formulation); -1 marks
+    * "no observation yet" so the filled column stays a non-null
+    * BIGINT on both engines. */
+  def ev41Locf(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100, 0) AS BIGINT)")).as("pv"))
+      .withColumn("last_purchase_c",
+        coalesce(last(col("pv"), ignoreNulls = true).over(w), lit(-1L)))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("last_purchase_c"))
+  }
 }

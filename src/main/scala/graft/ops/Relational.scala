@@ -892,4 +892,25 @@ object Relational {
       Array(col("n_orders"), col("n_customers"), col("total_c")),
       "metric", "value")
   }
+
+  /** q55: the VariantType surface (Spark 4's semi-structured column
+    * type) — event props parsed ONCE into variant, then field access
+    * via variant_get path expressions. Against the string-backed
+    * alternative (ev05's get_json_object) variant is parse-once /
+    * read-many: the binary encoding is produced at the scan edge and
+    * every downstream access is a cheap typed navigation, not a
+    * re-parse — the right trade wherever multiple fields or multiple
+    * operators touch the same JSON at 100 TB. try_variant_get on an
+    * absent path returns null (not an error), which the miss-count
+    * audits. */
+  def q55Variant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'int')").as("absent"))
+      .groupBy(col("event_type"), expr("k % 10").as("k_mod"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("k_sum"),
+        sum(when(col("absent").isNull, 1L).otherwise(0L)).as("n_miss"))
 }
