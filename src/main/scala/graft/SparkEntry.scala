@@ -227,6 +227,7 @@ object SparkEntry {
     "tx36_sentence_stats"   -> Text.tx36SentenceStats _,
     "ev41_locf"             -> Events.ev41Locf _,
     "q55_variant"           -> Relational.q55Variant _,
+    "q56_shuffle_hash_hint" -> Relational.q56ShuffleHashHint _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -2785,5 +2786,13 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN absent IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_miss
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q56_shuffle_hash_hint" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -913,4 +913,26 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         sum(col("k")).as("k_sum"),
         sum(when(col("absent").isNull, 1L).otherwise(0L)).as("n_miss"))
+
+  /** q56: join-strategy hint surface — the orders⋈lineitem join forced
+    * to SHUFFLE_HASH. Planner-default here would be broadcast (orders
+    * is tiny at test SF), but at 100 TB neither side broadcasts and the
+    * default becomes sort-merge; the hint is the declarative knob that
+    * says "the per-partition build side fits executor memory — skip
+    * BOTH sorts and hash instead". Same shuffle count as SMJ, strictly
+    * less work per partition when it applies; a plan spec asserts the
+    * hint actually wins (hints are requests, not commands — an
+    * unverified hint is a no-op you keep paying for). */
+  def q56ShuffleHashHint(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("price_c"))
+      .join(o.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(col("price_c")).as("sum_price_c"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, DotProduct}
+import graft.functions.{CdcBoundaries, CosineSim, DotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
+      (exprs: Seq[Expression]) => CdcBoundaries(exprs(0))))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)

@@ -512,6 +512,29 @@ class OperatorsSpec extends SparkTestBase {
       s"q51 must plan a dynamic partition-pruning filter on l_mon:\n$plan")
   }
 
+  test("q56 SHUFFLE_HASH hint actually wins over the broadcast default") {
+    val plan = ops.Relational.q56ShuffleHashHint(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"q56's hint must select a shuffled hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"q56 must not fall back to SMJ/BHJ:\n$plan")
+  }
+
+  test("Dataset.observe surfaces pipeline counters without a second scan") {
+    // the observability surface: data-quality counters ride the query's
+    // own execution (one scan), retrieved post-action via Observation
+    val obs = org.apache.spark.sql.Observation("ingest_gate")
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"))
+    val n = li.filter(col("l_quantity") > 0).count()
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] >= n)
+    assert(m("null_qty").asInstanceOf[Long] == 0L)
+  }
+
   test("q49 hot path plans broadcast joins; no window sort anywhere") {
     val plan = ops.Relational.q49HotColdJoin(spark, sf)
       .queryExecution.executedPlan.toString
