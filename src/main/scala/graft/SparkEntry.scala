@@ -228,6 +228,12 @@ object SparkEntry {
     "ev41_locf"             -> Events.ev41Locf _,
     "q55_variant"           -> Relational.q55Variant _,
     "q56_shuffle_hash_hint" -> Relational.q56ShuffleHashHint _,
+    "q57_try_ops"           -> Relational.q57TryOps _,
+    "gr10_modularity"       -> Graph.gr10Modularity _,
+    "q58_map_surface"       -> Relational.q58MapSurface _,
+    "ev42_cusum_drift"      -> Events.ev42CusumDrift _,
+    "tx37_simpson"          -> Text.tx37Simpson _,
+    "pp17_epoch_schedule"   -> Pipelines.pp17EpochSchedule _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -2794,5 +2800,126 @@ object SparkEntry {
         |    AS sum_price_c
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "q57_try_ops" ->
+      """WITH t AS (SELECT l_returnflag,
+        |    CASE WHEN l_linenumber = 1 THEN NULL
+        |         ELSE CAST(l_quantity AS BIGINT) / (l_linenumber - 1) END AS td,
+        |    TRY_CAST(CASE WHEN l_linenumber = 1 THEN '42'
+        |             ELSE l_returnflag END AS INT) AS tc,
+        |    TRY_CAST(l_returnflag AS TIMESTAMP) AS tt
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN td IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_div_null,
+        |  CAST(sum(CAST(floor(td) AS BIGINT)) AS BIGINT) AS div_floor_sum,
+        |  CAST(sum(tc) AS BIGINT) AS cast_sum,
+        |  CAST(sum(CASE WHEN tt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ts_null
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "gr10_modularity" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""l$k AS (SELECT l.node, least(l.lbl, min(nb.lbl)) AS lbl
+           |  FROM l${k - 1} l JOIN e ON e.src = l.node
+           |  JOIN l${k - 1} nb ON nb.node = e.dst
+           |  GROUP BY l.node, l.lbl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+         |    FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         |$rounds,
+         |comp AS (SELECT node AS part_id, lbl AS component_id FROM l5),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         |mm AS (SELECT count(*) AS m FROM e0),
+         |ec AS (SELECT c1.component_id AS cid, count(*) AS intra
+         |       FROM e0 JOIN comp c1 ON c1.part_id = e0.src
+         |       JOIN comp c2 ON c2.part_id = e0.dst
+         |       WHERE c1.component_id = c2.component_id GROUP BY 1),
+         |dc AS (SELECT c.component_id AS cid,
+         |       CAST(sum(d.deg) AS BIGINT) AS degree_sum,
+         |       count(*) AS n_nodes
+         |       FROM comp c JOIN deg d ON d.node = c.part_id GROUP BY 1)
+         |SELECT dc.cid AS component_id, dc.n_nodes,
+         |  CAST(coalesce(ec.intra, 0) AS BIGINT) AS intra_edges,
+         |  dc.degree_sum,
+         |  CAST(coalesce(ec.intra, 0) * 1000000 // m
+         |    - (dc.degree_sum * dc.degree_sum // m) * 1000000 // (4 * m)
+         |    AS BIGINT) AS q_ppm
+         |FROM dc LEFT JOIN ec ON ec.cid = dc.cid CROSS JOIN mm""".stripMargin
+    },
+
+    "q58_map_surface" ->
+      """WITH f AS (SELECT o_orderpriority, o_orderstatus, count(*) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_statuses,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN c END), 0)
+        |    AS BIGINT) AS open_cnt,
+        |  CAST(sum(c) AS BIGINT) AS total_cnt,
+        |  CAST(sum(CASE WHEN c >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_big_statuses
+        |FROM f GROUP BY 1""".stripMargin,
+
+    "ev42_cusum_drift" ->
+      """WITH dly AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n_events,
+        |    CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS cum_events,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS day_idx,
+        |    CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS total_events,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+        |  FROM dly)
+        |SELECT event_type, day, n_events, cum_events,
+        |  cum_events * n_days - day_idx * total_events AS dev,
+        |  abs(cum_events * n_days - day_idx * total_events) * 20
+        |    > total_events * n_days AS is_drift
+        |FROM w""".stripMargin,
+
+    "tx37_simpson" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
+        |    AS tok FROM documents),
+        |f AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |a AS (SELECT doc_id,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM f GROUP BY 1)
+        |SELECT doc_id, n_tokens, rep_pairs,
+        |  CAST(rep_pairs * 1000000 // (n_tokens * (n_tokens - 1)) AS BIGINT)
+        |    AS simpson_ppm
+        |FROM a WHERE n_tokens >= 2""".stripMargin,
+
+    "pp17_epoch_schedule" ->
+      """WITH q AS (SELECT source,
+        |    len(string_split(trim(text), ' ')) AS n_tokens,
+        |    len(list_filter(string_split(trim(text), ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS stop_cnt
+        |  FROM documents),
+        |d AS (SELECT source, n_tokens,
+        |    stop_cnt * 5000 // n_tokens
+        |      + CASE WHEN n_tokens BETWEEN 5 AND 200 THEN 5000 ELSE 0 END
+        |      AS q_bp
+        |  FROM q),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(q_bp) // count(*) AS BIGINT) AS mean_q_bp
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT *, least(1 + mean_q_bp // 3000, 4) AS repeat_epochs,
+        |    CAST(n_tokens * least(1 + mean_q_bp // 3000, 4) AS BIGINT)
+        |      AS effective_tokens
+        |  FROM s)
+        |SELECT source, n_docs, n_tokens, mean_q_bp,
+        |  CAST(repeat_epochs AS BIGINT) AS repeat_epochs, effective_tokens,
+        |  CAST(effective_tokens * 10000
+        |    // (SELECT sum(effective_tokens) FROM r) AS BIGINT) AS share_bp
+        |FROM r""".stripMargin,
   )
 }

@@ -953,4 +953,33 @@ object Events {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("last_purchase_c"))
   }
+
+  /** ev42: cumulative-deviation drift detection (CUSUM family) — per
+    * event_type, is the running daily volume drifting away from the
+    * type's overall mean rate? dev = cum_events·n_days − day_idx·total
+    * is the cumulative deviation cross-multiplied onto an exact
+    * integer grid (no mean division, no floats), positive = running
+    * hot. A day drifts when |dev| exceeds 5% of total volume
+    * (|dev|·20 > total·n_days, again cross-multiplied). One exchange:
+    * the daily rollup keys on (type, day); the running sum, row index,
+    * and per-type totals are all frames over the SAME (type, day)
+    * sort — calendar-sized per type, never event-sized, at 100 TB. */
+  def ev42CusumDrift(s: SparkSession, d: String): DataFrame = {
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    ev(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("cum_events",
+        sum(col("n_events")).over(wRun.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("day_idx", row_number().over(wRun).cast("long"))
+      .withColumn("total_events", sum(col("n_events")).over(wAll))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("cum_events"),
+        (col("cum_events") * col("n_days") - col("day_idx") * col("total_events"))
+          .as("dev"),
+        (abs(col("cum_events") * col("n_days") - col("day_idx") * col("total_events")) * 20
+          > col("total_events") * col("n_days")).as("is_drift"))
+  }
 }

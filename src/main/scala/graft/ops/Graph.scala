@@ -136,14 +136,19 @@ object Graph {
     * rounds (the gr05 compounding hazard). The per-order pair
     * expansion is bounded by the ≤7-items-per-order data model —
     * never quadratic in the table. */
-  def gr06MinLabel(s: SparkSession, d: String): DataFrame = {
+  /** Canonical (src<dst) co-purchase edges — shared by gr06/gr10 so a
+    * composition never rebuilds the pair expansion twice. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-    val e = li.as("x").join(li.as("y"),
+    CacheScope.cached(li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
-    val bi = CacheScope.cached(e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst"))))
+      .select(col("x.p").as("src"), col("y.p").as("dst")).distinct())
+  }
+
+  /** 5-round min-label propagation over a cached bidirectional edge
+    * frame → (part_id, component_id). */
+  private def minLabelFrom(bi: DataFrame): DataFrame = {
     var labels = bi.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to 5) {
@@ -157,6 +162,50 @@ object Graph {
           .select(col("node"), least(col("lbl"), col("nbr_min")).as("lbl")))
     }
     labels.select(col("node").as("part_id"), col("lbl").as("component_id"))
+  }
+
+  def gr06MinLabel(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val bi = CacheScope.cached(e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"))))
+    minLabelFrom(bi)
+  }
+
+  /** gr10: modularity of the 5-round component partition — per
+    * community, intra-edge share vs the degree-sum expectation
+    * (Q_c = e_c/m − (d_c/2m)², ppm grid): the score that says whether
+    * the components found are DENSER than chance, i.e. whether the
+    * partition is worth acting on. All three frames (labels, degrees,
+    * intra-edge counts) derive from ONE cached edge frame — the
+    * composition never rebuilds the pair expansion (the tx19 lesson).
+    * Integer-division order ((dc² div m)·1e6 div 4m) is chosen so no
+    * intermediate exceeds int64 even when one component owns every
+    * edge, and is replayed operation-for-operation by the oracle. */
+  def gr10Modularity(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val bi = CacheScope.cached(e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"))))
+    val comp = minLabelFrom(bi)
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = bi.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val ec = e
+      .join(comp.select(col("part_id").as("src"), col("component_id").as("c1")),
+        Seq("src"))
+      .join(comp.select(col("part_id").as("dst"), col("component_id").as("c2")),
+        Seq("dst"))
+      .filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("cid")).agg(count(lit(1)).as("intra"))
+    val dc = comp
+      .join(deg, comp("part_id") === deg("node"))
+      .groupBy(col("component_id").as("cid"))
+      .agg(sum(col("deg")).as("degree_sum"), count(lit(1)).as("n_nodes"))
+    dc.join(ec, Seq("cid"), "left_outer").crossJoin(broadcast(m))
+      .select(col("cid").as("component_id"), col("n_nodes"),
+        coalesce(col("intra"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (expr("coalesce(intra, 0L) * 1000000 div m")
+          - expr("(degree_sum * degree_sum div m) * 1000000 div (4 * m)"))
+          .as("q_ppm"))
   }
 
   /** gr03: PageRank of the near-dup graph — which documents sit at the

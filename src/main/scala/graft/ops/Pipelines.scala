@@ -485,4 +485,36 @@ object Pipelines {
         sum(when(col("kept"), col("n_tokens")).otherwise(0L))
           .as("kept_tokens"))
   }
+
+  /** pp17: multi-epoch repetition schedule — per source, how many
+    * training epochs its documents are repeated for, driven by mean
+    * quality on an exact bp grid: the "repeat good data, see bad data
+    * once" mixing rule (cf. data-constrained scaling practice). Per-doc
+    * quality = stopword share (bp) + in-band bonus, summed per source
+    * and divided by doc count — all integer; repeat = 1 + q_bp div
+    * 3000, capped at 4. effective_tokens = tokens·repeat and the mix
+    * share (bp of the epoch-weighted corpus) come from one single-row
+    * broadcast of the total — no global window, no second scan. The
+    * per-source rollup is one exchange over |sources| keys. */
+  def pp17EpochSchedule(s: SparkSession, d: String): DataFrame = {
+    val perSrc = Tables.documents(s, d)
+      .withColumn("tk", split(trim(col("text")), " "))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("stop_cnt", size(filter(col("tk"),
+        t => t.isin(Text.stopwords: _*))).cast("long"))
+      .withColumn("q_bp",
+        expr("stop_cnt * 5000 div n_tokens")
+          + when(col("n_tokens").between(5, 200), 5000L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        expr("CAST(sum(q_bp) div count(1) AS BIGINT)").as("mean_q_bp"))
+      .withColumn("repeat_epochs",
+        least(lit(1L) + expr("mean_q_bp div 3000"), lit(4L)))
+      .withColumn("effective_tokens", col("n_tokens") * col("repeat_epochs"))
+    val total = perSrc.agg(sum(col("effective_tokens")).as("total_eff"))
+    perSrc.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_q_bp"), col("repeat_epochs"), col("effective_tokens"),
+        expr("effective_tokens * 10000 div total_eff").as("share_bp"))
+  }
 }

@@ -935,4 +935,50 @@ object Relational {
         sum(col("l_quantity")).cast("long").as("sum_qty"),
         sum(col("price_c")).as("sum_price_c"))
   }
+
+  /** q57: error-safe evaluation surface — the try_* family
+    * (try_divide, try_cast, try_to_timestamp) that turns malformed
+    * input into NULL instead of a job-killing exception: at 100 TB a
+    * single bad row must never fail the 999,999,999 good ones, and
+    * NULL-on-error composes with the usual null-skipping aggregates
+    * where a thrown error composes with nothing. Division by zero
+    * (linenumber 1), unparseable casts, and non-timestamp strings each
+    * produce counted nulls; the floor of the integer-over-integer
+    * IEEE division is grid-exact so the sum hash-compares. */
+  def q57TryOps(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("try_divide(CAST(l_quantity AS BIGINT), l_linenumber - 1)").as("td"),
+        expr("try_cast(CASE WHEN l_linenumber = 1 THEN '42' " +
+          "ELSE l_returnflag END AS INT)").as("tc"),
+        expr("try_to_timestamp(l_returnflag)").as("tt"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("td").isNull, 1L).otherwise(0L)).as("n_div_null"),
+        sum(expr("CAST(floor(td) AS BIGINT)")).as("div_floor_sum"),
+        sum(col("tc")).cast("long").as("cast_sum"),
+        sum(when(col("tt").isNull, 1L).otherwise(0L)).as("n_ts_null"))
+
+  /** q58: map-typed column surface — per-priority status histogram
+    * materialized as a MapType column (map_from_entries over a sorted
+    * collect_list for determinism), then consumed with the map
+    * function family: cardinality, element_at (absent-key null →
+    * coalesce), aggregate(map_values) fold, map_filter. The map is a
+    * first-class value a catalog row could store; the derived scalars
+    * are what the oracle replays from plain GROUP BYs. One two-level
+    * aggregation, both keyed on the priority prefix — the map is
+    * per-group metadata-sized, never row-sized, at 100 TB. */
+  def q58MapSurface(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("o_orderstatus"), col("c"))))).as("m"))
+      .select(col("o_orderpriority"),
+        expr("CAST(cardinality(m) AS BIGINT)").as("n_statuses"),
+        expr("coalesce(element_at(m, 'O'), 0L)").as("open_cnt"),
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("total_cnt"),
+        expr("CAST(cardinality(map_filter(m, (k, v) -> v >= 100)) AS BIGINT)")
+          .as("n_big_statuses"))
 }

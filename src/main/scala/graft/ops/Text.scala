@@ -658,4 +658,26 @@ object Text {
         "CAST(aggregate(sents, 0, (a, x) -> a + size(split(x, ' +'))) AS BIGINT)"))
       .select(col("doc_id"), col("n_sentences"), col("n_words"),
         expr("n_words * 100 div n_sentences").as("words_per_sent_x100"))
+
+  /** tx37: Simpson lexical-diversity index — the probability that two
+    * tokens drawn from a doc without replacement are the same type,
+    * Σf·(f−1) ⁄ N·(N−1) on an exact ppm grid. High ppm = concentrated
+    * vocabulary (template/spam/keyword-stuffing), low = diverse prose.
+    * Needs no logarithm, so unlike an entropy it hash-compares
+    * exactly; complements tx20's TTR (type COUNT, blind to balance)
+    * and tx23's repetition (surface n-gram repeats). Explode → two
+    * stacked aggregations, both keyed on doc_id so the second groupBy
+    * reuses the first's partitioning (one effective exchange),
+    * partial-agg'd map-side — linear in corpus size at 100 TB. */
+  def tx37Simpson(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("c * (c - 1)")).as("rep_pairs"),
+        sum(col("c")).as("n_tokens"))
+      .filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), col("n_tokens"), col("rep_pairs"),
+        expr("rep_pairs * 1000000 div (n_tokens * (n_tokens - 1))")
+          .as("simpson_ppm"))
 }
