@@ -234,6 +234,12 @@ object SparkEntry {
     "ev42_cusum_drift"      -> Events.ev42CusumDrift _,
     "tx37_simpson"          -> Text.tx37Simpson _,
     "pp17_epoch_schedule"   -> Pipelines.pp17EpochSchedule _,
+    "q59_sufficient_stats"  -> Relational.q59SufficientStats _,
+    "q60_nullsafe_join"     -> Relational.q60NullsafeJoin _,
+    "ev43_streaks"          -> Events.ev43Streaks _,
+    "dd17_prefix_dups"      -> Dedup.dd17PrefixDups _,
+    "pp18_snapshot_diff"    -> Pipelines.pp18SnapshotDiff _,
+    "tx38_readability"      -> Text.tx38Readability _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -2921,5 +2927,96 @@ object SparkEntry {
         |  CAST(effective_tokens * 10000
         |    // (SELECT sum(effective_tokens) FROM r) AS BIGINT) AS share_bp
         |FROM r""".stripMargin,
+
+    "q59_sufficient_stats" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_discount * 10000, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |    CAST(sum(x * x) AS BIGINT) AS sum_xx,
+        |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |    CAST(sum(y * y) AS BIGINT) AS sum_yy
+        |  FROM g GROUP BY 1)
+        |SELECT l_returnflag, n, sum_x, sum_y, sum_xx, sum_xy, sum_yy,
+        |  CAST(sign(n * sum_xy - sum_x * sum_y) AS BIGINT) AS cov_sign
+        |FROM a""".stripMargin,
+
+    "q60_nullsafe_join" ->
+      """WITH c AS (SELECT nullif(c_mktsegment, 'BUILDING') AS nseg,
+        |    c_acctbal FROM customer),
+        |d AS (SELECT nseg AS dim_nseg,
+        |    CAST(sum(round(c_acctbal * 100, 0)) AS BIGINT) AS seg_bal_cents
+        |  FROM c GROUP BY 1)
+        |SELECT c.nseg, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(max(seg_bal_cents) AS BIGINT) AS seg_bal_cents
+        |FROM c JOIN d ON c.nseg IS NOT DISTINCT FROM d.dim_nseg
+        |GROUP BY 1""".stripMargin,
+
+    "ev43_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM days),
+        |runs AS (SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS INTEGER) AS anchor
+        |  FROM days),
+        |st AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS streak_len,
+        |    max(day) AS streak_end FROM runs GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+        |  CAST(max(streak_len) AS BIGINT) AS longest_streak,
+        |  CAST(max(CASE WHEN streak_end = max_day THEN streak_len
+        |    ELSE 0 END) AS BIGINT) AS current_streak
+        |FROM st CROSS JOIN mx GROUP BY 1""".stripMargin,
+
+    "dd17_prefix_dups" ->
+      """SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+        |  CAST(length(a.text) AS BIGINT) AS short_len,
+        |  CAST(length(b.text) AS BIGINT) AS long_len
+        |FROM documents a JOIN documents b
+        |  ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+        |  AND length(a.text) >= 16
+        |  AND length(b.text) > length(a.text)
+        |  AND substr(b.text, 1, CAST(length(a.text) AS INTEGER)) = a.text""".stripMargin,
+
+    "pp18_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |kept AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' (rev 2)' ELSE text END
+        |      AS text
+        |  FROM v1 WHERE doc_id % 17 <> 0),
+        |added AS (SELECT doc_id + 10000000 AS doc_id,
+        |    'added snapshot doc ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM v1 WHERE doc_id % 23 = 0),
+        |v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+        |j AS (SELECT md5(a.text) AS h1, md5(b.text) AS h2,
+        |    length(a.text) AS chars1, length(b.text) AS chars2
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |    WHEN h2 IS NULL THEN 'removed'
+        |    WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(chars1, 0)) AS BIGINT) AS chars_v1,
+        |  CAST(sum(coalesce(chars2, 0)) AS BIGINT) AS chars_v2
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "tx38_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> trim(x) != '')) AS BIGINT) AS sr,
+        |    CAST(len(regexp_split_to_array(lower(text), '[aeiou]+')) - 1
+        |      AS BIGINT) AS v
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, greatest(sr, 1) AS sn, v FROM b
+        |  WHERE w >= 1)
+        |SELECT doc_id, w AS n_words, sn AS n_sents, v AS n_vowel_runs,
+        |  CASE WHEN 206835 * sn * w - 1015 * w * w - 84600 * v * sn
+        |      >= 60000 * sn * w THEN 'easy'
+        |    WHEN 206835 * sn * w - 1015 * w * w - 84600 * v * sn
+        |      >= 30000 * sn * w THEN 'medium'
+        |    ELSE 'hard' END AS band
+        |FROM c""".stripMargin,
   )
 }

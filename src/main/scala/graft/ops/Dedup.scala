@@ -439,4 +439,33 @@ object Dedup {
       .filter(expr("cosine_sim(e1, e2)") >= 0.3)
       .select(col("v1"), col("v2"), col("cell"))
   }
+
+  /** dd17: truncation duplicates — pairs where one document is a
+    * strict PREFIX of a longer one, the shape produced by crawler
+    * cut-offs, context-window clips, and partial re-scrapes. None of
+    * the other tiers catches these reliably: exact hash (dd01) differs,
+    * Jaccard (dd02/dd04) dilutes as the longer doc grows. The
+    * all-pairs predicate `substr(long, 1, len(short)) = short` hides an
+    * equi-key: any qualifying pair agrees on its first 16 chars, so the
+    * join BLOCKS on that prefix key (a hash join, never a cartesian) and
+    * the exact prefix test refines only within buckets — candidates ∝
+    * docs sharing a 16-char opener, the boilerplate histogram tx30
+    * already audits. Docs shorter than 16 chars are excluded by
+    * contract (documented; corpus min is 44). */
+  def dd17PrefixDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(length(col("text")) >= 16)
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, 16).as("p16"))
+    val shorts = docs.select(col("p16"), col("doc_id").as("short_id"),
+      col("text").as("short_text"))
+    val longs = docs.select(col("p16"), col("doc_id").as("long_id"),
+      col("text").as("long_text"))
+    shorts.join(longs, Seq("p16"))
+      .filter(length(col("long_text")) > length(col("short_text")) &&
+        expr("substring(long_text, 1, length(short_text))") === col("short_text"))
+      .select(col("short_id"), col("long_id"),
+        length(col("short_text")).cast("long").as("short_len"),
+        length(col("long_text")).cast("long").as("long_len"))
+  }
 }

@@ -982,4 +982,32 @@ object Events {
         (abs(col("cum_events") * col("n_days") - col("day_idx") * col("total_events")) * 20
           > col("total_events") * col("n_days")).as("is_drift"))
   }
+
+  /** ev43: activity streaks — per user, the longest and the current
+    * run of CONSECUTIVE active days (the retention/engagement streak
+    * every product surface shows). Classic gaps-and-islands on the
+    * calendar: distinct active days → day − dense row index is
+    * constant within a consecutive run → group by that anchor. The
+    * frames are per-user DAY counts (≤ calendar-sized — thousands of
+    * rows per user at most, never event-sized), so the two stacked
+    * per-user windows ride one (user_id) shuffle and no global sort
+    * exists anywhere; the current streak is the run that touches the
+    * corpus max day (one single-row broadcast). */
+  def ev43Streaks(s: SparkSession, d: String): DataFrame = {
+    val days = ev(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val maxDay = days.agg(max(col("day")).as("max_day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("anchor",
+        date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("streak_len"), max(col("day")).as("streak_end"))
+      .join(broadcast(maxDay))
+      .groupBy(col("user_id"))
+      .agg(sum(col("streak_len")).as("n_active_days"),
+        max(col("streak_len")).as("longest_streak"),
+        max(when(col("streak_end") === col("max_day"), col("streak_len"))
+          .otherwise(0L)).as("current_streak"))
+  }
 }

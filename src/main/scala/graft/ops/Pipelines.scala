@@ -517,4 +517,44 @@ object Pipelines {
         col("mean_q_bp"), col("repeat_epochs"), col("effective_tokens"),
         expr("effective_tokens * 10000 div total_eff").as("share_bp"))
   }
+
+  /** pp18: corpus snapshot diff — the incremental-refresh audit run
+    * before retraining on a new crawl: what changed between corpus v1
+    * and v2, by document identity. v2 is derived deterministically
+    * here (drops, edits, and additions carved by doc_id residues) so
+    * both engines see identical versions; in production the two sides
+    * are two partitioned snapshots. One FULL OUTER hash join on doc_id
+    * classifies each id — added (no v1), removed (no v2), changed
+    * (content hash differs), unchanged — then a partial-agg rollup
+    * emits per-class doc and character totals. At 100 TB both
+    * snapshots co-partition on doc_id (the layout they're written in),
+    * so the diff is a zipper merge, not a content-hash shuffle — and
+    * infinitely cheaper than the naive "re-dedup everything" rerun
+    * that pp05 handles for UNKEYED batches. */
+  def pp18SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val kept = v1.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" (rev 2)")))
+          .otherwise(col("text")).as("text"))
+    val added = v1.filter(col("doc_id") % 23 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("added snapshot doc "), col("doc_id").cast("string"))
+          .as("text"))
+    val v2 = kept.unionByName(added)
+    v1.select(col("doc_id"), md5(col("text")).as("h1"),
+        length(col("text")).cast("long").as("chars1"))
+      .join(v2.select(col("doc_id"), md5(col("text")).as("h2"),
+        length(col("text")).cast("long").as("chars2")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") === col("h2"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("chars1"), lit(0L))).as("chars_v1"),
+        sum(coalesce(col("chars2"), lit(0L))).as("chars_v2"))
+  }
 }

@@ -981,4 +981,55 @@ object Relational {
         expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("total_cnt"),
         expr("CAST(cardinality(map_filter(m, (k, v) -> v >= 100)) AS BIGINT)")
           .as("n_big_statuses"))
+
+  /** q59: one-pass regression sufficient statistics — per return flag,
+    * the six mergeable moments (n, Σx, Σy, Σx², Σxy, Σy²) of
+    * (quantity, discount-bp) from which corr / OLS slope / intercept /
+    * R² are all closed forms. THIS is how a 100 TB engine does
+    * statistics: one partial-aggregated scan emits a constant-size
+    * state per group that merges associatively across 1000 executors —
+    * never a second centering pass, never a driver-side fit. Both
+    * series live on exact integer grids (units, basis points), so the
+    * sums hash-compare exactly; the cross-multiplied sign of the
+    * covariance numerator (n·Σxy − Σx·Σy) is emitted in place of a
+    * float slope. Magnitudes stay inside int64 past sf10; beyond that
+    * the same plan widens to DECIMAL(38,0). */
+  def q59SufficientStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(round(l_discount * 10000, 0) AS BIGINT)").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("y") * col("y")).as("sum_yy"))
+      .withColumn("cov_sign",
+        signum(col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .cast("long"))
+
+  /** q60: null-safe equi-join surface — customers keyed on a NULLABLE
+    * segment (`nullif` maps one segment to NULL) joined back to a
+    * per-segment dimension with `<=>` so the NULL bucket matches the
+    * NULL dim row instead of silently dropping. The conformance point:
+    * Catalyst accepts EqualNullSafe as a HASH join key (it wraps the
+    * key, e.g. coalesce/isnull, rather than falling back to a nested-
+    * loop join), so the null-safe join costs the same one shuffle as
+    * `=` at 100 TB — asserted by the plan spec alongside q50's
+    * null-semantics scalars. Oracle: IS NOT DISTINCT FROM. */
+  def q60NullsafeJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("nseg"),
+        col("c_acctbal"))
+    val dim = cust.groupBy(col("nseg"))
+      .agg(expr("CAST(sum(round(c_acctbal * 100, 0)) AS BIGINT)")
+        .as("seg_bal_cents"))
+      .withColumnRenamed("nseg", "dim_nseg")
+    cust.join(dim, col("nseg") <=> col("dim_nseg"))
+      .groupBy(col("nseg"))
+      .agg(count(lit(1)).as("n_customers"),
+        max(col("seg_bal_cents")).as("seg_bal_cents"))
+  }
 }

@@ -680,4 +680,34 @@ object Text {
       .select(col("doc_id"), col("n_tokens"), col("rep_pairs"),
         expr("rep_pairs * 1000000 div (n_tokens * (n_tokens - 1))")
           .as("simpson_ppm"))
+
+  /** tx38: readability banding — Flesch reading-ease class per doc
+    * WITHOUT floats: score = 206.835 − 1.015·(W/S) − 84.6·(V/W)
+    * (vowel-run count V standing in for syllables) is cross-multiplied
+    * by 1000·S·W into N = 206835·S·W − 1015·W² − 84600·V·S, and the
+    * 60/30 band thresholds become integer inequalities N ≥ 60000·S·W —
+    * a real-valued formula graded on an exact grid, the same move as
+    * ev42's CUSUM. A quality-filter complement to tx27's Gopher rules
+    * (which gate on ratios, not sentence structure). Three counting
+    * regexes per row, zero shuffles, whole-stage codegen end-to-end;
+    * W,S,V ≤ 10⁵ keeps N under 10¹⁵ for any plausible document. */
+  def tx38Readability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", size(split(trim(col("text")), " ")).cast("long"))
+      .withColumn("sr", expr(
+        """CAST(size(filter(split(text, '[.!?]+'), x -> trim(x) != ''))
+          |  AS BIGINT)""".stripMargin))
+      .withColumn("sn", greatest(col("sr"), lit(1L)))
+      .withColumn("v", expr(
+        "CAST(size(split(lower(text), '[aeiou]+')) - 1 AS BIGINT)"))
+      .filter(col("w") >= 1)
+      .withColumn("flesch_num",
+        lit(206835L) * col("sn") * col("w") - lit(1015L) * col("w") * col("w")
+          - lit(84600L) * col("v") * col("sn"))
+      .select(col("doc_id"), col("w").as("n_words"), col("sn").as("n_sents"),
+        col("v").as("n_vowel_runs"),
+        when(col("flesch_num") >= lit(60000L) * col("sn") * col("w"), "easy")
+          .when(col("flesch_num") >= lit(30000L) * col("sn") * col("w"),
+            "medium")
+          .otherwise("hard").as("band"))
 }

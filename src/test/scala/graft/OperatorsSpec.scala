@@ -917,4 +917,62 @@ class OperatorsSpec extends SparkTestBase {
     assert(upd <= tgt - del, "updates must hit surviving rows")
     assert(r.getLong(5) > 0)
   }
+
+  test("q59 sufficient statistics satisfy Cauchy-Schwarz per group") {
+    // n·Σx² ≥ (Σx)² and n·Σy² ≥ (Σy)² hold for ANY real series — a
+    // violated bound means the moments were mis-accumulated
+    ops.Relational.q59SufficientStats(spark, sf).collect().foreach { r =>
+      val (n, sx, sy, sxx, syy) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6))
+      assert(n * sxx >= sx * sx, s"x moments violate Cauchy-Schwarz: $r")
+      assert(n * syy >= sy * sy, s"y moments violate Cauchy-Schwarz: $r")
+      assert(math.abs(r.getLong(7)) <= 1)
+    }
+  }
+
+  test("q60 null-safe join keeps the NULL key bucket") {
+    val rows = ops.Relational.q60NullsafeJoin(spark, sf).collect()
+    val nullRow = rows.filter(_.isNullAt(0))
+    assert(nullRow.length == 1, "the NULL segment must join, not drop")
+    assert(nullRow(0).getLong(1) > 0)
+    // and the join must still be a hash join, not a nested loop
+    val plan = ops.Relational.q60NullsafeJoin(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "EqualNullSafe must plan as a hash join")
+  }
+
+  test("ev43 streak invariants: current ≤ longest ≤ active days") {
+    ops.Events.ev43Streaks(spark, sf).collect().foreach { r =>
+      val (active, longest, current) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(current <= longest && longest <= active, s"bad streaks: $r")
+      assert(longest >= 1)
+    }
+  }
+
+  test("dd17 prefix pairs are strict and verified") {
+    val rows = ops.Dedup.dd17PrefixDups(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) < r.getLong(3), s"prefix must be strictly shorter: $r")
+    }
+  }
+
+  test("pp18 diff classes partition both snapshots") {
+    val m = ops.Pipelines.pp18SnapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v1Docs = Tables.documents(spark, sf).count()
+    // v1 = removed + changed + unchanged; all four classes planted
+    assert(m.getOrElse("removed", 0L) + m.getOrElse("changed", 0L) +
+      m.getOrElse("unchanged", 0L) == v1Docs)
+    assert(Set("added", "removed", "changed", "unchanged").subsetOf(m.keySet))
+  }
+
+  test("tx38 readability bands cover every doc with valid labels") {
+    val df = ops.Text.tx38Readability(spark, sf)
+    assert(df.count() == Tables.documents(spark, sf).count())
+    val bands = df.select("band").distinct().collect().map(_.getString(0)).toSet
+    assert(bands.subsetOf(Set("easy", "medium", "hard")) && bands.nonEmpty)
+  }
 }
