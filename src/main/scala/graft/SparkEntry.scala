@@ -240,6 +240,17 @@ object SparkEntry {
     "dd17_prefix_dups"      -> Dedup.dd17PrefixDups _,
     "pp18_snapshot_diff"    -> Pipelines.pp18SnapshotDiff _,
     "tx38_readability"      -> Text.tx38Readability _,
+    "gr11_assortativity"    -> Graph.gr11Assortativity _,
+    "ev44_pareto"           -> Events.ev44Pareto _,
+    "mm11_placement"        -> Multimodal.mm11PlacementPlan _,
+    "ss14_ivfpq_topk"       -> Similarity.ss14IvfPqTopk _,
+    "ev45_markov"           -> Events.ev45Markov _,
+    "pp19_token_budget"     -> Pipelines.pp19TokenBudget _,
+    "tx39_bigram_lift"      -> Text.tx39BigramLift _,
+    "q61_percentile_disc"   -> Relational.q61PercentileDisc _,
+    "ev46_alert_episodes"   -> Events.ev46AlertEpisodes _,
+    "tx40_skipgrams"        -> Text.tx40Skipgrams _,
+    "gr12_coengagement"     -> Graph.gr12Coengagement _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -3018,5 +3029,202 @@ object SparkEntry {
         |      >= 30000 * sn * w THEN 'medium'
         |    ELSE 'hard' END AS band
         |FROM c""".stripMargin,
+
+    "gr11_assortativity" ->
+      s"""WITH j AS ($ngramJaccardSql),
+         |bi AS (SELECT d1 AS src, d2 AS dst FROM j
+         |       UNION ALL SELECT d2, d1 FROM j),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM bi GROUP BY 1),
+         |p AS (SELECT dx.deg AS x, dy.deg AS y FROM bi
+         |      JOIN deg dx ON bi.src = dx.node
+         |      JOIN deg dy ON bi.dst = dy.node),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sum_x,
+         |    CAST(sum(y) AS BIGINT) AS sum_y,
+         |    CAST(sum(x * x) AS BIGINT) AS sum_xx,
+         |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         |    CAST(sum(y * y) AS BIGINT) AS sum_yy
+         |  FROM p)
+         |SELECT n, sum_x, sum_y, sum_xx, sum_xy, sum_yy,
+         |  CAST(sign(n * sum_xy - sum_x * sum_y) AS BIGINT) AS cov_sign
+         |FROM a""".stripMargin,
+
+    "ev44_pareto" ->
+      """WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total_users,
+        |    CAST(sum(c) AS BIGINT) AS total_events FROM uc),
+        |r AS (SELECT c,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, user_id) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (ORDER BY c DESC, user_id) AS BIGINT)
+        |      AS rn
+        |  FROM uc)
+        |SELECT total_users, total_events,
+        |  CAST(min(CASE WHEN 5 * cum >= 4 * total_events THEN rn END)
+        |    AS BIGINT) AS users_p80,
+        |  CAST(min(CASE WHEN 5 * cum >= 4 * total_events THEN rn END)
+        |    * 10000 // total_users AS BIGINT) AS top_share_bp
+        |FROM r CROSS JOIN t GROUP BY 1, 2""".stripMargin,
+
+    "mm11_placement" ->
+      """WITH c AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(CAST(ceil(octet_length(encode(text)) / 32.0)
+        |      AS BIGINT))) AS chunk_idx
+        |  FROM documents),
+        |ch AS (SELECT
+        |    md5(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64))
+        |      AS chunk_md5,
+        |    CAST(length(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64))
+        |      // 2 AS BIGINT) AS chunk_bytes
+        |  FROM c),
+        |u AS (SELECT chunk_md5, max(chunk_bytes) AS chunk_bytes
+        |      FROM ch GROUP BY 1),
+        |p AS (SELECT chunk_md5, chunk_bytes, unnest(range(16)) AS node
+        |      FROM u),
+        |r AS (SELECT chunk_md5, chunk_bytes, node,
+        |    md5(chunk_md5 || '#' || CAST(node AS VARCHAR)) AS score
+        |  FROM p),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY chunk_md5
+        |    ORDER BY score DESC, node) AS rk FROM r)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_primary,
+        |  CAST(sum(chunk_bytes) AS BIGINT) AS total_bytes
+        |FROM rk WHERE rk <= 3 GROUP BY 1""".stripMargin,
+
+    "ev45_markov" ->
+      """WITH t AS (SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |tr AS (SELECT prev_type, event_type AS next_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
+        |       FROM tr GROUP BY 1),
+        |m AS (SELECT tr.prev_type AS src, next_type AS dst,
+        |    CAST(n * 1000000 // row_n AS BIGINT) AS m_ppm
+        |  FROM tr JOIN rt USING (prev_type)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM events),
+        |v0 AS (SELECT event_type,
+        |    CAST(count(*) * 1000000 // (SELECT tot FROM tot) AS BIGINT)
+        |      AS v_ppm
+        |  FROM events GROUP BY 1),
+        |v1 AS (SELECT dst AS event_type,
+        |    CAST(sum(v_ppm * m_ppm) // 1000000 AS BIGINT) AS v_ppm
+        |  FROM v0 JOIN m ON v0.event_type = m.src GROUP BY 1),
+        |v2 AS (SELECT dst AS event_type,
+        |    CAST(sum(v_ppm * m_ppm) // 1000000 AS BIGINT) AS v_ppm
+        |  FROM v1 JOIN m ON v1.event_type = m.src GROUP BY 1),
+        |v3 AS (SELECT dst AS event_type,
+        |    CAST(sum(v_ppm * m_ppm) // 1000000 AS BIGINT) AS v_ppm
+        |  FROM v2 JOIN m ON v2.event_type = m.src GROUP BY 1),
+        |v4 AS (SELECT dst AS event_type,
+        |    CAST(sum(v_ppm * m_ppm) // 1000000 AS BIGINT) AS v_ppm
+        |  FROM v3 JOIN m ON v3.event_type = m.src GROUP BY 1),
+        |v5 AS (SELECT dst AS event_type,
+        |    CAST(sum(v_ppm * m_ppm) // 1000000 AS BIGINT) AS v_ppm
+        |  FROM v4 JOIN m ON v4.event_type = m.src GROUP BY 1)
+        |SELECT v0.event_type, v0.v_ppm AS v0_ppm, v5.v_ppm AS v5_ppm,
+        |  v5.v_ppm - v0.v_ppm AS drift_ppm
+        |FROM v0 JOIN v5 USING (event_type)""".stripMargin,
+
+    "pp19_token_budget" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM s),
+        |q AS (SELECT source, n_tokens,
+        |    CAST(1000000 * n_tokens // t AS BIGINT) AS base,
+        |    CAST((1000000 * n_tokens) % t AS BIGINT) AS rem
+        |  FROM s CROSS JOIN t),
+        |d AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS deficit
+        |      FROM q),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+        |      AS BIGINT) AS rk FROM q)
+        |SELECT source, n_tokens,
+        |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_tokens
+        |FROM r CROSS JOIN d""".stripMargin,
+
+    "tx39_bigram_lift" ->
+      """WITH tk AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+        |            FROM documents),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |        FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tk),
+        |t AS (SELECT string_split(trim(text), ' ') AS a FROM documents
+        |      WHERE len(string_split(trim(text), ' ')) >= 2),
+        |pr AS (SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT)
+        |      AS c_xy
+        |  FROM (SELECT unnest(list_transform(range(1, len(a)),
+        |        i -> [a[i], a[i+1]])) AS p FROM t)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, c_xy,
+        |  CAST(c_xy * n_tokens * 1000000 // (ux.c * uy.c) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pr JOIN uni ux ON pr.w1 = ux.tok
+        |JOIN uni uy ON pr.w2 = uy.tok CROSS JOIN tot
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "q61_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  CAST(quantile_disc(l_quantity, 0.25) AS BIGINT) AS p25_qty,
+        |  CAST(quantile_disc(l_quantity, 0.5) AS BIGINT) AS p50_qty,
+        |  CAST(quantile_disc(l_quantity, 0.75) AS BIGINT) AS p75_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "ev46_alert_episodes" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS total,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_days
+        |  FROM daily),
+        |hot AS (SELECT event_type, day,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM w WHERE n_events * 5 * n_days > total * 6),
+        |runs AS (SELECT event_type, day - CAST(rn AS INTEGER) AS anchor,
+        |    CAST(count(*) AS BIGINT) AS run_len
+        |  FROM hot GROUP BY 1, 2),
+        |ep AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_episodes,
+        |    CAST(sum(run_len) AS BIGINT) AS alert_days,
+        |    CAST(max(run_len) AS BIGINT) AS longest_episode
+        |  FROM runs WHERE run_len >= 3 GROUP BY 1)
+        |SELECT t.event_type,
+        |  CAST(coalesce(n_episodes, 0) AS BIGINT) AS n_episodes,
+        |  CAST(coalesce(alert_days, 0) AS BIGINT) AS alert_days,
+        |  CAST(coalesce(longest_episode, 0) AS BIGINT) AS longest_episode
+        |FROM (SELECT DISTINCT event_type FROM events) t
+        |LEFT JOIN ep USING (event_type)""".stripMargin,
+
+    "tx40_skipgrams" ->
+      """WITH t AS (SELECT string_split(trim(text), ' ') AS a
+        |           FROM documents),
+        |p AS (SELECT unnest(list_concat(
+        |    list_transform(range(1, len(a)), i -> [a[i], a[i+1]]),
+        |    list_transform(range(1, len(a) - 1), i -> [a[i], a[i+2]])))
+        |      AS pr
+        |  FROM t WHERE len(a) >= 2)
+        |SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS n_cooc
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY n_cooc DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "gr12_coengagement" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT x.event_type AS t1, y.event_type AS t2,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ut x JOIN ut y
+        |  ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

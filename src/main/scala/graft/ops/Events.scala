@@ -1010,4 +1010,111 @@ object Events {
         max(when(col("streak_end") === col("max_day"), col("streak_len"))
           .otherwise(0L)).as("current_streak"))
   }
+
+  /** ev44: activity concentration (the Pareto/Lorenz point) — how many
+    * of the most-active users generate 80% of all events. The naive
+    * formulation sorts EVERY user by activity (a global sort of
+    * |users| rows); the scale-safe one is the grouped value-histogram
+    * trick (ev33's move): collapse users to (events-per-user → user
+    * count) buckets, walk the ≤|distinct activity levels| histogram
+    * rows in one bounded partition-less window, and resolve the
+    * crossing bucket's fractional membership in closed form
+    * (users within a bucket are interchangeable, so the COUNT of users
+    * needed is exact even though which users is arbitrary). The 80%
+    * threshold is cross-multiplied (5·cum ≥ 4·total) — no division
+    * until the final bp share. */
+  def ev44Pareto(s: SparkSession, d: String): DataFrame = {
+    val uc = ev(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val hist = uc.groupBy(col("c"))
+      .agg(count(lit(1)).as("m"), sum(col("c")).as("bucket_events"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = uc.agg(count(lit(1)).as("total_users"),
+      sum(col("c")).as("total_events"))
+    hist
+      .withColumn("cum_events", sum(col("bucket_events")).over(w))
+      .withColumn("cum_users", sum(col("m")).over(w))
+      .crossJoin(broadcast(totals))
+      .filter(col("cum_events") * 5 >= col("total_events") * 4 &&
+        (col("cum_events") - col("bucket_events")) * 5 <
+          col("total_events") * 4)
+      .select(col("total_users"), col("total_events"),
+        (col("cum_users") - col("m") +
+          expr("""(total_events * 4 - (cum_events - bucket_events) * 5
+                 |  + 5 * c - 1) div (5 * c)""".stripMargin))
+          .as("users_p80"))
+      .withColumn("top_share_bp",
+        expr("users_p80 * 10000 div total_users"))
+  }
+
+  /** ev45: Markov stationary drift — where does user attention settle?
+    * The per-step transition matrix (ev13's counts, row-normalized to
+    * an exact ppm grid with integer division) is applied FIVE times to
+    * the observed type distribution: v₅ ≈ the stationary mix, v₅ − v₀
+    * the drift each product surface gains/loses as sessions run on.
+    * The kernel point: an iterative fixed-point computation expressed
+    * as five unrolled lazy joins over a |types|²-row frame — matrix
+    * state stays METADATA-sized no matter how many billions of events
+    * produced it (the one big input scan is the ev13 pair count), so
+    * the iteration costs scheduler overhead only. Each step divides
+    * ONCE after the sum (ppm grid), which both engines replay exactly. */
+  def ev45Markov(s: SparkSession, d: String): DataFrame = {
+    val trans = ev13Transitions(s, d)
+    val rowTot = trans.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_n"))
+    val m = trans.join(rowTot, Seq("prev_type"))
+      .select(col("prev_type").as("src"), col("next_type").as("dst"),
+        expr("n * 1000000 div row_n").as("m_ppm"))
+    val v0 = ev(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(
+        ev(s, d).agg(count(lit(1)).as("tot"))))
+      .select(col("event_type"), expr("c * 1000000 div tot").as("v_ppm"))
+    val v5 = (1 to 5).foldLeft(v0) { (v, _) =>
+      v.join(m, col("event_type") === col("src"))
+        .groupBy(col("dst"))
+        .agg(expr("sum(v_ppm * m_ppm) div 1000000").as("v_ppm"))
+        .withColumnRenamed("dst", "event_type")
+    }
+    v0.withColumnRenamed("v_ppm", "v0_ppm")
+      .join(v5.withColumnRenamed("v_ppm", "v5_ppm"), Seq("event_type"))
+      .withColumn("drift_ppm", col("v5_ppm") - col("v0_ppm"))
+  }
+
+  /** ev46: alert episodes with debounce — the monitoring state machine
+    * over daily volumes: a type's day is HOT when it runs ≥20% above
+    * the type's own mean daily rate (5·n·days > 6·total, cross-
+    * multiplied — no float mean), and an ALERT EPISODE is ≥3
+    * CONSECUTIVE hot days (the debounce that keeps one-day blips from
+    * paging anyone). Hot-day runs come from the ev43 gaps-and-islands
+    * anchor on the flagged-day subsequence; all frames are per-type
+    * calendar-sized. Types that never alert still report a zero row
+    * (left join from the type roster) — silence and health must be
+    * distinguishable in a dashboard feed. */
+  def ev46AlertEpisodes(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val hot = daily
+      .withColumn("total", sum(col("n_events")).over(wAll))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .filter(col("n_events") * lit(5L) * col("n_days") >
+        col("total") * lit(6L))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val episodes = hot
+      .withColumn("anchor", date_sub(col("day"), row_number().over(wRun)))
+      .groupBy(col("event_type"), col("anchor"))
+      .agg(count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= 3)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_episodes"),
+        sum(col("run_len")).as("alert_days"),
+        max(col("run_len")).as("longest_episode"))
+    ev(s, d).select(col("event_type")).distinct()
+      .join(episodes, Seq("event_type"), "left_outer")
+      .select(col("event_type"),
+        coalesce(col("n_episodes"), lit(0L)).as("n_episodes"),
+        coalesce(col("alert_days"), lit(0L)).as("alert_days"),
+        coalesce(col("longest_episode"), lit(0L)).as("longest_episode"))
+  }
 }

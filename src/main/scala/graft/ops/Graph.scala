@@ -304,4 +304,54 @@ object Graph {
       .withColumn("coeff_ppm",
         expr("n_tri * 2 * 1000000 div (degree * (degree - 1))"))
   }
+
+  /** gr11: degree-assortativity sufficient statistics — do high-degree
+    * docs link to other high-degree docs (template families) or to
+    * low-degree ones (hub-and-spoke boilerplate)? Each directed edge
+    * end contributes the (deg(src), deg(dst)) pair; the six mergeable
+    * moments (q59's pattern on the graph) give the Pearson
+    * assortativity as a closed form, with the covariance sign emitted
+    * cross-multiplied — integer-exact, no float correlation to drift
+    * across engines. By symmetry Σx = Σy and Σx² = Σy² (spec-asserted
+    * conservation). Two broadcast-sized joins of the edge list against
+    * the degree table; every frame stays ∝ |near-dup edges|. */
+  def gr11Assortativity(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = e.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(e.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val pairs = bi
+      .join(deg.select(col("node").as("n1"), col("deg").as("x")),
+        col("src") === col("n1"))
+      .join(deg.select(col("node").as("n2"), col("deg").as("y")),
+        col("dst") === col("n2"))
+    pairs.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("y") * col("y")).as("sum_yy"))
+      .withColumn("cov_sign",
+        signum(col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .cast("long"))
+  }
+
+  /** gr12: bipartite co-engagement projection — the user↔event-type
+    * bipartite graph projected onto types: for every type pair, how
+    * many DISTINCT users touch both (the market-basket / "users who X
+    * also Y" kernel, and the other classic graph build besides the
+    * near-dup projection the rest of this module runs on). The shape
+    * that scales: collapse to distinct (user, type) FIRST — the one
+    * input-sized shuffle — then the per-user self-join fans out at
+    * most |types|² ≈ 25 combinations per user before the count
+    * collapses it to the |types|²-row projection. */
+  def gr12Coengagement(s: SparkSession, d: String): DataFrame = {
+    val ut = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+    ut.select(col("user_id"), col("event_type").as("t1"))
+      .join(ut.select(col("user_id").as("u2"), col("event_type").as("t2")),
+        col("user_id") === col("u2") && col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

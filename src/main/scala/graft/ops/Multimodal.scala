@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Multimodal-column plumbing (SURVEY.md §2): media payloads ride as
   * opaque `binary` columns with typed metadata beside them; decoding /
@@ -238,5 +239,35 @@ object Multimodal {
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") > 1)
+  }
+
+  /** mm11: CAS replica-placement plan — each UNIQUE chunk is assigned
+    * to 3 of 16 storage nodes by rendezvous (highest-random-weight)
+    * hashing: score every (chunk, node) pair with md5(chunk#node) and
+    * keep each chunk's top-3 nodes. The property that matters at
+    * 100 TB: adding or removing a node remaps only ~1/16 of chunks
+    * (the ones whose top-3 the node enters or leaves) — consistent-
+    * hashing stability without a ring, coordination-free because any
+    * writer computes the same placement from the hash alone. The
+    * per-chunk ranking window partitions on chunk_md5 (16 rows per
+    * key, key-distributed — never a global sort); the output is the
+    * 16-row per-node balance audit (chunk count, primary count, byte
+    * mass) that verifies the hash spreads load. */
+  def mm11PlacementPlan(s: SparkSession, d: String): DataFrame = {
+    val unique = mm03Chunking(s, d)
+      .groupBy(col("chunk_md5"))
+      .agg(max(col("chunk_bytes")).cast("long").as("chunk_bytes"))
+    val w = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col("score").desc, col("node"))
+    unique
+      .withColumn("node", explode(sequence(lit(0), lit(15))))
+      .withColumn("score",
+        md5(concat(col("chunk_md5"), lit("#"), col("node").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("node").cast("long").as("node"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_primary"),
+        sum(col("chunk_bytes")).as("total_bytes"))
   }
 }

@@ -557,4 +557,38 @@ object Pipelines {
         sum(coalesce(col("chars1"), lit(0L))).as("chars_v1"),
         sum(coalesce(col("chars2"), lit(0L))).as("chars_v2"))
   }
+
+  /** pp19: token-budget apportionment — split a fixed training budget
+    * (1M tokens) across sources PROPORTIONALLY to their token mass
+    * with Hamilton largest-remainder rounding: base_i = B·tᵢ div T,
+    * and the B − Σbase leftover units go one each to the largest
+    * remainders (B·tᵢ mod T), ties to the lexicographically smaller
+    * source. The allocations are integers that sum to EXACTLY B —
+    * spec-asserted — where naive per-source rounding drifts by
+    * ±|sources|; this is the exact-quota primitive under pp06/pp10's
+    * ratio-based mixes. One per-source rollup (the only input-sized
+    * scan), then a bounded |sources|-row ranking window. */
+  def pp19TokenBudget(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000000L
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"), size(split(trim(col("text")), " "))
+        .cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("t"),
+      count(lit(1)).as("n_sources"))
+    val quotas = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr(s"$budget * n_tokens div t").as("base"),
+        expr(s"($budget * n_tokens) % t").as("rem"))
+    val w = Window.orderBy(col("rem").desc, col("source"))
+    val deficit = quotas.agg(
+      (lit(budget) - sum(col("base"))).as("deficit"))
+    quotas
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(deficit))
+      .select(col("source"), col("n_tokens"),
+        (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
 }

@@ -1032,4 +1032,26 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"),
         max(col("seg_bal_cents")).as("seg_bal_cents"))
   }
+
+  /** q61: discrete-percentile surface — per return flag, the exact
+    * p25/p50/p75 ORDER STATISTICS of quantity via `percentile_disc
+    * WITHIN GROUP` (ANSI inverse-distribution aggregate): the smallest
+    * value whose cumulative distribution reaches p. Unlike
+    * percentile_cont (q23's family) nothing interpolates, so integer
+    * data stays integer and the result hash-compares exactly with no
+    * rounding contract at all — the right percentile flavor whenever
+    * the answer must be a value that ACTUALLY OCCURS (SLA tiers,
+    * size-class cutoffs). Partial-aggregable per group at scale; the
+    * sketch twin for truly huge groups is sk02/sk04. */
+  def q61PercentileDisc(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS BIGINT)")
+          .as("p25_qty"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS BIGINT)")
+          .as("p50_qty"),
+        expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS BIGINT)")
+          .as("p75_qty"),
+        count(lit(1)).as("n_rows"))
 }

@@ -350,10 +350,24 @@ object Similarity {
   def ss10PqTopk(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    // codebook: label-centroid sub-vectors → one broadcast row:
-    // cb = array over m=0..7 of struct(m, entries: array<(cell, cvec)>)
-    // with entries sorted by cell (= dense 0..9, so code IS the index)
-    val cbArr = centroids(s, d)
+    val cbArr = pqCodebook(s, d)
+    val coded = emb.crossJoin(broadcast(cbArr))
+      .withColumn("codes", expr(pqEncodeExpr))
+      .select(col("vec_id"), col("codes"))
+    val queries = pqAdcQueries(s, d, cbArr)
+    val candIds = topkPairs(
+      coded.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .withColumn("adc", expr(pqAdcScoreExpr)),
+      col("adc"), 100)
+      .select(col("qid"), col("neighbor_id"))
+    pqExactRerank(emb, candIds)
+  }
+
+  /** PQ codebook: label-centroid sub-vectors → one broadcast row:
+    * cb = array over m=0..7 of struct(m, entries: array<(cell, cvec)>)
+    * with entries sorted by cell (= dense 0..9, so code IS the index). */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    centroids(s, d)
       .select(col("cell"), explode(expr(
         "transform(sequence(0, 7), m -> struct(m AS m, slice(cent, m*8+1, 8) AS cvec))")).as("e"))
       .select(col("cell"), col("e.m").as("m"), col("e.cvec").as("cvec"))
@@ -361,35 +375,41 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("entries"))
       .groupBy()
       .agg(sort_array(collect_list(struct(col("m"), col("entries")))).as("cb"))
-    // encode: per sub-space, the argmin-L2 codeword (ties → smaller
-    // cell: entries are cell-sorted and only a strict improvement
-    // replaces the running best)
+
+  /** Per-sub-space argmin-L2 codeword (ties → smaller cell: entries
+    * are cell-sorted and only a strict improvement replaces the
+    * running best). Expects `embedding` and the broadcast `cb`. */
+  private val pqEncodeExpr: String = {
     val l2 = "aggregate(zip_with(slice(embedding, e.m*8+1, 8), c.cvec, " +
       "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), " +
       "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    val coded = emb.crossJoin(broadcast(cbArr))
-      .withColumn("codes", expr(
-        s"""transform(cb, e -> aggregate(e.entries,
-           |  named_struct('best', CAST(-1 AS INT), 'bd', CAST('Infinity' AS DOUBLE)),
-           |  (acc, c) -> CASE WHEN $l2 < acc.bd
-           |    THEN named_struct('best', c.cell, 'bd', $l2) ELSE acc END).best)"""
-          .stripMargin))
-      .select(col("vec_id"), col("codes"))
-    // per-query ADC lookup tables: ltab[m][cell] = dot(q_m, codeword)
-    val queries = emb.filter(col("vec_id") < 10)
+    s"""transform(cb, e -> aggregate(e.entries,
+       |  named_struct('best', CAST(-1 AS INT), 'bd', CAST('Infinity' AS DOUBLE)),
+       |  (acc, c) -> CASE WHEN $l2 < acc.bd
+       |    THEN named_struct('best', c.cell, 'bd', $l2) ELSE acc END).best)"""
+      .stripMargin
+  }
+
+  /** ADC score from a candidate's `codes` and a query's `ltab`: eight
+    * table lookups, no float vector read on the scan side. */
+  private val pqAdcScoreExpr: String =
+    "aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, m) -> " +
+      "acc + element_at(element_at(ltab, m+1), element_at(codes, m+1) + 1))"
+
+  /** Per-query ADC lookup tables: ltab[m][cell] = dot(q_m, codeword). */
+  private def pqAdcQueries(s: SparkSession, d: String,
+      cbArr: DataFrame): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 10)
       .crossJoin(broadcast(cbArr))
       .select(col("vec_id").as("qid"), expr(
         """transform(cb, e -> transform(e.entries, c ->
           |  aggregate(zip_with(slice(embedding, e.m*8+1, 8), c.cvec,
           |    (a, b) -> CAST(a AS DOUBLE) * b),
           |    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)))""".stripMargin).as("ltab"))
-    val candIds = topkPairs(
-      coded.join(broadcast(queries), col("vec_id") =!= col("qid"))
-        .withColumn("adc", expr(
-          "aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, m) -> " +
-            "acc + element_at(element_at(ltab, m+1), element_at(codes, m+1) + 1))")),
-      col("adc"), 100)
-      .select(col("qid"), col("neighbor_id"))
+
+  /** Exact top-5 re-rank of an approximate candidate list: re-fetch
+    * only the candidates' float vectors via a broadcast id list. */
+  private def pqExactRerank(emb: DataFrame, candIds: DataFrame): DataFrame = {
     val qEmb = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
     topkPairs(
@@ -397,6 +417,46 @@ object Similarity {
         .join(broadcast(qEmb), Seq("qid"))
         .select(col("qid"), col("vec_id"), col("q_emb"), col("embedding")),
       expr("cosine_sim(q_emb, embedding)"), 5)
+  }
+
+  /** ss14: IVF-PQ — the two production ANN tiers COMPOSED, the way a
+    * real vector index ships: the IVF cell (ss05) prunes WHICH corpus
+    * rows are candidates (probe the query's 2 nearest cells), PQ codes
+    * (ss10) prune WHAT is read per candidate (8 bytes + ADC lookups
+    * instead of the float vector), and only the surviving ~50 ids pay
+    * the exact cosine re-rank. Cell id and codes are computed in ONE
+    * pass over the corpus and live side by side — at 100 TB they ARE
+    * the index layout (partitioned by cell, codes inline), so
+    * candidate generation reads codes only, shuffles nothing, and
+    * scales with probed-cell mass × 8 bytes. rows+spec (recall vs
+    * ss01, ≥ the ss10 floor − the cell-miss loss ss09 prices). */
+  def ss14IvfPqTopk(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val cbArr = pqCodebook(s, d)
+    val cent = CacheScope.cached(centroids(s, d))
+    // the index pass: nearest cell + PQ codes per corpus vector
+    val indexed = emb.select(col("vec_id"), col("embedding"))
+      .transform(nearestCellsFrom(cent, _, 1, "cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(cbArr))
+      .withColumn("codes", expr(pqEncodeExpr))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    // queries: 3 probe cells + the ADC lookup tables (3 of ~10 cells
+    // rather than ss05's 2 — the PQ ranking below is lossy too, so the
+    // cell stage gets the larger recall budget)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .transform(nearestCellsFrom(cent, _, 3, "probe_cell"))
+      .select(col("vec_id").as("qid"), col("probe_cell"))
+      .join(pqAdcQueries(s, d, cbArr), Seq("qid"))
+    val candIds = topkPairs(
+      indexed.join(broadcast(probes),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("qid"))
+        .withColumn("adc", expr(pqAdcScoreExpr)),
+      col("adc"), 100)
+      .select(col("qid"), col("neighbor_id"))
+    pqExactRerank(emb, candIds)
   }
 
   /** ss11: embedding-quality audit — the QA gate run BEFORE building

@@ -710,4 +710,65 @@ object Text {
           .when(col("flesch_num") >= lit(30000L) * col("sn") * col("w"),
             "medium")
           .otherwise("hard").as("band"))
+
+  /** tx39: collocation strength — the top-20 adjacent word pairs by
+    * LIFT, the log-free monotone stand-in for PMI (lift = p(xy) ⁄
+    * p(x)p(y) = c_xy·N ⁄ c_x·c_y, scaled to an exact integer — PMI is
+    * log(lift), so the RANKING is identical and nothing floats).
+    * Collocations are what tx05's raw frequency can't see: "of the"
+    * tops every count list while a rare-but-bound pair tops lift. Min
+    * support 5 keeps one-off pairs from gaming the ratio. Three
+    * partial-agg'd count passes (pairs, unigrams, total) joined on the
+    * pair's two words, then a global top-20 — a bounded take-ordered,
+    * not a full sort. */
+  def tx39BigramLift(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val uniTot = toks.agg(count(lit(1)).as("n_tokens"))
+    val pairs = Tables.documents(s, d)
+      .select(explode(expr(
+        """filter(zip_with(split(trim(text), ' '),
+          |  slice(split(trim(text), ' '), 2, size(split(trim(text), ' '))),
+          |  (a, b) -> struct(a AS w1, b AS w2)), p -> p.w2 IS NOT NULL)"""
+          .stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    pairs
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(uniTot))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        expr("c_xy * n_tokens * 1000000 div (c_x * c_y)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** tx40: skip-gram co-occurrence — token pairs within a ±2 window
+    * (the word2vec / GloVe input statistic), NOT just adjacent like
+    * tx05/tx39: "big table" and "big sorted table" both feed the same
+    * (big, table) cell. The pair fan-out is built per-row with array
+    * functions (each position pairs with its next two), so there is
+    * NO positional self-join — the naive formulation joins a corpus
+    * of positions against itself on doc_id and filters |i−j| ≤ 2,
+    * materializing len² candidates per doc; this one materializes
+    * exactly the 2·len pairs that survive. One explode + count,
+    * min-support 5, bounded take-ordered top-20. */
+  def tx40Skipgrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(expr(
+        """concat(
+          |  filter(zip_with(split(trim(text), ' '),
+          |    slice(split(trim(text), ' '), 2, size(split(trim(text), ' '))),
+          |    (x, y) -> struct(x AS w1, y AS w2)), p -> p.w2 IS NOT NULL),
+          |  filter(zip_with(split(trim(text), ' '),
+          |    slice(split(trim(text), ' '), 3, size(split(trim(text), ' '))),
+          |    (x, y) -> struct(x AS w1, y AS w2)), p -> p.w2 IS NOT NULL))"""
+          .stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_cooc"))
+      .filter(col("n_cooc") >= 5)
+      .orderBy(col("n_cooc").desc, col("w1"), col("w2"))
+      .limit(20)
 }

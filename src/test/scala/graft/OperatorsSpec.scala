@@ -51,7 +51,8 @@ class OperatorsSpec extends SparkTestBase {
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
       "dd09_minhash_est", "ss08_sq8_rerank", "ss10_pq_topk",
       "sk04_kll_quantiles", "sk05_bloom_prejoin",
-      "sk06_theta_sets", "sk07_hll_rollup", "ss12_mmr_topk")  // SURVEY.md §2
+      "sk06_theta_sets", "sk07_hll_rollup", "ss12_mmr_topk",
+      "ss14_ivfpq_topk")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -482,7 +483,9 @@ class OperatorsSpec extends SparkTestBase {
       "gr02_degree_dist",      // |distinct degree| rows
       "pp13_pack_manifest",    // |doc_id ÷ 4096| bucket-offset frame
       "pp14_shard_plan",       // 16-shard load frame
-      "tx35_token_ids")        // 256-row vocab rank (post-limit)
+      "tx35_token_ids",        // 256-row vocab rank (post-limit)
+      "ev44_pareto",           // ≤ |distinct activity levels| histogram rows
+      "pp19_token_budget")     // |sources|-row remainder ranking
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan
@@ -974,5 +977,115 @@ class OperatorsSpec extends SparkTestBase {
     assert(df.count() == Tables.documents(spark, sf).count())
     val bands = df.select("band").distinct().collect().map(_.getString(0)).toSet
     assert(bands.subsetOf(Set("easy", "medium", "hard")) && bands.nonEmpty)
+  }
+
+  test("gr11 assortativity moments respect the undirected symmetry") {
+    // every undirected edge contributes (x,y) AND (y,x), so the x and
+    // y marginals must be identical — a broken join breaks this first
+    val r = ops.Graph.gr11Assortativity(spark, "/root/testdata/sf0.01")
+      .collect()(0)
+    assert(r.getLong(1) == r.getLong(2), "sum_x != sum_y")
+    assert(r.getLong(3) == r.getLong(5), "sum_xx != sum_yy")
+    assert(r.getLong(0) > 0 && math.abs(r.getLong(6)) <= 1)
+  }
+
+  test("ev44 pareto point is a single sane row") {
+    val rows = ops.Events.ev44Pareto(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    val (users, events, p80, bp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(p80 >= 1 && p80 <= users, s"users_p80 $p80 out of [1, $users]")
+    assert(bp >= 0 && bp <= 10000)
+    assert(events > 0)
+  }
+
+  test("mm11 placement is 3-way replicated and fully primary-assigned") {
+    val unique = ops.Multimodal.mm03Chunking(spark, sf)
+      .select("chunk_md5").distinct().count()
+    val plan = ops.Multimodal.mm11PlacementPlan(spark, sf).collect()
+    assert(plan.map(_.getLong(1)).sum == 3 * unique,
+      "every unique chunk must land on exactly 3 nodes")
+    assert(plan.map(_.getLong(2)).sum == unique,
+      "every unique chunk must have exactly one primary")
+  }
+
+  test("ss14 IVF-PQ recall against the exact baseline") {
+    val exact = ops.Similarity.ss01BruteTopk(spark, "/root/testdata/sf0.01")
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ops.Similarity.ss14IvfPqTopk(spark, "/root/testdata/sf0.01")
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4,
+      f"IVF-PQ recall $recall%.2f below floor (cell-miss + ADC loss)")
+  }
+
+  test("ev45 markov vectors stay normalized within integer-floor loss") {
+    // each ppm division floors, so Σv can only shed ≤|types| ppm per
+    // step — five steps of drift must stay within that envelope
+    val rows = ops.Events.ev45Markov(spark, sf).collect()
+    val v0Sum = rows.map(_.getLong(1)).sum
+    val v5Sum = rows.map(_.getLong(2)).sum
+    val types = rows.length.toLong
+    assert(v0Sum <= 1000000L && v0Sum >= 1000000L - types)
+    assert(v5Sum <= 1000000L,
+      s"probability mass grew: $v5Sum")
+    assert(v5Sum >= 1000000L - 6 * types * types,
+      s"mass shed beyond the floor envelope: $v5Sum")
+  }
+
+  test("pp19 allocations sum to exactly the budget") {
+    val rows = ops.Pipelines.pp19TokenBudget(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == 1000000L,
+      "Hamilton apportionment must hit the budget exactly")
+    rows.foreach(r => assert(r.getLong(2) >= 0))
+  }
+
+  test("tx39 lift ranking is capped, supported, and positive") {
+    val rows = ops.Text.tx39BigramLift(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 5, "min support violated")
+      assert(r.getLong(3) > 0, "lift must be positive")
+    }
+    val lifts = rows.map(_.getLong(3))
+    assert(lifts.sameElements(lifts.sorted(Ordering[Long].reverse)))
+  }
+
+  test("q61 discrete percentiles are ordered order statistics") {
+    ops.Relational.q61PercentileDisc(spark, sf).collect().foreach { r =>
+      val (p25, p50, p75) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(p25 <= p50 && p50 <= p75, s"percentiles out of order: $r")
+    }
+  }
+
+  test("ev46 reports a row per type with consistent episode stats") {
+    val rows = ops.Events.ev46AlertEpisodes(spark, sf).collect()
+    val types = ops.Events.ev13Transitions(spark, sf)
+      .select("next_type").distinct().count()
+    assert(rows.length >= types.toInt - 1 && rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, days, longest) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((n == 0) == (days == 0) && (n == 0) == (longest == 0))
+      assert(longest <= days && (n == 0 || days >= 3 * n))
+    }
+  }
+
+  test("tx40 skipgram counts dominate the adjacent-bigram counts") {
+    // every adjacent pair is also a skip-gram pair, so for any pair in
+    // both frames the skip-gram count must be >= the bigram count
+    val sg = ops.Text.tx40Skipgrams(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sg.nonEmpty && sg.values.forall(_ >= 5))
+  }
+
+  test("gr12 co-engagement pairs are ordered and bounded by users") {
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    ops.Graph.gr12Coengagement(spark, sf).collect().foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= users)
+    }
   }
 }
