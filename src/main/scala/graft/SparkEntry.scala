@@ -251,6 +251,12 @@ object SparkEntry {
     "ev46_alert_episodes"   -> Events.ev46AlertEpisodes _,
     "tx40_skipgrams"        -> Text.tx40Skipgrams _,
     "gr12_coengagement"     -> Graph.gr12Coengagement _,
+    "dd18_winnowing"        -> Dedup.dd18Winnowing _,
+    "ev47_growth_accounting" -> Events.ev47GrowthAccounting _,
+    "ev48_autocorr"         -> Events.ev48Autocorr _,
+    "tx41_compressibility"  -> Text.tx41Compressibility _,
+    "ss15_kmeans"           -> Similarity.ss15Kmeans _,
+    "dd19_bow_dedup"        -> Dedup.dd19BowDedup _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -3226,5 +3232,86 @@ object SparkEntry {
         |FROM ut x JOIN ut y
         |  ON x.user_id = y.user_id AND x.event_type < y.event_type
         |GROUP BY 1, 2""".stripMargin,
+
+    "dd18_winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+        |           FROM documents
+        |           WHERE len(string_split(trim(text), ' ')) >= 6),
+        |g AS (SELECT doc_id, list_transform(range(1, len(tk) - 1),
+        |        i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |          AS grams
+        |      FROM t),
+        |f AS (SELECT doc_id, unnest(list_distinct(
+        |        list_transform(range(1, len(grams) - 2),
+        |          j -> list_min(grams[j:j+3])))) AS fp
+        |      FROM g)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "ev47_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |st AS (SELECT user_id, week,
+        |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_w,
+        |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_w
+        |  FROM uw),
+        |bw AS (SELECT week,
+        |    CAST(sum(CASE WHEN prev_w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN prev_w = week - 7 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN prev_w IS NOT NULL AND prev_w < week - 7
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM st GROUP BY 1),
+        |mx AS (SELECT max(week) AS max_week FROM uw),
+        |ch AS (SELECT week + 7 AS week, CAST(count(*) AS BIGINT)
+        |      AS n_churned
+        |  FROM st CROSS JOIN mx
+        |  WHERE (next_w IS NULL OR next_w > week + 7)
+        |    AND week + 7 <= max_week
+        |  GROUP BY 1)
+        |SELECT coalesce(bw.week, ch.week) AS week,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        |  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM bw FULL OUTER JOIN ch ON bw.week = ch.week""".stripMargin,
+
+    "ev48_autocorr" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS lag_k, x,
+        |    lead(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |  FROM daily
+        |  UNION ALL
+        |  SELECT event_type, CAST(7 AS BIGINT), x,
+        |    lead(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |  FROM daily),
+        |f AS (SELECT * FROM l WHERE y IS NOT NULL),
+        |a AS (SELECT event_type, lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |    CAST(sum(x * x) AS BIGINT) AS sum_xx,
+        |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |    CAST(sum(y * y) AS BIGINT) AS sum_yy
+        |  FROM f GROUP BY 1, 2)
+        |SELECT event_type, lag_k, n_pairs, sum_x, sum_y, sum_xx, sum_xy,
+        |  sum_yy,
+        |  CAST(sign(n_pairs * sum_xy - sum_x * sum_y) AS BIGINT) AS cov_sign
+        |FROM a""".stripMargin,
+
+    "dd19_bow_dedup" ->
+      """SELECT md5(list_aggregate(list_sort(string_split(trim(text), ' ')),
+        |    'string_agg', ' ')) AS bow_hash,
+        |  min(doc_id) AS keeper_id,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT)
+        |    AS n_exact_forms
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
   )
 }

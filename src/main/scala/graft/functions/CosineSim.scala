@@ -137,5 +137,7 @@ object GraftFunctions {
       "long_dot", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cdc_boundaries", exprs => CdcBoundaries(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflate_len", exprs => DeflateLen(exprs(0)), "built-in")
   }
 }

@@ -468,4 +468,61 @@ object Dedup {
         length(col("short_text")).cast("long").as("short_len"),
         length(col("long_text")).cast("long").as("long_len"))
   }
+
+  /** dd18: winnowing fingerprints (the MOSS plagiarism-detection
+    * selection rule): hash every 3-token shingle, slide a 4-gram
+    * window over the hash sequence, keep each window's MINIMUM — a
+    * guaranteed-coverage subsample (any shared run ≥ 6 tokens shares a
+    * fingerprint) that is POSITION-ROBUST where dd12's fixed token
+    * windows shift. Selection is pure per-row array math (no explode
+    * until the chosen fingerprints), so the exploded frame carries
+    * only ~n/4 fingerprints per doc, not every shingle — the density
+    * guarantee that makes overlap detection affordable at corpus
+    * scale. Docs sharing ≥2 fingerprints pair up via the inverted
+    * fingerprint index (equi-join = blocking). Hashes are md5 hex
+    * strings; min is lexicographic, identical in any engine. */
+  def dd18Winnowing(s: SparkSession, d: String): DataFrame = {
+    val fps = Tables.documents(s, d)
+      .withColumn("tk", split(trim(col("text")), " "))
+      .filter(size(col("tk")) >= 6)
+      // materialize the shingle-hash sequence ONCE per row; the window
+      // pass below only slices it (inlining it into the window lambda
+      // would re-hash the whole doc once per window — O(n²))
+      .withColumn("grams", expr(
+        """transform(sequence(1, size(tk) - 2), i ->
+          |  md5(concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+          |    element_at(tk, i + 2))))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(grams) - 3), j ->
+          |  array_min(slice(grams, j, 4))))""".stripMargin)).as("fp"))
+    fps.select(col("fp"), col("doc_id").as("d1"))
+      .join(fps.select(col("fp"), col("doc_id").as("d2")), Seq("fp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
+  /** dd19: bag-of-words dedup — hash the SORTED token multiset, so two
+    * docs that are word-order permutations of each other (reordered
+    * scrapes, shuffled list items, sentence-moved boilerplate) collide
+    * where dd01's exact hash differs on the first swap. The canonical
+    * form is per-row array math (split → sort → md5 of the rejoin);
+    * the groupBy is the same linear hash-groupBy as dd01 — this is the
+    * third rung of the canonicalization ladder (exact → lowercased
+    * exact → order-free), each one hash-groupBy apart in cost. Groups
+    * Every group is emitted (the oracle then verifies the canonical
+    * form of EVERY doc, not just colliders); n_members >
+    * n_exact_forms flags duplicates, and n_exact_forms > 1 within a
+    * group is the reorder-only signature dd01 can't see. */
+  def dd19BowDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(lower(trim(col("text")))).as("exact_hash"),
+        md5(array_join(array_sort(split(trim(col("text")), " ")), " "))
+          .as("bow_hash"))
+      .groupBy(col("bow_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("exact_hash")).as("n_exact_forms"))
 }

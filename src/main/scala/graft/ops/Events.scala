@@ -1117,4 +1117,79 @@ object Events {
         coalesce(col("alert_days"), lit(0L)).as("alert_days"),
         coalesce(col("longest_episode"), lit(0L)).as("longest_episode"))
   }
+
+  /** ev47: growth accounting — the canonical weekly user ledger every
+    * growth team keeps: each active (user, week) is NEW (first week
+    * ever), RETAINED (also active the prior week) or RESURRECTED
+    * (returning after ≥1 silent week), and a CHURN is booked to the
+    * week after a user's active week when they do not return in it.
+    * The identity new + retained + resurrected = actives (per week)
+    * is spec-asserted. One distinct (user, week) collapse — the only
+    * input-sized shuffle — then per-user lag/lead over weekly frames
+    * (≤ calendar-sized) and a week-keyed rollup; churn weeks beyond
+    * the corpus horizon are clipped by a single-row max-week
+    * broadcast. */
+  def ev47GrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val uw = ev(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val statused = uw
+      .withColumn("prev_w", lag(col("week"), 1).over(w))
+      .withColumn("status",
+        when(col("prev_w").isNull, lit("new"))
+          .when(col("prev_w") === date_sub(col("week"), 7), lit("retained"))
+          .otherwise(lit("resurrected")))
+    val byWeek = statused.groupBy(col("week"))
+      .agg(sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val maxWeek = uw.agg(max(col("week")).as("max_week"))
+    val churns = uw
+      .withColumn("next_w", lead(col("week"), 1).over(w))
+      .filter(col("next_w").isNull ||
+        col("next_w") > date_add(col("week"), 7))
+      .select(date_add(col("week"), 7).as("week"))
+      .join(broadcast(maxWeek), col("week") <= col("max_week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    byWeek.join(churns, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  /** ev48: autocorrelation moment sums — is a type's daily volume
+    * self-similar at lag 1 (momentum) and lag 7 (weekly rhythm)?
+    * Same discipline as q59/gr11: emit the EXACT integer sufficient
+    * statistics of (xₜ, xₜ₊ₖ) pairs over the per-type daily series —
+    * the Pearson autocorrelation is a closed form of them — plus the
+    * cross-multiplied autocovariance sign, so nothing floats and the
+    * hash compares. Row-lag over the observed (dense) daily sequence;
+    * the series frames are calendar-sized per type, the lead() windows
+    * ride one (type) shuffle, and the daily rollup is the only
+    * input-sized pass. */
+  def ev48Autocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = Seq(1, 7).map { k =>
+      daily.withColumn("y", lead(col("x"), k).over(w))
+        .filter(col("y").isNotNull)
+        .withColumn("lag_k", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    lagged.groupBy(col("event_type"), col("lag_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("y") * col("y")).as("sum_yy"))
+      .withColumn("cov_sign",
+        signum(col("n_pairs") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .cast("long"))
+  }
 }

@@ -459,6 +459,58 @@ object Similarity {
     pqExactRerank(emb, candIds)
   }
 
+  /** ss15: distributed k-means (3 Lloyd iterations, k=8) — the
+    * clustering kernel that BUILDS the coarse quantizer ss05/ss14
+    * assume given (their cells are label-centroids; this is what you
+    * run when no labels exist). Each iteration is the canonical
+    * two-phase distributed shape: (1) assignment — centroids broadcast
+    * (8 rows), per-vector argmin-L2 via d² = |x|² − 2x·c + |c|² with
+    * the dot products in the codegen'd `dot_product`, folded to one
+    * row per vector by a lexicographic struct-min (deterministic under
+    * ties) — the corpus is SCANNED, never shuffled; (2) update — one
+    * partial-aggregated VecSumAgg per cell. Per-iteration inertia is
+    * emitted and the spec asserts Lloyd's monotone descent — the
+    * invariant that catches a broken update step. Declared rows-only
+    * (float iteration; the descent property IS the check). */
+  def ss15Kmeans(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("xn2", expr("dot_product(embedding, embedding)"))
+    var cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("cent"))
+    val iterStats = (1 to 3).map { it =>
+      val withC = cents
+        .withColumn("cn2", expr("dot_product(cent, cent)"))
+      val assigned = emb.crossJoin(broadcast(withC))
+        .withColumn("d2",
+          col("xn2") - lit(2.0) * expr("dot_product(embedding, cent)")
+            + col("cn2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("d2"))
+      val stats = assigned
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("cell_inertia"))
+        .agg(lit(it.toLong).as("iter"),
+          count(lit(1)).as("n_cells"),
+          round(sum(col("cell_inertia")), 3).as("total_inertia"),
+          max(col("n_vecs")).as("largest_cell"),
+          min(col("n_vecs")).as("smallest_cell"))
+      // update step: new centroids from the fresh assignment
+      val joined = assigned.join(emb, Seq("vec_id"))
+      val embAttr = joined.queryExecution.analyzed.output
+        .find(_.name == "embedding").get
+      val vecSum = org.apache.spark.sql.graft.GraftDataset.column(
+        graft.functions.VecSumAgg(embAttr, dim).toAggregateExpression())
+      cents = CacheScope.cached(joined.groupBy(col("cell"))
+        .agg(vecSum.as("vsum"), count(lit(1)).as("cnt"))
+        .select(col("cell"), expr("transform(vsum, x -> x / cnt)").as("cent")))
+      stats
+    }
+    iterStats.reduce(_ unionByName _)
+  }
+
   /** ss11: embedding-quality audit — the QA gate run BEFORE building
     * any index: per label, vector count, norm spread (6 dp; the norm
     * is a deterministic left-to-right fold, so both engines produce

@@ -771,4 +771,29 @@ object Text {
       .filter(col("n_cooc") >= 5)
       .orderBy(col("n_cooc").desc, col("w1"), col("w2"))
       .limit(20)
+
+  /** tx41: compressibility filter — DEFLATE ratio per document, the
+    * quality signal that catches repetition at EVERY granularity at
+    * once (sub-token, cross-line, boilerplate blocks) where tx23/tx27
+    * only see token-level repeats: templated text compresses far below
+    * the ~60% floor of natural prose. The ratio rides the codegen'd
+    * `deflate_len` expression (one reused Deflater per thread, no
+    * per-row allocation) — one scan, zero shuffles, and the 10 kB/row
+    * CPU cost is exactly what you pay ONCE per doc at ingest, not per
+    * query. Declared rows-only: no SQL engine exposes deflate; the
+    * spec pins the semantics (repetitive ≪ diverse, bands populated,
+    * deterministic within a JVM). */
+  def tx41Compressibility(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        expr("CAST(deflate_len(text) AS BIGINT)").as("deflate_bytes"))
+      .filter(col("n_bytes") > 0)
+      .withColumn("ratio_bp", expr("deflate_bytes * 10000 div n_bytes"))
+      .withColumn("band",
+        when(col("ratio_bp") < 2500, "highly_repetitive")
+          .when(col("ratio_bp") < 4500, "repetitive")
+          .otherwise("normal"))
+  }
 }

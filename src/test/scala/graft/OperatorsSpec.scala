@@ -52,7 +52,8 @@ class OperatorsSpec extends SparkTestBase {
       "dd09_minhash_est", "ss08_sq8_rerank", "ss10_pq_topk",
       "sk04_kll_quantiles", "sk05_bloom_prejoin",
       "sk06_theta_sets", "sk07_hll_rollup", "ss12_mmr_topk",
-      "ss14_ivfpq_topk")  // SURVEY.md §2
+      "ss14_ivfpq_topk", "tx41_compressibility",
+      "ss15_kmeans")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -1086,6 +1087,87 @@ class OperatorsSpec extends SparkTestBase {
     ops.Graph.gr12Coengagement(spark, sf).collect().foreach { r =>
       assert(r.getString(0) < r.getString(1))
       assert(r.getLong(2) >= 1 && r.getLong(2) <= users)
+    }
+  }
+
+  test("dd18 winnowing finds the planted near-dups with shared anchors") {
+    val rows = ops.Dedup.dd18Winnowing(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty, "winnowing must surface the planted near-dups")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 2)
+    }
+  }
+
+  test("ev47 growth ledger balances: new + retained + resurrected = actives") {
+    val actives = Tables.events(spark, sf)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+      .groupBy("week").count()
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    ops.Events.ev47GrowthAccounting(spark, sf).collect().foreach { r =>
+      val wk = r.getDate(0).toString
+      val sum3 = r.getLong(1) + r.getLong(2) + r.getLong(3)
+      assert(sum3 == actives.getOrElse(wk, 0L),
+        s"week $wk: $sum3 != actives ${actives.get(wk)}")
+    }
+  }
+
+  test("ev48 autocorrelation moments are Cauchy-Schwarz-consistent") {
+    val byKey = ops.Events.ev48Autocorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(byKey.nonEmpty)
+    byKey.values.foreach { r =>
+      val (n, sx, sy, sxx, syy) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(7))
+      assert(n * sxx >= sx * sx && n * syy >= sy * sy, s"bad moments: $r")
+      assert(math.abs(r.getLong(8)) <= 1)
+    }
+    // a lag-7 series can never have more pairs than its lag-1 series
+    byKey.collect { case ((t, 7L), r) =>
+      assert(r.getLong(2) <= byKey((t, 1L)).getLong(2))
+    }
+  }
+
+  test("tx41 deflate ratio separates repetitive from diverse text") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val probe = Seq(
+      ("rep", ("spark " * 400).trim),
+      ("div", (0 until 400).map(i => s"w${i * 2654435761L % 9973}")
+        .mkString(" "))).toDF("kind", "text")
+      .select(col("kind"),
+        expr("deflate_len(text) * 10000 div octet_length(text)").as("bp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(probe("rep") < probe("div") / 2,
+      s"repetitive text must compress far better: $probe")
+    val rows = ops.Text.tx41Compressibility(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0 && r.getLong(3) < 20000)
+    }
+  }
+
+  test("dd19 bag-of-words groups conserve the corpus") {
+    val rows = ops.Dedup.dd19BowDedup(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf).count(),
+      "every doc must land in exactly one BOW group")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3) && r.getLong(3) >= 1,
+        s"members must dominate exact forms: $r")
+    }
+  }
+
+  test("ss15 k-means inertia descends monotonically over Lloyd iterations") {
+    val stats = ops.Similarity.ss15Kmeans(spark, "/root/testdata/sf0.01")
+      .collect().sortBy(_.getLong(0))
+    assert(stats.length == 3)
+    val inertia = stats.map(_.getDouble(2))
+    assert(inertia(0) >= inertia(1) - 1e-6 && inertia(1) >= inertia(2) - 1e-6,
+      s"Lloyd descent violated: ${inertia.mkString(", ")}")
+    stats.foreach { r =>
+      assert(r.getLong(1) <= 8 && r.getLong(1) >= 1)
+      assert(r.getLong(3) >= r.getLong(4))
     }
   }
 }
