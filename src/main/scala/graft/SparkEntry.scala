@@ -257,6 +257,7 @@ object SparkEntry {
     "tx41_compressibility"  -> Text.tx41Compressibility _,
     "ss15_kmeans"           -> Similarity.ss15Kmeans _,
     "dd19_bow_dedup"        -> Dedup.dd19BowDedup _,
+    "pp20_refresh_set"      -> Pipelines.pp20RefreshSet _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -3313,5 +3314,61 @@ object SparkEntry {
         |    AS n_exact_forms
         |FROM documents
         |GROUP BY 1""".stripMargin,
+
+    "pp20_refresh_set" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |kept AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' (rev 2)' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |added AS (SELECT doc_id + 10000000 AS doc_id,
+        |    'refresh' AS source,
+        |    'added snapshot doc ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM v1 WHERE doc_id % 23 = 0),
+        |v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+        |cand AS (SELECT v2.* FROM v2 LEFT JOIN v1 ON v2.doc_id = v1.doc_id
+        |  WHERE v1.doc_id IS NULL OR md5(v2.text) <> md5(v1.text)),
+        |bow AS (SELECT *, md5(list_aggregate(
+        |    list_sort(string_split(trim(text), ' ')), 'string_agg', ' '))
+        |      AS bow_hash FROM cand),
+        |bk AS (SELECT bow_hash, min(doc_id) AS keeper_id
+        |       FROM bow GROUP BY 1),
+        |staged AS (SELECT bow.*, bow.doc_id <> bk.keeper_id AS bow_dropped
+        |  FROM bow JOIN bk USING (bow_hash)),
+        |longs AS (SELECT substr(text, 1, 16) AS p16, doc_id AS long_id,
+        |    text AS long_text
+        |  FROM v2 WHERE length(text) >= 16),
+        |pd AS (SELECT DISTINCT s.doc_id FROM staged s JOIN longs l
+        |    ON substr(s.text, 1, 16) = l.p16 AND l.long_id <> s.doc_id
+        |    AND length(s.text) >= 16
+        |    AND length(l.long_text) > length(s.text)
+        |    AND substr(l.long_text, 1, CAST(length(s.text) AS INTEGER))
+        |      = s.text),
+        |m AS (SELECT s.source, s.bow_dropped,
+        |    (NOT s.bow_dropped) AND (pd.doc_id IS NOT NULL)
+        |      AS prefix_dropped,
+        |    CAST(len(string_split(trim(s.text), ' ')) AS BIGINT) AS w,
+        |    greatest(CAST(len(list_filter(
+        |      regexp_split_to_array(s.text, '[.!?]+'),
+        |      x -> trim(x) != '')) AS BIGINT), 1) AS sn,
+        |    CAST(len(regexp_split_to_array(lower(s.text), '[aeiou]+')) - 1
+        |      AS BIGINT) AS v
+        |  FROM staged s LEFT JOIN pd ON s.doc_id = pd.doc_id),
+        |f AS (SELECT source, bow_dropped, prefix_dropped, w,
+        |    (206835 * sn * w - 1015 * w * w - 84600 * v * sn
+        |      < 30000 * sn * w) AS is_hard
+        |  FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN bow_dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bow_dropped,
+        |  CAST(sum(CASE WHEN prefix_dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_prefix_dropped,
+        |  CAST(sum(CASE WHEN NOT bow_dropped AND NOT prefix_dropped
+        |    AND is_hard THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+        |  CAST(sum(CASE WHEN NOT bow_dropped AND NOT prefix_dropped
+        |    AND NOT is_hard THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN NOT bow_dropped AND NOT prefix_dropped
+        |    AND NOT is_hard THEN w ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM f GROUP BY 1""".stripMargin,
   )
 }

@@ -591,4 +591,84 @@ object Pipelines {
         (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
           .as("alloc_tokens"))
   }
+
+  /** pp20: incremental-refresh capstone — the pipeline a corpus
+    * refresh actually runs, composed from this round's verified
+    * pieces as ONE lazy plan: pp18's snapshot diff selects the
+    * increment (docs added or content-changed in v2 — unchanged docs
+    * are already in the training set and are never re-processed: THE
+    * incremental win), dd19's order-free BOW hash drops reordered
+    * duplicates inside the increment, dd17's prefix-key blocking
+    * drops truncation duplicates against the WHOLE v2 corpus (a clip
+    * of an unchanged doc is still a dup), and tx38's readability band
+    * gates quality. Stages are counted disjointly in pipeline order —
+    * the per-source funnel (candidates → bow → prefix → gate → kept)
+    * is the refresh report a data team reviews before retraining.
+    * Every stage inherits its operator's scale shape; nothing here
+    * adds a new shuffle class. */
+  def pp20RefreshSet(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val kept = Tables.documents(s, d).filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" (rev 2)")))
+          .otherwise(col("text")).as("text"))
+    val added = v1.filter(col("doc_id") % 23 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        lit("refresh").as("source"),
+        concat(lit("added snapshot doc "), col("doc_id").cast("string"))
+          .as("text"))
+    val v2 = kept.unionByName(added)
+    // the increment: content new relative to v1 (by id + hash)
+    val cand = v2
+      .join(v1.select(col("doc_id"), md5(col("text")).as("h1")),
+        Seq("doc_id"), "left_outer")
+      .filter(col("h1").isNull || md5(col("text")) =!= col("h1"))
+      .drop("h1")
+    // stage 1: BOW dedup within the increment (keep min doc_id)
+    val bow = cand.withColumn("bow_hash",
+      md5(array_join(array_sort(split(trim(col("text")), " ")), " ")))
+    val bowKeep = bow.groupBy(col("bow_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    val staged = bow.join(bowKeep, Seq("bow_hash"))
+      .withColumn("bow_dropped", col("doc_id") =!= col("keeper_id"))
+    // stage 2: truncation-prefix dups vs ANY v2 doc (16-char blocking)
+    val longs = v2.filter(length(col("text")) >= 16)
+      .select(substring(col("text"), 1, 16).as("p16"),
+        col("doc_id").as("long_id"), col("text").as("long_text"))
+    val prefixDropped = staged.filter(length(col("text")) >= 16)
+      .withColumn("p16", substring(col("text"), 1, 16))
+      .join(longs, Seq("p16"))
+      .filter(col("long_id") =!= col("doc_id") &&
+        length(col("long_text")) > length(col("text")) &&
+        expr("substring(long_text, 1, length(text))") === col("text"))
+      .select(col("doc_id")).distinct()
+      .withColumn("is_prefix_dup", lit(true))
+    // stage 3: readability gate (tx38 band != hard)
+    staged
+      .join(prefixDropped, Seq("doc_id"), "left_outer")
+      .withColumn("prefix_dropped",
+        !col("bow_dropped") && coalesce(col("is_prefix_dup"), lit(false)))
+      .withColumn("w", size(split(trim(col("text")), " ")).cast("long"))
+      .withColumn("sn", greatest(expr(
+        """CAST(size(filter(split(text, '[.!?]+'), x -> trim(x) != ''))
+          |  AS BIGINT)""".stripMargin), lit(1L)))
+      .withColumn("v", expr(
+        "CAST(size(split(lower(text), '[aeiou]+')) - 1 AS BIGINT)"))
+      .withColumn("is_hard",
+        lit(206835L) * col("sn") * col("w") - lit(1015L) * col("w") * col("w")
+          - lit(84600L) * col("v") * col("sn")
+          < lit(30000L) * col("sn") * col("w"))
+      .withColumn("gated",
+        !col("bow_dropped") && !col("prefix_dropped") && col("is_hard"))
+      .withColumn("kept",
+        !col("bow_dropped") && !col("prefix_dropped") && !col("is_hard"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("bow_dropped"), 1L).otherwise(0L)).as("n_bow_dropped"),
+        sum(when(col("prefix_dropped"), 1L).otherwise(0L))
+          .as("n_prefix_dropped"),
+        sum(when(col("gated"), 1L).otherwise(0L)).as("n_gated"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("w")).otherwise(0L)).as("kept_tokens"))
+  }
 }

@@ -1148,6 +1148,35 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q59 scan prunes to exactly the three moment columns") {
+    // sparkPlan, not executedPlan: AQE wraps the executed tree in an
+    // AdaptiveSparkPlanExec whose children aren't visible to collect
+    val scans = ops.Relational.q59SufficientStats(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scans.nonEmpty)
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("l_returnflag", "l_quantity", "l_discount"),
+      s"moment pass must read only its three columns: " +
+        scans.head.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("pp20 refresh funnel stages are disjoint and conserve candidates") {
+    val rows = ops.Pipelines.pp20RefreshSet(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var (cand, kept, prefix) = (0L, 0L, 0L)
+    rows.foreach { r =>
+      val (c, b, p, g, k) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(c == b + p + g + k, s"funnel stages must partition: $r")
+      cand += c; kept += k; prefix += p
+    }
+    assert(kept > 0, "the gate must keep something")
+    assert(cand > kept, "the funnel must drop something")
+    assert(prefix > 0, "planted added-doc prefix pairs must be caught")
+  }
+
   test("dd19 bag-of-words groups conserve the corpus") {
     val rows = ops.Dedup.dd19BowDedup(spark, sf).collect()
     assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf).count(),
