@@ -258,6 +258,7 @@ object SparkEntry {
     "ss15_kmeans"           -> Similarity.ss15Kmeans _,
     "dd19_bow_dedup"        -> Dedup.dd19BowDedup _,
     "pp20_refresh_set"      -> Pipelines.pp20RefreshSet _,
+    "dd20_ppjoin"           -> Dedup.dd20PpjoinJaccard _,
   )
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
@@ -1204,6 +1205,9 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "dd04_ngram_jaccard" -> ngramJaccardSql,
+    // dd20 is dd04 with prefix filtering — provably the same output,
+    // so it shares dd04's oracle verbatim
+    "dd20_ppjoin" -> ngramJaccardSql,
     "dd02_minhash_lsh"   -> ngramJaccardSql,
     "gr03_pagerank"      -> pageRankSql,
     "gr07_personalized_pr" -> personalizedPrSql,

@@ -21,6 +21,7 @@ class OperatorsSpec extends SparkTestBase {
     // ss02/dd02/dd03/dd04 may legitimately be empty at sf0.001 (few docs,
     // near-dup pairs are planted at larger SFs); everything else must hit.
     val allowedEmpty = Set("dd02_minhash_lsh", "dd03_simhash", "dd04_ngram_jaccard",
+      "dd20_ppjoin",
       // near-dup chunks / multi-day islands / threshold matches may not
       // exist in the tiny sf0.001 slice
       "dd08_chunk_dup", "q35_gaps_islands", "ss06_range_search",
@@ -1175,6 +1176,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept > 0, "the gate must keep something")
     assert(cand > kept, "the funnel must drop something")
     assert(prefix > 0, "planted added-doc prefix pairs must be caught")
+  }
+
+  test("dd20 prefix-filtered join reproduces dd04 exactly") {
+    val d = "/root/testdata/sf0.01"
+    val naive = ops.Dedup.dd04NgramJaccard(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ppjoin = ops.Dedup.dd20PpjoinJaccard(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty)
+    assert(ppjoin == naive,
+      s"prefix filtering must be lossless: missing ${naive -- ppjoin}, " +
+        s"extra ${ppjoin -- naive}")
   }
 
   test("dd19 bag-of-words groups conserve the corpus") {
