@@ -259,7 +259,16 @@ object SparkEntry {
     "dd19_bow_dedup"        -> Dedup.dd19BowDedup _,
     "pp20_refresh_set"      -> Pipelines.pp20RefreshSet _,
     "dd20_ppjoin"           -> Dedup.dd20PpjoinJaccard _,
+    "sk11_bootstrap"        -> Sketches.sk11Bootstrap _,
   )
+
+  /** sk11's 16 replicate-sum columns, generated once for the oracle. */
+  private val bootstrapRepSql: String = (0 until 16).map { b =>
+    s"CAST(sum(vd * (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) " +
+      s"|| '#$b'), 1, 6)) AS INTEGER) % 3)) AS BIGINT) AS r$b"
+  }.mkString(",\n    ")
+  private val bootstrapRepList: String =
+    (0 until 16).map(b => s"r$b").mkString(", ")
 
   /** Shared SimHash candidate+verify CTE chain (through the `pairs`
     * frame) — used by dd03 (hamming filter) and dd14 (precision
@@ -3374,5 +3383,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN NOT bow_dropped AND NOT prefix_dropped
         |    AND NOT is_hard THEN w ELSE 0 END) AS BIGINT) AS kept_tokens
         |FROM f GROUP BY 1""".stripMargin,
+
+    "sk11_bootstrap" ->
+      s"""WITH w AS (SELECT event_type, event_id,
+         |    CAST(round(value * 100, 0) AS BIGINT) // 100 AS vd
+         |  FROM events),
+         |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(vd) AS BIGINT) AS point_sum,
+         |    $bootstrapRepSql
+         |  FROM w GROUP BY 1)
+         |SELECT event_type, n, point_sum,
+         |  CAST(least($bootstrapRepList) AS BIGINT) AS rep_min,
+         |  CAST(greatest($bootstrapRepList) AS BIGINT) AS rep_max,
+         |  CAST(greatest($bootstrapRepList)
+         |    - least($bootstrapRepList) AS BIGINT) AS spread
+         |FROM a""".stripMargin,
   )
 }

@@ -231,4 +231,40 @@ object Sketches {
         sum(col("vd") * col("vd")).as("s2"),
         sum(col("vd") * col("vd") * col("vd")).as("s3"),
         sum(col("vd") * col("vd") * col("vd") * col("vd")).as("s4"))
+
+  /** sk11: one-pass multiplier bootstrap — error bars at 100 TB. The
+    * classic bootstrap resamples the dataset B times (B full passes,
+    * impossible at scale); the multiplier/Poisson trick instead gives
+    * every ROW a deterministic per-replicate weight (here md5-derived
+    * ∈ {0,1,2}, mean 1 — each replicate is a valid resample) and
+    * accumulates all B=16 weighted sums IN THE SAME partial-aggregated
+    * pass as the point estimate. The replicate spread prices the
+    * estimate's sampling noise: spread/point ≈ 2·CV⁄√n, shrinking as
+    * groups grow — exactly the signal a pipeline uses to decide if a
+    * per-group metric is trustworthy. Everything stays on the sk10
+    * whole-dollar integer grid, so all 16 replicate sums
+    * hash-compare; state is 16 longs per group per task — the
+    * mergeable-tiny-state contract of the sketch family, except
+    * exact. */
+  def sk11Bootstrap(s: SparkSession, d: String): DataFrame = {
+    val weighted = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT) div 100").as("vd"))
+    val repSums = (0 until 16).map { b =>
+      sum(col("vd") *
+        (expr(s"CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '#$b')), 1, 6), 16, 10) AS BIGINT)") % 3))
+        .as(s"rep_$b")
+    }
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(col("vd")).as("point_sum")) ++ repSums
+    weighted.groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("rep_min",
+        least((0 until 16).map(b => col(s"rep_$b")): _*))
+      .withColumn("rep_max",
+        greatest((0 until 16).map(b => col(s"rep_$b")): _*))
+      .withColumn("spread", col("rep_max") - col("rep_min"))
+      .select(col("event_type"), col("n"), col("point_sum"),
+        col("rep_min"), col("rep_max"), col("spread"))
+  }
 }

@@ -1178,6 +1178,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(prefix > 0, "planted added-doc prefix pairs must be caught")
   }
 
+  test("sk11 bootstrap replicates bracket a stable point estimate") {
+    ops.Sketches.sk11Bootstrap(spark, sf).collect().foreach { r =>
+      val (n, point, lo, hi, spread) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n > 0 && lo <= hi && spread == hi - lo)
+      // 16 independent reweightings of thousands of rows can't agree
+      assert(spread > 0, s"replicates should differ: $r")
+      // relative noise ~CV/sqrt(n): must be small against the estimate
+      assert(spread * 2 < point, s"spread implausibly large: $r")
+    }
+  }
+
   test("dd20 prefix-filtered join reproduces dd04 exactly") {
     val d = "/root/testdata/sf0.01"
     val naive = ops.Dedup.dd04NgramJaccard(spark, d).collect()
