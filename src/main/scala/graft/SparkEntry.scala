@@ -260,6 +260,13 @@ object SparkEntry {
     "pp20_refresh_set"      -> Pipelines.pp20RefreshSet _,
     "dd20_ppjoin"           -> Dedup.dd20PpjoinJaccard _,
     "sk11_bootstrap"        -> Sketches.sk11Bootstrap _,
+    "q62_only_late_supplier" -> Relational.q62OnlyLateSupplier _,
+    "gr13_hits"             -> Graph.gr13Hits _,
+    "ev49_browse_no_buy"    -> Events.ev49BrowseNoBuy _,
+    "pp21_curriculum"       -> Pipelines.pp21Curriculum _,
+    "pp22_sequence_packing" -> Pipelines.pp22SequencePacking _,
+    "pp23_weighted_sample"  -> Pipelines.pp23WeightedSample _,
+    "tx42_ngram_novelty"    -> Text.tx42NgramNovelty _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -344,6 +351,32 @@ object SparkEntry {
        |  SELECT * FROM r)
        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
        |FROM reach GROUP BY a""".stripMargin
+
+  /** gr13's oracle: the fixed 5-round integer HITS unrolled (hub pass
+    * + authority pass per round, the authority vector renormalized to
+    * an L1 mass of 2²⁰ by exact integer division — the same
+    * fixed-point chain the Spark plan applies, so the hash compares
+    * exactly with no float in sight). */
+  private val hitsSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"h$i AS (SELECT c, CAST(sum(a) AS BIGINT) AS h " +
+        s"FROM cp JOIN a${i - 1} USING (p) GROUP BY 1),\n" +
+        s"r$i AS (SELECT p, CAST(sum(h) AS BIGINT) AS ar " +
+        s"FROM cp JOIN h$i USING (c) GROUP BY 1),\n" +
+        s"a$i AS (SELECT p, CAST(ar * 1048576 // " +
+        s"(SELECT sum(ar) FROM r$i) AS BIGINT) AS a FROM r$i)"
+    }.mkString(",\n")
+    s"""WITH cp AS MATERIALIZED (
+       |    SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |a0 AS (SELECT DISTINCT p, CAST(1 AS BIGINT) AS a FROM cp),
+       |$rounds,
+       |nb AS (SELECT p, CAST(count(*) AS BIGINT) AS n_buyers
+       |       FROM cp GROUP BY 1)
+       |SELECT a5.p AS p_partkey, a5.a AS authority, nb.n_buyers
+       |FROM a5 JOIN nb USING (p)
+       |ORDER BY authority DESC, p_partkey LIMIT 20""".stripMargin
+  }
 
   /** gr03's oracle: the FIXED 10-iteration PageRank unrolled as ten
     * chained CTEs (standard SQL — and DuckDB — forbids aggregates in a
@@ -3398,5 +3431,94 @@ object SparkEntry {
          |  CAST(greatest($bootstrapRepList)
          |    - least($bootstrapRepList) AS BIGINT) AS spread
          |FROM a""".stripMargin,
+
+    "q62_only_late_supplier" ->
+      """WITH f AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |         THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |po AS (SELECT ok, count(DISTINCT sk) AS n_supps,
+        |    count(DISTINCT CASE WHEN late = 1 THEN sk END) AS n_late,
+        |    max(CASE WHEN late = 1 THEN sk END) AS late_supp
+        |  FROM f GROUP BY 1)
+        |SELECT late_supp AS s_suppkey,
+        |  CAST(count(*) AS BIGINT) AS n_blocked_orders, s_name
+        |FROM po JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supps >= 2 AND n_late = 1
+        |GROUP BY 1, 3
+        |ORDER BY n_blocked_orders DESC, s_suppkey LIMIT 10""".stripMargin,
+
+    "gr13_hits" -> hitsSql,
+
+    "ev49_browse_no_buy" ->
+      """WITH ud AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events GROUP BY 1, 2),
+        |dy AS (SELECT day,
+        |    CAST(sum(CASE WHEN v = 1 AND c = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS engaged,
+        |    CAST(sum(CASE WHEN v = 1 AND c = 1 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS abandoned
+        |  FROM ud GROUP BY 1)
+        |SELECT day, engaged, abandoned,
+        |  CAST(CASE WHEN engaged = 0 THEN 0
+        |       ELSE abandoned * 1000000 // engaged END AS BIGINT)
+        |    AS abandon_ppm
+        |FROM dy""".stripMargin,
+
+    "pp22_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+        |    ('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS draw
+        |  FROM documents),
+        |b AS (SELECT source, n_tok,
+        |    (sum(n_tok) OVER (PARTITION BY source ORDER BY draw, doc_id
+        |       ROWS UNBOUNDED PRECEDING) - n_tok) // 512 AS bin_id
+        |  FROM t)
+        |SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "pp23_weighted_sample" ->
+      """WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot_w
+        |             FROM documents)
+        |SELECT doc_id, n_chars,
+        |  ('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |    ::BIGINT AS draw
+        |FROM documents, tot
+        |WHERE ('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |    ::BIGINT * tot_w < 100 * n_chars * 4294967296""".stripMargin,
+
+    "tx42_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents
+        |           WHERE len(string_split(trim(text),' ')) >= 8),
+        |w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-8+2),
+        |         i -> md5(array_to_string(list_slice(tk, i, i+7), ' '))))) AS sh
+        |      FROM t),
+        |own AS (SELECT sh, min(doc_id) AS first_doc FROM w GROUP BY 1)
+        |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN own.first_doc = w.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN own.first_doc = w.doc_id THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS novel_ppm
+        |FROM w JOIN own USING (sh)
+        |GROUP BY 1""".stripMargin,
+
+    "pp21_curriculum" ->
+      """WITH x AS (SELECT doc_id,
+        |    CAST(least(3, n_chars // 150) AS BIGINT) AS band,
+        |    ('0x' || substring(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS draw
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY band, draw, doc_id)
+        |    AS BIGINT) AS position,
+        |  doc_id, band, draw
+        |FROM x ORDER BY position LIMIT 100""".stripMargin,
   )
 }

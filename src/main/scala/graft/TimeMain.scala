@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev utility: steady-state timing of one query at sf0.1 (three runs,
   * same session) — finer-grained than Bench when chasing a single
-  * regression. `runMain graft.TimeMain <query_key> [sfDir]` */
+  * regression. `runMain graft.TimeMain <key1[,key2,…]> [sfDir]` */
 object TimeMain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -15,11 +15,13 @@ object TimeMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(args(0))(spark, d).count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"${args(0)} run $i: $secs%.3f s")
+    for (key <- args(0).split(',').map(_.trim).filter(_.nonEmpty)) {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(key)(spark, d).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"$key run $i: $secs%.3f s")
+      }
     }
     spark.stop()
   }

@@ -1192,4 +1192,32 @@ object Events {
         signum(col("n_pairs") * col("sum_xy") - col("sum_x") * col("sum_y"))
           .cast("long"))
   }
+
+  /** ev49: browse-no-buy (abandonment) rate per day — users who both
+    * viewed AND clicked that day but never purchased, as a share of
+    * the engaged users (ev03's funnel measures who converts; this
+    * measures who leaks, per day). Two aggregations: the user-day
+    * flag rollup (one input-sized shuffle on a high-cardinality key —
+    * even partial-agg'd flags, never a distinct per type), then the
+    * calendar-sized daily frame. Rate on an exact ppm integer grid;
+    * engaged=0 days emit 0 (guarded — integer div by zero differs
+    * across engines). */
+  def ev49BrowseNoBuy(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"), col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("b"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("v") === 1 && col("c") === 1, 1L).otherwise(0L))
+          .as("engaged"),
+        sum(when(col("v") === 1 && col("c") === 1 && col("b") === 0, 1L)
+          .otherwise(0L)).as("abandoned"))
+      .withColumn("abandon_ppm",
+        when(col("engaged") === 0, 0L)
+          .otherwise(expr("abandoned * 1000000 div engaged")))
+  }
 }

@@ -354,4 +354,48 @@ object Graph {
       .groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** gr13: HITS hubs-and-authorities on the customer→part purchase
+    * bipartite graph — which parts are bought by the HIGH-ENGAGEMENT
+    * buyers, weighted recursively (an authority is strong when strong
+    * hubs buy it), vs the flat buyer counts a plain groupBy gives.
+    * (The user→event-type graph is complete at every SF — every user
+    * fires every type — so HITS would be uniform there; customers buy
+    * random part SUBSETS, which is where mutual reinforcement has
+    * signal.) Fixed 5 rounds unrolled as one lazy plan (the gr03/gr06
+    * pattern). Arithmetic is FIXED-POINT integer: after each
+    * hub+authority pass the authority vector is renormalized to an L1
+    * mass of 2²⁰ by exact integer division (aᵖ·2²⁰ div Σa) — unlike a
+    * constant downscale this is scale-independent (no overflow at any
+    * SF, no vanishing at small SF), fully deterministic, and replayed
+    * operation-for-operation by the oracle (floats would put the hash
+    * at the mercy of summation order). The one input-sized shuffle is
+    * the initial distinct; each round shuffles only the part/customer
+    * score tables, and the 1-row mass total rides a broadcast cross
+    * join. Top-20 via TakeOrderedAndProject, partkey tie-break. */
+  def gr13Hits(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val cp = CacheScope.cached(
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct())
+    var auth = cp.select(col("p")).distinct().withColumn("a", lit(1L))
+    for (_ <- 1 to 5) {
+      val hub = cp.join(auth, Seq("p"))
+        .groupBy(col("c")).agg(sum(col("a")).as("h"))
+      val raw = cp.join(hub, Seq("c"))
+        .groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      val mass = raw.agg(sum(col("ar")).as("tot"))
+      auth = raw.crossJoin(broadcast(mass))
+        .select(col("p"), expr("ar * 1048576 div tot").as("a"))
+    }
+    val buyers = cp.groupBy(col("p")).agg(count(lit(1)).as("n_buyers"))
+    auth.join(buyers, Seq("p"))
+      .select(col("p").as("p_partkey"), col("a").as("authority"),
+        col("n_buyers"))
+      .orderBy(col("authority").desc, col("p_partkey"))
+      .limit(20)
+  }
 }

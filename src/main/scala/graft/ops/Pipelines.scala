@@ -671,4 +671,84 @@ object Pipelines {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("kept"), col("w")).otherwise(0L)).as("kept_tokens"))
   }
+
+  /** pp21: curriculum head — the first 100 documents of a
+    * curriculum-ordered corpus (easy band first, deterministic md5
+    * shuffle WITHIN each band so no source/length ordering leaks into
+    * the early steps). The global "first N of a total order" is the
+    * classic single-reducer trap: a row_number over ORDER BY (band,
+    * draw) funnels the corpus through one partition. Instead the
+    * composite key packs into one double — band·2³³ + 32-bit draw,
+    * exact in the 53-bit mantissa — and the partial-aggregable
+    * TopKPairAggregator keeps each task's 100 best: ≤100 pairs per
+    * task cross the exchange, ties broken by doc_id inside the
+    * aggregator exactly as the oracle's ORDER BY band, draw, doc_id.
+    * Band and draw are re-derived arithmetically from the packed key
+    * (exact integer math in double range) — no second corpus pass, no
+    * broadcast-back join. */
+  /** pp22: training sequence packing — concatenate each source's
+    * shuffled doc stream and slice it into fixed 512-token sequences
+    * (the concatenate-and-slice packing modern trainers use: docs may
+    * straddle a boundary, the attention mask handles it). Doc order
+    * is a deterministic md5 shuffle within source; a doc belongs to
+    * the bin where it STARTS (prefix-sum div budget). Emits per
+    * (source, bin): docs starting there and their token mass — the
+    * packing manifest a dataloader shards by. The window prefix-sum
+    * partitions by source; at 100 TB the same plan runs per
+    * (source, shard) sub-key so no single source serializes — the
+    * bin ids just gain a shard prefix. Integer-exact end to end. */
+  def pp22SequencePacking(s: SparkSession, d: String): DataFrame = {
+    val B = 512L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("draw"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+      .withColumn("draw", expr(
+        "CAST(conv(substring(md5(cast(concat('pack:', CAST(doc_id AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("bin_id", ((sum(col("n_tok")).over(w) - col("n_tok")) / lit(B))
+        .cast("long"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+  }
+
+  /** pp23: quality-weighted importance sampling — include doc i with
+    * probability min(1, T·wᵢ/Σw) (weight = n_chars: longer docs carry
+    * more trainable tokens), decided by a deterministic 32-bit md5
+    * draw. Completes the sampling ladder: tx07 uniform hash sample,
+    * pp08 stratified exact quotas, THIS weighted inclusion. The
+    * comparison is cross-multiplied (draw·Σw < T·wᵢ·2³²) so both
+    * engines decide on exact integers — no float probability, no
+    * rounding seam; Σw rides a 1-row broadcast cross join, so the
+    * scan stays one pass and embarrassingly parallel at 100 TB. */
+  def pp23WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val T = 100L
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+    val tot = docs.agg(sum(col("n_chars")).as("tot_w"))
+    docs.crossJoin(broadcast(tot))
+      .withColumn("draw", expr(
+        "CAST(conv(substring(md5(cast(concat('ws:', CAST(doc_id AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+      .filter(col("draw") * col("tot_w") <
+        lit(T) * col("n_chars") * lit(4294967296L))
+      .select(col("doc_id"), col("n_chars"), col("draw"))
+  }
+
+  def pp21Curriculum(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKPairAggregator(100))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        least(lit(3L), expr("n_chars div 150")).as("band"))
+      .withColumn("draw", expr(
+        "CAST(conv(substring(md5(cast(concat('cur:', CAST(doc_id AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+      .agg(topk(
+        negate(col("band") * lit(8589934592L) + col("draw")).cast("double"),
+        col("doc_id")).as("head"))
+      .select(posexplode(col("head")).as(Seq("pos", "pair")))
+      .select((col("pos") + 1).cast("long").as("position"),
+        col("pair._2").as("doc_id"),
+        floor(negate(col("pair._1")) / lit(8589934592L)).cast("long")
+          .as("band"),
+        (negate(col("pair._1")).cast("long") % lit(8589934592L)).as("draw"))
+  }
 }

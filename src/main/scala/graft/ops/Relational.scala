@@ -1054,4 +1054,37 @@ object Relational {
         expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS BIGINT)")
           .as("p75_qty"),
         count(lit(1)).as("n_rows"))
+
+  /** q62: the "only late supplier" pattern (TPC-H Q21's shape) — for
+    * every multi-supplier order whose shipment slipped more than 60
+    * days past the order date, find the supplier who was the ONLY late
+    * one (the unambiguous blame assignment). Formulated as per-order
+    * aggregation instead of the textbook EXISTS/NOT-EXISTS correlated
+    * pair: one co-partitioned fact-fact join on orderkey, one agg per
+    * order (distinct supplier counts + the conditional max that
+    * recovers the lone late supplier's id), then a supplier-sized
+    * rollup with the dim broadcast in — no per-row subquery
+    * re-execution, and the order-level frame shuffles once on a key
+    * the join already clustered. Top-10 rides TakeOrderedAndProject
+    * (per-partition top-k, never a global sort). */
+  def q62OnlyLateSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    val perOrder = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supps") >= 2 && col("n_late") === 1)
+    perOrder.groupBy(col("late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_blocked_orders"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))), Seq("s_suppkey"))
+      .orderBy(col("n_blocked_orders").desc, col("s_suppkey"))
+      .limit(10)
+  }
 }

@@ -796,4 +796,32 @@ object Text {
           .when(col("ratio_bp") < 4500, "repetitive")
           .otherwise("normal"))
   }
+
+  /** tx42: per-document n-gram novelty vs the corpus PREFIX — what
+    * share of a doc's 8-token shingles appears in NO earlier doc
+    * (doc_id order = ingest order). The marginal-content curve behind
+    * "is scrape batch N still adding anything": dedup (dd12) finds
+    * the repeats, this measures each doc's novel remainder. One
+    * shingle explode (input-sized, the hashes computed BEFORE the
+    * shuffle), a min-owner partial agg, and a hash join back on the
+    * shingle key — frames ∝ distinct shingles, never pairs. ppm
+    * integer grid; docs under 8 tokens carry no shingles and are
+    * excluded (same filter both engines). */
+  def tx42NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val sh = Tables.documents(s, d)
+      .withColumn("tk", split(trim(col("text")), " "))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(1, size(tk)-$W+1),
+           |  i -> md5(cast(array_join(slice(tk, i, $W), ' ') as binary)))"""
+          .stripMargin))).as("sh"))
+    val owner = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(owner, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novel_ppm", expr("n_novel * 1000000 div n_shingles"))
+  }
 }

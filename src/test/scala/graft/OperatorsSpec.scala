@@ -1212,6 +1212,114 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q62 lone-late-supplier rollup is ranked and tie-broken") {
+    val rows = ops.Relational.q62OnlyLateSupplier(spark, sf).collect()
+    assert(rows.length <= 10)
+    rows.foreach(r => assert(r.getLong(1) >= 1L, s"empty blame bucket: $r"))
+    val keys = rows.map(r => (-r.getLong(1), r.getLong(0)))
+    assert(keys.sameElements(keys.sorted), "ordering contract violated")
+  }
+
+  test("gr13 integer HITS is ranked, non-degenerate, and mass-bounded") {
+    val rows = ops.Graph.gr13Hits(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L, s"negative authority: $r")
+      assert(r.getLong(2) >= 1L, s"authority for a buyerless part: $r")
+    }
+    // the L1 renormalization pins total mass at 2^20 (minus per-part
+    // floor loss), so the head of the ranking must carry real mass...
+    assert(rows.map(_.getLong(1)).sum > 0L, "authority mass vanished")
+    // ...no single entry may exceed the whole renormalized mass...
+    assert(rows.forall(_.getLong(1) <= (1L << 20)), "mass bound violated")
+    // ...and on a random-subset purchase graph HITS must actually
+    // differentiate (a complete bipartite graph would be uniform)
+    assert(rows.map(_.getLong(1)).distinct.length > 1,
+      "HITS degenerated to a uniform vector")
+    val keys = rows.map(r => (-r.getLong(1), r.getLong(0)))
+    assert(keys.sameElements(keys.sorted), "ordering contract violated")
+  }
+
+  test("ev49 abandonment never exceeds engagement") {
+    val rows = ops.Events.ev49BrowseNoBuy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (engaged, abandoned, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(abandoned <= engaged, s"abandoned > engaged: $r")
+      assert(ppm >= 0L && ppm <= 1000000L, s"ppm off-grid: $r")
+      if (engaged > 0) assert(ppm == abandoned * 1000000L / engaged)
+    }
+  }
+
+  test("pp21 curriculum head is a dense prefix ordered by (band, draw)") {
+    val rows = ops.Pipelines.pp21Curriculum(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).sameElements(1L to rows.length.toLong),
+      "positions must be a dense 1..n prefix")
+    val keys = rows.map(r => (r.getLong(2), r.getLong(3), r.getLong(1)))
+    assert(keys.sameElements(keys.sorted),
+      "curriculum order must follow (band, draw, doc_id)")
+    // packed-key round-trip: band/draw re-derived from the double must
+    // stay on the md5 32-bit grid
+    rows.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) < (1L << 32)))
+  }
+
+  test("pp22 packing bins are dense and conserve every source's tokens") {
+    val rows = ops.Pipelines.pp22SequencePacking(spark, sf).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, bins) =>
+      // conservation: every token lands in exactly one bin's manifest
+      assert(bins.map(_.getLong(3)).sum == docs(src),
+        s"token mass lost for $src")
+      // density: doc sizes < budget, so no bin id can be skipped
+      val ids = bins.map(_.getLong(1)).sorted
+      assert(ids.sameElements(0L until ids.length),
+        s"bin ids not dense for $src: ${ids.mkString(",")}")
+      bins.foreach(b => assert(b.getLong(2) >= 1L))
+    }
+  }
+
+  test("pp23 weighted sample hits the target size and the exact rule") {
+    val rows = ops.Pipelines.pp23WeightedSample(spark, sf).collect()
+    // E|sample| ≈ T = 100, binomial sd ≤ sqrt(T); allow 5 sigma
+    assert(math.abs(rows.length - 100) <= 50,
+      s"sample size ${rows.length} implausible for T=100")
+    val tot = Tables.documents(spark, sf)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    rows.foreach { r =>
+      assert(r.getLong(2) * tot < 100L * r.getLong(1) * 4294967296L,
+        s"included row violates the inclusion inequality: $r")
+    }
+  }
+
+  test("tx42 novelty conserves the corpus shingle inventory") {
+    val rows = ops.Text.tx42NgramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"novel > total: $r")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+    // the earliest doc can owe nothing to any predecessor
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(3) == 1000000L, s"first doc must be fully novel: $first")
+    // every distinct shingle is novel in exactly one doc (its owner)
+    val distinctShingles = Tables.documents(spark, sf)
+      .withColumn("tk", split(trim(col("text")), " "))
+      .filter(size(col("tk")) >= 8)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk)-8+1),
+          |  i -> md5(cast(array_join(slice(tk, i, 8), ' ') as binary)))"""
+          .stripMargin)).as("sh"))
+      .select("sh").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == distinctShingles,
+      "sum of per-doc novel counts must equal the distinct shingle inventory")
+  }
+
   test("ss15 k-means inertia descends monotonically over Lloyd iterations") {
     val stats = ops.Similarity.ss15Kmeans(spark, "/root/testdata/sf0.01")
       .collect().sortBy(_.getLong(0))
