@@ -385,8 +385,12 @@ object Graph {
     for (_ <- 1 to 5) {
       val hub = cp.join(auth, Seq("p"))
         .groupBy(col("c")).agg(sum(col("a")).as("h"))
-      val raw = cp.join(hub, Seq("c"))
-        .groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      // cache the per-round part scores: `raw` is referenced twice
+      // (mass total + renormalize), and without a cut each reference
+      // re-executes the whole prior-round subtree — the unrolled loop
+      // compounds 2× per round (31 s → 2.5 s at sf0.1)
+      val raw = CacheScope.cached(cp.join(hub, Seq("c"))
+        .groupBy(col("p")).agg(sum(col("h")).as("ar")))
       val mass = raw.agg(sum(col("ar")).as("tot"))
       auth = raw.crossJoin(broadcast(mass))
         .select(col("p"), expr("ar * 1048576 div tot").as("a"))
