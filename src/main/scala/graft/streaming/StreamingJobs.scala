@@ -357,4 +357,38 @@ object StreamingJobs {
       .transformWithState(new SessionProcessor,
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class DocIn(doc_id: Long, source: String, n_tok: Long)
+  case class PackedDoc(doc_id: Long, source: String, bin_id: Long,
+    n_tok: Long)
+
+  /** st17: pp22's sequence packing at ingest time — each source keeps
+    * ONE long of keyed state (its running token cursor); an arriving
+    * doc is assigned the 512-token bin where it starts (cursor div
+    * budget, concatenate-and-slice semantics) and advances the cursor.
+    * The stream's arrival order stands in for pp22's md5 shuffle;
+    * within a micro-batch docs apply in doc_id order so replays are
+    * deterministic. The batch twin re-derives bins from a prefix-sum
+    * window; here the cursor IS the prefix sum, carried across
+    * micro-batches — a dataloader can consume sealed bins (every bin
+    * id below the cursor's bin is final) without waiting for the
+    * epoch to end. Append mode: each doc's assignment is emitted
+    * exactly once. */
+  def streamingPacking(docs: Dataset[DocIn]): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    val B = 512L
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source, rows, state: GroupState[Long]) =>
+          var cursor = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val bin = cursor / B
+            cursor += d.n_tok
+            PackedDoc(d.doc_id, source, bin, d.n_tok)
+          }
+          state.update(cursor)
+          out.iterator
+      }
+  }
 }

@@ -1320,6 +1320,32 @@ class OperatorsSpec extends SparkTestBase {
       "sum of per-doc novel counts must equal the distinct shingle inventory")
   }
 
+  test("q62/pp21/pp22 plan shapes: take-ordered, agg top-k, per-source window") {
+    // q62: the top-10 must ride per-partition partial top-k, never a
+    // global sort
+    val q62 = ops.Relational.q62OnlyLateSupplier(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(q62.contains("TakeOrderedAndProject"),
+      s"q62 top-10 should be TakeOrderedAndProject:\n$q62")
+    // pp21: the curriculum head is an aggregation (partial-aggregable
+    // top-k), NOT a row_number window over the corpus
+    val pp21 = ops.Pipelines.pp21Curriculum(spark, sf).queryExecution.sparkPlan
+    assert(pp21.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "pp21 must not plan a window sort")
+    assert(pp21.toString.contains("ObjectHashAggregate"),
+      s"pp21 should aggregate via the typed top-k:\n$pp21")
+    // pp22: the packing prefix-sum must partition by source — a
+    // partition-less window would serialize the corpus
+    val pp22w = ops.Pipelines.pp22SequencePacking(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.map(_.toString)
+      }
+    assert(pp22w.nonEmpty && pp22w.forall(_.exists(_.contains("source"))),
+      s"pp22 window must partition by source: $pp22w")
+  }
+
   test("ss15 k-means inertia descends monotonically over Lloyd iterations") {
     val stats = ops.Similarity.ss15Kmeans(spark, "/root/testdata/sf0.01")
       .collect().sortBy(_.getLong(0))

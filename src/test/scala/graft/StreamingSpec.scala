@@ -406,4 +406,34 @@ class StreamingSpec extends SparkTestBase {
       assert(sessions(0).n_events == 2 && sessions(1).n_events == 2)
     } finally q.stop()
   }
+
+  test("st17 streaming packing carries the token cursor across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import StreamingJobs.{DocIn, PackedDoc}
+    val in = MemoryStream[DocIn]
+    val q = StreamingJobs.streamingPacking(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st17_out").start()
+    try {
+      // batch 1: source a fills 500 of bin 0; source b starts bin 0
+      in.addData(DocIn(1, "a", 300), DocIn(2, "a", 200), DocIn(3, "b", 100))
+      q.processAllAvailable()
+      // batch 2: a's next doc starts at cursor 500 — still bin 0; the
+      // one after starts at 900 — bin 1 (cursor carried across batches)
+      in.addData(DocIn(4, "a", 400), DocIn(5, "a", 50), DocIn(6, "b", 600))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM st17_out ORDER BY doc_id")
+        .as[PackedDoc].collect()
+      assert(rows.map(r => (r.doc_id, r.source, r.bin_id)).toSeq == Seq(
+        (1L, "a", 0L), (2L, "a", 0L), (3L, "b", 0L),
+        (4L, "a", 0L), (5L, "a", 1L), (6L, "b", 0L)))
+      // the emitted assignments replay the sequential rule exactly
+      val replay = rows.filter(_.source == "a").sortBy(_.doc_id)
+        .scanLeft(0L)((cur, d) => cur + d.n_tok).init
+        .map(_ / 512L)
+      assert(rows.filter(_.source == "a").sortBy(_.doc_id).map(_.bin_id)
+        .toSeq == replay.toSeq)
+    } finally q.stop()
+  }
 }
