@@ -267,6 +267,7 @@ object SparkEntry {
     "pp22_sequence_packing" -> Pipelines.pp22SequencePacking _,
     "pp23_weighted_sample"  -> Pipelines.pp23WeightedSample _,
     "tx42_ngram_novelty"    -> Text.tx42NgramNovelty _,
+    "tx43_signal_sweep"     -> Text.tx43SignalSweep _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -3509,6 +3510,28 @@ object SparkEntry {
         |    * 1000000 // count(*) AS BIGINT) AS novel_ppm
         |FROM w JOIN own USING (sh)
         |GROUP BY 1""".stripMargin,
+
+    "tx43_signal_sweep" ->
+      """WITH x AS (SELECT doc_id, n_chars, trim(text) AS t,
+        |    string_split(trim(text), ' ') AS tk
+        |  FROM documents),
+        |y AS (SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(tk, w -> w IN
+        |      ('the','a','of','and','to','in'))) AS BIGINT) AS stop_cnt,
+        |    CAST(len(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS BIGINT)
+        |      AS punct_cnt,
+        |    CAST(least(3, n_chars // 150) AS BIGINT) AS len_band,
+        |    ('0x' || substring(md5(t), 1, 8))::BIGINT AS fp
+        |  FROM x)
+        |SELECT doc_id, n_tokens, n_distinct, stop_cnt, punct_cnt,
+        |  len_band, fp,
+        |  CAST(n_distinct * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+        |  CAST(CASE WHEN n_tokens BETWEEN 5 AND 200
+        |       AND stop_cnt * 10 >= n_tokens THEN 1 ELSE 0 END AS BIGINT)
+        |    AS kept
+        |FROM y""".stripMargin,
 
     "pp21_curriculum" ->
       """WITH x AS (SELECT doc_id,

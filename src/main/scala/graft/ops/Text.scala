@@ -797,6 +797,39 @@ object Text {
           .otherwise("normal"))
   }
 
+  /** tx43: the fused per-doc signal sweep — every cheap lexical signal
+    * (token counts, distinct ratio, stopword evidence, punctuation
+    * density, length band, content fingerprint, keep gate) computed in
+    * ONE projection over ONE corpus scan, zero shuffles. This is the
+    * operator-fusion economics that dominates at 100 TB: the dashboard
+    * that runs tx01+tx02+tx16+tx04 as separate queries pays four full
+    * corpus reads for signals that share a scan; a real ingest pass
+    * computes them together and pays one. The keep gate is the same
+    * cross-multiplied integer form the standalone filters use (no
+    * float thresholds), so the sweep is hash-exact end to end. A
+    * plan spec asserts the zero-exchange shape. */
+  def tx43SignalSweep(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("tk", tokens)
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        size(filter(col("tk"), t => array_contains(stopArr, t))).cast("long")
+          .as("stop_cnt"),
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long")
+          .as("punct_cnt"),
+        least(lit(3L), expr("n_chars div 150")).as("len_band"),
+        expr(
+          "CAST(conv(substring(md5(cast(trim(text) AS BINARY)), 1, 8), 16, 10) AS BIGINT)")
+          .as("fp"))
+      .withColumn("ttr_ppm", expr("n_distinct * 1000000 div n_tokens"))
+      .withColumn("kept",
+        (col("n_tokens").between(5, 200) &&
+          col("stop_cnt") * 10 >= col("n_tokens")).cast("int").cast("long"))
+  }
+
   /** tx42: per-document n-gram novelty vs the corpus PREFIX — what
     * share of a doc's 8-token shingles appears in NO earlier doc
     * (doc_id order = ingest order). The marginal-content curve behind

@@ -1346,6 +1346,24 @@ class OperatorsSpec extends SparkTestBase {
       s"pp22 window must partition by source: $pp22w")
   }
 
+  test("tx43 fused sweep is one scan with zero exchanges") {
+    val df = ops.Text.tx43SignalSweep(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, s"the fused sweep must not shuffle:\n$plan")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.length == 1, "exactly one corpus scan")
+    // the gate agrees with the standalone signals it fuses
+    val fused = df.collect().map(r => r.getLong(0) -> r).toMap
+    val tx01 = ops.Text.tx01TokenStats(spark, sf).collect()
+    tx01.foreach { r =>
+      assert(fused(r.getLong(0)).getLong(1) == r.getInt(1).toLong,
+        s"n_tokens drifted from tx01 for doc ${r.getLong(0)}")
+    }
+  }
+
   test("ss15 k-means inertia descends monotonically over Lloyd iterations") {
     val stats = ops.Similarity.ss15Kmeans(spark, "/root/testdata/sf0.01")
       .collect().sortBy(_.getLong(0))
