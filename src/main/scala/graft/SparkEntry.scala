@@ -268,6 +268,7 @@ object SparkEntry {
     "pp23_weighted_sample"  -> Pipelines.pp23WeightedSample _,
     "tx42_ngram_novelty"    -> Text.tx42NgramNovelty _,
     "tx43_signal_sweep"     -> Text.tx43SignalSweep _,
+    "pp24_run_manifest"     -> Pipelines.pp24RunManifest _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -3532,6 +3533,21 @@ object SparkEntry {
         |       AND stop_cnt * 10 >= n_tokens THEN 1 ELSE 0 END AS BIGINT)
         |    AS kept
         |FROM y""".stripMargin,
+
+    "pp24_run_manifest" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+        |    ('0x' || substring(md5(trim(text)), 1, 8))::BIGINT
+        |      % 2147483648 AS fp
+        |  FROM documents),
+        |j AS (SELECT d.*, e.vec_id FROM d
+        |      LEFT JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(fp) AS BIGINT) AS content_checksum,
+        |  CAST(sum(CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_with_embedding
+        |FROM j GROUP BY ROLLUP (source)""".stripMargin,
 
     "pp21_curriculum" ->
       """WITH x AS (SELECT doc_id,

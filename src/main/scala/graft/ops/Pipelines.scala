@@ -734,6 +734,34 @@ object Pipelines {
       .select(col("doc_id"), col("n_chars"), col("draw"))
   }
 
+  /** pp24: the run manifest — one row per source plus the ROLLUP
+    * grand total: doc count, token mass, an ORDER-INDEPENDENT content
+    * checksum (sum of per-doc md5 fingerprints mod 2³¹ — partition
+    * order, shuffle order, and retry nondeterminism all cancel), and
+    * embedding coverage (docs whose id resolves in the embeddings
+    * table). This is the reproducibility primitive a training-data
+    * pipeline signs its outputs with: two runs that produced the same
+    * corpus produce the same manifest, and a divergence localizes to
+    * the source whose checksum moved. One scan per table, one
+    * broadcast-able join, one rollup — nothing here grows faster than
+    * |sources| at 100 TB. */
+  def pp24RunManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"),
+        expr(
+          "CAST(conv(substring(md5(cast(trim(text) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 2147483648")
+          .as("fp"))
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"))
+    docs.join(vecs, col("doc_id") === col("vec_id"), "left_outer")
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("fp")).as("content_checksum"),
+        sum(when(col("vec_id").isNotNull, 1L).otherwise(0L))
+          .as("n_with_embedding"))
+  }
+
   def pp21Curriculum(s: SparkSession, d: String): DataFrame = {
     val topk = udaf(new graft.functions.TopKPairAggregator(100))
     Tables.documents(s, d)

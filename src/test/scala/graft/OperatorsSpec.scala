@@ -1364,6 +1364,22 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("pp24 manifest total row reconciles with the per-source rows") {
+    val rows = ops.Pipelines.pp24RunManifest(spark, sf).collect()
+    val (total, perSource) = rows.partition(_.isNullAt(0))
+    assert(total.length == 1 && perSource.nonEmpty)
+    val t = total.head
+    // the rollup grand total must equal the per-source sums column by
+    // column — and the checksum is a plain sum, so it reconciles too
+    for (i <- 1 to 4) {
+      assert(t.getLong(i) == perSource.map(_.getLong(i)).sum,
+        s"column $i does not reconcile: $t")
+    }
+    perSource.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), s"coverage exceeds docs: $r")
+    }
+  }
+
   test("ss15 k-means inertia descends monotonically over Lloyd iterations") {
     val stats = ops.Similarity.ss15Kmeans(spark, "/root/testdata/sf0.01")
       .collect().sortBy(_.getLong(0))
