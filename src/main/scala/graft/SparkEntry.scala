@@ -269,6 +269,7 @@ object SparkEntry {
     "tx42_ngram_novelty"    -> Text.tx42NgramNovelty _,
     "tx43_signal_sweep"     -> Text.tx43SignalSweep _,
     "pp24_run_manifest"     -> Pipelines.pp24RunManifest _,
+    "q63_lead_time_sla"     -> Relational.q63LeadTimeSla _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -3533,6 +3534,31 @@ object SparkEntry {
         |       AND stop_cnt * 10 >= n_tokens THEN 1 ELSE 0 END AS BIGINT)
         |    AS kept
         |FROM y""".stripMargin,
+
+    "q63_lead_time_sla" ->
+      """WITH l AS (SELECT o_orderpriority,
+        |    CAST(date_diff('day', o_orderdate, max(l_shipdate)) AS BIGINT)
+        |      AS lead_days
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_orderkey, o_orderpriority, o_orderdate),
+        |r AS (SELECT o_orderpriority, lead_days,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY lead_days) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM l)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+        |  min(lead_days) AS min_days, max(lead_days) AS max_days,
+        |  CAST(sum(CASE WHEN rn = (50*(n-1)) // 100 + 1
+        |      THEN lead_days * (100 - (50*(n-1)) % 100) ELSE 0 END)
+        |    + sum(CASE WHEN rn = (50*(n-1)+99) // 100 + 1
+        |      THEN lead_days * ((50*(n-1)) % 100) ELSE 0 END) AS BIGINT)
+        |    AS p50_cd,
+        |  CAST(sum(CASE WHEN rn = (90*(n-1)) // 100 + 1
+        |      THEN lead_days * (100 - (90*(n-1)) % 100) ELSE 0 END)
+        |    + sum(CASE WHEN rn = (90*(n-1)+99) // 100 + 1
+        |      THEN lead_days * ((90*(n-1)) % 100) ELSE 0 END) AS BIGINT)
+        |    AS p90_cd
+        |FROM r GROUP BY o_orderpriority""".stripMargin,
 
     "pp24_run_manifest" ->
       """WITH d AS (SELECT doc_id, source,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1086,5 +1086,52 @@ object Relational {
         .select(col("s_suppkey"), col("s_name"))), Seq("s_suppkey"))
       .orderBy(col("n_blocked_orders").desc, col("s_suppkey"))
       .limit(10)
+  }
+
+  /** q63: order-fulfillment SLA — lead time from order date to the
+    * order's LAST shipment, exact p50/p90 per priority class. The
+    * percentile machinery is the distributed grouped value-histogram
+    * (ev33's pattern): per-(priority, lead_days) counts, a cumulative
+    * window over the ≤hundreds-row histogram, and the two bracketing
+    * order statistics recombined on the exact ×100 centi-grid — no
+    * per-priority sort of the order frame ever happens, so the plan
+    * is two partial-agg'd shuffles plus calendar-sized windows at any
+    * scale. Day grid in, centi-day grid out: hash-exact on both
+    * engines. */
+  def q63LeadTimeSla(s: SparkSession, d: String): DataFrame = {
+    val lead = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+      .select(col("o_orderpriority"),
+        datediff(col("last_ship"), col("o_orderdate")).cast("long")
+          .as("lead_days"))
+    val hist = lead.groupBy(col("o_orderpriority"), col("lead_days"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.partitionBy(col("o_orderpriority")).orderBy(col("lead_days"))))
+    val tot = lead.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("_n"))
+    def pCol(p: Int, out: String): Seq[Column] = Seq(
+      min(when(expr(s"_cum >= ($p*(_n-1)) div 100 + 1"), col("lead_days")))
+        .as(s"_${out}_lo"),
+      min(when(expr(s"_cum >= ($p*(_n-1)+99) div 100 + 1"), col("lead_days")))
+        .as(s"_${out}_hi"))
+    val aggs: Seq[Column] = Seq(max(col("_n")).as("n_orders"),
+      min(col("lead_days")).as("min_days"),
+      max(col("lead_days")).as("max_days")) ++
+      pCol(50, "p50") ++ pCol(90, "p90")
+    hist.join(broadcast(tot), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("o_orderpriority"), col("n_orders"), col("min_days"),
+        col("max_days"),
+        expr("_p50_lo * (100 - (50*(n_orders-1)) % 100) + " +
+          "_p50_hi * ((50*(n_orders-1)) % 100)").as("p50_cd"),
+        expr("_p90_lo * (100 - (90*(n_orders-1)) % 100) + " +
+          "_p90_hi * ((90*(n_orders-1)) % 100)").as("p90_cd"))
   }
 }

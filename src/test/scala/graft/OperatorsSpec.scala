@@ -1380,6 +1380,30 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q63 SLA percentiles are ordered and histogram-bounded") {
+    val rows = ops.Relational.q63LeadTimeSla(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mn, mx) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 1L && mn <= mx)
+      // centi-day percentiles live inside [min, max] and p50 ≤ p90
+      for (i <- 4 to 5) {
+        assert(r.getLong(i) >= mn * 100 && r.getLong(i) <= mx * 100,
+          s"percentile outside the value range: $r")
+      }
+      assert(r.getLong(4) <= r.getLong(5), s"p50 > p90: $r")
+    }
+    // no per-priority sort of the order frame: the only windows run on
+    // the bounded histogram (cumulative) — never partition-less
+    val windows = ops.Relational.q63LeadTimeSla(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.map(_.toString)
+      }
+    assert(windows.nonEmpty &&
+      windows.forall(_.exists(_.contains("o_orderpriority"))))
+  }
+
   test("ss15 k-means inertia descends monotonically over Lloyd iterations") {
     val stats = ops.Similarity.ss15Kmeans(spark, "/root/testdata/sf0.01")
       .collect().sortBy(_.getLong(0))
