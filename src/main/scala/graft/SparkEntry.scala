@@ -270,6 +270,7 @@ object SparkEntry {
     "tx43_signal_sweep"     -> Text.tx43SignalSweep _,
     "pp24_run_manifest"     -> Pipelines.pp24RunManifest _,
     "q63_lead_time_sla"     -> Relational.q63LeadTimeSla _,
+    "pp25_k_anonymity"      -> Pipelines.pp25KAnonymity _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -3559,6 +3560,20 @@ object SparkEntry {
         |      THEN lead_days * ((90*(n-1)) % 100) ELSE 0 END) AS BIGINT)
         |    AS p90_cd
         |FROM r GROUP BY o_orderpriority""".stripMargin,
+
+    "pp25_k_anonymity" ->
+      """WITH qi AS (SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 100000
+        |      AS bal_band
+        |  FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, bal_band,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM qi GROUP BY 1, 2, 3)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(k * count(*) AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN k < 5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS re_identifiable
+        |FROM g GROUP BY k""".stripMargin,
 
     "pp24_run_manifest" ->
       """WITH d AS (SELECT doc_id, source,

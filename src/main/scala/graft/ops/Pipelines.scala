@@ -762,6 +762,32 @@ object Pipelines {
           .as("n_with_embedding"))
   }
 
+  /** pp25: k-anonymity audit — the privacy gate a training-data
+    * release runs before shipping user-derived rows: group the table
+    * by its quasi-identifier tuple (nation × market segment ×
+    * $1000-balance band) and histogram the group sizes; every row in
+    * a group of size k < 5 is re-identifiable by its QI tuple alone.
+    * Two partial-agg'd shuffles (QI rollup = the input-sized one, the
+    * k histogram is bounded by max group size). The balance band is
+    * derived overflow-safely from a double: round to the exact cents
+    * grid FIRST (the 2-decimal value is integral ×100, so both
+    * engines round identically), then SHIFT positive before integer
+    * division — Spark's `div` truncates toward zero while DuckDB's
+    * `//` floors, and they only agree on non-negative operands. */
+  def pp25KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val qi = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) div 100000")
+          .as("bal_band"))
+    qi.groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("k"), col("n_groups"),
+        (col("k") * col("n_groups")).as("n_rows"),
+        (col("k") < 5).cast("int").cast("long").as("re_identifiable"))
+  }
+
   def pp21Curriculum(s: SparkSession, d: String): DataFrame = {
     val topk = udaf(new graft.functions.TopKPairAggregator(100))
     Tables.documents(s, d)

@@ -1404,6 +1404,17 @@ class OperatorsSpec extends SparkTestBase {
       windows.forall(_.exists(_.contains("o_orderpriority"))))
   }
 
+  test("pp25 k-anonymity histogram conserves the customer table") {
+    val rows = ops.Pipelines.pp25KAnonymity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every customer lands in exactly one QI group of exactly one size
+    assert(rows.map(_.getLong(2)).sum == Tables.customer(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), s"n_rows ≠ k·groups: $r")
+      assert((r.getLong(3) == 1L) == (r.getLong(0) < 5L), s"flag wrong: $r")
+    }
+  }
+
   test("ss15 k-means inertia descends monotonically over Lloyd iterations") {
     val stats = ops.Similarity.ss15Kmeans(spark, "/root/testdata/sf0.01")
       .collect().sortBy(_.getLong(0))
