@@ -271,6 +271,7 @@ object SparkEntry {
     "pp24_run_manifest"     -> Pipelines.pp24RunManifest _,
     "q63_lead_time_sla"     -> Relational.q63LeadTimeSla _,
     "pp25_k_anonymity"      -> Pipelines.pp25KAnonymity _,
+    "dd21_semantic_clusters" -> Dedup.dd21SemanticClusters _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -3560,6 +3561,24 @@ object SparkEntry {
         |      THEN lead_days * ((90*(n-1)) % 100) ELSE 0 END) AS BIGINT)
         |    AS p90_cd
         |FROM r GROUP BY o_orderpriority""".stripMargin,
+
+    "dd21_semantic_clusters" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""l$k AS (SELECT l.node, least(l.lbl, min(nb.lbl)) AS lbl
+           |  FROM l${k - 1} l JOIN e ON e.src = l.node
+           |  JOIN l${k - 1} nb ON nb.node = e.dst
+           |  GROUP BY l.node, l.lbl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+         |    FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3),
+         |e AS (SELECT v1 AS src, v2 AS dst FROM p
+         |      UNION ALL SELECT v2 AS src, v1 AS dst FROM p),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         |$rounds
+         |SELECT node AS vec_id, lbl AS cluster_id FROM l5""".stripMargin
+    },
 
     "pp25_k_anonymity" ->
       """WITH qi AS (SELECT c_nationkey, c_mktsegment,

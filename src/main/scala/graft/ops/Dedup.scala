@@ -565,4 +565,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_members"),
         countDistinct(col("exact_hash")).as("n_exact_forms"))
+
+  /** dd21: semantic duplicate clusters — min-label connected
+    * components over dd05's embedding-cosine pair graph, the SEMANTIC
+    * analog of dd06's lexical clusters (dd06 groups what reads alike;
+    * this groups what MEANS alike — paraphrases and translations the
+    * shingle tiers can't see). Fixed 5 rounds unrolled lazily (the
+    * gr06 contract both engines replay; near-dup families are
+    * near-cliques, diameter ≪ 5), every frame ∝ semantic near-dup
+    * vectors — the pair graph is the blocked dd05 join, never
+    * corpus². Per-round caches cut the doubled-reference lineage the
+    * same way gr13's do. */
+  def dd21SemanticClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = CacheScope.cached(
+      dd05EmbedNeardup(s, d).select(col("v1"), col("v2")))
+    val bi = pairs.unionByName(
+      pairs.select(col("v2").as("v1"), col("v1").as("v2")))
+    var labels = bi.select(col("v1").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 5) {
+      val nbrMin = bi
+        .join(labels.select(col("node").as("v2"), col("lbl").as("nlbl")),
+          Seq("v2"))
+        .groupBy(col("v1")).agg(min(col("nlbl")).as("nbr_min"))
+      labels = CacheScope.cached(
+        labels.join(nbrMin.withColumnRenamed("v1", "node"), Seq("node"))
+          .select(col("node"), least(col("lbl"), col("nbr_min")).as("lbl")))
+    }
+    labels.select(col("node").as("vec_id"), col("lbl").as("cluster_id"))
+  }
 }

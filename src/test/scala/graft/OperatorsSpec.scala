@@ -1415,6 +1415,21 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("dd21 semantic clusters cover the pair graph consistently") {
+    val d = "/root/testdata/sf0.01"
+    val labels = ops.Dedup.dd21SemanticClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // labels are min-reachable: never above the node's own id
+    labels.foreach { case (v, c) => assert(c <= v, s"label above node: $v -> $c") }
+    // directly-paired vectors must share a cluster (1 round suffices,
+    // 5 ran)
+    ops.Dedup.dd05EmbedNeardup(spark, d).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("ss15 k-means inertia descends monotonically over Lloyd iterations") {
     val stats = ops.Similarity.ss15Kmeans(spark, "/root/testdata/sf0.01")
       .collect().sortBy(_.getLong(0))
