@@ -67,12 +67,16 @@ object Bench {
     // full per-query map: informational line, NOT the contract line
     println(s"""{"bench_full":${qmap(results)}}""")
     val head = results.filter { case (n, _) => headline.contains(n) }
+    // slowest-20 map IN the contract line: round-over-round per-query
+    // comparison must not depend on how much of stdout a consumer keeps
+    // (a tail window once truncated the full map to 14 visible entries)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
     // silence Spark's shutdown chatter, stop the session, THEN print the
     // contract line so it is the last thing on stdout
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(head)},"n_queries":${results.size},"n_failed":${failed.size},"errors":$errs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(head)},"slowest":${qmap(slowest)},"n_queries":${results.size},"n_failed":${failed.size},"errors":$errs,"sf":"$sfName"}""")
   }
 }

@@ -272,6 +272,7 @@ object SparkEntry {
     "q63_lead_time_sla"     -> Relational.q63LeadTimeSla _,
     "pp25_k_anonymity"      -> Pipelines.pp25KAnonymity _,
     "dd21_semantic_clusters" -> Dedup.dd21SemanticClusters _,
+    "gr14_bfs_distances"    -> Graph.gr14BfsDistances _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -1441,9 +1442,9 @@ object SparkEntry {
 
     "q45_decimal_money" ->
       """SELECT o_orderstatus,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_d,
-        |  min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_d,
-        |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_c,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS min_c,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS max_c,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1""".stripMargin,
 
@@ -1504,8 +1505,8 @@ object SparkEntry {
     "q44_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
-        |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS revenue_c4
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_c4
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
 
@@ -2109,14 +2110,14 @@ object SparkEntry {
         |  FROM g2)
         |SELECT event_type, max(n) AS n_gaps,
         |  min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s,
-        |  sum(CASE WHEN rn = (50*(n-1)) // 100 + 1
+        |  CAST(sum(CASE WHEN rn = (50*(n-1)) // 100 + 1
         |      THEN gap_s * (100 - (50*(n-1)) % 100) ELSE 0 END)
         |    + sum(CASE WHEN rn = (50*(n-1)+99) // 100 + 1
-        |      THEN gap_s * ((50*(n-1)) % 100) ELSE 0 END) AS p50_cs,
-        |  sum(CASE WHEN rn = (90*(n-1)) // 100 + 1
+        |      THEN gap_s * ((50*(n-1)) % 100) ELSE 0 END) AS BIGINT) AS p50_cs,
+        |  CAST(sum(CASE WHEN rn = (90*(n-1)) // 100 + 1
         |      THEN gap_s * (100 - (90*(n-1)) % 100) ELSE 0 END)
         |    + sum(CASE WHEN rn = (90*(n-1)+99) // 100 + 1
-        |      THEN gap_s * ((90*(n-1)) % 100) ELSE 0 END) AS p90_cs
+        |      THEN gap_s * ((90*(n-1)) % 100) ELSE 0 END) AS BIGINT) AS p90_cs
         |FROM r GROUP BY event_type""".stripMargin,
 
     "pp07_decontam" ->
@@ -2687,7 +2688,9 @@ object SparkEntry {
         |  FROM tk),
         |j AS (SELECT f.doc_id, f.pos, coalesce(v.id, 0) AS tid
         |      FROM f LEFT JOIN v USING (tok))
-        |SELECT doc_id, list(tid ORDER BY pos) AS token_ids
+        |SELECT doc_id,
+        |  array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ',')
+        |    AS token_ids
         |FROM j GROUP BY 1""".stripMargin,
 
     "q52_merge_clauses" ->
@@ -2744,6 +2747,20 @@ object SparkEntry {
         |SELECT md5(chunk) AS chunk_md5, count(DISTINCT doc_id) AS n_docs,
         |  count(*) AS n_occurrences
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "gr14_bfs_distances" ->
+      s"""WITH RECURSIVE
+         |pairs AS MATERIALIZED ($ngramJaccardSql),
+         |bi AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |       UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(node, hops) AS (
+         |  SELECT DISTINCT src AS node, 0 AS hops FROM bi WHERE src % 10 = 0
+         |  UNION ALL
+         |  SELECT DISTINCT bi.dst, r.hops + 1
+         |  FROM reach r JOIN bi ON bi.src = r.node
+         |  WHERE r.hops < 4)
+         |SELECT node, CAST(min(hops) AS BIGINT) AS min_hops
+         |FROM reach GROUP BY node""".stripMargin,
 
     "q53_recursive_cte" ->
       """WITH RECURSIVE
@@ -3481,8 +3498,8 @@ object SparkEntry {
         |      ::BIGINT AS draw
         |  FROM documents),
         |b AS (SELECT source, n_tok,
-        |    (sum(n_tok) OVER (PARTITION BY source ORDER BY draw, doc_id
-        |       ROWS UNBOUNDED PRECEDING) - n_tok) // 512 AS bin_id
+        |    CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY draw, doc_id
+        |       ROWS UNBOUNDED PRECEDING) - n_tok) // 512 AS BIGINT) AS bin_id
         |  FROM t)
         |SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens

@@ -54,9 +54,16 @@ object Dedup {
   }
 
   /** Exact Jaccard for a given candidate-pair set only — the verify
-    * step shared by the sketch-based dedupers. Joins shingles twice
-    * restricted to candidate docs, so cost ∝ |candidates|·|shingles per
-    * doc|, independent of corpus². */
+    * step shared by the sketch-based dedupers. The candidate frame
+    * drives the join (cost ∝ |candidates|·|shingles per doc| after the
+    * d1 build side); the per-doc size table is one row per document —
+    * a classic small dimension — so both n1/n2 attachments are
+    * explicit broadcast joins, never shuffles of the pair stream.
+    * (A candidate-doc semi-join on the b side was measured SLOWER at
+    * bench scale — the extra union/distinct/broadcast stages cost more
+    * than the full-corpus b-side shuffle saves; at true 100 TB corpus
+    * scale the b side re-partitions on (d2, s) once, which AQE sizes,
+    * and the candidate side stays ∝ near-dups either way.) */
   private def verifiedJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -65,8 +72,8 @@ object Dedup {
     val shared = cand.join(a, Seq("d1")).join(b, Seq("d2", "s"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1")), Seq("d1"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2")), Seq("d2"))
       .withColumn("jaccard",
         round(col("shared") * 1.0 / (col("n1") + col("n2") - col("shared")), 4))
       .filter(col("jaccard") >= 0.6)

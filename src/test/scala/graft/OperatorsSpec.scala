@@ -855,7 +855,7 @@ class OperatorsSpec extends SparkTestBase {
     val rows = ops.Text.tx35TokenIds(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
     rows.foreach { r =>
-      val ids = r.getSeq[Int](1)
+      val ids = r.getString(1).split(',').map(_.toInt).toSeq
       assert(ids.nonEmpty && ids.length <= 16)
       assert(ids.forall(id => id >= 0 && id <= 256), s"id out of range: $ids")
     }
@@ -1238,6 +1238,30 @@ class OperatorsSpec extends SparkTestBase {
       "HITS degenerated to a uniform vector")
     val keys = rows.map(r => (-r.getLong(1), r.getLong(0)))
     assert(keys.sameElements(keys.sorted), "ordering contract violated")
+  }
+
+  test("gr14 BFS distances are a correct bounded-hop shortest path") {
+    val rows = ops.Graph.gr14BfsDistances(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty, "seed set empty — no doc_id % 10 == 0 node")
+    // every seed node sits at distance 0, everything else in (0, 4]
+    rows.foreach { case (node, h) =>
+      if (node % 10 == 0) assert(h == 0L, s"seed $node at $h")
+      else assert(h >= 1L && h <= 4L, s"non-seed $node at $h")
+    }
+    // reference BFS over the collected edge list must agree exactly
+    val edges = ops.Dedup.dd02MinhashLsh(spark, sf)
+      .select(col("d1"), col("d2")).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var dist = adj.keys.filter(_ % 10 == 0).map(_ -> 0L).toMap
+    for (h <- 1 to 4) {
+      val frontier = dist.collect { case (n, d) if d == h - 1 => n }
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> h.toLong)
+    }
+    assert(rows == dist, "BFS distance table disagrees with reference")
   }
 
   test("ev49 abandonment never exceeds engagement") {

@@ -7,13 +7,54 @@ Usage: python3 tools/check.py <sfDir> <outDir>
 Reads each <outDir>/<name> parquet (Spark output), runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB over the raw tables,
 sorts columns by name and rows by all columns, and diffs values.
+
+DRIVER PARITY: the driver's hash is dtype-sensitive — an int64 Spark
+column vs a float64 oracle column (DuckDB HUGEINT/DECIMAL leak) hashes
+differently even when the values are numerically equal, and array/map
+graded columns crash its pandas canonicalization outright. So this gate
+must be at least as strict:
+  * array/ndarray/dict cells in either frame -> loud FAIL (flatten or
+    array_to_string the graded output instead);
+  * per-column dtype CLASS (int / float / bool / datetime / string)
+    must match between Spark and oracle -> otherwise FAIL with a hint
+    to CAST the oracle aggregate (sum() over BIGINT is HUGEINT in
+    DuckDB; DECIMAL renders at fixed scale in Spark but float in
+    pandas — keep DECIMAL out of graded output, grade integer cents).
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
+
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
+
+
+def dtype_class(dtype) -> str:
+    s = str(dtype)
+    if s.startswith("datetime"):
+        return "datetime"
+    k = np.dtype(dtype).kind if s != "object" else "O"
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "string"
+
+
+def reject_nested(df: pd.DataFrame, side: str, name: str):
+    for c in df.columns:
+        if df[c].dtype == object and len(df):
+            v = df[c].iloc[0]
+            if isinstance(v, (list, np.ndarray, dict)):
+                raise ValueError(
+                    f"{name}: {side} column '{c}' is nested "
+                    f"({type(v).__name__}) — the driver harness cannot hash "
+                    f"array/map graded output; flatten or array_to_string it")
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -25,6 +66,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -51,6 +93,24 @@ def main(sf_dir, out_dir):
             exp = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"[FAIL] {name}: oracle error {e}"); n_fail += 1; continue
+        try:
+            reject_nested(got, "spark", name)
+            reject_nested(exp, "oracle", name)
+        except ValueError as e:
+            print(f"[FAIL] {e}"); n_fail += 1; continue
+        # driver-parity dtype gate BEFORE stringification
+        got_s = got.reindex(sorted(got.columns), axis=1)
+        exp_s = exp.reindex(sorted(exp.columns), axis=1)
+        if list(got_s.columns) == list(exp_s.columns):
+            bad = [(c, dtype_class(got_s[c].dtype), dtype_class(exp_s[c].dtype))
+                   for c in got_s.columns
+                   if dtype_class(got_s[c].dtype) != dtype_class(exp_s[c].dtype)]
+            if bad:
+                det = ", ".join(f"{c}: spark={a} oracle={b}" for c, a, b in bad)
+                print(f"[FAIL] {name}: dtype-class mismatch ({det}) — the "
+                      f"driver hash is dtype-sensitive; CAST the oracle "
+                      f"aggregate (HUGEINT/DECIMAL leak?)")
+                n_fail += 1; continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"[FAIL] {name}: columns {list(g.columns)} vs {list(e.columns)}")
@@ -69,6 +129,7 @@ def main(sf_dir, out_dir):
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
