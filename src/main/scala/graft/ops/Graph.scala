@@ -74,26 +74,30 @@ object Graph {
   private[graft] def pageRankFrom(bi0: DataFrame, iterations: Int = 10,
       tele: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         _ => lit(1.0)): DataFrame = {
-    // the edge and degree frames are referenced every iteration — cache
-    // them; periodically eager-checkpoint the rank chain so the final
-    // plan stays shallow (a 10-join-deep tree costs more in planning
-    // and stage count than the two tiny extra jobs do).
     // `tele` is the per-node teleport weight: constant 1.0 for classic
     // PageRank, an indicator for the personalized variant — a pure
     // node-id expression, so it never costs a join.
+    // Degree is pre-joined into the edge frame ONCE: each round then
+    // needs a single (tiny, AQE-broadcast) rank join instead of a rank
+    // join plus a degree join. Each round ends in a LAZY localCheckpoint
+    // (the gr05 pattern): it truncates the logical plan to a flat
+    // LogicalRDD with no extra job — without truncation the unrolled
+    // plan TEXT alone grows geometrically (10 rounds of nested
+    // InMemoryRelation plans OOMed the driver just rendering the AQE
+    // explain string), and the old eager checkpoints cost 3 extra jobs.
     val bi = CacheScope.cached(bi0)
     val deg = CacheScope.cached(
       bi.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val biDeg = CacheScope.cached(bi.join(deg, Seq("src")))
     var ranks = deg.select(col("src").as("node"), tele(col("src")).as("rank"))
-    for (it <- 1 to iterations) {
-      val contrib = bi
-        .join(ranks, bi("src") === ranks("node"))
-        .join(deg, Seq("src"))
+    for (_ <- 1 to iterations) {
+      val contrib = biDeg
+        .join(ranks, biDeg("src") === ranks("node"))
         .select(col("dst").as("node2"), (col("rank") / col("deg")).as("c"))
       ranks = contrib.groupBy(col("node2")).agg(sum(col("c")).as("in_sum"))
         .select(col("node2").as("node"),
           (lit(0.15) * tele(col("node2")) + lit(0.85) * col("in_sum")).as("rank"))
-      if (it % 3 == 0 && it < iterations) ranks = ranks.localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -423,15 +427,23 @@ object Graph {
     val bi = CacheScope.cached(
       e.select(col("d1").as("src"), col("d2").as("dst"))
         .unionByName(e.select(col("d2").as("src"), col("d1").as("dst"))))
+    // each round references the running table TWICE (frontier filter +
+    // union), so the lazy unroll would re-execute the whole prefix 2×
+    // per round (the gr05/gr13 compounding hazard; 8.6 s uncached at
+    // sf0.1). A LAZY per-round localCheckpoint both kills the fan-out
+    // and keeps the plan string flat (nested per-round caches OOM the
+    // plan renderer on deeper kernels — see pageRankFrom).
     var dist = bi.select(col("src").as("node")).distinct()
       .filter(col("node") % 10 === 0)
       .withColumn("min_hops", lit(0L))
+      .localCheckpoint(false)
     for (h <- 1 to 4) {
       val next = dist.filter(col("min_hops") === h - 1)
         .join(bi, col("node") === col("src"))
         .select(col("dst").as("node"), lit(h.toLong).as("min_hops"))
       dist = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("min_hops")).as("min_hops"))
+        .localCheckpoint(false)
     }
     dist
   }

@@ -441,7 +441,9 @@ object Pipelines {
     * cannot see and near-dup-aware dedup must remove. Run BEFORE
     * dedup, it quantifies what's at stake; zero rows after. Output is
     * the (split, split) leak matrix with pair and doc counts. Scale:
-    * rides dd04's inverted-index blocking (pairs ∝ true near-dups);
+    * rides the dd02 MinHash+LSH tier — the 100 TB path, whose verified
+    * pair set is identical to dd04's exact tier by construction here
+    * (spec-asserted equal), so the oracle stays the exact-Jaccard SQL;
     * the split label is a per-row md5 — no extra shuffle beyond the
     * final tiny aggregate. */
   def pp16SplitLeakage(s: SparkSession, d: String): DataFrame = {
@@ -449,7 +451,7 @@ object Pipelines {
       when(substring(md5(c.cast("string")), 1, 1) === "f", "test")
         .when(substring(md5(c.cast("string")), 1, 1) === "e", "val")
         .otherwise("train")
-    Dedup.dd04NgramJaccard(s, d)
+    Dedup.dd02MinhashLsh(s, d)
       .withColumn("s1", splitOf(col("d1")))
       .withColumn("s2", splitOf(col("d2")))
       .filter(col("s1") =!= col("s2"))

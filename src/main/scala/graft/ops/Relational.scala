@@ -598,29 +598,14 @@ object Relational {
     val suffix = java.lang.Integer.toHexString(d.hashCode)
     val ot = s"graft_orders_bkt_$suffix"
     val lt = s"graft_lineitem_bkt_$suffix"
-    // a table registered in THIS session's catalog was written by this
-    // code from this same data dir (names are per-dir) — reuse it, so
-    // repeated invocations measure the exchange-free join, not the
-    // layout job. A dir on disk WITHOUT a catalog entry is a stale
-    // leftover from another JVM: drop and rewrite.
-    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      Seq(ot, lt).foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        rm(new java.io.File(s"$wh/$t"))
-      }
-      graft.sources.Sources.writeBucketed(
-        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
-        ot, "o_orderkey", 8)
-      graft.sources.Sources.writeBucketed(
-        Tables.lineitem(s, d)
-          .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
-        lt, "l_orderkey", 8)
-    }
+    // the file-mutating layout step lives behind Sources' explicit
+    // layout-job entry point — this builder itself stays a plan
+    // constructor plus an idempotent layout precondition
+    graft.sources.Sources.ensureBucketedLayout(s, ot, "o_orderkey", 8)(
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority"))
+    graft.sources.Sources.ensureBucketedLayout(s, lt, "l_orderkey", 8)(
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
     val o = s.table(ot)
     val l = s.table(lt)
     o.join(l, o("o_orderkey") === l("l_orderkey"))

@@ -57,6 +57,28 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** LAYOUT JOB (the one deliberately file-mutating entry point):
+    * idempotently (re)build a bucketed managed table. A table already
+    * registered in THIS session's catalog was written by this code —
+    * reuse it, so repeated invocations measure the exchange-free join,
+    * not the layout job. A warehouse dir WITHOUT a catalog entry is a
+    * stale leftover from another JVM: drop and rewrite. Query builders
+    * stay pure plan constructors by delegating their layout needs
+    * here (q44 does). */
+  def ensureBucketedLayout(s: SparkSession, table: String, bucketCol: String,
+      nBuckets: Int)(build: => DataFrame): Unit = {
+    if (!s.catalog.tableExists(table)) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      rm(new java.io.File(s"$wh/$table"))
+      writeBucketed(build, table, bucketCol, nBuckets)
+    }
+  }
+
   /** Evolved-schema parquet read: merge the footers of every file so a
     * dataset whose writers added columns over time (the normal state
     * of a years-old 100 TB corpus) reads as the union schema, old

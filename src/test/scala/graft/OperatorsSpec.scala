@@ -1240,6 +1240,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(keys.sameElements(keys.sorted), "ordering contract violated")
   }
 
+  test("CacheScope drain releases every frame the ops registered") {
+    // the long-lived-service contract behind Verify's per-query drain:
+    // everything an operator caches is registered, and one drain call
+    // releases it all — no storage pinned past the query that needed
+    // it. Delta-based so leftovers from earlier tests (localCheckpoint
+    // RDDs awaiting the ContextCleaner) don't false-fail the assert.
+    ops.CacheScope.unpersistAll()
+    val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    ops.Dedup.dd02MinhashLsh(spark, sf).count()
+    ops.Graph.gr13Hits(spark, sf).count()
+    val during = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    assert((during -- before).nonEmpty, "expected these ops to cache")
+    ops.CacheScope.unpersistAll()
+    // unpersist is async (blocking=false): poll briefly
+    val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+    var leftover = Set.empty[Int]
+    while ({
+      leftover = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet -- before
+      leftover.nonEmpty && System.nanoTime < deadline
+    }) Thread.sleep(200)
+    assert(leftover.isEmpty, s"storage pinned past the drain: $leftover")
+  }
+
   test("gr14 BFS distances are a correct bounded-hop shortest path") {
     val rows = ops.Graph.gr14BfsDistances(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
