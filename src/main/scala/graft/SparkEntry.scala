@@ -273,6 +273,9 @@ object SparkEntry {
     "pp25_k_anonymity"      -> Pipelines.pp25KAnonymity _,
     "dd21_semantic_clusters" -> Dedup.dd21SemanticClusters _,
     "gr14_bfs_distances"    -> Graph.gr14BfsDistances _,
+    "ev50_user_diversity"   -> Events.ev50UserDiversity _,
+    "tx44_commonness"       -> Text.tx44Commonness _,
+    "ss16_nprobe_curve"     -> Similarity.ss16NprobeCurve _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -1128,6 +1131,44 @@ object SparkEntry {
         |   ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
         |   RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING) AS n_prior_30d
         |FROM orders""".stripMargin,
+
+    "ss16_nprobe_curve" ->
+      s"""WITH ex AS (SELECT vec_id, label, i,
+         |       CAST(embedding[i+1] AS DOUBLE) AS x
+         |     FROM embeddings, range(64) t(i)),
+         |cent AS (SELECT label AS cell, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+         |vc AS (SELECT ex.vec_id, cent.cell,
+         |         sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS ccos
+         |       FROM ex JOIN cent ON ex.i = cent.i
+         |       GROUP BY 1, 2),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crk
+         |  FROM vc) WHERE crk = 1),
+         |probes AS (SELECT vec_id AS qid, cell AS probe_cell, crk AS pr FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crk
+         |  FROM vc WHERE vec_id < 10) WHERE crk <= 3),
+         |cand AS (SELECT p.qid, p.pr, a.vec_id AS neighbor_id,
+         |    list_cosine_similarity(qe.embedding, e.embedding) AS cos
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell = p.probe_cell AND a.vec_id != p.qid
+         |  JOIN embeddings qe ON qe.vec_id = p.qid
+         |  JOIN embeddings e ON e.vec_id = a.vec_id),
+         |nps AS (SELECT unnest([1, 2, 3]) AS np),
+         |r AS (SELECT n.np, c.qid, c.neighbor_id,
+         |        row_number() OVER (PARTITION BY n.np, c.qid
+         |          ORDER BY c.cos DESC, c.neighbor_id) AS rk
+         |      FROM nps n JOIN cand c ON c.pr <= n.np),
+         |approx AS (SELECT np, qid, neighbor_id FROM r WHERE rk <= 5),
+         |exact AS ($bruteTopkSql),
+         |ec AS (SELECT n.np, e.qid, e.neighbor_id FROM nps n CROSS JOIN exact e)
+         |SELECT CAST(ec.np AS BIGINT) AS nprobe, ec.qid,
+         |  count(a.neighbor_id) AS n_hit,
+         |  CAST(count(a.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_bp
+         |FROM ec LEFT JOIN approx a
+         |  ON a.np = ec.np AND a.qid = ec.qid AND a.neighbor_id = ec.neighbor_id
+         |GROUP BY 1, 2""".stripMargin,
 
     "ss09_ann_recall" ->
       s"""WITH e AS ($bruteTopkSql),
@@ -2747,6 +2788,30 @@ object SparkEntry {
         |SELECT md5(chunk) AS chunk_md5, count(DISTINCT doc_id) AS n_docs,
         |  count(*) AS n_occurrences
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "ev50_user_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |        CAST(count(*) AS BIGINT) AS n_types,
+        |        CAST(sum(c * (c - 1)) AS BIGINT) AS pair_sum
+        |      FROM c GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |  CAST(CASE WHEN n_events < 2 THEN 0
+        |       ELSE pair_sum * 1000000 // (n_events * (n_events - 1))
+        |       END AS BIGINT) AS simpson_ppm
+        |FROM u""".stripMargin,
+
+    "tx44_commonness" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text),' ')) AS tok
+        |           FROM documents),
+        |tot AS (SELECT count(*) AS tot FROM t),
+        |f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+        |fp AS (SELECT tok, CAST(cnt * 1000000 // tot AS BIGINT) AS ppm
+        |       FROM f, tot)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(ppm) // count(*) AS BIGINT) AS mean_ppm
+        |FROM t JOIN fp USING (tok) GROUP BY 1""".stripMargin,
 
     "gr14_bfs_distances" ->
       s"""WITH RECURSIVE

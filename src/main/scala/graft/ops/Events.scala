@@ -1220,4 +1220,28 @@ object Events {
         when(col("engaged") === 0, 0L)
           .otherwise(expr("abandoned * 1000000 div engaged")))
   }
+
+  /** ev50: per-user behavioral diversity — Simpson concentration of
+    * each user's event-type distribution on an exact ppm integer grid
+    * (Σc(c−1) ·10⁶ div n(n−1), the unbiased pair-collision form): the
+    * cheap bot/spam discriminator — scripted accounts hammer one type
+    * (ppm → 10⁶), organic users spread (low ppm). The tx37 lexical
+    * Simpson applied to the behavioral axis. Two aggregations: the
+    * (user, type) rollup (one input-sized shuffle, partial-agg'd) then
+    * the per-user frame (|users| rows); all arithmetic exact integer —
+    * pair_sum ≤ n(n−1) keeps ·10⁶ far inside int64. n<2 users emit 0
+    * (guarded — the pair form is undefined there and integer ÷0
+    * differs across engines). */
+  def ev50UserDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(expr("c * (c - 1)")).as("pair_sum"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        when(col("n_events") < 2, lit(0L))
+          .otherwise(expr("pair_sum * 1000000 div (n_events * (n_events - 1))"))
+          .as("simpson_ppm"))
 }

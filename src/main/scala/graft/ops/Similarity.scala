@@ -272,6 +272,55 @@ object Similarity {
       expr("cosine_sim(q_emb, embedding)"), 5)
   }
 
+  /** ss16: IVF nprobe TUNING CURVE — per-query recall@5 of the IVF
+    * tier (ss05's machinery) at nprobe ∈ {1,2,3} against the exact
+    * ss01 baseline, in exact basis points: the recall-vs-cost knob an
+    * ANN deployment turns FIRST, measured the way ss09 measures the
+    * LSH tier. One shared pipeline: cell assignment + the top-3 probe
+    * list (with probe rank) + candidate cosines are computed ONCE and
+    * cached; each nprobe tier is only a filter on the probe rank plus
+    * the partial-aggregable top-k — the curve costs barely more than
+    * one ss05 run, never three. Recall is monotone in nprobe by
+    * construction (spec-asserted). */
+  def ss16NprobeCurve(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cent = CacheScope.cached(centroids(s, d))
+    val emb = Tables.embeddings(s, d)
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .transform(nearestCellsFrom(cent, _, 1, "cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val topk3 = udaf(new graft.functions.TopKPairAggregator(3))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(cent))
+      .withColumn("ccos", expr("cosine_sim(embedding, cent)"))
+      .groupBy(col("vec_id"))
+      .agg(topk3(col("ccos"), col("cell").cast("long")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("vec_id").as("qid"), (col("pos") + lit(1)).as("pr"),
+        col("pair._2").as("probe_cell"))
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("q_emb")),
+        Seq("qid"))
+    val scored = CacheScope.cached(
+      assigned.join(broadcast(probes), col("cell") === col("probe_cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("pr"),
+          expr("cosine_sim(q_emb, embedding)").as("cos")))
+    val exact = CacheScope.cached(
+      ss01BruteTopk(s, d).select(col("qid"), col("neighbor_id")))
+    (1 to 3).map { np =>
+      val approx = topkPairs(scored.filter(col("pr") <= np), col("cos"), 5)
+        .select(col("qid").as("aqid"), col("neighbor_id").as("an"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("neighbor_id") === col("an"),
+          "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"), count(col("an")).as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"), col("qid"), col("n_hit"),
+          expr("n_hit * 10000 div k").as("recall_bp"))
+    }.reduce(_ unionByName _)
+  }
+
   /** ss09: ANN recall audit AS AN OPERATOR — per-query recall of the
     * LSH tier (ss02) against the exact baseline (ss01), in exact basis
     * points. The evaluation harness a production ANN deployment runs

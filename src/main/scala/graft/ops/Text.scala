@@ -859,4 +859,29 @@ object Text {
           .as("n_novel"))
       .withColumn("novel_ppm", expr("n_novel * 1000000 div n_shingles"))
   }
+
+  /** tx44: common-token density — each doc's mean corpus-frequency
+    * (exact ppm grid) over its tokens: the rank-free "perplexity
+    * proxy" quality signal — gibberish, ID dumps, and boilerplate
+    * code sit LOW (rare-token-heavy), natural prose sits high — that
+    * quality classifiers use when a real LM is too expensive for a
+    * full-corpus pass. Unlike a rank-based form this needs NO global
+    * vocabulary sort (a corpus-sized partition-less window at 100 TB):
+    * one token explode feeds both the 1-row total (broadcast) and the
+    * vocab-sized frequency aggregate, then a hash join back on the
+    * token key — frames ∝ |vocab|, arithmetic exact integer end to
+    * end (ppm = cnt·10⁶ div total; mean = Σppm div n). */
+  def tx44Commonness(s: SparkSession, d: String): DataFrame = {
+    val toks = CacheScope.cached(
+      Tables.documents(s, d).select(col("doc_id"), explode(tokens).as("tok")))
+    val total = toks.agg(count(lit(1)).as("tot"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("tok"), expr("cnt * 1000000 div tot").as("ppm"))
+    toks.join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ppm")).as("ppm_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("ppm_sum div n_tokens").as("mean_ppm"))
+  }
 }

@@ -1287,6 +1287,58 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows == dist, "BFS distance table disagrees with reference")
   }
 
+  test("ev50 Simpson ppm sits on the exact pair-collision grid") {
+    val rows = ops.Events.ev50UserDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, t, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t >= 1 && t <= n, s"type count off: $r")
+      assert(ppm >= 0L && ppm <= 1000000L, s"ppm off-grid: $r")
+      // all-one-type users must sit exactly at 10^6; diversity below
+      if (t == 1 && n >= 2) assert(ppm == 1000000L, s"monoculture != 1e6: $r")
+      if (t > 1) assert(ppm < 1000000L, s"diverse user at ceiling: $r")
+    }
+  }
+
+  test("tx44 mean commonness is bounded by the extreme token ppms") {
+    val rows = ops.Text.tx44Commonness(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (n, mean) = (r.getLong(1), r.getLong(2))
+      assert(n >= 1, s"tokenless doc: $r")
+      assert(mean >= 0L && mean <= 1000000L, s"ppm off-grid: $r")
+    }
+    // repetitive docs (one token repeated) must score at least that
+    // token's own corpus ppm — cross-check one doc by hand
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val total = toks.length.toLong
+    val freq = toks.groupBy(_._2).map { case (k, v) =>
+      k -> (v.length.toLong * 1000000L / total) }
+    val byDoc = toks.groupBy(_._1)
+    val someDoc = byDoc.keys.min
+    val expected = {
+      val ppms = byDoc(someDoc).map(t => freq(t._2))
+      ppms.sum / ppms.length
+    }
+    val got = rows.find(_.getLong(0) == someDoc).get.getLong(2)
+    assert(got == expected, s"doc $someDoc: got $got expected $expected")
+  }
+
+  test("ss16 recall is monotone in nprobe and tops out at ss05 parity") {
+    val rows = ops.Similarity.ss16NprobeCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val qids = rows.keys.map(_._2).toSet
+    assert(qids.size == 10, s"expected 10 query rows per tier: $qids")
+    qids.foreach { q =>
+      val curve = (1L to 3L).map(np => rows((np, q)))
+      assert(curve.forall(bp => bp >= 0L && bp <= 10000L), s"bp off-grid: $curve")
+      assert(curve.sameElements(curve.sorted),
+        s"recall not monotone in nprobe for qid $q: $curve")
+    }
+  }
+
   test("ev49 abandonment never exceeds engagement") {
     val rows = ops.Events.ev49BrowseNoBuy(spark, sf).collect()
     assert(rows.nonEmpty)
