@@ -258,6 +258,37 @@ object StreamingJobs {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class DiversityRow(user_id: Long, n_events: Long, n_types: Long,
+    simpson_ppm: Long)
+
+  /** st18: streaming per-user behavioral diversity — ev50's Simpson
+    * concentration maintained continuously in the state store via
+    * mapGroupsWithState: state per user is the O(|types|) type→count
+    * map (bounded by the event-type vocabulary, not the stream), and
+    * each micro-batch re-emits the user's updated (n_events, n_types,
+    * simpson_ppm) row in Update mode — the LIVE bot/scripted-account
+    * view of the batch operator, one exact-integer formula across both
+    * planes (the Kappa property; the spec asserts the streaming result
+    * equals ev50 run in batch over the same events). No timeout: the
+    * profile is cumulative over the stream's lifetime. */
+  def streamingDiversity(events: Dataset[Event]): Dataset[DiversityRow] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[Map[String, Long]]): DiversityRow = {
+      val m0 = state.getOption.getOrElse(Map.empty[String, Long])
+      val m = batch.foldLeft(m0) { (acc, e) =>
+        acc + (e.event_type -> (acc.getOrElse(e.event_type, 0L) + 1L))
+      }
+      state.update(m)
+      val n = m.values.sum
+      val pairSum = m.values.map(c => c * (c - 1)).sum
+      DiversityRow(userId, n, m.size.toLong,
+        if (n < 2) 0L else pairSum * 1000000L / (n * (n - 1)))
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** st14: streaming ingest decontamination — pp07's semantics at
     * ingest time. The (tiny) eval-set 15-token window index collapses
     * to ONE static row of hashes; each incoming doc computes its own

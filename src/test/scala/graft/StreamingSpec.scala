@@ -436,4 +436,45 @@ class StreamingSpec extends SparkTestBase {
         .toSeq == replay.toSeq)
     } finally q.stop()
   }
+
+  test("st18 streaming diversity converges to the batch ev50 formula") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamingJobs.streamingDiversity(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("st18_out").start()
+    try {
+      // batch 1: user 1 is a one-type hammerer, user 2 is mixed
+      in.addData(
+        Event(1, ts(1), 1, "view", 0), Event(2, ts(2), 1, "view", 0),
+        Event(3, ts(3), 2, "view", 0), Event(4, ts(4), 2, "click", 0))
+      q.processAllAvailable()
+      val mid = spark.sql(
+        "SELECT simpson_ppm FROM st18_out WHERE user_id = 1 ORDER BY n_events DESC")
+        .collect().head.getLong(0)
+      assert(mid == 1000000L, s"monoculture user must sit at 1e6: $mid")
+      // batch 2: state carries across batches — user 1 diversifies
+      in.addData(
+        Event(5, ts(5), 1, "click", 0), Event(6, ts(6), 2, "view", 0))
+      q.processAllAvailable()
+      // Update mode re-emits per batch: latest row per user = max n_events
+      val got = spark.sql(
+        """SELECT user_id, n_events, n_types, simpson_ppm FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY n_events DESC) AS rk FROM st18_out) WHERE rk = 1
+          |ORDER BY user_id""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // batch replay of the exact ev50 pair-collision formula
+      val all = Seq((1L, "view"), (1L, "view"), (1L, "click"),
+        (2L, "view"), (2L, "click"), (2L, "view"))
+      val expect = all.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, es) =>
+        val counts = es.groupBy(_._2).map(_._2.length.toLong)
+        val n = counts.sum
+        val ps = counts.map(c => c * (c - 1)).sum
+        (u, n, counts.size.toLong, if (n < 2) 0L else ps * 1000000L / (n * (n - 1)))
+      }
+      assert(got.toSeq == expect, s"streaming $got != batch-formula $expect")
+    } finally q.stop()
+  }
 }
