@@ -276,6 +276,7 @@ object SparkEntry {
     "ev50_user_diversity"   -> Events.ev50UserDiversity _,
     "tx44_commonness"       -> Text.tx44Commonness _,
     "ss16_nprobe_curve"     -> Similarity.ss16NprobeCurve _,
+    "pp26_mix_rebalance"    -> Pipelines.pp26MixRebalance _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -2788,6 +2789,23 @@ object SparkEntry {
         |SELECT md5(chunk) AS chunk_md5, count(DISTINCT doc_id) AS n_docs,
         |  count(*) AS n_occurrences
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "pp26_mix_rebalance" ->
+      """WITH src AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(trim(text),' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot,
+        |        count(*) AS n_sources FROM src)
+        |SELECT source, n_docs, tokens,
+        |  CAST(tokens * 10000 // tot AS BIGINT) AS share_bp,
+        |  CAST(tot // n_sources AS BIGINT) AS target_tokens,
+        |  CAST((tot // n_sources) * 10000 // tokens AS BIGINT) AS factor_bp,
+        |  CASE WHEN (tot // n_sources) * 10000 // tokens > 10000
+        |         THEN 'oversample'
+        |       WHEN (tot // n_sources) * 10000 // tokens < 10000
+        |         THEN 'undersample'
+        |       ELSE 'keep' END AS action
+        |FROM src, t""".stripMargin,
 
     "ev50_user_diversity" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS c

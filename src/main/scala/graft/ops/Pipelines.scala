@@ -807,4 +807,33 @@ object Pipelines {
           .as("band"),
         (negate(col("pair._1")).cast("long") % lit(8589934592L)).as("draw"))
   }
+
+  /** pp26: mix-rebalance plan — per source, the exact over/under-
+    * sampling factor that moves the corpus from its ACTUAL token mix
+    * to a TARGET mix (equal share here; any broadcastable weight table
+    * slots in): the knob a data-mixing run turns after pp06/pp10
+    * measure the imbalance. Everything sits on a BASIS-POINT grid,
+    * not ppm, deliberately: share_bp = tokens·10⁴ div total and
+    * factor_bp = target·10⁴ div tokens stay inside int64 up to
+    * ~9·10¹⁴ tokens (a ppm grid overflows at ~9·10¹² — real 100 TB
+    * corpora cross that). One linear scan, one |sources| aggregate,
+    * the 1-row total broadcast. */
+  def pp26MixRebalance(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+    val tot = src.agg(sum(col("tokens")).as("tot"),
+      count(lit(1)).as("n_sources"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        expr("tokens * 10000 div tot").as("share_bp"),
+        expr("tot div n_sources").as("target_tokens"),
+        expr("(tot div n_sources) * 10000 div tokens").as("factor_bp"))
+      .withColumn("action",
+        when(col("factor_bp") > 10000L, "oversample")
+          .when(col("factor_bp") < 10000L, "undersample")
+          .otherwise("keep"))
+  }
 }

@@ -1339,6 +1339,27 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("pp26 rebalance factors invert the share imbalance exactly") {
+    val rows = ops.Pipelines.pp26MixRebalance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getLong(2)).sum
+    val nSources = rows.length.toLong
+    rows.foreach { r =>
+      val (tokens, shareBp, target, factorBp, action) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))
+      assert(shareBp == tokens * 10000L / totalTokens, s"share off-grid: $r")
+      assert(target == totalTokens / nSources, s"target drifted: $r")
+      assert(factorBp == target * 10000L / tokens, s"factor off-grid: $r")
+      val expected = if (factorBp > 10000L) "oversample"
+        else if (factorBp < 10000L) "undersample" else "keep"
+      assert(action == expected, s"action disagrees with factor: $r")
+    }
+    // shares must cover the corpus up to per-source floor loss
+    val shareSum = rows.map(_.getLong(3)).sum
+    assert(shareSum > 10000L - nSources && shareSum <= 10000L,
+      s"share_bp sum off: $shareSum")
+  }
+
   test("ev49 abandonment never exceeds engagement") {
     val rows = ops.Events.ev49BrowseNoBuy(spark, sf).collect()
     assert(rows.nonEmpty)
