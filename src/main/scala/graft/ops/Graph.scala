@@ -422,11 +422,11 @@ object Graph {
     * because all 4 rounds reference it. At 100 TB the hop bound is the
     * scale contract: frontier size is monotone-bounded by |dup-graph
     * nodes|, and rounds are joins on the clustered src key. */
-  def gr14BfsDistances(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val bi = CacheScope.cached(
-      e.select(col("d1").as("src"), col("d2").as("dst"))
-        .unionByName(e.select(col("d2").as("src"), col("d1").as("dst"))))
+  /** The BFS kernel on any symmetric (src, dst) edge frame — exposed
+    * for the generative spec, which replays it against a reference
+    * BFS on random graphs (empty seed sets, isolated pockets,
+    * exactly-at-the-bound paths). */
+  private[graft] def bfsFrom(bi: DataFrame, hops: Int = 4): DataFrame = {
     // each round references the running table TWICE (frontier filter +
     // union), so the lazy unroll would re-execute the whole prefix 2×
     // per round (the gr05/gr13 compounding hazard; 8.6 s uncached at
@@ -437,7 +437,7 @@ object Graph {
       .filter(col("node") % 10 === 0)
       .withColumn("min_hops", lit(0L))
       .localCheckpoint(false)
-    for (h <- 1 to 4) {
+    for (h <- 1 to hops) {
       val next = dist.filter(col("min_hops") === h - 1)
         .join(bi, col("node") === col("src"))
         .select(col("dst").as("node"), lit(h.toLong).as("min_hops"))
@@ -446,5 +446,13 @@ object Graph {
         .localCheckpoint(false)
     }
     dist
+  }
+
+  def gr14BfsDistances(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = CacheScope.cached(
+      e.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(e.select(col("d2").as("src"), col("d1").as("dst"))))
+    bfsFrom(bi)
   }
 }

@@ -1360,6 +1360,33 @@ class OperatorsSpec extends SparkTestBase {
       s"share_bp sum off: $shareSum")
   }
 
+  test("gr14 BFS kernel matches reference BFS on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val nEdges = rnd.nextInt(3 * n)
+      val edges = (0 until nEdges).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      val bi = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .toDF("src", "dst")
+      val got = ops.Graph.bfsFrom(bi, 4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference BFS over the same adjacency
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      var dist = adj.keys.filter(_ % 10 == 0).map(_ -> 0L).toMap
+      for (h <- 1 to 4) {
+        val frontier = dist.collect { case (x, dd) if dd == h - 1 => x }
+        val next = frontier.flatMap(x => adj.getOrElse(x, Set.empty[Long]))
+          .filterNot(dist.contains)
+        dist = dist ++ next.map(_ -> h.toLong)
+      }
+      assert(got == dist, s"trial $trial (n=$n, edges=${edges.length})")
+    }
+  }
+
   test("ev49 abandonment never exceeds engagement") {
     val rows = ops.Events.ev49BrowseNoBuy(spark, sf).collect()
     assert(rows.nonEmpty)
