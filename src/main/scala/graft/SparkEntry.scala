@@ -277,6 +277,7 @@ object SparkEntry {
     "tx44_commonness"       -> Text.tx44Commonness _,
     "ss16_nprobe_curve"     -> Similarity.ss16NprobeCurve _,
     "pp26_mix_rebalance"    -> Pipelines.pp26MixRebalance _,
+    "mm12_dedup_savings"    -> Multimodal.mm12DedupSavings _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -2789,6 +2790,36 @@ object SparkEntry {
         |SELECT md5(chunk) AS chunk_md5, count(DISTINCT doc_id) AS n_docs,
         |  count(*) AS n_occurrences
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "mm12_dedup_savings" ->
+      """WITH c AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)))
+        |      AS chunk_idx
+        |  FROM documents),
+        |ck AS (SELECT doc_id,
+        |    md5(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64)) AS chunk_md5,
+        |    length(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64)) // 2
+        |      AS chunk_bytes
+        |  FROM c),
+        |cs AS (SELECT ck.doc_id, ck.chunk_md5, ck.chunk_bytes, d.source
+        |       FROM ck JOIN documents d USING (doc_id)),
+        |own AS (SELECT chunk_md5, min(doc_id) AS doc_id,
+        |          max(chunk_bytes) AS cb FROM cs GROUP BY 1),
+        |osrc AS (SELECT o.chunk_md5, o.cb, d.source
+        |         FROM own o JOIN documents d USING (doc_id)),
+        |lg AS (SELECT source, count(*) AS n_chunks,
+        |         CAST(sum(chunk_bytes) AS BIGINT) AS logical_bytes
+        |       FROM cs GROUP BY 1),
+        |uq AS (SELECT source, count(*) AS n_unique_chunks,
+        |         CAST(sum(cb) AS BIGINT) AS unique_bytes
+        |       FROM osrc GROUP BY 1)
+        |SELECT lg.source, lg.n_chunks, lg.logical_bytes,
+        |  CAST(coalesce(uq.n_unique_chunks, 0) AS BIGINT) AS n_unique_chunks,
+        |  CAST(coalesce(uq.unique_bytes, 0) AS BIGINT) AS unique_bytes,
+        |  CAST((lg.logical_bytes - coalesce(uq.unique_bytes, 0)) * 10000
+        |    // lg.logical_bytes AS BIGINT) AS savings_bp
+        |FROM lg LEFT JOIN uq USING (source)""".stripMargin,
 
     "pp26_mix_rebalance" ->
       """WITH src AS (SELECT source, count(*) AS n_docs,

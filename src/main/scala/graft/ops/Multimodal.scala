@@ -270,4 +270,35 @@ object Multimodal {
         sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_primary"),
         sum(col("chunk_bytes")).as("total_bytes"))
   }
+
+  /** mm12: CAS dedup-savings report by source — logical chunk bytes vs
+    * unique chunk bytes, with each unique chunk attributed to its
+    * min-doc_id owner's source (deterministic first-owner accounting,
+    * so cross-source shared chunks are counted exactly once and every
+    * per-source savings is ≥ 0): the "what does content addressing
+    * actually buy us, and which crawl slice is paying for whom"
+    * storage report. BASIS-POINT grid (not ppm) so bytes·10⁴ stays
+    * inside int64 at 10¹⁴-byte corpus scale (the pp26 rationale).
+    * Scale: the chunk explode is input-sized; the owner election is
+    * one partial-agg'd groupBy on the chunk hash; everything after is
+    * |sources|-sized. */
+  def mm12DedupSavings(s: SparkSession, d: String): DataFrame = {
+    val srcDim = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val ch = mm03Chunking(s, d).join(srcDim, Seq("doc_id"))
+    val owner = ch.groupBy(col("chunk_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), max(col("chunk_bytes")).as("cb"))
+      .join(srcDim, Seq("doc_id"))
+    val logical = ch.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_bytes")).as("logical_bytes"))
+    val unique = owner.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique_chunks"),
+        sum(col("cb")).as("unique_bytes"))
+    logical.join(unique, Seq("source"), "left_outer")
+      .select(col("source"), col("n_chunks"), col("logical_bytes"),
+        coalesce(col("n_unique_chunks"), lit(0L)).as("n_unique_chunks"),
+        coalesce(col("unique_bytes"), lit(0L)).as("unique_bytes"),
+        expr("(logical_bytes - coalesce(unique_bytes, 0L)) * 10000 " +
+          "div logical_bytes").as("savings_bp"))
+  }
 }

@@ -1387,6 +1387,24 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("mm12 savings accounting conserves unique bytes globally") {
+    val rows = ops.Multimodal.mm12DedupSavings(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, lb, nu, ub, bp) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(nu <= nc && ub <= lb, s"unique exceeds logical: $r")
+      assert(bp >= 0L && bp <= 10000L, s"savings off-grid: $r")
+      assert(bp == (lb - ub) * 10000L / lb, s"bp formula drifted: $r")
+    }
+    // first-owner attribution partitions the unique set: the summed
+    // per-source unique chunks must equal the global distinct count
+    val globalUnique = ops.Multimodal.mm03Chunking(spark, sf)
+      .select(col("chunk_md5")).distinct().count()
+    assert(rows.map(_.getLong(3)).sum == globalUnique,
+      "per-source unique chunks must partition the global distinct set")
+  }
+
   test("ev49 abandonment never exceeds engagement") {
     val rows = ops.Events.ev49BrowseNoBuy(spark, sf).collect()
     assert(rows.nonEmpty)
