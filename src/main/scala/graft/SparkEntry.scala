@@ -2847,8 +2847,8 @@ object SparkEntry {
         |      FROM c GROUP BY 1)
         |SELECT user_id, n_events, n_types,
         |  CAST(CASE WHEN n_events < 2 THEN 0
-        |       ELSE pair_sum * 1000000 // (n_events * (n_events - 1))
-        |       END AS BIGINT) AS simpson_ppm
+        |       ELSE pair_sum * 10000 // (n_events * (n_events - 1))
+        |       END AS BIGINT) AS simpson_bp
         |FROM u""".stripMargin,
 
     "tx44_commonness" ->

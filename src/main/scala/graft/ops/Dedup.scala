@@ -56,24 +56,30 @@ object Dedup {
   /** Exact Jaccard for a given candidate-pair set only — the verify
     * step shared by the sketch-based dedupers. The candidate frame
     * drives the join (cost ∝ |candidates|·|shingles per doc| after the
-    * d1 build side); the per-doc size table is one row per document —
-    * a classic small dimension — so both n1/n2 attachments are
-    * explicit broadcast joins, never shuffles of the pair stream.
-    * (A candidate-doc semi-join on the b side was measured SLOWER at
-    * bench scale — the extra union/distinct/broadcast stages cost more
-    * than the full-corpus b-side shuffle saves; at true 100 TB corpus
-    * scale the b side re-partitions on (d2, s) once, which AQE sizes,
-    * and the candidate side stays ∝ near-dups either way.) */
+    * d1 build side). The per-doc size table scales with the CORPUS
+    * (one row per document), not like a dimension, so it is first
+    * semi-joined down to the docs that actually appear in a candidate
+    * pair — a frame ∝ near-dups — and carries NO broadcast hint: AQE
+    * sees the post-semi-join size and picks broadcast when it fits,
+    * without the hint's OOM exposure on a 100 TB corpus. (A
+    * candidate-doc semi-join on the b shingle side was measured SLOWER
+    * at bench scale — the extra stages cost more than the b-side
+    * shuffle saves — but the sizes semi-join is over the tiny per-doc
+    * aggregate, not the shingle stream, so it costs one cheap hash
+    * join and bounds the n1/n2 build sides.) */
   private def verifiedJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
     val a = sh.select(col("doc_id").as("d1"), col("s"))
     val b = sh.select(col("doc_id").as("d2"), col("s"))
     val shared = cand.join(a, Seq("d1")).join(b, Seq("d2", "s"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
     shared
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1")), Seq("d1"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2")), Seq("d2"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
       .withColumn("jaccard",
         round(col("shared") * 1.0 / (col("n1") + col("n2") - col("shared")), 4))
       .filter(col("jaccard") >= 0.6)

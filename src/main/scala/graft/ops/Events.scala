@@ -1222,16 +1222,18 @@ object Events {
   }
 
   /** ev50: per-user behavioral diversity — Simpson concentration of
-    * each user's event-type distribution on an exact ppm integer grid
-    * (Σc(c−1) ·10⁶ div n(n−1), the unbiased pair-collision form): the
+    * each user's event-type distribution on an exact basis-point grid
+    * (Σc(c−1) ·10⁴ div n(n−1), the unbiased pair-collision form): the
     * cheap bot/spam discriminator — scripted accounts hammer one type
-    * (ppm → 10⁶), organic users spread (low ppm). The tx37 lexical
+    * (bp → 10⁴), organic users spread (low bp). The tx37 lexical
     * Simpson applied to the behavioral axis. Two aggregations: the
     * (user, type) rollup (one input-sized shuffle, partial-agg'd) then
-    * the per-user frame (|users| rows); all arithmetic exact integer —
-    * pair_sum ≤ n(n−1) keeps ·10⁶ far inside int64. n<2 users emit 0
-    * (guarded — the pair form is undefined there and integer ÷0
-    * differs across engines). */
+    * the per-user frame (|users| rows); all arithmetic exact integer.
+    * The ×10⁴ grid (pp26's rationale) keeps pair_sum·10⁴ inside int64
+    * up to n ≈ 3·10⁷ events per user — 10× the headroom a ppm grid
+    * gave, and past any plausible single-account volume; the bound is
+    * asserted in the spec. n<2 users emit 0 (guarded — the pair form
+    * is undefined there and integer ÷0 differs across engines). */
   def ev50UserDiversity(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("user_id"), col("event_type"))
@@ -1242,6 +1244,6 @@ object Events {
         sum(expr("c * (c - 1)")).as("pair_sum"))
       .select(col("user_id"), col("n_events"), col("n_types"),
         when(col("n_events") < 2, lit(0L))
-          .otherwise(expr("pair_sum * 1000000 div (n_events * (n_events - 1))"))
-          .as("simpson_ppm"))
+          .otherwise(expr("pair_sum * 10000 div (n_events * (n_events - 1))"))
+          .as("simpson_bp"))
 }

@@ -441,9 +441,12 @@ object Pipelines {
     * cannot see and near-dup-aware dedup must remove. Run BEFORE
     * dedup, it quantifies what's at stake; zero rows after. Output is
     * the (split, split) leak matrix with pair and doc counts. Scale:
-    * rides the dd02 MinHash+LSH tier — the 100 TB path, whose verified
-    * pair set is identical to dd04's exact tier by construction here
-    * (spec-asserted equal), so the oracle stays the exact-Jaccard SQL;
+    * rides the dd02 MinHash+LSH tier — the 100 TB path. LSH recall is
+    * probabilistic, so the verified pair set equalling dd04's exact
+    * tier is NOT guaranteed by construction — it is spec-asserted on
+    * this corpus (OperatorsSpec's dd02≡dd04 check is the guard; with
+    * 16 bands at the 0.6 cutoff the miss probability is <0.1%). The
+    * oracle therefore stays the exact-Jaccard SQL;
     * the split label is a per-row md5 — no extra shuffle beyond the
     * final tiny aggregate. */
   def pp16SplitLeakage(s: SparkSession, d: String): DataFrame = {

@@ -259,14 +259,14 @@ object StreamingJobs {
   }
 
   case class DiversityRow(user_id: Long, n_events: Long, n_types: Long,
-    simpson_ppm: Long)
+    simpson_bp: Long)
 
   /** st18: streaming per-user behavioral diversity — ev50's Simpson
     * concentration maintained continuously in the state store via
     * mapGroupsWithState: state per user is the O(|types|) type→count
     * map (bounded by the event-type vocabulary, not the stream), and
     * each micro-batch re-emits the user's updated (n_events, n_types,
-    * simpson_ppm) row in Update mode — the LIVE bot/scripted-account
+    * simpson_bp) row in Update mode — the LIVE bot/scripted-account
     * view of the batch operator, one exact-integer formula across both
     * planes (the Kappa property; the spec asserts the streaming result
     * equals ev50 run in batch over the same events). No timeout: the
@@ -283,7 +283,7 @@ object StreamingJobs {
       val n = m.values.sum
       val pairSum = m.values.map(c => c * (c - 1)).sum
       DiversityRow(userId, n, m.size.toLong,
-        if (n < 2) 0L else pairSum * 1000000L / (n * (n - 1)))
+        if (n < 2) 0L else pairSum * 10000L / (n * (n - 1)))
     }
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)

@@ -1287,16 +1287,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows == dist, "BFS distance table disagrees with reference")
   }
 
-  test("ev50 Simpson ppm sits on the exact pair-collision grid") {
+  test("ev50 Simpson bp sits on the exact pair-collision grid") {
     val rows = ops.Events.ev50UserDiversity(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (n, t, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (n, t, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(t >= 1 && t <= n, s"type count off: $r")
-      assert(ppm >= 0L && ppm <= 1000000L, s"ppm off-grid: $r")
-      // all-one-type users must sit exactly at 10^6; diversity below
-      if (t == 1 && n >= 2) assert(ppm == 1000000L, s"monoculture != 1e6: $r")
-      if (t > 1) assert(ppm < 1000000L, s"diverse user at ceiling: $r")
+      assert(bp >= 0L && bp <= 10000L, s"bp off-grid: $r")
+      // the ×10⁴ grid's int64 overflow bound: n(n−1)·10⁴ < 2⁶³
+      assert(n < 30000000L, s"per-user event count beyond bp-grid bound: $r")
+      // all-one-type users must sit exactly at 10^4; diversity below
+      if (t == 1 && n >= 2) assert(bp == 10000L, s"monoculture != 1e4: $r")
+      if (t > 1) assert(bp < 10000L, s"diverse user at ceiling: $r")
     }
   }
 

@@ -451,16 +451,16 @@ class StreamingSpec extends SparkTestBase {
         Event(3, ts(3), 2, "view", 0), Event(4, ts(4), 2, "click", 0))
       q.processAllAvailable()
       val mid = spark.sql(
-        "SELECT simpson_ppm FROM st18_out WHERE user_id = 1 ORDER BY n_events DESC")
+        "SELECT simpson_bp FROM st18_out WHERE user_id = 1 ORDER BY n_events DESC")
         .collect().head.getLong(0)
-      assert(mid == 1000000L, s"monoculture user must sit at 1e6: $mid")
+      assert(mid == 10000L, s"monoculture user must sit at 1e4: $mid")
       // batch 2: state carries across batches — user 1 diversifies
       in.addData(
         Event(5, ts(5), 1, "click", 0), Event(6, ts(6), 2, "view", 0))
       q.processAllAvailable()
       // Update mode re-emits per batch: latest row per user = max n_events
       val got = spark.sql(
-        """SELECT user_id, n_events, n_types, simpson_ppm FROM (
+        """SELECT user_id, n_events, n_types, simpson_bp FROM (
           |  SELECT *, row_number() OVER (PARTITION BY user_id
           |    ORDER BY n_events DESC) AS rk FROM st18_out) WHERE rk = 1
           |ORDER BY user_id""".stripMargin).collect()
@@ -472,7 +472,7 @@ class StreamingSpec extends SparkTestBase {
         val counts = es.groupBy(_._2).map(_._2.length.toLong)
         val n = counts.sum
         val ps = counts.map(c => c * (c - 1)).sum
-        (u, n, counts.size.toLong, if (n < 2) 0L else ps * 1000000L / (n * (n - 1)))
+        (u, n, counts.size.toLong, if (n < 2) 0L else ps * 10000L / (n * (n - 1)))
       }
       assert(got.toSeq == expect, s"streaming $got != batch-formula $expect")
     } finally q.stop()

@@ -48,7 +48,12 @@ def dtype_class(dtype) -> str:
 def reject_nested(df: pd.DataFrame, side: str, name: str):
     for c in df.columns:
         if df[c].dtype == object and len(df):
-            v = df[c].iloc[0]
+            # first NON-NULL value: a leading null (or scalar) must not
+            # let list/ndarray cells later in the column slip past
+            s = df[c].dropna()
+            if not len(s):
+                continue
+            v = s.iloc[0]
             if isinstance(v, (list, np.ndarray, dict)):
                 raise ValueError(
                     f"{name}: {side} column '{c}' is nested "
