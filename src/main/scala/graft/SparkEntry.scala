@@ -149,6 +149,7 @@ object SparkEntry {
     "ss11_embedding_audit"  -> Similarity.ss11EmbeddingAudit _,
     "pp04_session_features" -> Pipelines.pp04UserSessionFeatures _,
     "gr04_common_neighbors" -> Graph.gr04CommonNeighbors _,
+    "gr15_wedge_audit"      -> Graph.gr15WedgeAudit _,
     "q42_bag_set_ops"       -> Relational.q42BagSetOps _,
     "ev25_anomaly_days"     -> Events.ev25AnomalyDays _,
     "tx19_dedup_impact"     -> Text.tx19DedupImpact _,
@@ -1568,8 +1569,11 @@ object SparkEntry {
     "gr04_common_neighbors" ->
       s"""WITH j AS ($ngramJaccardSql),
          |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
+         |deg AS (SELECT m, count(*) AS deg FROM bi GROUP BY 1),
+         |safe AS (SELECT bi.m, bi.n FROM bi JOIN deg USING (m)
+         |         WHERE deg.deg <= 64),
          |cn AS (SELECT x.n AS a, y.n AS b, count(*) AS common
-         |       FROM bi x JOIN bi y ON x.m = y.m AND x.n < y.n
+         |       FROM safe x JOIN safe y ON x.m = y.m AND x.n < y.n
          |       GROUP BY 1, 2)
          |SELECT a, b, common,
          |  CASE WHEN EXISTS (SELECT 1 FROM j WHERE j.d1 = cn.a AND j.d2 = cn.b)
@@ -2411,9 +2415,11 @@ object SparkEntry {
       s"""WITH j AS ($ngramJaccardSql),
          |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
          |deg AS (SELECT m, count(*) AS deg FROM bi GROUP BY 1),
+         |safe AS (SELECT bi.m, bi.n FROM bi JOIN deg USING (m)
+         |         WHERE deg.deg <= 64),
          |w AS (SELECT x.n AS a, y.n AS b, count(*) AS common,
          |        CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_ppm
-         |      FROM bi x JOIN bi y ON x.m = y.m AND x.n < y.n
+         |      FROM safe x JOIN safe y ON x.m = y.m AND x.n < y.n
          |      JOIN deg d ON d.m = x.m GROUP BY 1, 2)
          |SELECT w.a, w.b, w.common,
          |  CAST(w.common * 1000000 // (da.deg + db.deg - w.common) AS BIGINT)
@@ -2944,8 +2950,10 @@ object SparkEntry {
       s"""WITH j AS ($ngramJaccardSql),
          |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
          |deg AS (SELECT m, count(*) AS degree FROM bi GROUP BY 1),
+         |safe AS (SELECT bi.m, bi.n FROM bi JOIN deg USING (m)
+         |         WHERE deg.degree <= 64),
          |tri AS (SELECT x.m, count(*) AS n_tri
-         |        FROM bi x JOIN bi y ON x.m = y.m AND x.n < y.n
+         |        FROM safe x JOIN safe y ON x.m = y.m AND x.n < y.n
          |        JOIN j e ON e.d1 = x.n AND e.d2 = y.n
          |        GROUP BY 1)
          |SELECT d.m AS doc_id, CAST(d.degree AS BIGINT) AS degree,
@@ -2953,7 +2961,24 @@ object SparkEntry {
          |  CAST(coalesce(t.n_tri, 0) * 2 * 1000000
          |       // (d.degree * (d.degree - 1)) AS BIGINT) AS coeff_ppm
          |FROM deg d LEFT JOIN tri t ON d.m = t.m
-         |WHERE d.degree >= 2""".stripMargin,
+         |WHERE d.degree >= 2 AND d.degree <= 64""".stripMargin,
+
+    "gr15_wedge_audit" ->
+      s"""WITH j AS ($ngramJaccardSql),
+         |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
+         |deg AS (SELECT m, count(*) AS deg FROM bi GROUP BY 1)
+         |SELECT
+         |  CAST(coalesce(sum(CASE WHEN deg <= 64 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_centers_exact,
+         |  CAST(coalesce(sum(CASE WHEN deg > 64 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_hubs,
+         |  CAST(coalesce(sum(CASE WHEN deg <= 64
+         |    THEN deg * (deg - 1) // 2 ELSE 0 END), 0)
+         |    AS BIGINT) AS exact_wedges,
+         |  CAST(coalesce(sum(CASE WHEN deg > 64
+         |    THEN deg * (deg - 1) // 2 ELSE 0 END), 0)
+         |    AS BIGINT) AS hub_wedges_skipped
+         |FROM deg""".stripMargin,
 
     "sk10_power_sums" ->
       """WITH e AS (SELECT event_type,

@@ -177,18 +177,19 @@ object Dedup {
       .withColumn("hh", expr("md5(cast(s as binary))"))
       .withColumn("hi", expr("CAST(conv(substring(hh, 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("lo", expr("CAST(conv(substring(hh, 9, 8), 16, 10) AS BIGINT)"))
-    val bitSums = toks.groupBy(col("doc_id")).agg(
-      sum(when(col("lo").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
-      (1 until 64).map { i =>
-        val src = if (i < 32) shiftrightunsigned(col("lo"), i)
-          else shiftrightunsigned(col("hi"), i - 32)
-        sum(when(src.bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"b$i")
-      }: _*)
-    def half(lo0: Int) = (0 until 32).map(i =>
-        when(col(s"b${lo0 + i}") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    val signed = bitSums.select(col("doc_id"),
-      half(0).as("sig_lo"), half(32).as("sig_hi"))
+    // One SimHashAgg accumulator (64-int bit-balance buffer, partials
+    // merge element-wise) replaces the 64 separate sum(when(...))
+    // aggregate slots — identical signature semantics (bit set iff
+    // balance > 0), the 64-column form survives only in the oracle SQL.
+    val out = toks.queryExecution.analyzed.output
+    val sig = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.SimHashAgg(
+        out.find(_.name == "hi").get, out.find(_.name == "lo").get)
+        .toAggregateExpression())
+    val signed = toks.groupBy(col("doc_id")).agg(sig.as("sig"))
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("sig_lo"),
+        element_at(col("sig"), 2).as("sig_hi"))
     val banded = signed.select(col("doc_id"), col("sig_lo"), col("sig_hi"),
       posexplode(array(
         col("sig_lo").bitwiseAND(lit(0xFFFFL)),

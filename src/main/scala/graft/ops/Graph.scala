@@ -44,25 +44,90 @@ object Graph {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
   }
 
-  /** gr04: common-neighbors scoring — every doc pair sharing ≥1
-    * near-dup neighbor, with its shared count and whether the pair is
-    * already an edge (the classic link-prediction score: open wedges
-    * with high `common` are likely missed duplicates worth exact
-    * verification; in a clean clique-shaped dup graph every wedge is
-    * closed, which this output makes auditable). */
-  def gr04CommonNeighbors(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val bi = e.select(col("d1").as("m"), col("d2").as("n"))
+  /** Hub-degree cap for the wedge-enumeration kernels (gr04/gr08/gr09).
+    * Wedge work is Σ deg(v)² over enumeration centers, so one
+    * boilerplate/template mega-family of n docs — which a 100 TB
+    * corpus WILL contain — puts n² rows through the shuffle if its
+    * members are enumerated as centers. Nodes with deg > wedgeMaxDeg
+    * are therefore routed to the COUNT-ONLY path (gr15: the exact
+    * per-hub wedge count deg·(deg−1)/2 needs no enumeration); wedges
+    * are enumerated exactly only where deg ≤ wedgeMaxDeg. The cap is
+    * part of the operator SEMANTICS — the oracle SQL applies the same
+    * deg ≤ 64 center restriction, so the outputs stay hash-identical
+    * on ANY corpus, hubs present or not. Hub docs are precisely the
+    * boilerplate chains the module's narrative routes to substring
+    * dedup anyway (gr09's low-coeff/high-degree signature). */
+  private[graft] val wedgeMaxDeg = 64
+
+  /** Bidirectional adjacency of an oriented (d1<d2) edge frame. */
+  private def biAdj(e: DataFrame): DataFrame =
+    e.select(col("d1").as("m"), col("d2").as("n"))
       .unionByName(e.select(col("d2").as("m"), col("d1").as("n")))
-    val n1 = bi.select(col("m"), col("n").as("a"))
-    val n2 = bi.select(col("m").as("m2"), col("n").as("b"))
+
+  /** Adjacency restricted to wedge-safe enumeration centers
+    * (deg ≤ maxDeg) — one semi-join against the per-node degree
+    * aggregate, which AQE broadcasts when it fits. */
+  private def safeAdj(bi: DataFrame, maxDeg: Int): DataFrame = {
+    val deg = bi.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+    bi.join(deg.filter(col("deg") <= maxDeg).select(col("m")),
+      Seq("m"), "left_semi")
+  }
+
+  /** gr04 kernel over an arbitrary oriented edge frame: exact
+    * common-neighbor pairs from wedges centered at deg ≤ maxDeg nodes
+    * only (hub centers are count-only — see wedgeMaxDeg). Kernel is
+    * edge-frame-parameterized so the planted-mega-clique spec can
+    * exercise the guard directly. */
+  private[graft] def commonNeighborPairs(e: DataFrame, maxDeg: Int): DataFrame = {
+    val safe = safeAdj(biAdj(e), maxDeg)
+    val n1 = safe.select(col("m"), col("n").as("a"))
+    val n2 = safe.select(col("m").as("m2"), col("n").as("b"))
     n1.join(n2, col("m") === col("m2") && col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+  }
+
+  /** Count-only hub audit: per-center wedge totals split into the
+    * exactly-enumerated tier (deg ≤ maxDeg) and the skipped hub tier,
+    * via the closed form deg·(deg−1)/2 — no enumeration, cost
+    * ∝ |nodes|. The one-row summary a 100 TB run reads to decide
+    * whether the cap is placed right for its corpus. */
+  private[graft] def wedgeHubAudit(e: DataFrame, maxDeg: Int): DataFrame =
+    biAdj(e).groupBy(col("m")).agg(count(lit(1)).as("deg"))
+      .agg(
+        coalesce(sum(when(col("deg") <= maxDeg, 1L).otherwise(0L)), lit(0L))
+          .as("n_centers_exact"),
+        coalesce(sum(when(col("deg") > maxDeg, 1L).otherwise(0L)), lit(0L))
+          .as("n_hubs"),
+        coalesce(sum(when(col("deg") <= maxDeg,
+          expr("deg * (deg - 1) div 2")).otherwise(0L)), lit(0L))
+          .as("exact_wedges"),
+        coalesce(sum(when(col("deg") > maxDeg,
+          expr("deg * (deg - 1) div 2")).otherwise(0L)), lit(0L))
+          .as("hub_wedges_skipped"))
+
+  /** gr04: common-neighbors scoring — every doc pair sharing ≥1
+    * near-dup neighbor (through a wedge-safe center — deg ≤ 64; hub
+    * centers go to the gr15 count-only path), with its shared count
+    * and whether the pair is already an edge (the classic
+    * link-prediction score: open wedges with high `common` are likely
+    * missed duplicates worth exact verification; in a clean
+    * clique-shaped dup graph every wedge is closed, which this output
+    * makes auditable). */
+  def gr04CommonNeighbors(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    commonNeighborPairs(e, wedgeMaxDeg)
       .join(e.select(col("d1"), col("d2"), lit(1).as("flag")),
         col("a") === col("d1") && col("b") === col("d2"), "left_outer")
       .select(col("a"), col("b"), col("common"),
         coalesce(col("flag"), lit(0)).as("is_edge"))
   }
+
+  /** gr15: wedge-kernel hub audit over the near-dup graph — the
+    * count-only tier of the wedgeMaxDeg guard as a graded one-row
+    * summary (how many centers are enumerated exactly, how many hubs
+    * are diverted, and the exact wedge mass on each side). */
+  def gr15WedgeAudit(s: SparkSession, d: String): DataFrame =
+    wedgeHubAudit(edges(s, d), wedgeMaxDeg)
 
   /** PageRank over a SYMMETRIC (src,dst) edge frame: damping 0.85,
     * ranks initialized to 1.0 (the all-ranks sum is then invariantly
@@ -262,8 +327,14 @@ object Graph {
     val bi = e.select(col("d1").as("m"), col("d2").as("n"))
       .unionByName(e.select(col("d2").as("m"), col("d1").as("n")))
     val deg = bi.groupBy(col("m")).agg(count(lit(1)).as("deg"))
-    val n1 = bi.select(col("m"), col("n").as("a"))
-    val n2 = bi.select(col("m").as("m2"), col("n").as("b"))
+    // wedge ENUMERATION restricted to deg ≤ wedgeMaxDeg centers (the
+    // hub guard — see wedgeMaxDeg); the deg table itself stays full so
+    // jaccard_ppm sees the true endpoint degrees even when an endpoint
+    // is a hub. Oracle applies the identical center restriction.
+    val safe = bi.join(deg.filter(col("deg") <= wedgeMaxDeg).select(col("m")),
+      Seq("m"), "left_semi")
+    val n1 = safe.select(col("m"), col("n").as("a"))
+    val n2 = safe.select(col("m").as("m2"), col("n").as("b"))
     val wedges = n1.join(n2, col("m") === col("m2") && col("a") < col("b"))
       .join(broadcast(deg), Seq("m"))
       .groupBy(col("a"), col("b"))
@@ -296,12 +367,19 @@ object Graph {
     val bi = e.select(col("d1").as("m"), col("d2").as("n"))
       .unionByName(e.select(col("d2").as("m"), col("d1").as("n")))
     val deg = bi.groupBy(col("m")).agg(count(lit(1)).as("degree"))
-    val n1 = bi.select(col("m"), col("n").as("a"))
-    val n2 = bi.select(col("m").as("m2"), col("n").as("b"))
+    // a node's coefficient needs the wedges centered AT it, so hub
+    // nodes (deg > wedgeMaxDeg) are excluded from the exact output
+    // entirely — their n² neighborhoods are the boilerplate-template
+    // signature this very operator exists to flag, and they surface in
+    // the gr15 count-only audit instead. Oracle mirrors the bound.
+    val safe = bi.join(deg.filter(col("degree") <= wedgeMaxDeg).select(col("m")),
+      Seq("m"), "left_semi")
+    val n1 = safe.select(col("m"), col("n").as("a"))
+    val n2 = safe.select(col("m").as("m2"), col("n").as("b"))
     val tri = n1.join(n2, col("m") === col("m2") && col("a") < col("b"))
       .join(e.select(col("d1").as("a"), col("d2").as("b")), Seq("a", "b"))
       .groupBy(col("m")).agg(count(lit(1)).as("n_tri"))
-    deg.filter(col("degree") >= 2)
+    deg.filter(col("degree") >= 2 && col("degree") <= wedgeMaxDeg)
       .join(tri, Seq("m"), "left_outer")
       .select(col("m").as("doc_id"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))

@@ -1389,6 +1389,44 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("wedge kernels divert a planted mega-clique to the count-only path") {
+    import spark.implicits._
+    // 40-clique (every member deg ≥ 39 — all hubs at maxDeg=16) plus a
+    // small safe structure, bridged into the clique through node 5
+    val clique = for { a <- 100L to 139L; b <- (a + 1) to 139L } yield (a, b)
+    val small = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 100L))
+    val all = clique ++ small
+    val e = all.toDF("d1", "d2")
+    val maxDeg = 16
+    // local reference: wedges centered at deg ≤ maxDeg nodes only
+    val adj = all.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((m, ns) <- adj if deg(m) <= maxDeg; a <- ns; b <- ns if a < b)
+      expected((a, b)) = expected.getOrElse((a, b), 0L) + 1L
+    val got = ops.Graph.commonNeighborPairs(e, maxDeg).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected.toMap, "guarded wedge pairs disagree with reference")
+    // clique-internal pairs must be absent: their only wedge centers
+    // are hubs, which the guard diverts instead of enumerating
+    assert(!got.keys.exists { case (a, b) => a >= 100L && b >= 100L },
+      "hub-centered wedges leaked into the exact tier")
+    // the bridge witness survives: (4,100) shares safe center 5
+    assert(got.get((4L, 100L)).contains(1L), "safe-centered wedge missing")
+    // count-only audit agrees with the closed form on both tiers
+    val audit = ops.Graph.wedgeHubAudit(e, maxDeg).collect().head
+    def wedges(p: Long => Boolean) =
+      deg.collect { case (_, k) if p(k) => k * (k - 1) / 2 }.sum
+    assert(audit.getLong(0) == deg.values.count(_ <= maxDeg).toLong)
+    assert(audit.getLong(1) == deg.values.count(_ > maxDeg).toLong)
+    assert(audit.getLong(2) == wedges(_ <= maxDeg))
+    assert(audit.getLong(3) == wedges(_ > maxDeg))
+    assert(audit.getLong(1) == 40L && audit.getLong(3) > 29000L,
+      "mega-clique not routed to the count-only tier")
+  }
+
   test("mm12 savings accounting conserves unique bytes globally") {
     val rows = ops.Multimodal.mm12DedupSavings(spark, sf).collect()
     assert(rows.nonEmpty)
