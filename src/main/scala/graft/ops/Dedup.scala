@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import Checkpoints.TruncateOps
 
 /** Deduplication operators for LLM training-data pipelines
   * (SURVEY.md §2). Three cost tiers:
@@ -253,7 +254,7 @@ object Dedup {
     // the ONE job per round that also materializes the checkpoint.
     var labels = edges.select(col("d1").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
-      .localCheckpoint(eager = false)
+      .truncated
     // convergence via the exact label-sum: labels only ever decrease,
     // so the sum strictly decreases until the fixed point — no
     // hash-collision false positive.
@@ -270,7 +271,7 @@ object Dedup {
         .agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(prop, labels("doc") === prop("ndoc"), "left_outer")
         .select(col("doc"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(eager = false)
+        .truncated
       val curSum = labelSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum

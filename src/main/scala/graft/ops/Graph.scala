@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import Checkpoints.TruncateOps
 
 /** Graph analytics over the verified near-duplicate pair graph
   * (SURVEY.md §2) — the canonical distributed-graph kernels, expressed
@@ -162,7 +163,7 @@ object Graph {
       ranks = contrib.groupBy(col("node2")).agg(sum(col("c")).as("in_sum"))
         .select(col("node2").as("node"),
           (lit(0.15) * tele(col("node2")) + lit(0.85) * col("in_sum")).as("rank"))
-        .localCheckpoint(false)
+        .truncated
     }
     ranks
   }
@@ -188,7 +189,7 @@ object Graph {
         // LAZY checkpoint per round: each round references the prior
         // round three times (keep + both join sides) — without
         // truncation the re-execution fan-out compounds ~3× per round
-        .localCheckpoint(false)
+        .truncated
     }
     bi.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
       .select(col("src").as("doc_id"), col("core_degree"))
@@ -514,14 +515,14 @@ object Graph {
     var dist = bi.select(col("src").as("node")).distinct()
       .filter(col("node") % 10 === 0)
       .withColumn("min_hops", lit(0L))
-      .localCheckpoint(false)
+      .truncated
     for (h <- 1 to hops) {
       val next = dist.filter(col("min_hops") === h - 1)
         .join(bi, col("node") === col("src"))
         .select(col("dst").as("node"), lit(h.toLong).as("min_hops"))
       dist = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("min_hops")).as("min_hops"))
-        .localCheckpoint(false)
+        .truncated
     }
     dist
   }

@@ -1389,6 +1389,25 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("iterative kernels honor spark.graft.checkpointDir (reliable ckpt)") {
+    // default path: executor-local lazy localCheckpoint
+    val base = ops.Graph.gr03PageRank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      // flagged path: per-round RELIABLE checkpoint into the dir —
+      // identical results, and the checkpoint files actually land
+      val got = ops.Graph.gr03PageRank(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == base, "reliable-checkpoint run diverged from default")
+      val ckptRoot = new java.io.File(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.get))
+      assert(ckptRoot.exists && ckptRoot.listFiles.nonEmpty,
+        "no reliable checkpoint data written under spark.graft.checkpointDir")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("wedge kernels divert a planted mega-clique to the count-only path") {
     import spark.implicits._
     // 40-clique (every member deg ≥ 39 — all hubs at maxDeg=16) plus a
