@@ -492,6 +492,98 @@ object SparkEntry {
       |      FROM c)
       |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin
 
+  /** ss12's oracle: the greedy MMR selection unrolled as 5 CTE rounds —
+    * round 1 takes the best 0.7·score, each later round re-scores the
+    * remaining candidates against the chosen set (max-sim penalty,
+    * aggregate max is order-independent) and takes the arg-max with
+    * the same (value DESC, cid) tie-break the Spark kernel applies. */
+  private val mmrTopkSql: String = {
+    def pick(r: Int): String =
+      if (r == 1)
+        """ch1 AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+          |  PARTITION BY qid ORDER BY 0.7 * score DESC, cid) AS rn FROM t)
+          |  WHERE rn = 1),
+          |u1 AS (SELECT qid, cid, 1 AS rk FROM ch1)""".stripMargin
+      else
+        s"""m$r AS (SELECT c.qid, c.cid, c.score, max(p.sim) AS ms
+           |  FROM t c JOIN p ON p.qid = c.qid AND p.ci = c.cid
+           |  JOIN u${r - 1} h ON h.qid = p.qid AND h.cid = p.cj
+           |  WHERE NOT EXISTS (SELECT 1 FROM u${r - 1} x
+           |                    WHERE x.qid = c.qid AND x.cid = c.cid)
+           |  GROUP BY 1, 2, 3),
+           |ch$r AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+           |  PARTITION BY qid ORDER BY 0.7 * score - 0.3 * ms DESC, cid) AS rn
+           |  FROM m$r) WHERE rn = 1),
+           |u$r AS (SELECT * FROM u${r - 1}
+           |        UNION ALL SELECT qid, cid, $r AS rk FROM ch$r)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+       |           FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT qid, e.vec_id AS cid,
+       |        list_cosine_similarity(qe, e.embedding) AS score,
+       |        e.embedding AS ce
+       |      FROM q, embeddings e WHERE e.vec_id != qid),
+       |t AS (SELECT qid, cid, score, ce FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM c)
+       |      WHERE rn <= 20),
+       |p AS (SELECT a.qid, a.cid AS ci, b.cid AS cj,
+       |        list_cosine_similarity(a.ce, b.ce) AS sim
+       |      FROM t a JOIN t b ON a.qid = b.qid AND a.cid != b.cid),
+       |${pick(1)},
+       |${pick(2)},
+       |${pick(3)},
+       |${pick(4)},
+       |${pick(5)}
+       |SELECT qid, rk, cid AS neighbor_id FROM u5""".stripMargin
+  }
+
+  /** ss15's oracle: the 3-round SQ12 fixed-point Lloyd chain unrolled
+    * as CTEs — the same floor(v·4096) quantization, per-(vec, cell)
+    * integer d² via zipped unnest, lexicographic (d2, cell) argmin,
+    * and the truncate-toward-zero centroid update spelled
+    * sign-explicitly so DuckDB's // semantics cannot drift from
+    * Spark's div. All arithmetic int64-exact on both engines. */
+  private val kmeansSql: String = {
+    def round(r: Int): String = {
+      val prevC = if (r == 1) "c0" else s"c${r - 1}"
+      val stats =
+        s"""a$r AS (SELECT e.vec_id, c.cell, unnest(e.x) AS xv, unnest(c.cent) AS cv
+           |        FROM em e CROSS JOIN $prevC c),
+           |d$r AS (SELECT vec_id, cell, CAST(sum((xv - cv) * (xv - cv)) AS BIGINT) AS d2
+           |        FROM a$r GROUP BY 1, 2),
+           |s$r AS (SELECT vec_id, cell, d2 FROM (SELECT *, row_number() OVER (
+           |          PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d$r)
+           |        WHERE rn = 1),
+           |g$r AS (SELECT cell, count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS ci
+           |        FROM s$r GROUP BY 1),
+           |st$r AS (SELECT CAST($r AS BIGINT) AS iter,
+           |          CAST(count(*) AS BIGINT) AS n_cells,
+           |          CAST(sum(ci) AS BIGINT) AS total_inertia,
+           |          CAST(max(n_vecs) AS BIGINT) AS largest_cell,
+           |          CAST(min(n_vecs) AS BIGINT) AS smallest_cell FROM g$r)""".stripMargin
+      val update =
+        s""",
+           |u$r AS (SELECT cell, i, CAST(sum(xv) AS BIGINT) AS sv, count(*) AS cnt
+           |        FROM (SELECT s.cell, unnest(e.x) AS xv, unnest(range(1, 65)) AS i
+           |              FROM s$r s JOIN em e USING (vec_id))
+           |        GROUP BY 1, 2),
+           |c$r AS (SELECT cell, list(CASE WHEN sv >= 0 THEN sv // cnt
+           |                           ELSE -((-sv) // cnt) END ORDER BY i) AS cent
+           |        FROM u$r GROUP BY 1)""".stripMargin
+      if (r < 3) stats + update else stats
+    }
+    s"""WITH em AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      v -> CAST(floor(CAST(v AS DOUBLE) * 4096.0) AS BIGINT)) AS x
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, x AS cent
+       |       FROM em WHERE vec_id < 8),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT * FROM st1 UNION ALL SELECT * FROM st2
+       |UNION ALL SELECT * FROM st3""".stripMargin
+  }
+
   /** DuckDB replica of ss02's LSH bucket ids: the same seed-42 planes
     * inlined as list literals (sign noise at the 0-boundary is
     * measure-zero for these data). One expression per hash table. */
@@ -1811,6 +1903,8 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin,
 
     "ss01_brute_topk" -> bruteTopkSql,
+    "ss12_mmr_topk" -> mmrTopkSql,
+    "ss15_kmeans" -> kmeansSql,
 
     "ss04_knn_classify" ->
       s"""WITH knn AS ($bruteTopkSql),

@@ -514,27 +514,35 @@ object Similarity {
     * run when no labels exist). Each iteration is the canonical
     * two-phase distributed shape: (1) assignment — centroids broadcast
     * (8 rows), per-vector argmin-L2 via d² = |x|² − 2x·c + |c|² with
-    * the dot products in the codegen'd `dot_product`, folded to one
+    * the dot products in the codegen'd `long_dot`, folded to one
     * row per vector by a lexicographic struct-min (deterministic under
     * ties) — the corpus is SCANNED, never shuffled; (2) update — one
-    * partial-aggregated VecSumAgg per cell. Per-iteration inertia is
-    * emitted and the spec asserts Lloyd's monotone descent — the
-    * invariant that catches a broken update step. Declared rows-only
-    * (float iteration; the descent property IS the check). */
+    * partial-aggregated LongVecSumAgg per cell. Runs on an SQ12
+    * FIXED-POINT grid: embeddings are quantized once by
+    * floor(v·4096) (a power-of-two double multiply — exact), so d²,
+    * inertia, and the centroid update are all int64-exact and
+    * order-independent under any partial-merge schedule — no
+    * float-sum nondeterminism, and the whole 3-round chain replays
+    * bit-exactly in the DuckDB oracle (promoted from rows-only). The
+    * update divides with int truncation-toward-zero — a ≤1-grid-unit
+    * centroid shift vs the real mean; the spec asserts Lloyd descent
+    * still holds. Bounds: |v|<1 ⇒ |x|<2¹², d² ≤ 64·2²⁶ ≈ 2³²,
+    * inertia sum safe past 10⁹ vectors. */
   def ss15Kmeans(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .withColumn("xn2", expr("dot_product(embedding, embedding)"))
+    val emb = CacheScope.cached(Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 4096.0) AS BIGINT))")
+        .as("x"))
+      .withColumn("xn2", expr("long_dot(x, x)")))
     var cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("cell"),
-        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("cent"))
+      .select(col("vec_id").cast("int").as("cell"), col("x").as("cent"))
     val iterStats = (1 to 3).map { it =>
       val withC = cents
-        .withColumn("cn2", expr("dot_product(cent, cent)"))
+        .withColumn("cn2", expr("long_dot(cent, cent)"))
       val assigned = emb.crossJoin(broadcast(withC))
         .withColumn("d2",
-          col("xn2") - lit(2.0) * expr("dot_product(embedding, cent)")
-            + col("cn2"))
+          col("xn2") - lit(2L) * expr("long_dot(x, cent)") + col("cn2"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("cell"))).as("m"))
         .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("d2"))
@@ -543,18 +551,22 @@ object Similarity {
         .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("cell_inertia"))
         .agg(lit(it.toLong).as("iter"),
           count(lit(1)).as("n_cells"),
-          round(sum(col("cell_inertia")), 3).as("total_inertia"),
+          sum(col("cell_inertia")).as("total_inertia"),
           max(col("n_vecs")).as("largest_cell"),
           min(col("n_vecs")).as("smallest_cell"))
-      // update step: new centroids from the fresh assignment
+      // update step: new centroids from the fresh assignment; `div`
+      // truncates toward zero (the oracle spells the same truncation
+      // sign-explicitly so DuckDB's // semantics can't drift)
       val joined = assigned.join(emb, Seq("vec_id"))
-      val embAttr = joined.queryExecution.analyzed.output
-        .find(_.name == "embedding").get
+      val xAttr = joined.queryExecution.analyzed.output
+        .find(_.name == "x").get
       val vecSum = org.apache.spark.sql.graft.GraftDataset.column(
-        graft.functions.VecSumAgg(embAttr, dim).toAggregateExpression())
+        graft.functions.LongVecSumAgg(xAttr, dim).toAggregateExpression())
       cents = CacheScope.cached(joined.groupBy(col("cell"))
         .agg(vecSum.as("vsum"), count(lit(1)).as("cnt"))
-        .select(col("cell"), expr("transform(vsum, x -> x / cnt)").as("cent")))
+        .select(col("cell"), expr(
+          "transform(vsum, v -> CASE WHEN v >= 0 THEN v div cnt ELSE -((-v) div cnt) END)")
+          .as("cent")))
       stats
     }
     iterStats.reduce(_ unionByName _)

@@ -52,9 +52,8 @@ class OperatorsSpec extends SparkTestBase {
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
       "dd09_minhash_est", "ss08_sq8_rerank", "ss10_pq_topk",
       "sk04_kll_quantiles", "sk05_bloom_prejoin",
-      "sk06_theta_sets", "sk07_hll_rollup", "ss12_mmr_topk",
-      "ss14_ivfpq_topk", "tx41_compressibility",
-      "ss15_kmeans")  // SURVEY.md §2
+      "sk06_theta_sets", "sk07_hll_rollup",
+      "ss14_ivfpq_topk", "tx41_compressibility")  // SURVEY.md §2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -1658,8 +1657,10 @@ class OperatorsSpec extends SparkTestBase {
     val stats = ops.Similarity.ss15Kmeans(spark, "/root/testdata/sf0.01")
       .collect().sortBy(_.getLong(0))
     assert(stats.length == 3)
-    val inertia = stats.map(_.getDouble(2))
-    assert(inertia(0) >= inertia(1) - 1e-6 && inertia(1) >= inertia(2) - 1e-6,
+    // exact int64 inertia on the SQ12 grid; truncated-mean centroids
+    // shift ≤1 grid unit per coordinate, far below the per-round drop
+    val inertia = stats.map(_.getLong(2))
+    assert(inertia(0) >= inertia(1) && inertia(1) >= inertia(2),
       s"Lloyd descent violated: ${inertia.mkString(", ")}")
     stats.foreach { r =>
       assert(r.getLong(1) <= 8 && r.getLong(1) >= 1)
