@@ -276,6 +276,8 @@ object SparkEntry {
     "gr14_bfs_distances"    -> Graph.gr14BfsDistances _,
     "ev50_user_diversity"   -> Events.ev50UserDiversity _,
     "tx44_commonness"       -> Text.tx44Commonness _,
+    "tx45_bpe_merges"       -> Text.tx45BpeMerges _,
+    "tx46_bpe_encode"       -> Text.tx46BpeEncode _,
     "ss16_nprobe_curve"     -> Similarity.ss16NprobeCurve _,
     "pp26_mix_rebalance"    -> Pipelines.pp26MixRebalance _,
     "mm12_dedup_savings"    -> Multimodal.mm12DedupSavings _,
@@ -582,6 +584,59 @@ object SparkEntry {
        |${round(3)}
        |SELECT * FROM st1 UNION ALL SELECT * FROM st2
        |UNION ALL SELECT * FROM st3""".stripMargin
+  }
+
+  /** tx45/tx46's shared oracle chain: the 10-round BPE trainer
+    * unrolled as CTEs — wrapped-symbol strings, lateral-unnest pair
+    * counts weighted by word-type frequency, (cnt DESC, pa, pb) argmax,
+    * and the same non-overlapping `replace` merge Spark applies. */
+  private val bpeChainSql: String = {
+    def round(r: Int): String =
+      s"""e$r AS (SELECT wc, string_split(substr(syms, 2, length(syms) - 2), '><') AS arr
+         |        FROM w${r - 1}),
+         |p$r AS (SELECT arr[i] AS pa, arr[i + 1] AS pb, CAST(sum(wc) AS BIGINT) AS cnt
+         |        FROM e$r, unnest(range(1, len(arr))) AS t(i)
+         |        GROUP BY 1, 2),
+         |b$r AS (SELECT pa, pb, cnt FROM p$r ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |w$r AS (SELECT wc, replace(syms, '<' || b.pa || '><' || b.pb || '>',
+         |                 '<' || b.pa || b.pb || '>') AS syms
+         |        FROM w${r - 1} CROSS JOIN b$r b)""".stripMargin
+    s"""tkx AS (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents),
+       |w0 AS (SELECT w, count(*) AS wc,
+       |         array_to_string(list_transform(range(1, length(w) + 1),
+       |           j -> '<' || substr(w, j, 1) || '>'), '') AS syms
+       |       FROM tkx WHERE length(w) >= 1 GROUP BY w),
+       |${(1 to 10).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeMergesSql: String =
+    s"""WITH $bpeChainSql
+       |${(1 to 10).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, pa AS left_sym, " +
+          s"pb AS right_sym, cnt AS pair_count FROM b$r")
+        .mkString("\nUNION ALL\n")}""".stripMargin
+
+  private val bpeEncodeSql: String = {
+    def enc(r: Int): String =
+      s"""en$r AS (SELECT doc_id, pos, replace(syms, '<' || b.pa || '><' || b.pb || '>',
+         |           '<' || b.pa || b.pb || '>') AS syms
+         |         FROM en${r - 1} CROSS JOIN b$r b)""".stripMargin
+    s"""WITH $bpeChainSql,
+       |dt AS (SELECT doc_id, i AS pos, tk[i] AS w
+       |       FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
+       |             FROM documents),
+       |            unnest(range(1, least(len(tk), 8) + 1)) AS t(i)
+       |       WHERE length(tk[i]) >= 1),
+       |en0 AS (SELECT doc_id, pos, array_to_string(list_transform(
+       |          range(1, length(w) + 1),
+       |          j -> '<' || substr(w, j, 1) || '>'), '') AS syms FROM dt),
+       |${(1 to 10).map(enc).mkString(",\n")}
+       |SELECT doc_id, CAST(sum(len(ps)) AS BIGINT) AS n_pieces,
+       |  string_agg(array_to_string(ps, ','), ',' ORDER BY pos) AS pieces
+       |FROM (SELECT doc_id, pos,
+       |        string_split(substr(syms, 2, length(syms) - 2), '><') AS ps
+       |      FROM en10)
+       |GROUP BY doc_id""".stripMargin
   }
 
   /** DuckDB replica of ss02's LSH bucket ids: the same seed-42 planes
@@ -2950,6 +3005,10 @@ object SparkEntry {
         |       ELSE pair_sum * 10000 // (n_events * (n_events - 1))
         |       END AS BIGINT) AS simpson_bp
         |FROM u""".stripMargin,
+
+    "tx45_bpe_merges" -> bpeMergesSql,
+
+    "tx46_bpe_encode" -> bpeEncodeSql,
 
     "tx44_commonness" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(trim(text),' ')) AS tok

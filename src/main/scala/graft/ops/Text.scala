@@ -884,4 +884,101 @@ object Text {
       .select(col("doc_id"), col("n_tokens"),
         expr("ppm_sum div n_tokens").as("mean_ppm"))
   }
+
+  /** BPE machinery shared by tx45/tx46 — tx33 computed only the FIRST
+    * merge's pair counts; this is the actual trainer. Symbol sequences
+    * are carried as a WRAPPED string, every symbol as `<sym>`, so one
+    * merge is one plain non-overlapping left-to-right `replace` of
+    * `<a><b>` with `<ab>` — exactly the greedy BPE merge ("aaa" under
+    * (a,a) → "<aa><a>"), cross-symbol false matches are impossible
+    * (the `><` boundary can't be spanned), and the whole chain replays
+    * verbatim in DuckDB (the corpus contains no literal < or >;
+    * word-type frame ∝ vocab, never corpus). Each round: pair counts
+    * weighted by word-type frequency (one vocab-sized aggregate), a
+    * 1-row argmax (cnt desc, pair asc), and a broadcast-crossJoin
+    * replace — gr03's fixed-unroll discipline, 10 rounds. */
+  private val bpeRounds = 10
+
+  private def bpeWrapExpr(in: String): String =
+    s"concat_ws('', transform(sequence(1, length($in)), j -> concat('<', substring($in, j, 1), '>')))"
+
+  /** Word types with corpus counts and initial per-character symbols. */
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms", expr(bpeWrapExpr("w")))
+
+  /** The learned merge chain: one 1-row (pa, pb, cnt) frame per round,
+    * in rank order, built over progressively-merged word types. Each
+    * round's words frame ends in a lazy truncation (NOT a cache): the
+    * round plan references the prior round through both the pair
+    * aggregate and the replace, and nested per-round InMemoryRelations
+    * make the explain string grow geometrically (the documented
+    * gr03/AQE OOM hazard) — truncation keeps every round's plan flat. */
+  private def bpeChain(s: SparkSession, d: String): Seq[DataFrame] = {
+    import Checkpoints.TruncateOps
+    var words = bpeWords(s, d).truncated
+    (1 to bpeRounds).map { _ =>
+      val best = CacheScope.cached(words
+        .withColumn("arr", expr("split(substring(syms, 2, length(syms) - 2), '><')"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("wc"), explode(expr(
+          """transform(sequence(1, size(arr) - 1),
+            |  i -> struct(element_at(arr, CAST(i AS INT)) AS pa,
+            |              element_at(arr, CAST(i AS INT) + 1) AS pb))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1))
+      words = words
+        .crossJoin(broadcast(best.select(col("pa"), col("pb"))))
+        .withColumn("syms", expr(
+          "replace(syms, concat('<', pa, '><', pb, '>'), concat('<', pa, pb, '>'))"))
+        .drop("pa", "pb")
+        .truncated
+      best
+    }
+  }
+
+  /** tx45: BPE trainer — the 10 learned merges in rank order, each with
+    * the pair count that won its round (counted over word TYPES
+    * weighted by corpus frequency, the standard formulation). */
+  def tx45BpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeChain(s, d).zipWithIndex.map { case (b, i) =>
+      b.select(lit((i + 1).toLong).as("merge_rank"),
+        col("pa").as("left_sym"), col("pb").as("right_sym"),
+        col("cnt").as("pair_count"))
+    }.reduce(_ unionByName _)
+
+  /** tx46: BPE encoder — each doc's first 8 tokens segmented with the
+    * tx45-learned merges (the apply side of the trainer: 10 broadcast
+    * crossJoin replaces over the exploded token stream, then per-doc
+    * reassembly inside each doc's own collected array, tx35's
+    * pattern). Output is the piece count and the comma-joined pieces
+    * (arrays are banned from the graded contract). */
+  def tx46BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val chain = bpeChain(s, d)
+    var enc = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(slice(tokens, 1, 8)).as(Seq("pos", "w")))
+      .filter(length(col("w")) >= 1)
+      .withColumn("syms", expr(bpeWrapExpr("w")))
+      .drop("w")
+    chain.zipWithIndex.foreach { case (b, r) =>
+      enc = enc
+        .crossJoin(broadcast(b.select(col("pa").as(s"pa$r"), col("pb").as(s"pb$r"))))
+        .withColumn("syms", expr(
+          s"replace(syms, concat('<', pa$r, '><', pb$r, '>'), concat('<', pa$r, pb$r, '>'))"))
+        .drop(s"pa$r", s"pb$r")
+    }
+    enc
+      .withColumn("ps", expr("split(substring(syms, 2, length(syms) - 2), '><')"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(size(col("ps")).cast("long")).as("n_pieces"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("ps").as("pw")))),
+          x => x("pw"))), ",").as("pieces"))
+  }
 }

@@ -1653,6 +1653,31 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("tx45 merge counts are monotone; tx46 pieces reconstruct the text") {
+    val merges = ops.Text.tx45BpeMerges(spark, sf).collect().sortBy(_.getLong(0))
+    assert(merges.length == 10)
+    // a merge only removes its own pair's mass and creates pairs no
+    // more frequent than itself, so the winning counts never increase
+    val counts = merges.map(_.getLong(3))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"merge counts not monotone: ${counts.mkString(", ")}")
+    assert(merges.map(r => (r.getString(1), r.getString(2))).distinct.length == 10,
+      "duplicate merge learned")
+    // encoding is a segmentation: pieces concatenate back to the chars
+    // of the first 8 tokens, and n_pieces counts them
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enc = ops.Text.tx46BpeEncode(spark, sf).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val pieces = r.getString(2).split(",")
+      val expect = docs(r.getLong(0)).trim.split(" ")
+        .filter(_.nonEmpty).take(8).mkString
+      assert(pieces.mkString == expect, s"doc ${r.getLong(0)} not a segmentation")
+      assert(r.getLong(1) == pieces.length.toLong, s"piece count off: $r")
+    }
+  }
+
   test("ss15 k-means inertia descends monotonically over Lloyd iterations") {
     val stats = ops.Similarity.ss15Kmeans(spark, "/root/testdata/sf0.01")
       .collect().sortBy(_.getLong(0))
