@@ -271,6 +271,7 @@ object SparkEntry {
     "tx43_signal_sweep"     -> Text.tx43SignalSweep _,
     "pp24_run_manifest"     -> Pipelines.pp24RunManifest _,
     "q63_lead_time_sla"     -> Relational.q63LeadTimeSla _,
+    "q64_auto_salt"         -> Relational.q64AutoSalt _,
     "pp25_k_anonymity"      -> Pipelines.pp25KAnonymity _,
     "dd21_semantic_clusters" -> Dedup.dd21SemanticClusters _,
     "gr14_bfs_distances"    -> Graph.gr14BfsDistances _,
@@ -3845,6 +3846,16 @@ object SparkEntry {
         |       AND stop_cnt * 10 >= n_tokens THEN 1 ELSE 0 END AS BIGINT)
         |    AS kept
         |FROM y""".stripMargin,
+
+    "q64_auto_salt" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS qty_c2,
+        |  CAST(min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS min_price_c2,
+        |  CAST(max(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS max_price_c2
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "q63_lead_time_sla" ->
       """WITH l AS (SELECT o_orderpriority,

@@ -1121,4 +1121,30 @@ object Relational {
         expr("_p90_lo * (100 - (90*(n_orders-1)) % 100) + " +
           "_p90_hi * ((90*(n_orders-1)) % 100)").as("p90_cd"))
   }
+
+  /** q64: engine-applied skew salting — a hot low-cardinality
+    * aggregation run under `spark.graft.saltSkew=16`: the
+    * SaltSkewRewrite optimizer rule (plans/SaltSkewRewrite.scala)
+    * rewrites the single groupBy into the ev08 two-phase salted shape
+    * (phase 1 on (keys, salt), phase 2 combining the partials) with
+    * the result ids/names/types untouched — the q43-audit →
+    * ev08-shape escalation applied BY THE ENGINE instead of by hand.
+    * The flag lives on an isolated `newSession()` (shared state, own
+    * conf) so the rest of the suite keeps direct plans. The oracle is
+    * the plain ONE-phase SQL — identical values is the whole point:
+    * salting is a pure physical-distribution change, provable here
+    * because every aggregate rides the exact integer cents grid (a
+    * double sum would expose float ordering across the two phases).
+    * The plan shape itself is asserted in the spec. */
+  def q64AutoSalt(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.graft.saltSkew", "16")
+    Tables.lineitem(s2, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_c2"),
+        min(round(col("l_extendedprice") * 100, 0).cast("long")).as("min_price_c2"),
+        max(round(col("l_extendedprice") * 100, 0).cast("long")).as("max_price_c2"))
+  }
 }

@@ -32,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    e.injectOptimizerRule(_ => SaltSkewRewrite)
   }
 }

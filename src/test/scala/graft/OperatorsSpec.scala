@@ -525,6 +525,36 @@ class OperatorsSpec extends SparkTestBase {
       s"q56 must not fall back to SMJ/BHJ:\n$plan")
   }
 
+  test("q64 SaltSkewRewrite plans the two-phase shape with equal results") {
+    import org.apache.spark.sql.functions._
+    val df = ops.Relational.q64AutoSalt(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_salt"), s"no salt phase in plan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Aggregate ")) >= 2,
+      s"expected stacked partial/final aggregates:\n$plan")
+    // salting is a pure distribution change: values match the direct plan
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val direct = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_c2"),
+        min(round(col("l_extendedprice") * 100, 0).cast("long")).as("min_price_c2"),
+        max(round(col("l_extendedprice") * 100, 0).cast("long")).as("max_price_c2"))
+      .collect().map(key).toSet
+    assert(df.collect().map(key).toSet == direct,
+      "salted aggregation changed values")
+    // narrowness: a DISTINCT aggregate keeps its exact un-salted plan
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.saltSkew", "16")
+    val nd = graft.Tables.lineitem(s2, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("d"))
+    assert(!nd.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
+      "distinct aggregate must not be salted")
+  }
+
   test("Dataset.observe surfaces pipeline counters without a second scan") {
     // the observability surface: data-quality counters ride the query's
     // own execution (one scan), retrieved post-action via Observation
