@@ -315,4 +315,34 @@ class SourcesSpec extends SparkTestBase {
       assert(df.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("versioned corpus: read-at-v1 is bit-exact after v2 publishes") {
+    import graft.sources.VersionedCorpus
+    val root = s"$tmp/versioned"
+    val v1Data = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").filter(col("doc_id") % 3 =!= 0)
+    val v1Rows = v1Data.collect().toSet
+    val v1 = VersionedCorpus.publish(v1Data, root)
+    assert(v1 == 1L)
+    // v2: a changed snapshot (drops some docs, rewrites others' text)
+    val v2Data = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" [v2]")).as("text"))
+      .filter(col("doc_id") % 5 =!= 0)
+    val v2Rows = v2Data.collect().toSet
+    val v2 = VersionedCorpus.publish(v2Data, root)
+    assert(v2 == 2L && VersionedCorpus.versions(root) == Seq(1L, 2L))
+    // time travel: v1 reproduces the ORIGINAL snapshot bit-exactly,
+    // latest sees v2; the manifests' audit counts reconcile
+    val atV1 = VersionedCorpus.readAt(spark, root, 1L)
+    assert(atV1.collect().toSet == v1Rows, "read-at-v1 drifted after v2")
+    assert(VersionedCorpus.readLatest(spark, root).collect().toSet == v2Rows)
+    assert(VersionedCorpus.manifestRows(spark, root, 1L) == v1Rows.size.toLong)
+    assert(VersionedCorpus.manifestRows(spark, root, 2L) == v2Rows.size.toLong)
+    // the read plans only v1's own files — the manifest IS the index,
+    // no directory listing of the whole data root
+    val scanned = atV1.queryExecution.executedPlan.toString
+    assert(scanned.contains("v1") && !scanned.contains("v2"),
+      s"read-at-v1 must touch only v1 files:\n$scanned")
+  }
 }
