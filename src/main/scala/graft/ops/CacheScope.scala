@@ -14,12 +14,26 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheScope {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val hits = new java.util.concurrent.atomic.AtomicLong
+  private val misses = new java.util.concurrent.atomic.AtomicLong
 
   private[graft] def cached(df: DataFrame): DataFrame = {
+    // plan-cache reuse accounting: a HIT means this logical plan is
+    // already registered with the session's cache manager (a warm
+    // cross-query reuse — `storageLevel` is the public probe for it),
+    // a MISS registers a fresh entry. Bench emits these per query so
+    // warm-service vs cold-sweep timing gaps are explained by data.
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      hits.incrementAndGet()
+    else misses.incrementAndGet()
     val c = df.cache()
     live.add(c)
     c
   }
+
+  /** (plan-cache hits, misses) since the last reset. */
+  def counters: (Long, Long) = (hits.get, misses.get)
+  def resetCounters(): Unit = { hits.set(0); misses.set(0) }
 
   /** Unpersist every frame cached since the last drain. Safe to call
     * while results derived from the caches are still referenced —
