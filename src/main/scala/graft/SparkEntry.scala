@@ -280,6 +280,7 @@ object SparkEntry {
     "tx45_bpe_merges"       -> Text.tx45BpeMerges _,
     "tx46_bpe_encode"       -> Text.tx46BpeEncode _,
     "ss16_nprobe_curve"     -> Similarity.ss16NprobeCurve _,
+    "ss17_index_refresh"    -> Similarity.ss17IndexRefresh _,
     "pp26_mix_rebalance"    -> Pipelines.pp26MixRebalance _,
     "mm12_dedup_savings"    -> Multimodal.mm12DedupSavings _,
   )
@@ -328,10 +329,14 @@ object SparkEntry {
         |            sig_hi & 65535, (sig_hi >> 16) & 65535]) AS band,
         |    unnest([0, 1, 2, 3]) AS band_idx
         |  FROM sig),
+        |bsz AS (SELECT band_idx, band, count(*) AS n
+        |        FROM bd GROUP BY 1, 2),
+        |bds AS (SELECT bd.* FROM bd JOIN bsz USING (band_idx, band)
+        |        WHERE bsz.n <= 128),
         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
         |    CAST(bit_count(xor(x.sig_lo, y.sig_lo)) +
         |         bit_count(xor(x.sig_hi, y.sig_hi)) AS INTEGER) AS hamming
-        |  FROM bd x JOIN bd y ON x.band_idx = y.band_idx AND x.band = y.band
+        |  FROM bds x JOIN bds y ON x.band_idx = y.band_idx AND x.band = y.band
         |    AND x.doc_id < y.doc_id)""".stripMargin
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
@@ -638,6 +643,59 @@ object SparkEntry {
        |        string_split(substr(syms, 2, length(syms) - 2), '><') AS ps
        |      FROM en10)
        |GROUP BY doc_id""".stripMargin
+  }
+
+  /** ss17's oracle: 2 fixed-point Lloyd rounds on the standing corpus
+    * (vec_id % 4 ≠ 0), then the arriving batch assigned to the frozen
+    * cells and folded in by pure sufficient-statistic merge — the same
+    * int64 arithmetic chain Spark runs, unrolled as CTEs. */
+  private val indexRefreshSql: String = {
+    def round(r: Int, src: String, prevC: String): String =
+      s"""a$r AS (SELECT e.vec_id, c.cell, unnest(e.x) AS xv, unnest(c.cent) AS cv
+         |        FROM $src e CROSS JOIN $prevC c),
+         |d$r AS (SELECT vec_id, cell, CAST(sum((xv - cv) * (xv - cv)) AS BIGINT) AS d2
+         |        FROM a$r GROUP BY 1, 2),
+         |s$r AS (SELECT vec_id, cell FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d$r)
+         |        WHERE rn = 1),
+         |u$r AS (SELECT cell, i, CAST(sum(xv) AS BIGINT) AS sv
+         |        FROM (SELECT s.cell, unnest(e.x) AS xv, unnest(range(1, 65)) AS i
+         |              FROM s$r s JOIN em e USING (vec_id))
+         |        GROUP BY 1, 2),
+         |n$r AS (SELECT cell, count(*) AS cnt FROM s$r GROUP BY 1),
+         |c$r AS (SELECT u$r.cell, list(CASE WHEN sv >= 0 THEN sv // cnt
+         |                           ELSE -((-sv) // cnt) END ORDER BY i) AS cent
+         |        FROM u$r JOIN n$r USING (cell) GROUP BY u$r.cell)""".stripMargin
+    s"""WITH em AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      v -> CAST(floor(CAST(v AS DOUBLE) * 4096.0) AS BIGINT)) AS x
+       |  FROM embeddings),
+       |emo AS (SELECT * FROM em WHERE vec_id % 4 != 0),
+       |emn AS (SELECT * FROM em WHERE vec_id % 4 = 0),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, x AS cent
+       |       FROM emo WHERE vec_id < 8),
+       |${round(1, "emo", "c0")},
+       |${round(2, "emo", "c1")},
+       |${round(3, "emn", "c2")},
+       |tot AS (SELECT n2.cell, n2.cnt AS ocnt, coalesce(n3.cnt, 0) AS ncnt,
+       |          n2.cnt + coalesce(n3.cnt, 0) AS tcnt
+       |        FROM n2 LEFT JOIN n3 USING (cell)),
+       |mrg AS (SELECT u2.cell, u2.i, u2.sv + coalesce(u3.sv, 0) AS sv
+       |        FROM u2 LEFT JOIN u3 USING (cell, i)),
+       |mc AS (SELECT m.cell, m.i,
+       |         CASE WHEN m.sv >= 0 THEN m.sv // t.tcnt
+       |              ELSE -((-m.sv) // t.tcnt) END AS ncv
+       |       FROM mrg m JOIN tot t USING (cell)),
+       |oc AS (SELECT cell, unnest(cent) AS ocv, unnest(range(1, 65)) AS i
+       |       FROM c2),
+       |dr AS (SELECT mc.cell, CAST(sum(abs(mc.ncv - oc.ocv)) AS BIGINT)
+       |         AS drift_l1
+       |       FROM mc JOIN oc ON oc.cell = mc.cell AND oc.i = mc.i
+       |       GROUP BY 1)
+       |SELECT t.cell, CAST(t.ocnt AS BIGINT) AS n_old,
+       |  CAST(t.ncnt AS BIGINT) AS n_new, CAST(t.tcnt AS BIGINT) AS n_total,
+       |  dr.drift_l1
+       |FROM tot t JOIN dr USING (cell)""".stripMargin
   }
 
   /** DuckDB replica of ss02's LSH bucket ids: the same seed-42 planes
@@ -1961,6 +2019,7 @@ object SparkEntry {
     "ss01_brute_topk" -> bruteTopkSql,
     "ss12_mmr_topk" -> mmrTopkSql,
     "ss15_kmeans" -> kmeansSql,
+    "ss17_index_refresh" -> indexRefreshSql,
 
     "ss04_knn_classify" ->
       s"""WITH knn AS ($bruteTopkSql),

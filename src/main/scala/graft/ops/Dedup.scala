@@ -198,7 +198,20 @@ object Dedup {
         col("sig_hi").bitwiseAND(lit(0xFFFFL)),
         shiftrightunsigned(col("sig_hi"), 16).bitwiseAND(lit(0xFFFFL))))
         .as(Seq("band_idx", "band")))
-    banded.as("x").join(banded.as("y"),
+    // collision-hub guard (the wedgeMaxDeg discipline for LSH): a
+    // DEGENERATE band value — e.g. the all-zero band every near-empty
+    // doc hashes to — turns one bucket into an n² self-join. Buckets
+    // with > 128 members are dropped from candidate generation (their
+    // members, being mutually near-identical boilerplate, still meet
+    // in their other 3 bands unless those are equally degenerate — at
+    // which point they are substring-dedup material, not SimHash's).
+    // The cap is operator semantics, mirrored in the oracle SQL.
+    val bucketSizes = banded.groupBy(col("band_idx"), col("band"))
+      .agg(count(lit(1)).as("bsz"))
+    val safeBanded = banded.join(
+      bucketSizes.filter(col("bsz") <= 128).select(col("band_idx"), col("band")),
+      Seq("band_idx", "band"), "left_semi")
+    safeBanded.as("x").join(safeBanded.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),

@@ -681,4 +681,83 @@ object Similarity {
       }
     }.toDF("qid", "rk", "neighbor_id")
   }
+
+  /** SQ12 quantization + squared-norm shared by the fixed-point
+    * kernels (ss15/ss17). */
+  private def sq12(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 4096.0) AS BIGINT))")
+        .as("x"))
+      .withColumn("xn2", expr("long_dot(x, x)"))
+
+  /** Broadcast-centroid argmin-L2 assignment on the SQ12 grid —
+    * (vec_id, cell, d2), lexicographic (d2, cell) ties. */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val withC = cents.withColumn("cn2", expr("long_dot(cent, cent)"))
+    emb.crossJoin(broadcast(withC))
+      .withColumn("d2",
+        col("xn2") - lit(2L) * expr("long_dot(x, cent)") + col("cn2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("d2"))
+  }
+
+  /** Per-cell sufficient statistics (vsum, cnt) of an assigned batch —
+    * THE mergeable index state (LongVecSumAgg partials; int64-exact,
+    * order-independent). */
+  private def cellStats(assigned: DataFrame, emb: DataFrame): DataFrame = {
+    val joined = assigned.join(emb, Seq("vec_id"))
+    val xAttr = joined.queryExecution.analyzed.output.find(_.name == "x").get
+    val vecSum = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.LongVecSumAgg(xAttr, dim).toAggregateExpression())
+    joined.groupBy(col("cell"))
+      .agg(vecSum.as("vsum"), count(lit(1)).as("cnt"))
+  }
+
+  private val centFromStats =
+    "transform(vsum, v -> CASE WHEN v >= 0 THEN v div cnt ELSE -((-v) div cnt) END)"
+
+  /** ss17: incremental ANN-index maintenance — pp05's incremental-
+    * ingest pattern applied to the IVF quantizer. The index state is
+    * the per-cell sufficient statistics (vsum, cnt), NOT the vectors:
+    * the standing corpus (vec_id % 4 ≠ 0) trains 2 fixed-point Lloyd
+    * rounds, then the arriving batch (vec_id % 4 = 0) is assigned to
+    * the EXISTING cells and folded in by pure statistic merge —
+    * vsum+nvsum, cnt+ncnt, re-derive centroids — so a 100 TB index
+    * absorbs a new batch at cost ∝ |batch|, never re-reading the
+    * standing corpus. Emits per cell the old/new counts and the L1
+    * centroid drift on the exact grid — the "rebuild or keep
+    * absorbing?" signal (large drift ⇒ the coarse quantizer no longer
+    * fits the data and ss15 should retrain). All int64-exact
+    * (SQ12 + LongVecSumAgg + truncated division), replayed bit-exactly
+    * by the unrolled oracle. */
+  def ss17IndexRefresh(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val em = CacheScope.cached(sq12(s, d))
+    val old = CacheScope.cached(em.filter(col("vec_id") % 4 =!= 0))
+    val fresh = em.filter(col("vec_id") % 4 === 0)
+    var cents = old.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("x").as("cent"))
+    var stats: DataFrame = null
+    for (_ <- 1 to 2) {
+      stats = CacheScope.cached(cellStats(assignCells(old, cents), old))
+      cents = stats.select(col("cell"), expr(centFromStats).as("cent"))
+    }
+    val newStats = cellStats(assignCells(fresh, cents), fresh)
+      .select(col("cell"), col("vsum").as("nvsum"), col("cnt").as("ncnt"))
+    stats.join(cents, Seq("cell"))
+      .join(newStats, Seq("cell"), "left_outer")
+      .select(col("cell"), col("cnt").as("n_old"),
+        coalesce(col("ncnt"), lit(0L)).as("n_new"),
+        col("cent").as("old_cent"),
+        expr("zip_with(vsum, coalesce(nvsum, array_repeat(0L, 64)), (a, b) -> a + b)")
+          .as("vsum"),
+        (col("cnt") + coalesce(col("ncnt"), lit(0L))).as("cnt"))
+      .select(col("cell"), col("n_old"), col("n_new"),
+        col("cnt").as("n_total"),
+        expr(s"""aggregate(zip_with($centFromStats, old_cent,
+                 (a, b) -> abs(a - b)), 0L, (acc, v) -> acc + v)""")
+          .as("drift_l1"))
+  }
 }

@@ -1683,6 +1683,22 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("ss17 index refresh conserves counts and absorbs the new batch") {
+    val rows = ops.Similarity.ss17IndexRefresh(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    rows.foreach { r =>
+      val (nOld, nNew, nTot, drift) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nTot == nOld + nNew, s"count conservation broken: $r")
+      assert(nOld >= 1, s"cell with no standing members survived: $r")
+      assert(drift >= 0L, s"negative drift: $r")
+    }
+    // the arriving batch (vec_id % 4 == 0) is fully absorbed somewhere
+    val batch = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 4 === 0).count()
+    assert(rows.map(_.getLong(2)).sum == batch, "new batch not fully assigned")
+  }
+
   test("tx45 merge counts are monotone; tx46 pieces reconstruct the text") {
     val merges = ops.Text.tx45BpeMerges(spark, sf).collect().sortBy(_.getLong(0))
     assert(merges.length == 10)
