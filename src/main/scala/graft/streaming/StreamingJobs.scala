@@ -298,6 +298,39 @@ object StreamingJobs {
     * of ingest the per-doc cost is linear in the doc and the eval
     * index rides the broadcast, exactly like the batch pp07. Docs
     * shorter than the window can never overlap and pass through. */
+  /** st19: streaming BPE encode — tx46 at ingest time. The tx45-learned
+    * merge chain is a 10-row STATIC frame, collected once at plan-build
+    * (the broadcast-index pattern) and baked into a per-row expression:
+    * wrap each of the doc's first 8 tokens as `<c><c>…`, apply the 10
+    * replaces in rank order, split back to pieces — all inside one
+    * projection, so the stream side is STATELESS (no watermark, no
+    * state store, no shuffle; this per-row form is also the
+    * zero-shuffle twin of tx46's explode+groupBy reassembly). The spec
+    * asserts streaming ≡ batch tx46 on the same documents (the Kappa
+    * property: one tokenizer across both planes — a training corpus
+    * and its ingest stream can never disagree on segmentation). */
+  def streamingBpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val chain = merges.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val wrap =
+      "concat_ws('', transform(sequence(1, length(w)), j -> concat('<', substring(w, j, 1), '>')))"
+    val encW = chain.foldLeft(wrap) { case (acc, (_, pa, pb)) =>
+      s"replace($acc, '<${esc(pa)}><${esc(pb)}>', '<${esc(pa)}${esc(pb)}>')"
+    }
+    docs
+      .withColumn("encs", expr(
+        s"transform(filter(slice(split(trim(text), ' '), 1, 8), w -> length(w) >= 1), w -> $encW)"))
+      .select(col("doc_id"),
+        expr("""aggregate(encs, 0L, (acc, e) ->
+               |  acc + size(split(substring(e, 2, length(e) - 2), '><')))"""
+          .stripMargin).as("n_pieces"),
+        expr("""array_join(transform(encs, e ->
+               |  array_join(split(substring(e, 2, length(e) - 2), '><'), ',')), ',')"""
+          .stripMargin).as("pieces"))
+  }
+
   def streamDecontam(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
     val W = 15
     def winCol = expr(

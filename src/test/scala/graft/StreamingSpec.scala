@@ -58,6 +58,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st19 streaming BPE encode equals batch tx46 on the same docs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // batch plane: tx46 over the corpus; streaming plane: the same
+    // docs fed through the stateless encoder built from tx45's merges
+    val batch = ops.Text.tx46BpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val merges = ops.Text.tx45BpeMerges(spark, sf)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    // two micro-batches: segmentation must not depend on batching
+    in.addData(docs.take(docs.length / 2).toIndexedSeq)
+    val q = StreamingJobs.streamingBpeEncode(
+        in.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st19_out").start()
+    try {
+      q.processAllAvailable()
+      in.addData(docs.drop(docs.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_pieces, pieces FROM st19_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == batch, "streaming segmentation diverged from batch tx46")
+    } finally q.stop()
+  }
+
   test("st03 streaming dedup drops replayed events within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
