@@ -274,6 +274,7 @@ object SparkEntry {
     "q64_auto_salt"         -> Relational.q64AutoSalt _,
     "pp25_k_anonymity"      -> Pipelines.pp25KAnonymity _,
     "dd21_semantic_clusters" -> Dedup.dd21SemanticClusters _,
+    "dd22_span_dedup"       -> Dedup.dd22SpanDedup _,
     "gr14_bfs_distances"    -> Graph.gr14BfsDistances _,
     "ev50_user_diversity"   -> Events.ev50UserDiversity _,
     "tx44_commonness"       -> Text.tx44Commonness _,
@@ -357,6 +358,39 @@ object SparkEntry {
       |        round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
       |      FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
       |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin
+
+  /** dd09's oracle: the portable Kirsch–Mitzenmacher MinHash replayed
+    * end to end — per-shingle (h1, h2) = the md5 halves, 32 min-slots
+    * g_j = h1 + j·h2, LSH candidates as slot-pair equality over the 16
+    * bands (bucket equality ⟺ both banded slots equal, modulo a ~2⁻⁶⁴
+    * xxhash64 bucket collision), agreement count, /32 estimate (exact
+    * dyadic). */
+  private val minhashEstSql: String = {
+    val slots = (0 until 32).map(j =>
+      if (j == 0) "min(h1) AS m0" else s"min(h1 + $j * h2) AS m$j")
+      .mkString(", ")
+    val bandEq = (0 until 16).map(b =>
+      s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
+      .mkString(" OR ")
+    val agree = (0 until 32).map(j =>
+      s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+       |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         range(1, len(tk)-1),
+       |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+       |       FROM t),
+       |hs AS (SELECT doc_id,
+       |         ('0x' || substring(md5(s), 1, 8))::BIGINT AS h1,
+       |         ('0x' || substring(md5(s), 9, 8))::BIGINT AS h2 FROM sh),
+       |sig AS (SELECT doc_id, $slots FROM hs GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |           CAST($agree AS BIGINT) AS n_agree
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |         WHERE $bandEq)
+       |SELECT d1, d2, n_agree, n_agree / 32.0 AS est_sim FROM cand"""
+      .stripMargin
+  }
 
   /** dd06's oracle, also the cluster CTE of dd07's. */
   private val dupClustersSql: String =
@@ -1503,6 +1537,38 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "dd04_ngram_jaccard" -> ngramJaccardSql,
+    "dd09_minhash_est" -> minhashEstSql,
+
+    // sk06's oracle replays the KMV sketch exactly: same 60-bit md5
+    // hash, same k-th order statistic, same integer floor-divided
+    // estimate (HUGEINT intermediate, BIGINT result).
+    "sk06_theta_sets" ->
+      """WITH h AS (SELECT DISTINCT event_type, user_id FROM events),
+        |hv AS (SELECT event_type,
+        |        ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |          AS hv
+        |      FROM h),
+        |seg AS (SELECT 'a' AS s, hv FROM hv WHERE event_type = 'purchase'
+        |        UNION SELECT 'b' AS s, hv FROM hv WHERE event_type = 'view'
+        |        UNION SELECT 'u' AS s, hv FROM hv
+        |          WHERE event_type IN ('purchase', 'view')),
+        |r AS (SELECT s, hv, row_number() OVER (PARTITION BY s ORDER BY hv)
+        |        AS rn FROM seg),
+        |est AS (SELECT s,
+        |         CASE WHEN count(*) < 128 THEN CAST(count(*) AS BIGINT)
+        |              ELSE CAST((127::HUGEINT * 1152921504606846976::HUGEINT)
+        |                // max(CASE WHEN rn = 128 THEN hv END)::HUGEINT
+        |                AS BIGINT)
+        |         END AS est
+        |       FROM r GROUP BY s)
+        |SELECT
+        |  max(CASE WHEN s = 'a' THEN est END) AS est_purchasers,
+        |  max(CASE WHEN s = 'b' THEN est END) AS est_viewers,
+        |  max(CASE WHEN s = 'u' THEN est END) AS est_union,
+        |  max(CASE WHEN s = 'a' THEN est END)
+        |    + max(CASE WHEN s = 'b' THEN est END)
+        |    - max(CASE WHEN s = 'u' THEN est END) AS est_overlap
+        |FROM est""".stripMargin,
     // dd20 is dd04 with prefix filtering — provably the same output,
     // so it shares dd04's oracle verbatim
     "dd20_ppjoin" -> ngramJaccardSql,
@@ -2062,6 +2128,127 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY qid
         |          ORDER BY cos DESC, neighbor_id) AS rk
         |      FROM cand)
+        |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    // ss08's oracle replays the SQ8 pipeline exactly: the integer code
+    // dot is exact in both engines (|dot| ≤ 64·127² ≪ 2^53, DuckDB's
+    // list_dot_product returns it as an exact double); round() is
+    // half-away-from-zero on both; the exact re-rank is ss01's proven
+    // list_cosine_similarity replay.
+    "ss08_sq8_rerank" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |codes AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) / nrm * 127) AS BIGINT)) AS qv
+        |  FROM b),
+        |q AS (SELECT vec_id AS qid, qv AS qqv FROM codes WHERE vec_id < 10),
+        |sc AS (SELECT qid, c.vec_id AS cid,
+        |        list_dot_product(qqv, c.qv) AS dot
+        |      FROM q, codes c WHERE c.vec_id != qid),
+        |c100 AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |          row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rn
+        |        FROM sc) WHERE rn <= 100),
+        |rr AS (SELECT c.qid, c.cid,
+        |        list_cosine_similarity(qe.embedding, e.embedding) AS cos
+        |      FROM c100 c
+        |      JOIN embeddings qe ON qe.vec_id = c.qid
+        |      JOIN embeddings e ON e.vec_id = c.cid),
+        |r AS (SELECT qid, cid AS neighbor_id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |      FROM rr)
+        |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    // ss10's oracle replays the PQ pipeline: codebook = label-centroid
+    // sub-vectors (the avg(x) replay ss05 proved), per-(vec, sub-space)
+    // argmin-L2 code with the same (d2, cell) tie-break Spark's
+    // strict-improvement fold applies, ADC = sum of the 8 per-sub-space
+    // lookup dots, then ss01's exact cosine re-rank on the top-100.
+    "ss10_pq_topk" ->
+      """WITH ex AS (SELECT vec_id, label, i, i // 8 AS m,
+        |       CAST(embedding[i+1] AS DOUBLE) AS x
+        |     FROM embeddings, range(64) t(i)),
+        |cent AS (SELECT label AS cell, i, i // 8 AS m, avg(x) AS c
+        |         FROM ex GROUP BY 1, 2, 3),
+        |l2 AS (SELECT e.vec_id, e.m, ct.cell,
+        |         sum((e.x - ct.c) * (e.x - ct.c)) AS d2
+        |       FROM ex e JOIN cent ct ON ct.i = e.i
+        |       GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id, m, cell FROM (SELECT vec_id, m, cell,
+        |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn
+        |       FROM l2) WHERE rn = 1),
+        |ltab AS (SELECT e.vec_id AS qid, e.m, ct.cell, sum(e.x * ct.c) AS v
+        |         FROM ex e JOIN cent ct ON ct.i = e.i
+        |         WHERE e.vec_id < 10
+        |         GROUP BY 1, 2, 3),
+        |adc AS (SELECT lt.qid, en.vec_id AS cid, sum(lt.v) AS adc
+        |        FROM enc en JOIN ltab lt ON lt.m = en.m AND lt.cell = en.cell
+        |        WHERE en.vec_id != lt.qid
+        |        GROUP BY 1, 2),
+        |c100 AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |          row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+        |        FROM adc) WHERE rn <= 100),
+        |rr AS (SELECT c.qid, c.cid,
+        |        list_cosine_similarity(qe.embedding, e.embedding) AS cos
+        |      FROM c100 c
+        |      JOIN embeddings qe ON qe.vec_id = c.qid
+        |      JOIN embeddings e ON e.vec_id = c.cid),
+        |r AS (SELECT qid, cid AS neighbor_id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |      FROM rr)
+        |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    // ss14's oracle composes ss05's IVF replay (assigned cell + 3-probe
+    // cells by centroid cosine) with ss10's PQ replay (codes, ADC) and
+    // the shared exact re-rank.
+    "ss14_ivfpq_topk" ->
+      """WITH ex AS (SELECT vec_id, label, i, i // 8 AS m,
+        |       CAST(embedding[i+1] AS DOUBLE) AS x
+        |     FROM embeddings, range(64) t(i)),
+        |cent AS (SELECT label AS cell, i, i // 8 AS m, avg(x) AS c
+        |         FROM ex GROUP BY 1, 2, 3),
+        |vc AS (SELECT e.vec_id, ct.cell,
+        |         sum(e.x * ct.c) / (sqrt(sum(e.x * e.x)) * sqrt(sum(ct.c * ct.c))) AS ccos
+        |       FROM ex e JOIN cent ct ON ct.i = e.i
+        |       GROUP BY 1, 2),
+        |assigned AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crk
+        |  FROM vc) WHERE crk = 1),
+        |probes AS (SELECT vec_id AS qid, cell AS probe_cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crk
+        |  FROM vc WHERE vec_id < 10) WHERE crk <= 3),
+        |l2 AS (SELECT e.vec_id, e.m, ct.cell,
+        |         sum((e.x - ct.c) * (e.x - ct.c)) AS d2
+        |       FROM ex e JOIN cent ct ON ct.i = e.i
+        |       GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id, m, cell FROM (SELECT vec_id, m, cell,
+        |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn
+        |       FROM l2) WHERE rn = 1),
+        |ltab AS (SELECT e.vec_id AS qid, e.m, ct.cell, sum(e.x * ct.c) AS v
+        |         FROM ex e JOIN cent ct ON ct.i = e.i
+        |         WHERE e.vec_id < 10
+        |         GROUP BY 1, 2, 3),
+        |adc AS (SELECT p.qid, a.vec_id AS cid, sum(lt.v) AS adc
+        |        FROM probes p
+        |        JOIN assigned a ON a.cell = p.probe_cell AND a.vec_id != p.qid
+        |        JOIN enc en ON en.vec_id = a.vec_id
+        |        JOIN ltab lt ON lt.qid = p.qid AND lt.m = en.m AND lt.cell = en.cell
+        |        GROUP BY 1, 2),
+        |c100 AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |          row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+        |        FROM adc) WHERE rn <= 100),
+        |rr AS (SELECT c.qid, c.cid,
+        |        list_cosine_similarity(qe.embedding, e.embedding) AS cos
+        |      FROM c100 c
+        |      JOIN embeddings qe ON qe.vec_id = c.qid
+        |      JOIN embeddings e ON e.vec_id = c.cid),
+        |r AS (SELECT qid, cid AS neighbor_id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |      FROM rr)
         |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
 
     "ev10_sliding_windows" ->
@@ -3958,6 +4145,39 @@ object SparkEntry {
          |$rounds
          |SELECT node AS vec_id, lbl AS cluster_id FROM l5""".stripMargin
     },
+
+    // dd22: the window inverted index, the duplicated-window semi-join,
+    // and the q35-style island merge all replay on exact integers; the
+    // md5 window key is byte-identical on both engines (UTF-8 text).
+    "dd22_span_dedup" ->
+      """WITH tt AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+        |    FROM documents),
+        |tw AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+        |       FROM tt WHERE len(tk) >= 8),
+        |wins AS (SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS i,
+        |         md5(array_to_string(tk[i:i+7], ' ')) AS wh
+        |       FROM tw, unnest(range(1, len(tk) - 6)) AS u(i)),
+        |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+        |st AS (SELECT w.doc_id, w.n_tokens, w.i
+        |       FROM wins w JOIN dup USING (wh)),
+        |pe AS (SELECT doc_id, n_tokens, i,
+        |         max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_end
+        |       FROM st),
+        |isl AS (SELECT doc_id, n_tokens, i,
+        |         sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1
+        |             THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+        |        FROM pe),
+        |sp AS (SELECT doc_id, n_tokens, span_id,
+        |         min(i) AS s0, max(i + 7) AS e0
+        |       FROM isl GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_tokens, count(*) AS n_spans,
+        |  CAST(sum(e0 - s0 + 1) AS BIGINT) AS tokens_removed,
+        |  CAST(sum(e0 - s0 + 1) AS BIGINT) * 10000 // n_tokens
+        |    AS removed_bp
+        |FROM sp GROUP BY doc_id, n_tokens""".stripMargin,
 
     "pp25_k_anonymity" ->
       """WITH qi AS (SELECT c_nationkey, c_mktsegment,

@@ -1,15 +1,16 @@
 package graft.functions
 
 import java.nio.ByteBuffer
+import java.security.MessageDigest
 import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, LongType}
 
-/** KMV ("k minimum values") theta sketch: keeps the k smallest 64-bit
+/** KMV ("k minimum values") theta sketch: keeps the k smallest 60-bit
   * hashes of the values seen; the k-th smallest hash estimates the
-  * distinct count as (k−1)·2⁶⁴/kth (standard error ≈ 1/√k). The
+  * distinct count as ⌊(k−1)·2⁶⁰/kth⌋ (standard error ≈ 1/√k). The
   * property HLL lacks and set-expression workloads need: two KMV
   * sketches UNION by merging hash lists (keep k smallest of both), so
   * |A∪B| is directly estimable and |A∩B| falls out by
@@ -17,18 +18,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * segment-intersection queries. Fixed O(k) state, mergeable ⇒
   * partial-aggregates map-side like any Spark aggregate.
   *
-  * Hashes are stored sign-FLIPPED (h ^ Long.MinValue) so signed
-  * ordering equals unsigned ordering of the raw hash.
+  * The hash is the top 60 bits of md5(decimal string of the value) —
+  * engine-PORTABLE (DuckDB: `('0x' || substring(md5(v::VARCHAR), 1,
+  * 15))::BIGINT`) and the estimate is exact integer arithmetic, which
+  * is what promotes sk06 from rows-only to a full hash-checked
+  * oracle: both engines replay the identical hashes, k-th order
+  * statistic, and floor-divided estimate.
   */
 class KmvSketch(val k: Int) extends Serializable {
-  /** ascending flipped hashes, ≤ k entries, no duplicates */
+  /** ascending 60-bit hashes (always ≥ 0), ≤ k entries, no duplicates */
   val hashes: ArrayBuffer[Long] = ArrayBuffer.empty
 
-  def update(value: Long): Unit = {
-    val h = org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashLong(value, 42L) ^ Long.MinValue
-    insert(h)
-  }
+  def update(value: Long): Unit = insert(KmvSketch.hash60(value))
 
   private def insert(h: Long): Unit = {
     if (hashes.length == k && h >= hashes.last) return
@@ -47,17 +48,38 @@ class KmvSketch(val k: Int) extends Serializable {
 
   def merge(other: KmvSketch): Unit = other.hashes.foreach(insert)
 
-  /** distinct-count estimate; exact while fewer than k hashes kept. */
-  def estimate: Double =
-    if (hashes.length < k) hashes.length.toDouble
-    else {
-      val u = hashes.last.toDouble + 9.223372036854776e18 // unflip to unsigned
-      (k - 1).toDouble * 1.8446744073709552e19 / u
-    }
+  /** distinct-count estimate; exact while fewer than k hashes kept.
+    * Integer-exact: ⌊(k−1)·2⁶⁰ / kth⌋ via BigInt (the product is
+    * ~2⁷⁰, past int64), floor-division — identical to DuckDB's
+    * HUGEINT replay. */
+  def estimate: Long =
+    if (hashes.length < k) hashes.length.toLong
+    else ((BigInt(k - 1) << 60) / BigInt(hashes.last)).toLong
+}
+
+object KmvSketch {
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5 of the value's decimal string = the first 15
+    * hex digits, always ≥ 0 (matches the SQL replay exactly). */
+  def hash60(value: Long): Long = {
+    val d = md.get()
+    d.reset()
+    val b = d.digest(java.lang.Long.toString(value)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val top64 =
+      ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) |
+        ((b(2) & 0xffL) << 40) | ((b(3) & 0xffL) << 32) |
+        ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+        ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+    top64 >>> 4
+  }
 }
 
 /** Catalyst aggregate wrapper: evaluates to the distinct-count
-  * estimate (double). Null child values are skipped, so
+  * estimate (long, integer-exact). Null child values are skipped, so
   * `kmv(CASE WHEN <segment> THEN key END)` sketches one segment and
   * three such aggregates in ONE pass give |A|, |B|, |A∪B|. */
 case class KmvSketchAgg(
@@ -69,7 +91,7 @@ case class KmvSketchAgg(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType = LongType
 
   override def createAggregationBuffer(): KmvSketch = new KmvSketch(k)
 

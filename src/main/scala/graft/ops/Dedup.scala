@@ -96,11 +96,35 @@ object Dedup {
     */
   private val minhashK = 32
 
-  /** k-slot MinHash signature per document (one groupBy, k min-aggs). */
+  /** k-slot MinHash signature per document (one groupBy, k min-aggs).
+    * dd02's production family: k INDEPENDENT 64-bit hashes — slot
+    * independence is what gives LSH banding its textbook recall curve
+    * (the cheaper Kirsch–Mitzenmacher family correlates the slot
+    * minima through its two shared base hashes, and a measured
+    * borderline J≈0.6 pair slipped through its bands at sf0.01 —
+    * recall loss the exact-verify tier cannot repair). dd09 runs the
+    * portable K–M family instead (see portableSigs). */
   private def minhashSigs(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(
       min(xxhash64(lit(0), col("s"))).as("m0"),
       (1 until minhashK).map(j => min(xxhash64(lit(j), col("s"))).as(s"m$j")): _*)
+
+  /** dd09's signature family: the Kirsch–Mitzenmacher construction
+    * g_j = h1 + j·h2 over the two 32-bit halves of the shingle's md5 —
+    * engine-portable (md5 + integer arithmetic replay exactly in the
+    * DuckDB oracle, which promotes dd09 to a full hash-checked entry)
+    * and cheaper than k independent hashes at 100 TB: ONE md5 per
+    * shingle + k fused multiply-adds, max h1 + 31·h2 < 2^37 ≪ int64.
+    * The slot correlation it trades away (see minhashSigs) is priced
+    * by dd09's own calibration spec. */
+  private def portableSigs(sh: DataFrame): DataFrame =
+    sh.withColumn("hh", expr("md5(cast(s as binary))"))
+      .withColumn("h1", expr("CAST(conv(substring(hh, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substring(hh, 9, 8), 16, 10) AS BIGINT)"))
+      .groupBy(col("doc_id")).agg(
+        min(col("h1")).as("m0"),
+        (1 until minhashK).map(j =>
+          min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j")): _*)
 
   /** LSH candidate pairs (16 bands × 2 rows) from the signatures. */
   private def lshCandidates(sigs: DataFrame): DataFrame = {
@@ -125,11 +149,14 @@ object Dedup {
     * which at 100 TB replaces the exact-verify join when a calibrated
     * approximation is enough. Estimates are exact multiples of 1/k so
     * the output is engine-deterministic; calibration against the exact
-    * Jaccard is asserted in the spec (rows-only: xxhash64 has no
-    * portable SQL twin). */
+    * Jaccard is asserted in the spec. Promoted from rows-only: with
+    * the Kirsch–Mitzenmacher md5 family the signatures replay exactly
+    * in SQL, and the LSH band-bucket candidate join replays as
+    * slot-pair equality (bucket equality ⟺ the two banded slots are
+    * equal, modulo a ~2⁻⁶⁴ xxhash64 bucket collision). */
   def dd09MinhashEstimate(s: SparkSession, d: String): DataFrame = {
     val sh = CacheScope.cached(shingles(s, d))
-    val sigs = CacheScope.cached(minhashSigs(sh))
+    val sigs = CacheScope.cached(portableSigs(sh))
     val cand = lshCandidates(sigs)
     val a = sigs.select(col("doc_id").as("d1") +:
       (0 until minhashK).map(j => col(s"m$j").as(s"a$j")): _*)
@@ -621,5 +648,54 @@ object Dedup {
           .select(col("node"), least(col("lbl"), col("nbr_min")).as("lbl")))
     }
     labels.select(col("node").as("vec_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** dd22: duplicated-span REMOVAL PLAN — the apply side of dd12's
+    * window detection (ExactSubstr dedup à la Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, at token-window granularity): an 8-token
+    * window whose text occurs ≥2 times in the corpus (another doc, or
+    * again in the same doc) marks its positions for removal;
+    * overlapping/adjacent windows merge into maximal spans (the q35
+    * gaps-and-islands kernel on the running coverage end), and each
+    * affected doc gets its removal plan — span count, tokens removed,
+    * basis-point share of the doc covered. Candidate generation is
+    * the window inverted index: the shuffle key is the 128-bit md5 of
+    * the window (fixed-width keys, not 8-token strings — half the
+    * shuffle bytes at 100 TB), cost ∝ total windows, NEVER all-pairs;
+    * span merging is a per-doc sorted scan (window partitioned by
+    * doc_id — embarrassingly parallel). All counts int64-exact. */
+  def dd22SpanDedup(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val wins = CacheScope.cached(Tables.documents(s, d)
+      .withColumn("tk", split(trim(col("text")), " "))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"), posexplode(expr(
+        s"""transform(sequence(1, size(tk) - ${W - 1}),
+           |  i -> md5(cast(array_join(slice(tk, i, $W), ' ') as binary)))"""
+          .stripMargin)).as(Seq("pos0", "wh")))
+      .select(col("doc_id"), col("n_tokens"), (col("pos0") + 1).as("i"),
+        col("wh")))
+    val dupWins = wins.groupBy(col("wh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("wh"))
+    val starts = wins.join(dupWins, Seq("wh"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"), col("i"))
+    // gaps-and-islands on coverage: window [i, i+7] extends the open
+    // span iff it starts at or before the span's running end + 1
+    // (coverage stays contiguous); otherwise it opens a new span
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = starts
+      .withColumn("prev_end", max(col("i") + lit(W - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("i") > col("prev_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(w))
+      .groupBy(col("doc_id"), col("n_tokens"), col("span_id"))
+      .agg(min(col("i")).as("s0"), max(col("i") + lit(W - 1)).as("e0"))
+    spans.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e0") - col("s0") + 1).as("tokens_removed"))
+      .withColumn("removed_bp", expr("tokens_removed * 10000 div n_tokens"))
   }
 }

@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 /** Sketch-based approximate aggregation (SURVEY.md §2) — the 100 TB
   * answer to "exact is too expensive": mergeable, fixed-size sketches
   * that partial-aggregate map-side, so the shuffle carries one sketch
-  * per group per task instead of the raw values. Approximate results
-  * cannot hash-match a DuckDB oracle, so these are rows-only entries
-  * whose error bounds are asserted against the exact operators in
-  * SketchesSpec.
+  * per group per task instead of the raw values. Sketches built on
+  * engine-internal hashes (HLL/GK/KLL/CMS/bloom) cannot hash-match a
+  * DuckDB oracle, so those are rows-only entries whose error bounds
+  * are asserted against the exact operators in the specs; sk06's KMV
+  * — portable hash, integer-exact estimate — is fully hash-checked.
   */
 object Sketches {
 
@@ -62,8 +63,13 @@ object Sketches {
     * both, the property HLL lacks) and their intersection by
     * inclusion–exclusion. All three sketches build in ONE pass via
     * null-skipping conditional children (`kmv(CASE WHEN segment THEN
-    * user END)`); fixed O(k)=1024 state per sketch partial-aggregates
-    * map-side. Error vs the exact distinct counts is spec-bounded. */
+    * user END)`); fixed O(k)=128 state per sketch partial-aggregates
+    * map-side. Promoted from rows-only: the portable md5 hash and the
+    * integer-exact ⌊(k−1)·2⁶⁰/kth⌋ estimate replay bit-exactly in the
+    * DuckDB oracle — k is sized so the gate corpus (150 distinct
+    * users at sf0.01 > k) exercises the ESTIMATOR branch, not just
+    * the exact small-set path; error vs the exact distinct counts
+    * stays spec-bounded (SE ≈ 1/√k ≈ 9%). */
   def sk06ThetaSets(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo, Literal, Or}
     val e = Tables.events(s, d).select(col("event_type"), col("user_id"))
@@ -74,7 +80,7 @@ object Sketches {
       val cond = types.map(t => EqualTo(et, Literal(t)):
         org.apache.spark.sql.catalyst.expressions.Expression).reduce(Or(_, _))
       org.apache.spark.sql.graft.GraftDataset.column(
-        graft.functions.KmvSketchAgg(CaseWhen(Seq((cond, uid)), None))
+        graft.functions.KmvSketchAgg(CaseWhen(Seq((cond, uid)), None), k = 128)
           .toAggregateExpression())
     }
     e.agg(
@@ -82,10 +88,10 @@ object Sketches {
         seg("view").as("est_b"),
         seg("purchase", "view").as("est_u"))
       .select(
-        round(col("est_a"), 2).as("est_purchasers"),
-        round(col("est_b"), 2).as("est_viewers"),
-        round(col("est_u"), 2).as("est_union"),
-        round(col("est_a") + col("est_b") - col("est_u"), 2).as("est_overlap"))
+        col("est_a").as("est_purchasers"),
+        col("est_b").as("est_viewers"),
+        col("est_u").as("est_union"),
+        (col("est_a") + col("est_b") - col("est_u")).as("est_overlap"))
   }
 
   /** sk05: Bloom-filter semi-join pre-filter — the membership sketch:

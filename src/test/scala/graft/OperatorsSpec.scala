@@ -50,10 +50,12 @@ class OperatorsSpec extends SparkTestBase {
   test("oracle coverage is complete and key-consistent") {
     val rowsOnly = Set(
       "sk01_hll_users", "sk02_quantile_sketch", "sk03_cms_tokens",
-      "dd09_minhash_est", "ss08_sq8_rerank", "ss10_pq_topk",
       "sk04_kll_quantiles", "sk05_bloom_prejoin",
-      "sk06_theta_sets", "sk07_hll_rollup",
-      "ss14_ivfpq_topk", "tx41_compressibility")  // SURVEY.md §2
+      "sk07_hll_rollup",
+      // SURVEY.md §2 (dd09/sk06/ss08/ss10/ss14 promoted round 5): only
+      // sketches over engine-internal hashes (HLL/GK/KLL/CMS/bloom) and
+      // deflate remain unoracled
+      "tx41_compressibility")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -117,6 +119,19 @@ class OperatorsSpec extends SparkTestBase {
       .filter(col("fast0") =!= col("ref0") || col("fast1") =!= col("ref1"))
       .count()
     assert(mismatches == 0)
+  }
+
+  test("pq_encode codegen expression equals the HOF reference codes") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = "/root/testdata/sf0.01"
+    val cbArr = ops.Similarity.pqCodebook(spark, d)
+    val both = Tables.embeddings(spark, d)
+      .crossJoin(broadcast(cbArr))
+      .crossJoin(broadcast(ops.Similarity.pqCodebookFlat(cbArr)))
+      .withColumn("ref", expr(ops.Similarity.pqEncodeExpr))
+      .withColumn("fast", expr("pq_encode(embedding, cbflat)"))
+    val mismatches = both.filter(col("ref") =!= col("fast")).count()
+    assert(mismatches == 0, "codegen codes must be bit-identical to HOF")
   }
 
   test("cosine_sim expression matches reference computation") {
@@ -670,10 +685,13 @@ class OperatorsSpec extends SparkTestBase {
     val (exA, exB, exU) = (exact("purchase"), exact("view"),
       exact("purchase", "view"))
     val cases = Seq(
-      ("purchasers", r.getDouble(0), exA), ("viewers", r.getDouble(1), exB),
-      ("union", r.getDouble(2), exU), ("overlap", r.getDouble(3), exA + exB - exU))
+      ("purchasers", r.getLong(0).toDouble, exA),
+      ("viewers", r.getLong(1).toDouble, exB),
+      ("union", r.getLong(2).toDouble, exU),
+      ("overlap", r.getLong(3).toDouble, exA + exB - exU))
     cases.foreach { case (name, est, ex) =>
-      assert(ex == 0 || math.abs(est - ex) / ex <= 0.10,
+      // k=128 ⇒ SE ≈ 1/√128 ≈ 8.8%; 3σ bound (exact below k distincts)
+      assert(ex == 0 || math.abs(est - ex) / ex <= 0.30,
         s"sk06 $name: estimate $est vs exact $ex")
     }
   }
@@ -1229,6 +1247,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(ppjoin == naive,
       s"prefix filtering must be lossless: missing ${naive -- ppjoin}, " +
         s"extra ${ppjoin -- naive}")
+  }
+
+  test("dd22 span plan matches a brute-force position-coverage replay") {
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split(" ").toSeq))
+    val winOcc = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    for ((_, tk) <- docs; i <- 0 to tk.length - 8)
+      winOcc(tk.slice(i, i + 8).mkString(" ")) += 1
+    // independent replay: mark every position covered by a duplicated
+    // window, count covered positions and contiguous runs per doc
+    val expected = docs.flatMap { case (id, tk) =>
+      val covered = Array.fill(tk.length)(false)
+      for (i <- 0 to tk.length - 8
+           if winOcc(tk.slice(i, i + 8).mkString(" ")) >= 2;
+           p <- i until i + 8) covered(p) = true
+      val removed = covered.count(identity)
+      if (removed == 0) None
+      else {
+        val spans = covered.zipWithIndex.count {
+          case (c, p) => c && (p == 0 || !covered(p - 1))
+        }
+        Some(id -> ((tk.length.toLong, spans.toLong, removed.toLong)))
+      }
+    }.toMap
+    val got = ops.Dedup.dd22SpanDedup(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1).toLong, r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.nonEmpty)
+    assert(got == expected,
+      s"span plans diverge: missing ${expected.keySet -- got.keySet}, " +
+        s"extra ${got.keySet -- expected.keySet}")
   }
 
   test("dd19 bag-of-words groups conserve the corpus") {
