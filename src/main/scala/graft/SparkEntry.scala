@@ -284,6 +284,8 @@ object SparkEntry {
     "ss17_index_refresh"    -> Similarity.ss17IndexRefresh _,
     "pp26_mix_rebalance"    -> Pipelines.pp26MixRebalance _,
     "mm12_dedup_savings"    -> Multimodal.mm12DedupSavings _,
+    "gr16_cc_twostar"       -> Graph.gr16CcTwostar _,
+    "tx47_surprise"         -> Text.tx47Surprise _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -3379,6 +3381,47 @@ object SparkEntry {
          |    THEN deg * (deg - 1) // 2 ELSE 0 END), 0)
          |    AS BIGINT) AS hub_wedges_skipped
          |FROM deg""".stripMargin,
+
+    "tx47_surprise" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS c_tot FROM toks),
+        |sn AS (SELECT tok,
+        |    CAST(round(ln(c_tot * 1.0 / count(*)) * 1000000.0, 0) AS BIGINT)
+        |      AS snat
+        |  FROM toks CROSS JOIN tot GROUP BY tok, c_tot),
+        |per_doc AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(s.snat) // count(*) AS BIGINT) AS mean_surprise_unat
+        |  FROM toks t JOIN sn s USING (tok) GROUP BY 1),
+        |thr AS (SELECT
+        |    quantile_disc(mean_surprise_unat, 1.0/3) AS t1,
+        |    quantile_disc(mean_surprise_unat, 2.0/3) AS t2
+        |  FROM per_doc)
+        |SELECT doc_id, n_tokens, mean_surprise_unat,
+        |  CASE WHEN mean_surprise_unat <= t1 THEN 'head'
+        |       WHEN mean_surprise_unat <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_band
+        |FROM per_doc CROSS JOIN thr""".stripMargin,
+
+    // gr16 runs two-star to CONVERGENCE, and the two-star fixed point
+    // is the true component partition (label = component minimum), so
+    // the oracle states the SEMANTICS — min reachable id via a
+    // recursive CTE — instead of replaying the algorithm's rounds.
+    "gr16_cc_twostar" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+        |    FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |r AS (SELECT src AS node, src AS lbl FROM e
+        |      UNION
+        |      SELECT e.src AS node, r.lbl
+        |      FROM e JOIN r ON r.node = e.dst)
+        |SELECT node AS part_id, min(lbl) AS component_id
+        |FROM r GROUP BY node""".stripMargin,
 
     "sk10_power_sums" ->
       """WITH e AS (SELECT event_type,

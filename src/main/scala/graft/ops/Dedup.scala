@@ -468,8 +468,20 @@ object Dedup {
       // drop it before paying the O(len²) DP (no recall change)
       .filter(abs(length(col("t1")) - length(col("t2"))) * 100 <=
         lit(20) * greatest(length(col("t1")), length(col("t2"))))
-      .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
-      .filter(col("dist") * 100 <= lit(20) * greatest(length(col("t1")), length(col("t2"))))
+      // THRESHOLDED levenshtein: dist ≤ 20% of maxlen ⟺ dist ≤
+      // maxlen div 5 (integer), so passing that per-pair bound as the
+      // threshold swaps the full O(len²) DP for the banded O(k·len)
+      // variant — Spark returns -1 the moment the band is exceeded,
+      // which is exactly the pairs the next filter drops anyway.
+      // Surviving pairs carry the same exact distance as the unbounded
+      // form (and as the oracle's plain levenshtein). 30.4 s → the
+      // banded DP at sf0.1; the hot loop shrinks from len² to
+      // 0.2·len² cells in the worst case and exits early on the
+      // length-gap majority.
+      .withColumn("dist", expr(
+        "levenshtein(t1, t2, greatest(length(t1), length(t2)) div 5)")
+        .cast("long"))
+      .filter(col("dist") >= 0L)
       .select(col("d1"), col("d2"), col("dist"))
   }
 

@@ -534,4 +534,98 @@ object Graph {
         .unionByName(e.select(col("d2").as("src"), col("d1").as("dst"))))
     bfsFrom(bi)
   }
+
+  /** gr16: connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) run TO CONVERGENCE — the O(log n)-round algorithm that
+    * replaces gr06's fixed-5-round min-label when the graph has long
+    * chains or a giant component whose diameter exceeds the unroll
+    * budget. min-label needs diameter rounds (a 100-hop boilerplate
+    * chain at 100 TB defeats any fixed unroll); two-star contracts
+    * path length geometrically, so even a path graph of n nodes
+    * converges in ~log n rounds. Each round is two join+agg passes
+    * over a frame ∝ |edges| (never node-pairs); the driver touches
+    * only a per-round CHANGE SCALAR (symmetric-difference count, the
+    * dd06 convergence discipline), never row data. The converged edge
+    * set is exactly the star forest (member → component-min), so the
+    * label read-off is one left join. Because the fixed point of
+    * two-star IS the true component partition (labels = component
+    * minimum, independent of iteration count), the oracle can state
+    * the SEMANTIC result — min reachable id via a recursive CTE —
+    * rather than replaying rounds: the first kernel here whose oracle
+    * is algorithm-independent. */
+  def gr16CcTwostar(s: SparkSession, d: String): DataFrame = {
+    val e0 = coPurchaseEdges(s, d)
+    // canonical undirected form (hi > lo), the two-star working set —
+    // coPurchaseEdges is already DISTINCT with src < dst, so the
+    // canonical form is a pure column swap: no extra dedup shuffle or
+    // checkpoint of the one corpus-sized frame in this kernel.
+    twoStarFrom(e0.select(col("dst").as("hi"), col("src").as("lo")))
+  }
+
+  /** The alternating two-star kernel on any DISTINCT canonical
+    * (hi, lo) edge frame (hi > lo) — exposed for the generative spec,
+    * which replays it against a reference union-find on random graphs
+    * (paths longer than any fixed unroll, planted cliques, isolated
+    * pairs). Returns (part_id, component_id). */
+  private[graft] def twoStarFrom(init: DataFrame): DataFrame = {
+    var cur = init
+    val allNodes = CacheScope.cached(
+      init.select(col("hi").as("node"))
+        .unionByName(init.select(col("lo").as("node"))).distinct())
+    var converged = false
+    var round = 0
+    while (!converged && round < 20) {
+      round += 1
+      // LARGE-STAR: every neighbor v of u with v > u re-attaches to
+      // m(u) = min(Γ(u) ∪ {u}). Bidirect, per-node min, emit (v, m).
+      val bi = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = bi.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val ls = bi.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // SMALL-STAR: u and all smaller neighbors re-attach to the
+      // minimum smaller neighbor: (hi,lo) edges grouped by hi. `lsc`
+      // is cached within the round (three references: the min agg and
+      // both halves of the emission) so the large-star subtree runs
+      // once per round, not three times.
+      val lsc = CacheScope.cached(ls)
+      val smin = lsc.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val withM = lsc.join(smin, Seq("hi"))
+      val ss = withM
+        .select(col("lo").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .unionByName(withM.select(col("hi"), col("m").as("lo")).distinct())
+        .distinct()
+        .truncated
+      cur = ss
+      // convergence: a CANONICAL STAR FOREST — every hi exactly once
+      // (n_edges == n_distinct_hi) and no lo doubling as a hi (no
+      // chains) — IS the two-star fixed point (each star's lo is its
+      // minimum by the hi>lo invariant, and both star ops map a star
+      // forest to itself), so the check needs no extra round and no
+      // full-frame symmetric difference: one aggregate + one
+      // edge-frame semi-join count, both ∝ |edges|.
+      val agg = cur.agg(count(lit(1)), countDistinct(col("hi"))).first()
+      if (agg.getLong(0) == agg.getLong(1)) {
+        val chains = cur.select(col("lo"))
+          .join(cur.select(col("hi").as("lo")), Seq("lo"), "left_semi")
+          .count()
+        converged = chains == 0L
+      }
+    }
+    // converged stars: (member, component-min); roots label themselves
+    val labels = allNodes
+      .join(cur.select(col("hi").as("node"), col("lo").as("cid")), Seq("node"),
+        "left_outer")
+      .select(col("node").as("part_id"),
+        coalesce(col("cid"), col("node")).as("component_id"))
+    labels
+  }
 }

@@ -981,4 +981,47 @@ object Text {
           array_sort(collect_list(struct(col("pos"), col("ps").as("pw")))),
           x => x("pw"))), ",").as("pieces"))
   }
+
+  /** tx47: unigram-LM surprise filter — the CCNet-style perplexity
+    * partition (Wenzek et al. 1911.00359) with the corpus's own
+    * unigram model standing in for the external KenLM: each token
+    * type's surprise −ln p(tok) is computed ONCE on the vocab-sized
+    * frame (micro-nat integer grid: round(ln·10⁶) of a double both
+    * engines derive from the same int64 division — the tx08 ln
+    * precedent), then joined back over the token stream and
+    * integer-averaged per doc, so no float ever crosses an aggregate
+    * (summation order can't touch the hash). Docs are banded
+    * head / middle / tail by the CORPUS TERCILES of mean surprise —
+    * exactly CCNet's bucket rule — via two percentile_disc thresholds
+    * (the q61 cross-engine precedent): a 2-value frame broadcast over
+    * a row-local comparison, never a global ntile sort of the corpus.
+    * Scale: one corpus scan + one vocab aggregate + one hash join on
+    * the token key (AQE broadcasts the vocab side when it fits); the
+    * per-doc agg is partial-aggregable. */
+  def tx47Surprise(s: SparkSession, d: String): DataFrame = {
+    val toks = CacheScope.cached(
+      Tables.documents(s, d).select(col("doc_id"), explode(tokens).as("tok")))
+    val total = toks.agg(count(lit(1)).as("c_tot"))
+    val surprise = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("c_tot") * lit(1.0) / col("c_cnt")) * lit(1000000.0), 0)
+          .cast("long").as("snat"))
+    val perDoc = CacheScope.cached(toks.join(surprise, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("snat")).as("snat_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("snat_sum div n_tokens").as("mean_surprise_unat")))
+    val thr = perDoc.agg(
+      expr("percentile_disc(1.0/3) WITHIN GROUP (ORDER BY mean_surprise_unat)")
+        .as("t1"),
+      expr("percentile_disc(2.0/3) WITHIN GROUP (ORDER BY mean_surprise_unat)")
+        .as("t2"))
+    perDoc.crossJoin(broadcast(thr))
+      .withColumn("ppl_band",
+        when(col("mean_surprise_unat") <= col("t1"), "head")
+          .when(col("mean_surprise_unat") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .drop("t1", "t2")
+  }
 }

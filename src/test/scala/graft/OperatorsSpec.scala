@@ -1789,4 +1789,81 @@ class OperatorsSpec extends SparkTestBase {
       assert(r.getLong(3) >= r.getLong(4))
     }
   }
+
+  test("gr16 two-star kernel matches reference union-find on random graphs") {
+    import spark.implicits._
+    // reference: plain union-find, labels = component minimum
+    def refCc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val roots = parent.keys.map(n => n -> find(n)).toMap
+      val minOf = roots.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      roots.map { case (n, r) => n -> minOf(r) }
+    }
+    val rnd = new scala.util.Random(1616)
+    val trials: Seq[Seq[(Long, Long)]] = Seq(
+      // a 60-node PATH: diameter 59, the case a fixed 5-round
+      // min-label unroll cannot close and two-star contracts in O(log)
+      (0L until 59L).map(i => (i, i + 1)),
+      // a planted 12-clique plus scattered random background
+      (for (a <- 100L to 111L; b <- (a + 1) to 111L) yield (a, b)) ++
+        (0 until 40).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    ) ++ (1 to 4).map { _ =>
+      val n = 40 + rnd.nextInt(60)
+      (0 until rnd.nextInt(3 * n)).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toSeq
+    }
+    for ((raw, i) <- trials.zipWithIndex) {
+      val edges = raw.filter { case (a, b) => a != b }.distinct
+      val init = edges.map { case (a, b) => (a max b, a min b) }
+        .distinct.toDF("hi", "lo")
+      val got = ops.Graph.twoStarFrom(init).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refCc(edges), s"trial $i (${edges.length} edges)")
+    }
+  }
+
+  test("gr16 converged components agree with gr06's corpus fixed point") {
+    // the co-purchase graph's diameter is inside gr06's 5-round unroll
+    // at this SF, so the fixed-round and run-to-convergence kernels
+    // must land on the identical partition
+    val a = ops.Graph.gr16CcTwostar(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = ops.Graph.gr06MinLabel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "two-star and min-label partitions diverge")
+  }
+
+  test("tx47 per-doc surprise matches a local unigram-LM reference") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split(" ").toSeq)
+    val counts = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = docs.map(_._2.size.toLong).sum
+    val snat = counts.map { case (t, c) =>
+      t -> BigDecimal(math.log(total * 1.0 / c) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val means = docs.map { case (id, tk) => id -> (tk.map(snat).sum / tk.size) }
+    // discrete tercile thresholds: value at rank ceil(p·n), 1-based
+    val sortedM = means.map(_._2).sorted
+    def disc(p: Double): Long = sortedM(math.ceil(p * sortedM.length).toInt - 1)
+    val (t1, t2) = (disc(1.0 / 3), disc(2.0 / 3))
+    val expect = docs.map { case (id, tk) =>
+      val mean = tk.map(snat).sum / tk.size
+      val band = if (mean <= t1) "head" else if (mean <= t2) "middle" else "tail"
+      id -> ((tk.size.toLong, mean, band))
+    }.toMap
+    val got = ops.Text.tx47Surprise(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == expect)
+    // CCNet terciles: all three shards occupied on the corpus
+    assert(got.values.map(_._3).toSet.size == 3, "degenerate tercile split")
+  }
 }
