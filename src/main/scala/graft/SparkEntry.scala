@@ -286,6 +286,7 @@ object SparkEntry {
     "mm12_dedup_savings"    -> Multimodal.mm12DedupSavings _,
     "gr16_cc_twostar"       -> Graph.gr16CcTwostar _,
     "tx47_surprise"         -> Text.tx47Surprise _,
+    "dd23_batch_dedup"      -> Dedup.dd23BatchDedup _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -3381,6 +3382,37 @@ object SparkEntry {
          |    THEN deg * (deg - 1) // 2 ELSE 0 END), 0)
          |    AS BIGINT) AS hub_wedges_skipped
          |FROM deg""".stripMargin,
+
+    // dd23's oracle restates the SEMANTICS (dd02-equivalent pairs
+    // filtered to batch involvement, then the pp05 status rule) — the
+    // bucket-restricted candidate generation is the ENGINE's cost
+    // optimization, provably lossless for batch-involving pairs (any
+    // such pair shares one of the batch's own buckets).
+    "dd23_batch_dedup" -> {
+      val jac = ngramJaccardSql
+      s"""WITH j AS ($jac),
+         |newdocs AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+         |sym AS (SELECT d1 AS a, d2 AS b FROM j
+         |        UNION ALL SELECT d2 AS a, d1 AS b FROM j),
+         |x AS (SELECT s.a AS doc_id, s.b AS partner, d.source AS psrc
+         |      FROM sym s JOIN newdocs n ON s.a = n.doc_id
+         |      JOIN documents d ON s.b = d.doc_id),
+         |agg AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN psrc != 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_old,
+         |    CAST(sum(CASE WHEN psrc = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_new,
+         |    max(CASE WHEN psrc = 'src0' AND partner < doc_id
+         |        THEN 1 ELSE 0 END) AS prior
+         |  FROM x GROUP BY 1)
+         |SELECT n.doc_id,
+         |  coalesce(a.n_dup_old, 0) AS n_dup_old,
+         |  coalesce(a.n_dup_new, 0) AS n_dup_new,
+         |  CASE WHEN coalesce(a.n_dup_old, 0) > 0 THEN 'dup_old'
+         |       WHEN coalesce(a.prior, 0) = 1 THEN 'dup_new'
+         |       ELSE 'kept' END AS status
+         |FROM newdocs n LEFT JOIN agg a ON n.doc_id = a.doc_id""".stripMargin
+    },
 
     "tx47_surprise" ->
       """WITH toks AS (

@@ -710,4 +710,69 @@ object Dedup {
         sum(col("e0") - col("s0") + 1).as("tokens_removed"))
       .withColumn("removed_bp", expr("tokens_removed * 10000 div n_tokens"))
   }
+
+  /** dd23: BATCH-incremental MinHash dedup — the join shape an
+    * incremental 100 TB pipeline actually runs when a new batch
+    * arrives (src0 plays the arriving batch, pp05's convention; the
+    * other sources are the standing corpus). The scale-critical
+    * difference from pp05 (which runs the FULL dd02 and then filters):
+    * candidate generation is restricted UP FRONT to the LSH buckets
+    * the batch occupies — the standing corpus's banded signatures are
+    * semi-joined against the batch's (band, bucket) keys BEFORE any
+    * pair join, so the standing corpus never self-joins and bucket
+    * pair cost is ∝ batch × bucket occupancy, not corpus². (In
+    * production the standing signatures are read from the signature
+    * store — the ss17 refresh pattern; recomputing them here changes
+    * the constant, not the join shape.) Any pair involving a batch doc
+    * shares one of the batch's own buckets, so restricting to touched
+    * buckets loses NOTHING vs dd02-then-filter — the spec asserts the
+    * two are identical. Verified pairs classify each batch doc:
+    * dup_old (standing-corpus duplicate — drop), dup_new (duplicate of
+    * an earlier-id batch doc — drop, first occurrence wins), kept. */
+  def dd23BatchDedup(s: SparkSession, d: String): DataFrame = {
+    val sh = CacheScope.cached(shingles(s, d))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val isNew = col("source") === "src0"
+    val bands = array((0 until 16).map(b =>
+      xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)
+    val buckets = minhashSigs(sh)
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), isNew.as("is_new"),
+        posexplode(bands).as(Seq("band_idx", "bucket")))
+    val newBuckets = buckets.filter(col("is_new"))
+      .select(col("band_idx"), col("bucket")).distinct()
+    // the ONE incremental join: standing-corpus bucket rows survive
+    // only if the batch touches their bucket
+    val touched = buckets
+      .join(newBuckets, Seq("band_idx", "bucket"), "left_semi")
+    val cand = touched.as("x").join(touched.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          (col("x.is_new") || col("y.is_new")))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val pairs = verifiedJaccard(sh, cand).select(col("d1"), col("d2"))
+    val sym = pairs.unionByName(
+      pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val newIds = docs.filter(isNew).select(col("doc_id"))
+    val flags = sym
+      .join(newIds.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("source").as("src2")),
+        Seq("d2"))
+      .groupBy(col("d1").as("doc_id"))
+      .agg(
+        sum(when(col("src2") =!= "src0", 1L).otherwise(0L)).as("n_dup_old"),
+        sum(when(col("src2") === "src0", 1L).otherwise(0L)).as("n_dup_new"),
+        max(when(col("src2") === "src0" && col("d2") < col("d1"), 1)
+          .otherwise(0)).as("prior"))
+    newIds
+      .join(flags, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_old"), lit(0L)).as("n_dup_old"),
+        coalesce(col("n_dup_new"), lit(0L)).as("n_dup_new"),
+        when(coalesce(col("n_dup_old"), lit(0L)) > 0, "dup_old")
+          .when(coalesce(col("prior"), lit(0)) === 1, "dup_new")
+          .otherwise("kept").as("status"))
+  }
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Text {
 
-  private[ops] val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   private[ops] def tokens: Column = split(trim(col("text")), " ")
 

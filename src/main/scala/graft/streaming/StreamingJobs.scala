@@ -455,4 +455,74 @@ object StreamingJobs {
           out.iterator
       }
   }
+
+  /** Per-row signal bundle feeding st20's keyed dedup state (public:
+    * the codegen'd deserializer must construct it). */
+  case class DocSig(doc_id: Long, lang: String, contam: Boolean,
+    lowq: Boolean, th: String)
+  case class DocDisposition(doc_id: Long, lang: String, reason: String)
+
+  /** st20: pp11's drop-reason funnel at ingest time — every arriving
+    * document is assigned its final disposition as it lands, in
+    * pp11's audit-priority order (contaminated > duplicate >
+    * low_quality > kept). The two row-local signals reuse the batch
+    * formulas verbatim: st14's 15-token window overlap against the
+    * broadcast eval index (contamination) and tx02's lexical score
+    * < 0.5 (quality). The DUPLICATE reason is the genuinely streaming
+    * part: one boolean of keyed state per normalized-text hash —
+    * first occurrence establishes the text, every later arrival (same
+    * micro-batch or weeks later) is flagged `duplicate`, which is
+    * exactly the keep-FIRST rule a streaming pipeline can enforce
+    * (batch keep-best needs the whole corpus; ingest keeps the
+    * earliest and lets pp20 refresh later). State is one flag per
+    * DISTINCT text — bounded by content, not traffic. Append mode:
+    * each doc's disposition emits exactly once; the (lang, reason)
+    * rollup is one groupBy over the sink, kept OUT of the streaming
+    * query so the per-doc audit trail (pp11's missing half) is what
+    * lands. */
+  def streamingDropReasons(docs: DataFrame, evalDocs: DataFrame): Dataset[DocDisposition] = {
+    import docs.sparkSession.implicits._
+    val W = 15
+    def winCol = expr(
+      s"""CASE WHEN size(tk) >= $W THEN
+         |  array_distinct(transform(sequence(1, size(tk) - $W + 1),
+         |    i -> md5(cast(array_join(slice(tk, i, $W), ' ') as binary))))
+         |ELSE array() END""".stripMargin)
+    val evalIdx = evalDocs
+      .withColumn("tk", split(trim(col("text")), " "))
+      .select(explode(winCol).as("wh"))
+      .agg(collect_set(col("wh")).as("eval_wins"))
+    val stopArr = array(graft.ops.Text.stopwords.map(lit): _*)
+    docs
+      .withColumn("tk", split(trim(col("text")), " "))
+      .withColumn("wins", winCol)
+      .crossJoin(broadcast(evalIdx))
+      .select(
+        col("doc_id"), col("lang"),
+        arrays_overlap(col("wins"), col("eval_wins")).as("contam"),
+        (round(size(filter(col("tk"), t => array_contains(stopArr, t))) * 0.5
+            / size(col("tk")) +
+          when(size(col("tk")).between(5, 200), 0.5).otherwise(0.0), 4)
+          < 0.5).as("lowq"),
+        md5(lower(trim(col("text")))).cast("string").as("th"))
+      .as[DocSig]
+      .groupByKey(_.th)
+      .flatMapGroupsWithState[Boolean, DocDisposition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val dup = seen
+            seen = true
+            val reason =
+              if (r.contam) "contaminated"
+              else if (dup) "duplicate"
+              else if (r.lowq) "low_quality"
+              else "kept"
+            DocDisposition(r.doc_id, r.lang, reason)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
 }

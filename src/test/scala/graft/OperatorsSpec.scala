@@ -1790,6 +1790,18 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("dd23 bucket-restricted incremental dedup equals the full-run filter") {
+    // restricting candidate generation to batch-touched LSH buckets
+    // must lose nothing vs pp05's run-everything-then-filter: any pair
+    // involving a batch doc shares one of the batch's own buckets
+    val inc = ops.Dedup.dd23BatchDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val full = ops.Pipelines.pp05IncrementalIngest(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(inc == full, "incremental and full-run statuses diverge")
+    assert(inc.nonEmpty)
+  }
+
   test("gr16 two-star kernel matches reference union-find on random graphs") {
     import spark.implicits._
     // reference: plain union-find, labels = component minimum

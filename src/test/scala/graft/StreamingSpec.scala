@@ -504,4 +504,44 @@ class StreamingSpec extends SparkTestBase {
       assert(got.toSeq == expect, s"streaming $got != batch-formula $expect")
     } finally q.stop()
   }
+
+  test("st20 streaming drop-reason funnel assigns pp11's dispositions at ingest") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val span = (1 to 15).map(i => s"e$i").mkString(" ")
+    val evalDocs = Seq((900L, s"eval head $span eval tail")).toDF("doc_id", "text")
+    // fluent filler: enough stopwords for a passing tx02 score
+    val good = (1 to 30).map(i => s"the w$i of x$i").mkString(" ")
+    val in = MemoryStream[(Long, String, String)]
+    // batch 1: a kept doc, a contaminated doc, a low-quality doc (no
+    // stopwords, >200 tokens), and an in-batch duplicate of the kept doc
+    val junk = (1 to 220).map(i => s"z$i").mkString(" ")
+    in.addData(
+      (1L, "en", good),
+      (2L, "en", s"leading words $span trailing words"),
+      (3L, "de", junk),
+      (4L, "en", good))
+    val q = StreamingJobs.streamingDropReasons(
+        in.toDF().toDF("doc_id", "lang", "text"), evalDocs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st20_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a CROSS-batch duplicate of doc 1 (state must remember
+      // the text), plus a fresh kept doc
+      in.addData((5L, "fr", good), (6L, "en", good + " novel tail words"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, lang, reason FROM st20_out")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+        .toMap
+      val expect = Map(
+        1L -> (("en", "kept")),
+        2L -> (("en", "contaminated")),
+        3L -> (("de", "low_quality")),
+        4L -> (("en", "duplicate")),
+        5L -> (("fr", "duplicate")),
+        6L -> (("en", "kept")))
+      assert(got == expect, s"dispositions: $got")
+    } finally q.stop()
+  }
 }
