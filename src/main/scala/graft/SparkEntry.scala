@@ -287,6 +287,7 @@ object SparkEntry {
     "gr16_cc_twostar"       -> Graph.gr16CcTwostar _,
     "tx47_surprise"         -> Text.tx47Surprise _,
     "dd23_batch_dedup"      -> Dedup.dd23BatchDedup _,
+    "ss18_knn_join"         -> Similarity.ss18KnnJoin _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -2132,6 +2133,38 @@ object SparkEntry {
         |          ORDER BY cos DESC, neighbor_id) AS rk
         |      FROM cand)
         |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    // ss18 reuses ss05's proven replay chain with the query set widened
+    // to EVERY vector (the kNN-join shape) and k=3; the engine-side
+    // shuffle-vs-broadcast strategy is invisible to the result.
+    "ss18_knn_join" ->
+      """WITH ex AS (SELECT vec_id, label, i,
+        |       CAST(embedding[i+1] AS DOUBLE) AS x
+        |     FROM embeddings, range(64) t(i)),
+        |cent AS (SELECT label AS cell, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |vc AS (SELECT ex.vec_id, cent.cell,
+        |         sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS ccos
+        |       FROM ex JOIN cent ON ex.i = cent.i
+        |       GROUP BY 1, 2),
+        |assigned AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crk
+        |  FROM vc) WHERE crk = 1),
+        |probes AS (SELECT vec_id AS qid, cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crk
+        |  FROM vc) WHERE crk <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qe.embedding, e.embedding) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.qid
+        |  JOIN embeddings qe ON qe.vec_id = p.qid
+        |  JOIN embeddings e ON e.vec_id = a.vec_id),
+        |r AS (SELECT qid, neighbor_id,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos DESC, neighbor_id) AS rk
+        |      FROM cand)
+        |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 3""".stripMargin,
 
     // ss08's oracle replays the SQ8 pipeline exactly: the integer code
     // dot is exact in both engines (|dot| ≤ 64·127² ≪ 2^53, DuckDB's

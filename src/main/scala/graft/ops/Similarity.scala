@@ -779,4 +779,41 @@ object Similarity {
                  (a, b) -> abs(a - b)), 0L, (acc, v) -> acc + v)""")
           .as("drift_l1"))
   }
+
+  /** ss18: kNN JOIN — every corpus vector is a query (top-3 neighbors
+    * for ALL vectors, the all-to-all shape behind kNN-graph builds,
+    * dedup sweeps and recommendation backfills). The entire
+    * ss01–ss16 ladder broadcasts its query set; that is exactly what
+    * stops working when queries ∝ corpus, so this operator is the
+    * SHUFFLE formulation: corpus rows partition by their IVF cell,
+    * queries fan out to their 2 probe cells, and the candidate join is
+    * a plain equi-join on the cell key — both sides shuffle-partitioned
+    * by cell, nothing broadcast, candidates ∝ Σ probe-cell occupancy
+    * (never corpus²). A skewed mega-cell is AQE's skew-join case, and
+    * the real knob is the centroid count (cells ∝ √corpus keeps
+    * occupancy bounded — ss15's trainer is where that is set). Scoring
+    * stays in the codegen'd CosineSim; selection in the
+    * partial-aggregable top-k, so the post-join shuffle carries ≤3
+    * pairs per (query, task). */
+  def ss18KnnJoin(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cent = CacheScope.cached(centroids(s, d))
+    val emb = Tables.embeddings(s, d)
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .transform(nearestCellsFrom(cent, _, 1, "cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val probes = emb.select(col("vec_id"), col("embedding"))
+      .transform(nearestCellsFrom(cent, _, 2, "probe_cell"))
+      .join(emb.select(col("vec_id"), col("embedding").as("q_emb")), Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("probe_cell").as("cell"),
+        col("q_emb"))
+    // the deliberate non-broadcast: SHUFFLE_HASH pins a cell-key hash
+    // join even though the query side would fit a broadcast at test SF
+    // (at production scale it cannot, and the plan must not flip under
+    // the optimizer's size estimate)
+    topkPairs(
+      assigned.join(probes.hint("SHUFFLE_HASH"), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid")),
+      expr("cosine_sim(q_emb, embedding)"), 3)
+  }
 }

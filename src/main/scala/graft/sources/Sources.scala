@@ -79,6 +79,17 @@ object Sources {
     }
   }
 
+  /** ORC read/write — the second columnar interchange format a corpus
+    * inherits from Hive-era producers. Same schema-explicit contract
+    * as the CSV/JSONL readers; Spark's native vectorized ORC reader
+    * gives parquet-class scan performance, and predicate pushdown /
+    * column pruning work identically (plan-asserted in SourcesSpec). */
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Evolved-schema parquet read: merge the footers of every file so a
     * dataset whose writers added columns over time (the normal state
     * of a years-old 100 TB corpus) reads as the union schema, old

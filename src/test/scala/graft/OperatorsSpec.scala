@@ -1802,6 +1802,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(inc.nonEmpty)
   }
 
+  test("ss18 kNN join plans the candidate join as a shuffle, not a broadcast") {
+    // the operator's whole point is surviving a query set ∝ corpus:
+    // the cell-key join must stay a ShuffledHashJoin even though the
+    // probe side would fit a broadcast at test SF
+    val df = ops.Similarity.ss18KnnJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"cell-key candidate join is not a shuffle join:\n$plan")
+    val rows = df.collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.nonEmpty && perQ.values.forall(_.length <= 3))
+    // every vector is a query: the join covers the whole corpus
+    val nVec = graft.Tables.embeddings(spark, sf).count()
+    assert(perQ.size == nVec, s"${perQ.size} query groups for $nVec vectors")
+  }
+
   test("gr16 two-star kernel matches reference union-find on random graphs") {
     import spark.implicits._
     // reference: plain union-find, labels = component minimum

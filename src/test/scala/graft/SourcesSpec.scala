@@ -27,6 +27,25 @@ class SourcesSpec extends SparkTestBase {
     assert(back.count() == docs.count())
   }
 
+  test("orc round-trip preserves rows; filter and pruning reach the scan") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    Sources.writeOrc(li, s"$tmp/li_orc")
+    val back = Sources.readOrc(spark, s"$tmp/li_orc")
+    assert(back.count() == li.count())
+    assert(back.agg(sum("l_quantity")).collect()(0).getDouble(0) ==
+      li.agg(sum("l_quantity")).collect()(0).getDouble(0))
+    // the vectorized ORC scan must receive the predicate and read only
+    // the projected columns — same contract the parquet reader gets
+    val q = back.filter(col("l_returnflag") === "R").select("l_orderkey")
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedFilters: [IsNotNull(l_returnflag), " +
+      "EqualTo(l_returnflag,R)]"), s"ORC pushdown missing:\n$desc")
+    assert(desc.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>")
+      || desc.contains("ReadSchema: struct<l_orderkey:int,l_returnflag:string>"),
+      s"ORC column pruning missing:\n$desc")
+  }
+
   test("FAILFAST readers reject malformed input instead of nulling it") {
     import java.nio.file.{Files, Paths}
     val dir = s"$tmp/bad_json"
