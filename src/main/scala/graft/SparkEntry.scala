@@ -288,6 +288,7 @@ object SparkEntry {
     "tx47_surprise"         -> Text.tx47Surprise _,
     "dd23_batch_dedup"      -> Dedup.dd23BatchDedup _,
     "ss18_knn_join"         -> Similarity.ss18KnnJoin _,
+    "q65_mv_rewrite"        -> Relational.q65MvRewrite _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -3415,6 +3416,14 @@ object SparkEntry {
          |    THEN deg * (deg - 1) // 2 ELSE 0 END), 0)
          |    AS BIGINT) AS hub_wedges_skipped
          |FROM deg""".stripMargin,
+
+    // q65's oracle computes from RAW lineitem — the hash match proves
+    // the engine's MV reroute (SummaryRewrite) is lossless.
+    "q65_mv_rewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     // dd23's oracle restates the SEMANTICS (dd02-equivalent pairs
     // filtered to batch involvement, then the pp05 status rule) — the

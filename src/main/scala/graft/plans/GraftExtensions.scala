@@ -33,5 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     e.injectOptimizerRule(_ => SaltSkewRewrite)
+    e.injectOptimizerRule(_ => SummaryRewrite)
   }
 }

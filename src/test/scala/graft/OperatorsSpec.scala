@@ -1802,6 +1802,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(inc.nonEmpty)
   }
 
+  test("q65 MV rewrite reads the summary table, not the fact scan, losslessly") {
+    val df = ops.Relational.q65MvRewrite(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-mv"),
+      s"plan does not read the summary table:\n$plan")
+    assert(!plan.contains("lineitem.parquet"),
+      s"plan still scans the fact table:\n$plan")
+    // lossless: identical to the raw aggregate with the rule off
+    val raw = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val got = df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getDouble(2), r.getLong(3))).toSet
+    assert(got == raw, "MV route changed the answer")
+    // ineligible shapes keep the fact scan even with the conf set:
+    // avg is not an MV measure
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.summaryDir",
+      ops.Relational.ensureSummaryLayout(spark, sf))
+    val other = Tables.lineitem(s2, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    val otherPlan = other.queryExecution.executedPlan.toString
+    assert(otherPlan.contains("lineitem"),
+      s"ineligible aggregate was rerouted:\n$otherPlan")
+  }
+
   test("ss18 kNN join plans the candidate join as a shuffle, not a broadcast") {
     // the operator's whole point is surviving a query set ∝ corpus:
     // the cell-key join must stay a ShuffledHashJoin even though the
