@@ -456,6 +456,58 @@ object StreamingJobs {
       }
   }
 
+  case class ChunkEvent(blob_id: Long, chunk_md5: String, chunk_len: Long,
+    is_new: Boolean)
+
+  /** st21: streaming CAS ingest — mm10/mm12's content-addressed-store
+    * arithmetic live at the ingest edge: every arriving blob is
+    * content-defined-chunked (the codegen'd `cdc_boundaries`, so a
+    * prefix edit shifts boundaries, not every chunk), and each chunk
+    * hash consults ONE boolean of keyed state — "has the store seen
+    * this content?" — to be flagged new (store it) or known
+    * (reference it). That flag stream IS the live dedup-savings
+    * counter: bytes where is_new=false are writes the CAS never makes.
+    * State is one flag per DISTINCT chunk — bounded by unique content,
+    * not traffic (the property that makes a CAS metadata store
+    * feasible at 100 TB); within a batch, occurrences apply in
+    * blob_id order so replays are deterministic. Append mode: one
+    * audit row per (blob, chunk occurrence). The per-blob/per-store
+    * rollup stays OUT of the streaming query (the st20 discipline) —
+    * the chunk-grain audit is what lands. */
+  def streamingCasIngest(blobs: DataFrame): Dataset[ChunkEvent] = {
+    import blobs.sparkSession.implicits._
+    val chunks = blobs
+      .withColumn("tx", trim(col("text")))
+      .withColumn("bnds", org.apache.spark.sql.graft.GraftDataset.column(
+        graft.functions.CdcBoundaries(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("tx"))))
+      .withColumn("starts",
+        expr("concat(array(1), transform(bnds, b -> b + 1))"))
+      .withColumn("ends", expr("concat(bnds, array(length(tx)))"))
+      .withColumn("chunks", expr(
+        """filter(zip_with(starts, ends,
+          |  (s, e) -> substring(tx, s, e - s + 1)), c -> length(c) > 0)"""
+          .stripMargin))
+      .select(col("blob_id"), explode(col("chunks")).as("chunk"))
+      .select(col("blob_id"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .as[(Long, String, Long)]
+    chunks.groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, ChunkEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h, rows, state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(_._1).map { case (b, _, len) =>
+            val isNew = !seen
+            seen = true
+            ChunkEvent(b, h, len, isNew)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Per-row signal bundle feeding st20's keyed dedup state (public:
     * the codegen'd deserializer must construct it). */
   case class DocSig(doc_id: Long, lang: String, contam: Boolean,

@@ -544,4 +544,49 @@ class StreamingSpec extends SparkTestBase {
       assert(got == expect, s"dispositions: $got")
     } finally q.stop()
   }
+
+  test("st21 streaming CAS ingest dedups shifted content across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // long APERIODIC deterministic content so CDC produces several
+    // distinct chunks (periodic content would legitimately repeat
+    // chunks and dedup against itself)
+    val rnd = new scala.util.Random(77)
+    val base = Seq.fill(400)(('a' + rnd.nextInt(26)).toChar).mkString
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, base))
+    val q = StreamingJobs.streamingCasIngest(
+        in.toDF().toDF("blob_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st21_out").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT * FROM st21_out").collect()
+      assert(b1.length > 2, s"CDC produced ${b1.length} chunks — content too short")
+      // exactly ONE new flag per distinct chunk content
+      assert(b1.groupBy(_.getString(1)).values
+        .forall(g => g.count(_.getBoolean(3)) == 1),
+        "each distinct chunk must be stored exactly once")
+      // batch 2: the same content PREFIX-SHIFTED (blob 2) — CDC
+      // boundaries resynchronize, so most chunks must hit the store;
+      // blob 3 is fresh content and must be all-new
+      val fresh = Seq.fill(300)(('A' + rnd.nextInt(26)).toChar).mkString
+      in.addData((2L, "PREFIX-" + base), (3L, fresh))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM st21_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      val blob2 = rows.filter(_._1 == 2L)
+      val knownBytes = blob2.filter(!_._4).map(_._3).sum
+      val totalBytes = blob2.map(_._3).sum
+      assert(knownBytes * 10 >= totalBytes * 5,
+        s"shift-robustness lost: only $knownBytes/$totalBytes bytes deduped")
+      val blob3 = rows.filter(_._1 == 3L)
+      assert(blob3.nonEmpty && blob3.forall(_._4), "fresh content must be all-new")
+      // the state answers across batches: a chunk hash seen in batch 1
+      // is known in batch 2 even from a different blob
+      val seen1 = b1.map(_.getString(1)).toSet
+      assert(blob2.filter(c => seen1(c._2)).forall(!_._4),
+        "chunk known from batch 1 flagged new in batch 2")
+    } finally q.stop()
+  }
 }
