@@ -1154,8 +1154,11 @@ object Relational {
     * refresh side of the MV contract: the SummaryRewrite rule serves
     * reads, this job owns staleness. */
   private[graft] def ensureSummaryLayout(s: SparkSession, d: String): String = {
+    // "summary_", deliberately NOT "lineitem_": SummaryRewrite matches
+    // source scans by path name, and an MV that matched its own rule's
+    // source predicate would invite a rewrite loop
     val dir = new java.io.File(
-      s"/tmp/graft-mv/lineitem_${java.lang.Integer.toHexString(d.hashCode)}")
+      s"/tmp/graft-mv/summary_${java.lang.Integer.toHexString(d.hashCode)}")
     if (!dir.exists()) {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"),

@@ -1830,6 +1830,18 @@ class OperatorsSpec extends SparkTestBase {
     val otherPlan = other.queryExecution.executedPlan.toString
     assert(otherPlan.contains("lineitem"),
       s"ineligible aggregate was rerouted:\n$otherPlan")
+    // a COARSER grouping (flag only) also rolls up losslessly from the
+    // (flag, status, month) MV granularity
+    val coarse = Tables.lineitem(s2, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+    assert(coarse.queryExecution.executedPlan.toString.contains("graft-mv"))
+    val coarseRaw = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(coarse.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSet == coarseRaw)
   }
 
   test("ss18 kNN join plans the candidate join as a shuffle, not a broadcast") {
