@@ -298,8 +298,13 @@ object Dedup {
     // convergence via the exact label-sum: labels only ever decrease,
     // so the sum strictly decreases until the fixed point — no
     // hash-collision false positive.
+    // coalesce(sum, 0): an EMPTY pair graph (a fully-unique corpus, or
+    // an empty input partition) sums to NULL, which must read as the
+    // already-converged fixed point, not an NPE
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0

@@ -770,7 +770,14 @@ object Relational {
           expr("year(l_shipdate) * 100 + month(l_shipdate)").as("l_mon")),
         path, "l_mon")
     }
-    val fact = s.read.parquet(path)
+    // explicit schema: a zero-row source writes a layout with no
+    // partition directories, and a schema-less read of that cannot
+    // infer (a real condition — an empty ingest day at scale). The
+    // explicit contract also skips the footer-sampling inference scan.
+    val fact = s.read
+      .schema("l_orderkey BIGINT, l_extendedprice DOUBLE, " +
+        "l_discount DOUBLE, l_mon INT")
+      .parquet(path)
     val intake = Tables.orders(s, d)
       .groupBy(expr("year(o_orderdate) * 100 + month(o_orderdate)").as("mon"))
       .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))

@@ -1802,6 +1802,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(inc.nonEmpty)
   }
 
+  test("operators tolerate an EMPTY corpus (zero-row inputs, real schemas)") {
+    // an empty input partition / filtered-to-nothing day is a normal
+    // production condition; an operator that throws there fails the
+    // whole 100 TB job. Representative set: every op the full
+    // EmptySweepMain (tools main, all 268) caught in round 5 plus one
+    // per iterative-kernel family; the sweep main stays runnable for
+    // exhaustive checks.
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      Tables.load(spark, sf, t).limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    Tables.events(spark, sf).limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val probes = Seq(
+      "dd06_dup_clusters", "dd07_keep_best", "pp01_training_pipeline",
+      "pp03_audited_set", "pp06_training_mix", "pp11_drop_reasons",
+      "q51_dpp_join", "tx19_dedup_impact",
+      // one per kernel family that loops or unrolls
+      "gr03_pagerank", "gr16_cc_twostar", "ss15_kmeans", "ev02_sessionize",
+      "tx45_bpe_merges", "dd23_batch_dedup", "q65_mv_rewrite")
+    probes.foreach { name =>
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      assert(n >= 0, name) // reaching here = no crash
+      ops.CacheScope.unpersistAll()
+    }
+  }
+
   test("q65 MV rewrite reads the summary table, not the fact scan, losslessly") {
     val df = ops.Relational.q65MvRewrite(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
