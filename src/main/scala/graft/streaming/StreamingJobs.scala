@@ -456,6 +456,42 @@ object StreamingJobs {
       }
   }
 
+  /** st22: streaming MATERIALIZED-VIEW maintenance — the refresh side
+    * of q65's SummaryRewrite, live: arriving lineitem rows fold into
+    * the (l_returnflag, l_linestatus, ship_month) summary as a
+    * Complete-mode streaming aggregation (state = one row per group —
+    * ~36 rows, bounded by the dimension grid, not traffic), and each
+    * micro-batch publishes the WHOLE summary atomically
+    * (write-temp-then-swap inside foreachBatch, so a reader routed by
+    * SummaryRewrite never sees a half-written MV). This closes the MV
+    * loop: the stream owns freshness, the optimizer rule owns routing,
+    * and a dashboard aggregate over the raw fact table reads
+    * micro-batch-fresh pre-aggregates without knowing either exists.
+    * At 100 TB the same shape holds because the published artifact is
+    * the GROUP GRID, never the fact stream. */
+  def streamingSummaryMaintenance(lineitems: DataFrame, mvDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    lineitems
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        month(col("l_shipdate")).as("ship_month"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val tmp = s"$mvDir.tmp-$id"
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val fs = new java.io.File(mvDir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(fs)
+        if (!new java.io.File(tmp).renameTo(fs))
+          throw new java.io.IOException(s"MV swap failed for batch $id")
+      }
+      .start()
+
   case class ChunkEvent(blob_id: Long, chunk_md5: String, chunk_len: Long,
     is_new: Boolean)
 

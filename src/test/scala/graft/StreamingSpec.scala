@@ -3,6 +3,7 @@ package graft
 import graft.streaming.StreamingJobs
 import graft.streaming.StreamingJobs.{Event, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import java.sql.Timestamp
 
 /** Structured-Streaming specs (st01/st02): MemoryStream in, memory sink
@@ -542,6 +543,53 @@ class StreamingSpec extends SparkTestBase {
         5L -> (("fr", "duplicate")),
         6L -> (("en", "kept")))
       assert(got == expect, s"dispositions: $got")
+    } finally q.stop()
+  }
+
+  test("st22 streaming MV maintenance keeps SummaryRewrite-routed queries fresh") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-st22").toString
+    val mvDir = s"$base/summary_live"
+    val in = MemoryStream[(Long, String, String, Double, java.sql.Date)]
+    def rows(seq: (Long, String, String, Double, String)*) =
+      seq.map { case (k, f, st, q, dt) =>
+        (k, f, st, q, java.sql.Date.valueOf(dt)) }
+    in.addData(rows(
+      (1L, "N", "O", 10.0, "2024-01-05"), (2L, "N", "O", 5.0, "2024-02-07"),
+      (3L, "R", "F", 7.0, "2024-01-09")): _*)
+    val q = StreamingJobs.streamingSummaryMaintenance(
+      in.toDF().toDF("l_orderkey", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_shipdate"),
+      mvDir, s"$base/ckpt")
+    def servedTotals(): Map[(String, String), (Double, Long)] = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.summaryDir", mvDir)
+      // lineitem-shaped RAW scan the rule reroutes; the raw file itself
+      // is EMPTY — any non-zero answer must come through the MV route
+      val rawDir = s"$base/lineitem.parquet"
+      if (!new java.io.File(rawDir).exists())
+        Tables.lineitem(spark, sf).limit(0).coalesce(1)
+          .write.parquet(rawDir)
+      val df = s2.read.parquet(rawDir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+      assert(df.queryExecution.executedPlan.toString.contains("summary_live"))
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    }
+    try {
+      q.processAllAvailable()
+      assert(servedTotals() == Map(
+        ("N", "O") -> ((15.0, 2L)), ("R", "F") -> ((7.0, 1L))))
+      // batch 2: new rows fold in; the served answer advances
+      in.addData(rows((4L, "N", "O", 2.0, "2024-03-01"),
+        (5L, "A", "F", 4.0, "2024-01-11")): _*)
+      q.processAllAvailable()
+      assert(servedTotals() == Map(
+        ("N", "O") -> ((17.0, 3L)), ("R", "F") -> ((7.0, 1L)),
+        ("A", "F") -> ((4.0, 1L))))
     } finally q.stop()
   }
 
