@@ -289,6 +289,7 @@ object SparkEntry {
     "dd23_batch_dedup"      -> Dedup.dd23BatchDedup _,
     "ss18_knn_join"         -> Similarity.ss18KnnJoin _,
     "q65_mv_rewrite"        -> Relational.q65MvRewrite _,
+    "dd24_lsh_tuner"        -> Dedup.dd24LshTuner _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -1652,6 +1653,35 @@ object SparkEntry {
         |SELECT thresh, count(*) AS n_pairs
         |FROM j CROSS JOIN tt WHERE jaccard >= thresh
         |GROUP BY 1""".stripMargin,
+
+    // dd24: per-pair detect probability rounded onto the ppm integer
+    // grid BEFORE averaging (integer sum div count) — float summation
+    // order cannot touch the hash; pow/round on identical doubles is
+    // the tx08 precedent.
+    "dd24_lsh_tuner" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
+        |      FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |      WHERE round(shared * 1.0 / (x.n + y.n - shared), 4) >= 0.5),
+        |cfg AS (SELECT * FROM (VALUES (1, 32), (2, 16), (4, 8), (8, 4))
+        |        c(rows_per_band, n_bands)),
+        |dp AS (SELECT rows_per_band, n_bands,
+        |         CAST(round((1 - pow(1 - pow(jaccard, rows_per_band),
+        |           n_bands)) * 1000000.0, 0) AS BIGINT) AS detect_ppm
+        |       FROM j CROSS JOIN cfg)
+        |SELECT rows_per_band, n_bands, count(*) AS n_pairs,
+        |  CAST(sum(detect_ppm) // count(*) AS BIGINT) AS mean_detect_ppm,
+        |  CAST(min(detect_ppm) AS BIGINT) AS min_detect_ppm
+        |FROM dp GROUP BY 1, 2""".stripMargin,
 
     "tx24_lang_confusion" ->
       """WITH x AS (SELECT doc_id, lang,

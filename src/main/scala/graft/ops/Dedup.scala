@@ -716,6 +716,53 @@ object Dedup {
       .withColumn("removed_bp", expr("tokens_removed * 10000 div n_tokens"))
   }
 
+  /** dd24: LSH banding auto-tuner — for each way of splitting the
+    * k=32 MinHash signature into (rows r × bands b), score the
+    * expected candidate recall ON THIS CORPUS: the textbook S-curve
+    * P(detect | J) = 1 − (1 − Jʳ)ᵇ evaluated at every exact near-dup
+    * pair's Jaccard (the dd13 pair frame, floor 0.5) and averaged.
+    * This answers the deploy question dd13's threshold curve does not:
+    * not "how many pairs survive a cutoff" but "which banding finds
+    * the pairs this corpus actually contains" — r=1 maximizes recall
+    * but floods buckets, r=8 starves them; the sweet spot depends on
+    * the corpus's J-distribution, which is why the tuner joins the
+    * parameter grid against the DATA. Determinism: each pair's detect
+    * probability is rounded onto the ppm integer grid BEFORE the
+    * average (integer sum div count — float summation order never
+    * touches the hash); pow/round on identical doubles is the tx08
+    * cross-engine precedent. The 4-row config grid broadcasts over
+    * one pass of the pair frame. */
+  def dd24LshTuner(s: SparkSession, d: String): DataFrame = {
+    val sh = CacheScope.cached(shingles(s, d))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("s"))
+    val b = sh.select(col("doc_id").as("d2"), col("s"))
+    val pairs = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n", "n2"), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("shared") * 1.0 / (col("n1") + col("n2") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("jaccard"))
+    val configs = s.range(1).select(explode(array(
+      Seq((1, 32), (2, 16), (4, 8), (8, 4)).map { case (r, nb) =>
+        struct(lit(r).as("r"), lit(nb).as("nb"))
+      }: _*)).as("c"))
+      .select(col("c.r").as("rows_per_band"), col("c.nb").as("n_bands"))
+    pairs.crossJoin(broadcast(configs))
+      .withColumn("detect_ppm",
+        round((lit(1.0) - pow(lit(1.0) - pow(col("jaccard"),
+          col("rows_per_band")), col("n_bands"))) * lit(1000000.0), 0)
+          .cast("long"))
+      .groupBy(col("rows_per_band"), col("n_bands"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(detect_ppm) div count(1)").as("mean_detect_ppm"),
+        min(col("detect_ppm")).as("min_detect_ppm"))
+  }
+
   /** dd23: BATCH-incremental MinHash dedup — the join shape an
     * incremental 100 TB pipeline actually runs when a new batch
     * arrives (src0 plays the arriving batch, pp05's convention; the

@@ -1790,6 +1790,27 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("dd24 banding tuner: recall falls monotonically as rows-per-band grow") {
+    // at fixed k = r·b, raising r sharpens the S-curve and strictly
+    // lowers P(detect) for every J < 1 — the tuner must reproduce that
+    // ordering on the corpus, and probabilities must stay inside [0, 1e6]
+    val rows = ops.Dedup.dd24LshTuner(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet == Set(1, 2, 4, 8))
+    assert(rows.values.map(_._1).toSet.size == 1, "pair count must not vary by config")
+    // monotone non-increasing in r (ties possible where the ppm grid
+    // saturates at J≈1), strictly lower at the r=8 extreme
+    val means = Seq(1, 2, 4, 8).map(r => rows(r)._2)
+    assert(means == means.sorted.reverse,
+      s"recall not monotone in r: $means")
+    assert(means.head > means.last,
+      s"S-curve sharpening invisible: $means")
+    rows.values.foreach { case (_, m, mn) =>
+      assert(m >= 0 && m <= 1000000L && mn >= 0 && mn <= m)
+    }
+  }
+
   test("dd23 bucket-restricted incremental dedup equals the full-run filter") {
     // restricting candidate generation to batch-touched LSH buckets
     // must lose nothing vs pp05's run-everything-then-filter: any pair
