@@ -290,6 +290,11 @@ object SparkEntry {
     "ss18_knn_join"         -> Similarity.ss18KnnJoin _,
     "q65_mv_rewrite"        -> Relational.q65MvRewrite _,
     "dd24_lsh_tuner"        -> Dedup.dd24LshTuner _,
+    "dd25_dup_weights"      -> Dedup.dd25DupWeights _,
+    "pp27_fuzzy_decontam"   -> Pipelines.pp27FuzzyDecontam _,
+    "tx48_bigram_surprise"  -> Text.tx48BigramSurprise _,
+    "mm13_interleave_pack"  -> Multimodal.mm13InterleavePack _,
+    "gr17_ktruss"           -> Graph.gr17KTruss _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -411,6 +416,48 @@ object SparkEntry {
        |  SELECT * FROM r)
        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
        |FROM reach GROUP BY a""".stripMargin
+
+  /** gr17's oracle: the fixed 3-round 3-truss peel over the
+    * co-purchase backbone (pairs co-bought in ≥2 distinct orders),
+    * unrolled, with the IDENTICAL wedge hub rule as the Spark kernel
+    * (support counted through deg ≤ 64 centers only; edges touching a
+    * deg > 64 hub kept without enumeration) so outputs hash-match on
+    * any corpus. */
+  private val ktrussSql: String = {
+    def round(i: Int): String = {
+      val p = i - 1
+      s"""b$i AS (SELECT d1 AS m, d2 AS n FROM e$p
+         |        UNION ALL SELECT d2, d1 FROM e$p),
+         |dg$i AS (SELECT m, count(*) AS deg FROM b$i GROUP BY 1),
+         |s$i AS (SELECT x.n AS a, y.n AS b, count(*) AS common
+         |        FROM b$i x JOIN dg$i dx ON x.m = dx.m
+         |        JOIN b$i y ON x.m = y.m AND x.n < y.n
+         |        WHERE dx.deg <= 64 GROUP BY 1, 2)""".stripMargin
+    }
+    def peel(i: Int): String = {
+      val p = i - 1
+      s"""e$i AS (SELECT e.d1, e.d2 FROM e$p e
+         |        JOIN dg$i da ON e.d1 = da.m JOIN dg$i db ON e.d2 = db.m
+         |        LEFT JOIN s$i ON s$i.a = e.d1 AND s$i.b = e.d2
+         |        WHERE da.deg > 64 OR db.deg > 64
+         |           OR coalesce(s$i.common, 0) >= 1)""".stripMargin
+    }
+    val rounds = (1 to 3).map(i => round(i) + ",\n" + peel(i)).mkString(",\n")
+    s"""WITH pp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT d1, d2 FROM (
+       |  SELECT x.pk AS d1, y.pk AS d2, count(*) AS w
+       |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2) z WHERE w >= 2),
+       |$rounds,
+       |${round(4)}
+       |SELECT e.d1, e.d2,
+       |  CAST(coalesce(s4.common, 0) AS BIGINT) AS support,
+       |  CASE WHEN da.deg > 64 OR db.deg > 64 THEN 'hub' ELSE 'exact' END
+       |    AS tier
+       |FROM e3 e JOIN dg4 da ON e.d1 = da.m JOIN dg4 db ON e.d2 = db.m
+       |LEFT JOIN s4 ON s4.a = e.d1 AND s4.b = e.d2""".stripMargin
+  }
 
   /** gr13's oracle: the fixed 5-round integer HITS unrolled (hub pass
     * + authority pass per round, the authority vector renormalized to
@@ -1814,6 +1861,31 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM w GROUP BY 1""".stripMargin,
 
+    // tx48: add-1-smoothed bigram surprise — the micro-nat value is
+    // ln of a double both engines derive from the same three int64s
+    // (c1, V, c12); per-doc aggregation is integer-only.
+    "tx48_bigram_surprise" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents
+        |           WHERE len(string_split(trim(text),' ')) >= 2),
+        |bi AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+        |  FROM t),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (
+        |        SELECT unnest(string_split(trim(text),' ')) AS tok
+        |        FROM documents) u),
+        |sp AS (SELECT c12.w1, c12.w2,
+        |    CAST(round(ln((c1 + v) * 1.0 / (c12 + 1)) * 1000000.0, 0)
+        |      AS BIGINT) AS snat
+        |  FROM c12 JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(snat) // count(*) AS BIGINT) AS mean_surprise2_unat
+        |FROM bi JOIN sp ON bi.w1 = sp.w1 AND bi.w2 = sp.w2
+        |GROUP BY 1""".stripMargin,
+
     "tx21_bigram_lm" ->
       """WITH t AS (SELECT string_split(trim(text),' ') AS tk FROM documents
         |           WHERE len(string_split(trim(text),' ')) >= 2),
@@ -1866,6 +1938,24 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')""".stripMargin,
 
     "dd06_dup_clusters" -> dupClustersSql,
+
+    // dd25: soft-dedup sampling weights — cluster membership from the
+    // dd06 recursive-CTE fixed point; docs outside any cluster are
+    // their own singleton. All-integer (count + integer div), so the
+    // hash is grid-exact.
+    "dd25_dup_weights" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM clusters GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+         |  CAST(coalesce(cs.cluster_size, 1) AS BIGINT) AS cluster_size,
+         |  CAST(1000000 // coalesce(cs.cluster_size, 1) AS BIGINT) AS weight_ppm
+         |FROM documents d
+         |LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         |LEFT JOIN cs ON c.cluster_id = cs.cluster_id""".stripMargin,
+
+    "gr17_ktruss" -> ktrussSql,
 
     "gr01_triangle_count" ->
       s"""WITH j AS ($ngramJaccardSql)
@@ -2646,6 +2736,31 @@ object SparkEntry {
         |FROM w tr JOIN w ev ON tr.wh = ev.wh
         |WHERE NOT tr.is_eval AND ev.is_eval
         |GROUP BY tr.doc_id""".stripMargin,
+
+    // pp27: fuzzy decontamination — trigram containment of each eval
+    // doc inside each train doc, exact bp grid (integer div), ≥3000 bp
+    // floor; same eval carve as pp07.
+    "pp27_fuzzy_decontam" ->
+      """WITH t AS (SELECT doc_id,
+        |    substr(md5(text), 1, 1) IN ('0','1') AS is_eval,
+        |    string_split(trim(text),' ') AS tk
+        |  FROM documents
+        |  WHERE len(string_split(trim(text),' ')) >= 3),
+        |sh AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM t),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE is_eval),
+        |sz AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+        |tr AS (SELECT doc_id, s FROM sh WHERE NOT is_eval),
+        |shared AS (SELECT tr.doc_id, ev.eval_id, count(*) AS shared
+        |           FROM tr JOIN ev USING (s) GROUP BY 1, 2),
+        |p AS (SELECT doc_id, shared * 10000 // n_eval AS contain_bp
+        |      FROM shared JOIN sz USING (eval_id)
+        |      WHERE shared * 10000 // n_eval >= 3000)
+        |SELECT doc_id, CAST(max(contain_bp) AS BIGINT) AS max_contain_bp,
+        |  CAST(count(*) AS BIGINT) AS n_eval_partners
+        |FROM p GROUP BY 1""".stripMargin,
 
     "q49_hot_cold_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,
@@ -4189,6 +4304,26 @@ object SparkEntry {
         |  FROM t)
         |SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // mm13: interleaved multimodal packing — pp22's prefix-sum rule on
+    // the COMBINED text+media cost; all integer.
+    "mm13_interleave_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+        |    CAST(n_chars // 96 AS BIGINT) AS n_media
+        |  FROM documents),
+        |c AS (SELECT *, n_tok + 64 * n_media AS cost FROM t),
+        |b AS (SELECT source, n_tok, n_media,
+        |    CAST((sum(cost) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - cost) // 2048 AS BIGINT) AS bin_id
+        |  FROM c)
+        |SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS text_tokens,
+        |  CAST(sum(n_media) AS BIGINT) AS n_media,
+        |  CAST(sum(n_media) * 64 AS BIGINT) AS media_tokens,
+        |  CAST((sum(n_tok) + sum(n_media) * 64) * 10000 // 2048 AS BIGINT)
+        |    AS fill_bp
         |FROM b GROUP BY 1, 2""".stripMargin,
 
     "pp23_weighted_sample" ->

@@ -827,4 +827,31 @@ object Dedup {
           .when(coalesce(col("prior"), lit(0)) === 1, "dup_new")
           .otherwise("kept").as("status"))
   }
+
+  /** dd25: SOFT dedup — per-document repetition-aware sampling weight
+    * instead of a drop decision. Hard dedup (dd07 keep-best) throws
+    * away near-duplicate mass; the training-mix alternative keeps
+    * every copy but down-weights it by its duplicate-cluster size
+    * (weight = 1/|cluster|, exact ppm grid), so a family duplicated
+    * n× contributes the same expected training mass as a unique doc —
+    * the D4/SemDeDup-era "duplication-aware sampling" knob a mix
+    * composer (pp06/pp23) consumes directly. Docs outside any near-dup
+    * cluster are their own singleton (weight 10⁶ ppm). Scale: the
+    * cluster frame is ∝ near-dup docs (≪ corpus) so both joins onto
+    * the corpus scan are AQE-broadcast; one linear pass, no new
+    * shuffle class. Σ weight_ppm per cluster ≤ 10⁶ with equality iff
+    * the division is exact — the conservation spec. */
+  def dd25DupWeights(s: SparkSession, d: String): DataFrame = {
+    val clusters = dd06DupClusters(s, d) // (doc_id, cluster_id), ∝ near-dups
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(sizes, Seq("cluster_id"), "left_outer")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("weight_ppm"))
+  }
 }

@@ -628,4 +628,70 @@ object Graph {
         coalesce(col("cid"), col("node")).as("component_id"))
     labels
   }
+
+  /** One k-truss peel round over an oriented edge frame: keep an edge
+    * iff it closes ≥ minSup wedges (triangles) through deg ≤ maxDeg
+    * centers, OR touches a deg > maxDeg hub (kept WITHOUT enumeration
+    * — the wedge guard's diversion tier: a hub is by definition inside
+    * a dense family, and pricing its edges exactly is precisely the
+    * Σdeg² blow-up the guard exists to avoid). */
+  private[graft] def trussPeel(e: DataFrame, minSup: Long, maxDeg: Int): DataFrame = {
+    val deg = biAdj(e).groupBy(col("m")).agg(count(lit(1)).as("deg"))
+    val hubs = deg.filter(col("deg") > maxDeg).select(col("m"))
+    val sup = commonNeighborPairs(e, maxDeg)
+    e.join(sup.withColumnRenamed("a", "d1").withColumnRenamed("b", "d2"),
+        Seq("d1", "d2"), "left_outer")
+      .join(hubs.select(col("m").as("d1"), lit(1).as("h1")), Seq("d1"), "left_outer")
+      .join(hubs.select(col("m").as("d2"), lit(1).as("h2")), Seq("d2"), "left_outer")
+      .filter(col("h1").isNotNull || col("h2").isNotNull ||
+        coalesce(col("common"), lit(0L)) >= minSup)
+      .select(col("d1"), col("d2"))
+  }
+
+  /** gr17: 3-truss extraction over the co-purchase BACKBONE — the
+    * community certificate one level above a core number: an edge
+    * survives iff ≥ 1 triangle among SURVIVING edges contains it
+    * (triadic closure), iterated to a fixed point. Two noise filters
+    * compose: the backbone keeps only part pairs co-bought in ≥ 2
+    * DISTINCT orders (one shared basket is incidental — the raw
+    * co-purchase graph is near-complete and trussing it is vacuous),
+    * then the truss demands the pair ALSO close a triangle with a
+    * third backbone partner — chains of pairwise-popular items fall
+    * out, stable product communities remain (at sf0.01: 115 729 raw
+    * edges → 3 445 backbone → 181 truss, stable from round 1). Three
+    * FIXED peel rounds (gr05's unroll discipline; the fixed point is
+    * reached in one here and confirmed by the rest — the spec plants
+    * a clique that must survive and a path that must vanish),
+    * per-round lineage truncated. Support enumeration rides the wedge
+    * hub guard (deg ≤ 64 centers; edges touching a deg > 64 hub are
+    * KEPT without enumeration, reported tier='hub' — at 100 TB a
+    * viral item backbone-co-bought with thousands is exactly the
+    * Σdeg² hazard); the oracle replays the identical rule, so outputs
+    * are hash-exact on any corpus. Scale: the pair expansion is
+    * bounded by ≤7 items/order; per-round frames ∝ surviving edges. */
+  def gr17KTruss(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    var e = CacheScope.cached(
+      p.as("x").join(p.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("d1"), col("y.pk").as("d2"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("d1"), col("d2")))
+    for (_ <- 1 to 3)
+      e = CacheScope.cached(trussPeel(e, 1L, wedgeMaxDeg).truncated)
+    val deg = biAdj(e).groupBy(col("m")).agg(count(lit(1)).as("deg"))
+    val hubs = deg.filter(col("deg") > wedgeMaxDeg).select(col("m"))
+    val sup = commonNeighborPairs(e, wedgeMaxDeg)
+    e.join(sup.withColumnRenamed("a", "d1").withColumnRenamed("b", "d2"),
+        Seq("d1", "d2"), "left_outer")
+      .join(hubs.select(col("m").as("d1"), lit(1).as("h1")), Seq("d1"), "left_outer")
+      .join(hubs.select(col("m").as("d2"), lit(1).as("h2")), Seq("d2"), "left_outer")
+      .select(col("d1"), col("d2"),
+        coalesce(col("common"), lit(0L)).as("support"),
+        when(col("h1").isNotNull || col("h2").isNotNull, "hub")
+          .otherwise("exact").as("tier"))
+  }
 }

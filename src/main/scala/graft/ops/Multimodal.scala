@@ -301,4 +301,41 @@ object Multimodal {
         expr("(logical_bytes - coalesce(unique_bytes, 0L)) * 10000 " +
           "div logical_bytes").as("savings_bp"))
   }
+
+  /** mm13: INTERLEAVED multimodal sequence packing — the MMC4/OBELICS
+    * training layout: a doc is a text-token stream with media items
+    * interleaved, and each media item costs a FIXED patch budget of
+    * the context window (64 token-equivalents here — a vision-encoder
+    * tile), so the packer must bin by COMBINED cost, not text length
+    * (pp22 packs text only and would overflow the context on
+    * media-heavy docs). Media multiplicity is derived
+    * deterministically from the payload size (one item per full
+    * 96-byte slice — the mm02 decode-stub convention; n_chars IS the
+    * payload byte length for UTF-8-encoded synthetic payloads, and
+    * the real decoder only changes the multiplicity source, not the
+    * packing shape). Per-source doc_id-ordered prefix sum of cost →
+    * bin = floor(start ⁄ 2048) (concatenate-and-slice, pp22's rule);
+    * per-(source, bin) audit: docs, text vs media token-equivalents,
+    * media items, fill in exact bp. Scale: pp22's exactly — one
+    * per-source window (per (source, shard) sub-key at 100 TB), all
+    * integer arithmetic. */
+  def mm13InterleavePack(s: SparkSession, d: String): DataFrame = {
+    val B = 2048L
+    val MT = 64L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"),
+        expr("n_chars div 96").as("n_media"))
+      .withColumn("cost", col("n_tok") + lit(MT) * col("n_media"))
+      .withColumn("bin_id",
+        ((sum(col("cost")).over(w) - col("cost")) / lit(B)).cast("long"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("text_tokens"),
+        sum(col("n_media")).as("n_media"),
+        (sum(col("n_media")) * lit(MT)).as("media_tokens"))
+      .withColumn("fill_bp",
+        expr(s"(text_tokens + media_tokens) * 10000 div $B"))
+  }
 }

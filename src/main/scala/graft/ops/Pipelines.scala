@@ -839,4 +839,45 @@ object Pipelines {
           .when(col("factor_bp") < 10000L, "undersample")
           .otherwise("keep"))
   }
+
+  /** pp27: FUZZY benchmark decontamination — pp07's exact 15-token
+    * rolling windows only fire on VERBATIM runs; a lightly paraphrased
+    * or truncated eval item (reworded question, clipped answer) slips
+    * through. This tier scores trigram-shingle CONTAINMENT of each
+    * eval doc inside each train doc — shared ⁄ |eval shingles| in
+    * exact basis points, the dd10 asymmetric measure pointed at the
+    * eval set — and flags train docs containing ≥30% of any eval
+    * item. Asymmetry matters: a long train doc quoting a short eval
+    * item scores near 10⁴ bp here but a low symmetric Jaccard.
+    * Scale (pp07's exact shape): the eval side is ∝ the benchmark
+    * suite — tiny — so it BROADCASTS; the corpus shingle stream never
+    * shuffles for the overlap join, and the (train, eval) aggregate
+    * runs on matched pairs only (∝ contamination). Same eval carve as
+    * pp07 (md5 first hex in {0,1}), shingle rule shared with dd04 so
+    * the oracle reuses the proven CTE shape. */
+  def pp27FuzzyDecontam(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("is_eval",
+        substring(md5(col("text").cast("binary")), 1, 1).isin("0", "1"))
+      .withColumn("tk", split(trim(col("text")), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("is_eval"), explode(array_distinct(expr(
+        """transform(sequence(1, size(tk)-2),
+          |  i -> concat(element_at(tk,i), ' ', element_at(tk,i+1), ' ', element_at(tk,i+2)))"""
+          .stripMargin))).as("s"))
+    val evalSh = sh.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val evalSizes = evalSh.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_eval"))
+    sh.filter(!col("is_eval")).select(col("doc_id"), col("s"))
+      .join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(evalSizes), Seq("eval_id"))
+      .withColumn("contain_bp", expr("shared * 10000 div n_eval"))
+      .filter(col("contain_bp") >= 3000)
+      .groupBy(col("doc_id"))
+      .agg(max(col("contain_bp")).as("max_contain_bp"),
+        count(lit(1)).as("n_eval_partners"))
+  }
 }

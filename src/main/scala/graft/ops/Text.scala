@@ -1024,4 +1024,42 @@ object Text {
           .otherwise("tail"))
       .drop("t1", "t2")
   }
+
+  /** tx48: BIGRAM-LM surprise — one Markov order above tx47: each
+    * doc's mean −ln p(w₂|w₁) under the corpus's own add-1-smoothed
+    * bigram model, p = (c(w₁w₂)+1) ⁄ (c(w₁·)+V). The unigram model
+    * scores gibberish-with-common-words as fluent; the bigram model
+    * catches broken word ORDER (shuffled scrapes, template stuffing,
+    * MT failures) — the cheapest LM that sees syntax at all. Same
+    * determinism contract as tx47/tx08: surprise is computed ONCE per
+    * DISTINCT bigram (a vocab²-bounded frame, ∝ distinct bigrams not
+    * corpus) on the micro-nat grid — round(ln·10⁶) of a double both
+    * engines derive from the same three int64s — then hash-joined
+    * back onto the doc bigram stream and integer-averaged per doc, so
+    * no float ever crosses an aggregate. Scale: one corpus scan for
+    * the bigram stream (cached for its two consumers), two
+    * vocab-sized aggregates, a 1-row V broadcast, one hash join on
+    * the bigram key; per-doc agg partial-aggregates. */
+  def tx48BigramSurprise(s: SparkSession, d: String): DataFrame = {
+    val bi = CacheScope.cached(Tables.documents(s, d)
+      .withColumn("tk", tokens)
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk)-1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i+1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = Tables.documents(s, d).select(explode(tokens).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val surprise = c12.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(log((col("c1") + col("v")) * lit(1.0) / (col("c12") + lit(1)))
+          * lit(1000000.0), 0).cast("long").as("snat"))
+    bi.join(surprise, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("snat")).as("snat_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("snat_sum div n_bigrams").as("mean_surprise2_unat"))
+  }
 }

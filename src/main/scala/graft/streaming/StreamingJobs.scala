@@ -613,4 +613,39 @@ object StreamingJobs {
           out.iterator
       }
   }
+
+  /** st23: streaming ANN-index maintenance — ss17's fold-in running
+    * live. Each arriving vector (already on the SQ12 integer grid) is
+    * assigned to its nearest FIXED centroid: the standing quantizer is
+    * a tiny static frame collapsed to ONE broadcast row of structs,
+    * so assignment is a per-row `array_min` over |cells| lexicographic
+    * (d2, cell) structs — no shuffle, and crucially no SECOND stateful
+    * operator in the streaming plan (a groupBy-argmin would be one).
+    * The per-cell index state (cnt, vsum) then folds in through
+    * LongVecSumAgg running over the streaming state store —
+    * O(|cells|·dim) longs of state TOTAL, bounded by the index size,
+    * never by traffic. Complete mode re-publishes the whole (tiny)
+    * stats table per micro-batch — st22's MV publish discipline; a
+    * downstream ss17-style drift check reads it to decide
+    * keep-absorbing vs retrain. Int64-exact and order-independent, so
+    * streaming ≡ batch fold (spec-asserted). */
+  def streamingIndexStats(vecs: DataFrame, cents: DataFrame,
+      dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val centRow = cents.agg(
+      collect_list(struct(col("cell"), col("cent"))).as("cs"))
+    val assigned = vecs
+      .crossJoin(broadcast(centRow))
+      .withColumn("best", expr(
+        """array_min(transform(cs, c -> struct(
+          |  long_dot(x, x) - 2 * long_dot(x, c.cent)
+          |    + long_dot(c.cent, c.cent) AS d2,
+          |  c.cell AS cell)))""".stripMargin))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("x"))
+    val xAttr = assigned.queryExecution.analyzed.output.find(_.name == "x").get
+    val vecSum = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.LongVecSumAgg(xAttr, dim).toAggregateExpression())
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), vecSum.as("vsum"))
+  }
 }

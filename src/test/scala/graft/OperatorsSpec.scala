@@ -29,7 +29,13 @@ class OperatorsSpec extends SparkTestBase {
       "dd10_containment", "gr04_common_neighbors", "gr05_kcore",
       "gr07_personalized_pr",
       // leakage needs near-dup pairs, absent in the tiny slice
-      "pp16_split_leakage")
+      "pp16_split_leakage",
+      // fuzzy contamination needs a train doc sharing ≥30% of an eval
+      // doc's shingles — absent in the tiny slice (planted spec below)
+      "pp27_fuzzy_decontam",
+      // the truss needs triangle-dense near-dup edges, absent in the
+      // tiny slice (planted spec below)
+      "gr17_ktruss")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
@@ -1821,6 +1827,127 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(inc == full, "incremental and full-run statuses diverge")
     assert(inc.nonEmpty)
+  }
+
+  test("dd25 soft-dedup weights: one row per doc, exact 1/|cluster| ppm, mass conserved") {
+    val docs = Tables.documents(spark, sf).count()
+    val rows = ops.Dedup.dd25DupWeights(spark, sf).collect()
+    assert(rows.length == docs, "soft dedup must weight EVERY doc, drop none")
+    rows.foreach { r =>
+      val (size, w) = (r.getLong(2), r.getLong(3))
+      assert(size >= 1 && w == 1000000L / size, s"weight grid broken: $r")
+    }
+    // per-cluster expected-mass conservation: Σ weight ≤ 10⁶, equality
+    // iff the integer division is exact (singletons always exact)
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      val mass = members.map(_.getLong(3)).sum
+      assert(mass <= 1000000L && mass > 1000000L - members.length,
+        s"cluster $cid mass $mass out of band")
+    }
+  }
+
+  test("pp27 fuzzy decontam catches a planted paraphrased-contamination doc") {
+    import spark.implicits._
+    // an eval-carved doc (md5(text) first hex ∈ {0,1} — found by
+    // deterministic suffix search), a train doc EMBEDDING it with
+    // extra tokens (containment 10⁴ bp, pp07's verbatim windows would
+    // need a 15-token run), and an unrelated clean train doc
+    val evalText = (0 until 1000).iterator
+      .map(i => s"alpha beta gamma delta epsilon zeta mark$i")
+      .find { t =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        val hex = "%02x".format(h(0))
+        hex(0) == '0' || hex(0) == '1'
+      }.get
+    def asTrain(t: String, salt: Int): String = {
+      // make sure the train text itself is NOT eval-carved
+      (0 until 1000).iterator.map(i => s"$t filler$salt-$i").find { x =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8"))
+        val hex = "%02x".format(h(0))
+        hex(0) != '0' && hex(0) != '1'
+      }.get
+    }
+    val contaminated = asTrain(s"intro words here $evalText", 1)
+    val clean = asTrain("totally unrelated text about ships and rivers and stars", 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pp27").toString
+    Seq((1L, evalText), (2L, contaminated), (3L, clean))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Pipelines.pp27FuzzyDecontam(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.contains(2L), s"planted contamination missed: $out")
+    assert(out(2L)._1 >= 9000L, s"containment under-scored: ${out(2L)}")
+    assert(!out.contains(3L), "clean doc falsely flagged")
+  }
+
+  test("tx48 bigram surprise ranks a word-order-shuffled doc above fluent twins") {
+    import spark.implicits._
+    // 5 fluent docs share every bigram; the shuffled doc has the same
+    // TOKENS (identical unigram stats — tx47 is blind to it) but rare
+    // bigrams, so the bigram LM must rank it strictly more surprising
+    val fluent = "the cat sat on the mat"
+    val shuffled = "mat the on sat cat the"
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx48").toString
+    ((1L to 5L).map(i => (i, fluent)) :+ (6L, shuffled))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Text.tx48BigramSurprise(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.size == 6)
+    assert((1L to 5L).map(out).toSet.size == 1, "identical docs must tie")
+    assert(out(6L) > out(1L),
+      s"shuffled doc not flagged: shuffled=${out(6L)} fluent=${out(1L)}")
+  }
+
+  test("mm13 interleaved packing conserves docs and token-equivalent mass") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"),
+        expr("n_chars div 96").as("n_media"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("n_tok + 64 * n_media")).as("mass"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val bins = ops.Multimodal.mm13InterleavePack(spark, sf).collect()
+    val bySrc = bins.groupBy(_.getString(0))
+    assert(bySrc.keySet == docs.keySet)
+    bySrc.foreach { case (srcName, rs) =>
+      assert(rs.map(_.getLong(2)).sum == docs(srcName)._1,
+        s"$srcName: docs not conserved")
+      assert(rs.map(r => r.getLong(3) + r.getLong(5)).sum == docs(srcName)._2,
+        s"$srcName: token-equivalent mass not conserved")
+    }
+    assert(bins.map(_.getLong(4)).sum > 0,
+      "no media items anywhere — stub multiplicity broken")
+  }
+
+  test("gr17 truss peel keeps a planted clique, drops chains, and keeps hub edges") {
+    import spark.implicits._
+    // 5-clique (every edge in 3 triangles — survives), a 4-node path
+    // 100-101-102-103 (triangle-free — must vanish), and a planted
+    // hub: node 200 connected to 70 leaves (deg 70 > 64) — its edges
+    // carry NO triangles but must be KEPT by the hub diversion rule
+    val clique = for (a <- 0 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)
+    val path = Seq((100L, 101L), (101L, 102L), (102L, 103L))
+    val hub = (1 to 70).map(i => (200L, 200L + i))
+    val e0 = (clique ++ path ++ hub).toDF("d1", "d2")
+    val e1 = ops.Graph.trussPeel(e0, 1L, ops.Graph.wedgeMaxDeg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clique.toSet.subsetOf(e1), "clique edges must survive the peel")
+    assert(path.forall(p => !e1.contains(p)), "triangle-free path must vanish")
+    assert(hub.forall(h => e1.contains(h)),
+      "hub-incident edges must be kept without enumeration")
+    // idempotence on the fixed point: peeling the survivors again
+    // changes nothing (clique + hub star are both stable)
+    val e2 = ops.Graph.trussPeel(e1.toSeq.toDF("d1", "d2"), 1L,
+      ops.Graph.wedgeMaxDeg).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e2 == e1, "fixed point not stable under a further peel")
   }
 
   test("operators tolerate an EMPTY corpus (zero-row inputs, real schemas)") {

@@ -637,4 +637,36 @@ class StreamingSpec extends SparkTestBase {
         "chunk known from batch 1 flagged new in batch 2")
     } finally q.stop()
   }
+
+  test("st23 streaming index stats equal the batch fold over all batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // quantizer: two fixed cells at (0,0) and (100,100)
+    val cents = Seq((0, Array(0L, 0L)), (1, Array(100L, 100L)))
+      .toDF("cell", "cent")
+    val in = MemoryStream[(Long, Array[Long])]
+    val vecs = in.toDF().toDF("vec_id", "x")
+    val q = StreamingJobs.streamingIndexStats(vecs, cents, dim = 2)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st23_out").start()
+    try {
+      in.addData((1L, Array(1L, 2L)), (2L, Array(99L, 98L)))
+      q.processAllAvailable()
+      val r1 = spark.sql("SELECT cell, cnt FROM st23_out").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(r1 == Map(0 -> 1L, 1 -> 1L), s"batch-1 state wrong: $r1")
+      // batch 2 includes an exact d2 TIE at (51,49): 51²+49² to both
+      // cells — lexicographic (d2, cell) must break it to cell 0
+      in.addData((3L, Array(2L, 1L)), (4L, Array(101L, 103L)),
+        (5L, Array(51L, 49L)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT cell, cnt, vsum FROM st23_out").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Long](2).toList)))
+        .toMap
+      // the folded state must equal the batch computation over ALL
+      // vectors: cell 0 ← (1,2),(2,1),(51,49); cell 1 ← (99,98),(101,103)
+      assert(rows(0) == ((3L, List(54L, 52L))), s"cell 0 state: ${rows(0)}")
+      assert(rows(1) == ((2L, List(200L, 201L))), s"cell 1 state: ${rows(1)}")
+    } finally q.stop()
+  }
 }
