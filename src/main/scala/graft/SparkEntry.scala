@@ -295,6 +295,8 @@ object SparkEntry {
     "tx48_bigram_surprise"  -> Text.tx48BigramSurprise _,
     "mm13_interleave_pack"  -> Multimodal.mm13InterleavePack _,
     "gr17_ktruss"           -> Graph.gr17KTruss _,
+    "tx49_code_detect"      -> Text.tx49CodeDetect _,
+    "pp28_contam_report"    -> Pipelines.pp28ContamReport _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -2508,6 +2510,25 @@ object SparkEntry {
         |FROM u JOIN ut USING (user_id) JOIN g USING (event_type)
         |CROSS JOIN a""".stripMargin,
 
+    // tx49: code-vs-prose router — symbol density on the bp grid +
+    // reserved-word token hits; corpus-free thresholds.
+    "tx49_code_detect" ->
+      """WITH x AS (SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[{}\[\]();=<>]', '', 'g')) AS BIGINT) AS sym_cnt,
+        |  CAST(len(list_filter(string_split(trim(text),' '),
+        |    t -> t IN ('def','return','var','let','void','class','import',
+        |               'public','static','function','const','elif')))
+        |    AS BIGINT) AS kw_hits
+        |  FROM documents),
+        |y AS (SELECT *,
+        |  CAST(CASE WHEN n_chars > 0 THEN sym_cnt * 10000 // n_chars
+        |       ELSE 0 END AS BIGINT) AS sym_bp FROM x)
+        |SELECT doc_id, n_chars, sym_cnt, kw_hits, sym_bp,
+        |  CASE WHEN sym_bp >= 300 OR kw_hits >= 3 THEN 1 ELSE 0 END AS is_code
+        |FROM y""".stripMargin,
+
     "tx18_char_classes" ->
       """SELECT doc_id,
         | length(text) AS n_chars,
@@ -2761,6 +2782,46 @@ object SparkEntry {
         |SELECT doc_id, CAST(max(contain_bp) AS BIGINT) AS max_contain_bp,
         |  CAST(count(*) AS BIGINT) AS n_eval_partners
         |FROM p GROUP BY 1""".stripMargin,
+
+    // pp28: per-eval-item contamination severity — pp07's verbatim
+    // windows and pp27's fuzzy containment aggregated per EVAL doc,
+    // every eval item reported (clean included).
+    "pp28_contam_report" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    substr(md5(text), 1, 1) IN ('0','1') AS is_eval FROM documents),
+        |w AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-15+2),
+        |         i -> md5(array_to_string(list_slice(tk, i, i+14), ' ')))))
+        |         AS wh
+        |      FROM (SELECT doc_id, is_eval, string_split(trim(text),' ') AS tk
+        |            FROM f WHERE len(string_split(trim(text),' ')) >= 15) t),
+        |verb AS (SELECT ev.doc_id AS eval_id,
+        |           count(DISTINCT tr.doc_id) AS n_verbatim_train
+        |         FROM w tr JOIN w ev ON tr.wh = ev.wh
+        |         WHERE NOT tr.is_eval AND ev.is_eval GROUP BY 1),
+        |sh AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM (SELECT doc_id, is_eval, string_split(trim(text),' ') AS tk
+        |             FROM f WHERE len(string_split(trim(text),' ')) >= 3) t),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE is_eval),
+        |sz AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+        |tr AS (SELECT doc_id, s FROM sh WHERE NOT is_eval),
+        |shared AS (SELECT tr.doc_id, ev.eval_id, count(*) AS shared
+        |           FROM tr JOIN ev USING (s) GROUP BY 1, 2),
+        |fuzzy AS (SELECT eval_id, count(*) AS n_fuzzy_train
+        |          FROM shared JOIN sz USING (eval_id)
+        |          WHERE shared * 10000 // n_eval >= 3000 GROUP BY 1)
+        |SELECT f.doc_id AS eval_id,
+        |  CAST(coalesce(verb.n_verbatim_train, 0) AS BIGINT)
+        |    AS n_verbatim_train,
+        |  CAST(coalesce(fuzzy.n_fuzzy_train, 0) AS BIGINT) AS n_fuzzy_train,
+        |  CASE WHEN coalesce(verb.n_verbatim_train, 0) > 0 THEN 'verbatim'
+        |       WHEN coalesce(fuzzy.n_fuzzy_train, 0) > 0 THEN 'fuzzy'
+        |       ELSE 'clean' END AS severity
+        |FROM f LEFT JOIN verb ON f.doc_id = verb.eval_id
+        |LEFT JOIN fuzzy ON f.doc_id = fuzzy.eval_id
+        |WHERE f.is_eval""".stripMargin,
 
     "q49_hot_cold_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,

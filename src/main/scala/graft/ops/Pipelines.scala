@@ -880,4 +880,65 @@ object Pipelines {
       .agg(max(col("contain_bp")).as("max_contain_bp"),
         count(lit(1)).as("n_eval_partners"))
   }
+
+  /** pp28: contamination severity per EVAL item — the governance flip
+    * side of pp07/pp27 (those flag TRAIN docs to drop; this tells the
+    * eval owner which BENCHMARK items are burned and how badly, which
+    * decides whether reported eval numbers are trustworthy). Per eval
+    * doc: distinct train docs sharing a verbatim 15-token window
+    * (pp07's tier) and train docs containing ≥30% of its shingles
+    * (pp27's tier), rolled into severity = verbatim > fuzzy > clean —
+    * every eval item reported, clean ones included (a burned-item
+    * list without the denominator misleads). Scale: both tiers are
+    * the proven broadcast shapes aggregated on the other side of the
+    * same pair frames (∝ contamination, not corpus); the eval spine
+    * is ∝ the benchmark suite. */
+  def pp28ContamReport(s: SparkSession, d: String): DataFrame = {
+    val W = 15
+    val flagged = Tables.documents(s, d)
+      .withColumn("is_eval",
+        substring(md5(col("text").cast("binary")), 1, 1).isin("0", "1"))
+    val wins = flagged
+      .withColumn("tk", split(trim(col("text")), " "))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"), col("is_eval"), explode(array_distinct(expr(
+        s"""transform(sequence(1, size(tk)-$W+1),
+           |  i -> md5(cast(array_join(slice(tk, i, $W), ' ') as binary)))"""
+          .stripMargin))).as("win_hash"))
+    val evalWins = wins.filter(col("is_eval"))
+      .select(col("win_hash"), col("doc_id").as("eval_id")).distinct()
+    val verbatim = wins.filter(!col("is_eval"))
+      .join(broadcast(evalWins), Seq("win_hash"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("doc_id")).as("n_verbatim_train"))
+    val sh = flagged
+      .withColumn("tk", split(trim(col("text")), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("is_eval"), explode(array_distinct(expr(
+        """transform(sequence(1, size(tk)-2),
+          |  i -> concat(element_at(tk,i), ' ', element_at(tk,i+1), ' ', element_at(tk,i+2)))"""
+          .stripMargin))).as("s"))
+    val evalSh = sh.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val evalSizes = evalSh.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_eval"))
+    val fuzzy = sh.filter(!col("is_eval")).select(col("doc_id"), col("s"))
+      .join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(evalSizes), Seq("eval_id"))
+      .filter(expr("shared * 10000 div n_eval") >= 3000)
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_fuzzy_train"))
+    flagged.filter(col("is_eval")).select(col("doc_id").as("eval_id"))
+      .join(verbatim, Seq("eval_id"), "left_outer")
+      .join(fuzzy, Seq("eval_id"), "left_outer")
+      .select(col("eval_id"),
+        coalesce(col("n_verbatim_train"), lit(0L)).as("n_verbatim_train"),
+        coalesce(col("n_fuzzy_train"), lit(0L)).as("n_fuzzy_train"))
+      .withColumn("severity",
+        when(col("n_verbatim_train") > 0, "verbatim")
+          .when(col("n_fuzzy_train") > 0, "fuzzy")
+          .otherwise("clean"))
+  }
 }

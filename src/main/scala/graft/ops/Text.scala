@@ -1062,4 +1062,33 @@ object Text {
       .select(col("doc_id"), col("n_bigrams"),
         expr("snat_sum div n_bigrams").as("mean_surprise2_unat"))
   }
+
+  /** tx49: code-vs-prose routing classifier — the corpus-split
+    * decision every mixed crawl makes before tokenization (code wants
+    * different normalization, dedup granularity, and mix weight than
+    * prose). Two independent row-local signals, both exact-integer:
+    * structural-symbol density ({}[]();=<> chars per 10⁴ chars — code
+    * syntax is symbol-dense at every line length) and reserved-word
+    * hits (whole tokens ∈ a 12-keyword cross-language set — catches
+    * symbol-light code like Python). is_code = symbol density ≥ 300 bp
+    * OR ≥ 3 keyword hits. Zero shuffles — one projection over the
+    * scan, tx43's fused-ingest economics; both regex counters are
+    * codegen'd. The 300 bp / 3-hit thresholds are deliberately
+    * corpus-free constants (documented, spec-planted) so routing is
+    * stable across batches — no corpus statistic to drift. */
+  def tx49CodeDetect(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[{}\\[\\]();=<>]", "")))
+          .cast("long").as("sym_cnt"),
+        size(filter(tokens, t => t.isin("def", "return", "var", "let",
+          "void", "class", "import", "public", "static", "function",
+          "const", "elif"))).cast("long").as("kw_hits"))
+      .withColumn("sym_bp",
+        when(col("n_chars") > 0, expr("sym_cnt * 10000 div n_chars"))
+          .otherwise(lit(0L)))
+      .withColumn("is_code",
+        (col("sym_bp") >= 300L || col("kw_hits") >= 3L).cast("int"))
 }

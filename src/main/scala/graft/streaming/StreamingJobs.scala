@@ -648,4 +648,39 @@ object StreamingJobs {
     assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"), vecSum.as("vsum"))
   }
+
+  /** st24: streaming FUZZY decontamination — pp27's containment rule
+    * at ingest, the paraphrase-robust tier above st14's verbatim
+    * windows. The eval suite collapses at plan-build to ONE broadcast
+    * row of (eval_id, shingle-set) structs (∝ benchmark suite, tiny);
+    * each arriving doc computes its max per-eval-doc containment —
+    * |doc ∩ eval| ⁄ |eval| in exact bp via array_intersect inside a
+    * per-row transform — entirely row-locally: STATELESS (no
+    * watermark, state store, or shuffle — st14's collapsed-broadcast
+    * pattern carried up a tier), Append mode, one audit row per doc.
+    * Same ≥30% floor as pp27, so batch and stream route identically. */
+  def streamFuzzyDecontam(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    def shCol = expr(
+      """CASE WHEN size(tk) >= 3 THEN
+        |  array_distinct(transform(sequence(1, size(tk) - 2),
+        |    i -> concat(element_at(tk,i), ' ', element_at(tk,i+1), ' ',
+        |                element_at(tk,i+2))))
+        |ELSE array() END""".stripMargin)
+    val evalIdx = evalDocs
+      .withColumn("tk", split(trim(col("text")), " "))
+      .select(col("doc_id").as("eval_id"), shCol.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .agg(collect_list(struct(col("eval_id"), col("sh"))).as("evals"))
+    docs
+      .withColumn("tk", split(trim(col("text")), " "))
+      .withColumn("sh", shCol)
+      .crossJoin(broadcast(evalIdx))
+      .withColumn("max_contain_bp", coalesce(expr(
+        """array_max(transform(evals, e ->
+          |  size(array_intersect(sh, e.sh)) * 10000 div size(e.sh)))"""
+          .stripMargin).cast("long"), lit(0L)))
+      .select(col("doc_id"),
+        col("max_contain_bp"),
+        (col("max_contain_bp") >= 3000L).as("contaminated"))
+  }
 }

@@ -1950,6 +1950,58 @@ class OperatorsSpec extends SparkTestBase {
     assert(e2 == e1, "fixed point not stable under a further peel")
   }
 
+  test("tx49 routes planted code to code and prose to prose") {
+    import spark.implicits._
+    val code = "def f(x): return x(1); class A { public static void main() = <> }"
+    val prose = "the gentle river wandered through the quiet valley toward the sea"
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx49").toString
+    Seq((1L, code), (2L, prose))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Text.tx49CodeDetect(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(out(1L) == 1, "code doc not routed to code")
+    assert(out(2L) == 0, "prose doc misrouted to code")
+  }
+
+  test("pp28 grades eval items verbatim > fuzzy > clean") {
+    import spark.implicits._
+    def md5b0(t: String): Char = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      "%02x".format(h(0))(0)
+    }
+    // deterministic carve search: force a text into (or out of) the
+    // md5-first-hex eval slice by appending a numbered tag token
+    def carved(base: String, wantEval: Boolean): String =
+      (0 until 4000).iterator.map(i => s"$base tag$i")
+        .find(t => (md5b0(t) == '0' || md5b0(t) == '1') == wantEval).get
+    val evalVerb = carved(
+      "q r s t u v w x y z aa bb cc dd ee ff gg hh", wantEval = true)
+    val evalFuzz = carved("alpha beta gamma delta epsilon zeta", wantEval = true)
+    val evalClean = carved("unique pristine items nobody copied anywhere",
+      wantEval = true)
+    val trainVerb = carved(s"prefix junk $evalVerb suffix junk",
+      wantEval = false)
+    val trainFuzz = carved(s"intro $evalFuzz outro words", wantEval = false)
+    val trainOther = carved("completely different prose about rivers and boats",
+      wantEval = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pp28").toString
+    Seq((1L, evalVerb), (2L, evalFuzz), (3L, evalClean),
+      (4L, trainVerb), (5L, trainFuzz), (6L, trainOther))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Pipelines.pp28ContamReport(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"every eval item must report: $out")
+    assert(out(1L) == "verbatim", s"20-token verbatim embed: $out")
+    assert(out(2L) == "fuzzy",
+      s"short paraphrase-tier embed (no 15-token window exists): $out")
+    assert(out(3L) == "clean", s"untouched eval item: $out")
+  }
+
   test("operators tolerate an EMPTY corpus (zero-row inputs, real schemas)") {
     // an empty input partition / filtered-to-nothing day is a normal
     // production condition; an operator that throws there fails the

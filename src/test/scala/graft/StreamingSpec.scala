@@ -669,4 +669,35 @@ class StreamingSpec extends SparkTestBase {
       assert(rows(1) == ((2L, List(200L, 201L))), s"cell 1 state: ${rows(1)}")
     } finally q.stop()
   }
+
+  test("st24 streaming fuzzy decontam flags containment the verbatim tier misses") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // the eval item is 7 tokens — too short for any 15-token verbatim
+    // window, so st14 would pass it; the fuzzy tier must not
+    val evalText = "alpha beta gamma delta epsilon zeta eta"
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs.streamFuzzyDecontam(docs, evalDocs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st24_out").start()
+    try {
+      in.addData((1L, s"intro words $evalText trailing words"),
+        (2L, "entirely unrelated prose about harbors and tides"))
+      q.processAllAvailable()
+      // cross-batch: the broadcast eval index serves later batches too
+      in.addData((3L, s"another copy here $evalText and more"),
+        (4L, "short"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, max_contain_bp, contaminated FROM st24_out")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+        .toMap
+      assert(out.keySet == Set(1L, 2L, 3L, 4L), s"one audit row per doc: $out")
+      assert(out(1L)._2 && out(1L)._1 == 10000L,
+        s"full containment must flag: ${out(1L)}")
+      assert(out(3L)._2, s"cross-batch containment must flag: ${out(3L)}")
+      assert(!out(2L)._2 && !out(4L)._2, s"clean docs flagged: $out")
+    } finally q.stop()
+  }
 }
