@@ -297,6 +297,7 @@ object SparkEntry {
     "gr17_ktruss"           -> Graph.gr17KTruss _,
     "tx49_code_detect"      -> Text.tx49CodeDetect _,
     "pp28_contam_report"    -> Pipelines.pp28ContamReport _,
+    "ev51_pattern_negation" -> Events.ev51PatternNegation _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -1887,6 +1888,27 @@ object SparkEntry {
         |  CAST(sum(snat) // count(*) AS BIGINT) AS mean_surprise2_unat
         |FROM bi JOIN sp ON bi.w1 = sp.w1 AND bi.w2 = sp.w2
         |GROUP BY 1""".stripMargin,
+
+    // ev51: CEP negation pattern — conditional mins over the identical
+    // [1 FOLLOWING, ∞) frame; row-local integer match rule; an error
+    // sharing the purchase's second blocks (total, engine-agnostic).
+    "ev51_pattern_negation" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(epoch(ts) AS BIGINT) AS s FROM events),
+        |x AS (SELECT user_id, event_type, s,
+        |    min(CASE WHEN event_type = 'purchase' THEN s END) OVER w AS np,
+        |    min(CASE WHEN event_type = 'error' THEN s END) OVER w AS ne
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |v AS (SELECT user_id,
+        |    CASE WHEN np IS NOT NULL AND np - s <= 7200
+        |          AND NOT (ne IS NOT NULL AND ne <= np)
+        |         THEN 1 ELSE 0 END AS m
+        |  FROM x WHERE event_type = 'view')
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_views,
+        |  CAST(sum(m) AS BIGINT) AS n_matches,
+        |  CAST(sum(m) * 10000 // count(*) AS BIGINT) AS match_bp
+        |FROM v GROUP BY 1""".stripMargin,
 
     "tx21_bigram_lm" ->
       """WITH t AS (SELECT string_split(trim(text),' ') AS tk FROM documents

@@ -1246,4 +1246,39 @@ object Events {
         when(col("n_events") < 2, lit(0L))
           .otherwise(expr("pair_sum * 10000 div (n_events * (n_events - 1))"))
           .as("simpson_bp"))
+
+  /** ev51: CEP pattern with NEGATION — "view followed by purchase
+    * within 2 h with NO error in between", per user. The funnels
+    * (ev03/ev16/ev31) can only require steps to OCCUR; real CEP
+    * engines (FlinkCEP's notFollowedBy) also require an event NOT to
+    * intervene — the absence constraint a join can't express without
+    * an anti-join per candidate pair. Here it costs nothing extra:
+    * one per-user ordered window computes, for every event, the
+    * EARLIEST following purchase and error times (conditional min
+    * over the [1 FOLLOWING, ∞) frame — both engines support the
+    * identical frame), and the per-view match rule is then row-local
+    * integer logic on epoch seconds: next purchase exists ∧ within
+    * 7200 s ∧ ¬(next error ≤ it). Blocking rule is deliberately
+    * conservative and total: an error sharing the purchase's second
+    * blocks — deterministic on both engines with no sub-second
+    * tie-break needed. Scale: ONE user-keyed exchange+sort shared by
+    * both conditional mins; everything after is a partial-agg'd
+    * per-user rollup on exact bp. */
+  def ev51PatternNegation(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("s"))
+      .withColumn("np", min(when(col("event_type") === "purchase", col("s"))).over(w))
+      .withColumn("ne", min(when(col("event_type") === "error", col("s"))).over(w))
+      .filter(col("event_type") === "view")
+      .withColumn("m",
+        when(col("np").isNotNull && col("np") - col("s") <= 7200L &&
+          !(col("ne").isNotNull && col("ne") <= col("np")), 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_views"), sum(col("m")).as("n_matches"))
+      .withColumn("match_bp", expr("n_matches * 10000 div n_views"))
+  }
 }

@@ -167,4 +167,53 @@ object Sources {
       .drop("__z", "mn1", "mx1", "mn2", "mx2")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction plan — the OPTIMIZE/maintenance job every
+    * long-lived table needs at 100 TB: incremental ingest (pp05, the
+    * st05/st13 streaming sinks) and per-partition writers accrete
+    * thousands of small files, and each costs a scan task, a file
+    * open, and manifest/NameNode pressure. The planner lists the
+    * layout's data files — DRIVER-SIDE METADATA ONLY, bounded by
+    * |files| (the same listing a manifest commit already holds; no
+    * data is read) — and bin-packs them into merge groups by
+    * first-fit-decreasing on size against `targetBytes`; a file
+    * already ≥ target stays alone. Deterministic: files considered in
+    * (size desc, path) order, so two planners on the same listing emit
+    * the identical plan. Returns (group_id, path, bytes); executing a
+    * group is one read-group→write-one-file job, embarrassingly
+    * parallel across groups and restart-safe group by group. */
+  def compactionPlan(s: SparkSession, dir: String,
+      targetBytes: Long): DataFrame = {
+    import s.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def list(p: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+      val it = fs.listStatus(p).toSeq
+      it.flatMap {
+        case d if d.isDirectory => list(d.getPath)
+        case f if !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".") =>
+          Seq((f.getPath.toString, f.getLen))
+        case _ => Seq.empty
+      }
+    }
+    val files = list(root).sortBy { case (p, b) => (-b, p) }
+    // first-fit-decreasing over metadata: |files| × |groups| worst
+    // case, trivially driver-cheap at manifest scale
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (id, free)
+    val plan = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    files.foreach { case (p, b) =>
+      groups.indexWhere(_._2 >= b) match {
+        case -1 =>
+          val id = groups.length.toLong
+          groups += ((id, math.max(targetBytes - b, 0L)))
+          plan += ((id, p, b))
+        case i =>
+          val (id, free) = groups(i)
+          groups(i) = (id, free - b)
+          plan += ((id, p, b))
+      }
+    }
+    plan.toSeq.toDF("group_id", "path", "bytes")
+  }
 }

@@ -2002,6 +2002,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(3L) == "clean", s"untouched eval item: $out")
   }
 
+  test("ev51 negation pattern matches, blocks on error, honors the 2h bound") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def mts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val rows = Seq(
+      (1L, mts(0), 1L, "view", 1.0, "{}"),      // u1: view→purchase = match
+      (2L, mts(10), 1L, "purchase", 5.0, "{}"),
+      (3L, mts(0), 2L, "view", 1.0, "{}"),      // u2: error intervenes = blocked
+      (4L, mts(5), 2L, "error", 0.0, "{}"),
+      (5L, mts(10), 2L, "purchase", 5.0, "{}"),
+      (6L, mts(0), 3L, "view", 1.0, "{}"),      // u3: purchase at +3h10 = late
+      (7L, mts(190), 3L, "purchase", 5.0, "{}"),
+      (8L, mts(0), 4L, "view", 1.0, "{}"))      // u4: no purchase at all
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev51").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ops.Events.ev51PatternNegation(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((1L, 1L)), 2L -> ((1L, 0L)),
+      3L -> ((1L, 0L)), 4L -> ((1L, 0L))), s"pattern semantics broken: $out")
+  }
+
   test("operators tolerate an EMPTY corpus (zero-row inputs, real schemas)") {
     // an empty input partition / filtered-to-nothing day is a normal
     // production condition; an operator that throws there fails the

@@ -364,4 +364,39 @@ class SourcesSpec extends SparkTestBase {
     assert(scanned.contains("v1") && !scanned.contains("v2"),
       s"read-at-v1 must touch only v1 files:\n$scanned")
   }
+
+  test("compaction plan covers every file once, packs under target, is deterministic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // a fragmented layout: 12 single-row files (the incremental-ingest
+    // small-file pathology) plus one already-large file
+    (1 to 12).foreach { i =>
+      Seq((i.toLong, s"doc $i")).toDF("id", "t")
+        .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    }
+    spark.range(200000).toDF("id").withColumn("t", lit("x"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    val target = 4096L
+    val plan = Sources.compactionPlan(spark, s"$dir/data", target).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val listed = plan.map(_._2)
+    assert(listed.distinct.length == listed.length, "a file appears twice")
+    assert(listed.length == 13, s"must cover all 13 data files: ${listed.length}")
+    // group totals stay under target except single-oversize groups
+    plan.groupBy(_._1).foreach { case (g, fs) =>
+      val tot = fs.map(_._3).sum
+      assert(tot <= target || fs.length == 1,
+        s"group $g overpacked: $tot bytes in ${fs.length} files")
+    }
+    // fewer groups than files = the plan actually compacts
+    assert(plan.map(_._1).distinct.length < 13, "no compaction achieved")
+    // deterministic: a second planning pass emits the identical plan
+    val again = Sources.compactionPlan(spark, s"$dir/data", target).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(plan.toSeq == again.toSeq, "plan not deterministic")
+    // the plan executes: merging one group reproduces its rows
+    val g0 = plan.filter(_._1 == plan.head._1).map(_._2)
+    val merged = spark.read.parquet(g0: _*)
+    assert(merged.count() > 0)
+  }
 }
