@@ -298,6 +298,7 @@ object SparkEntry {
     "tx49_code_detect"      -> Text.tx49CodeDetect _,
     "pp28_contam_report"    -> Pipelines.pp28ContamReport _,
     "ev51_pattern_negation" -> Events.ev51PatternNegation _,
+    "gr18_truss_communities" -> Graph.gr18TrussCommunities _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -426,7 +427,7 @@ object SparkEntry {
     * (support counted through deg ≤ 64 centers only; edges touching a
     * deg > 64 hub kept without enumeration) so outputs hash-match on
     * any corpus. */
-  private val ktrussSql: String = {
+  private object KtrussOracle {
     def round(i: Int): String = {
       val p = i - 1
       s"""b$i AS (SELECT d1 AS m, d2 AS n FROM e$p
@@ -446,21 +447,46 @@ object SparkEntry {
          |           OR coalesce(s$i.common, 0) >= 1)""".stripMargin
     }
     val rounds = (1 to 3).map(i => round(i) + ",\n" + peel(i)).mkString(",\n")
-    s"""WITH pp AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       |e0 AS MATERIALIZED (SELECT d1, d2 FROM (
-       |  SELECT x.pk AS d1, y.pk AS d2, count(*) AS w
-       |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk
-       |  GROUP BY 1, 2) z WHERE w >= 2),
-       |$rounds,
-       |${round(4)}
+    /** The shared CTE chain through the converged edge set `e3`. */
+    val ctes: String =
+      s"""pp AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT d1, d2 FROM (
+         |  SELECT x.pk AS d1, y.pk AS d2, count(*) AS w
+         |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk
+         |  GROUP BY 1, 2) z WHERE w >= 2),
+         |$rounds""".stripMargin
+  }
+
+  private val ktrussSql: String =
+    s"""WITH ${KtrussOracle.ctes},
+       |${KtrussOracle.round(4)}
        |SELECT e.d1, e.d2,
        |  CAST(coalesce(s4.common, 0) AS BIGINT) AS support,
        |  CASE WHEN da.deg > 64 OR db.deg > 64 THEN 'hub' ELSE 'exact' END
        |    AS tier
        |FROM e3 e JOIN dg4 da ON e.d1 = da.m JOIN dg4 db ON e.d2 = db.m
        |LEFT JOIN s4 ON s4.a = e.d1 AND s4.b = e.d2""".stripMargin
-  }
+
+  /** gr18's oracle: ALGORITHM-INDEPENDENT components of the gr17 truss
+    * edge set (the fixed point is the true partition — gr16's oracle
+    * convention): recursive-CTE min reachable id + community sizes,
+    * over the identical unrolled truss CTE chain. */
+  private val trussCommunitiesSql: String =
+    s"""WITH ${KtrussOracle.ctes},
+       |bi AS (SELECT d1 AS a, d2 AS b FROM e3 UNION ALL SELECT d2, d1 FROM e3),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT a, b FROM bi
+       |    UNION
+       |    SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a)
+       |  SELECT * FROM r),
+       |lbl AS (SELECT a AS part_id, least(a, min(b)) AS community_id
+       |        FROM reach GROUP BY a),
+       |cs AS (SELECT community_id, CAST(count(*) AS BIGINT) AS community_size
+       |       FROM lbl GROUP BY 1)
+       |SELECT part_id, community_id, community_size
+       |FROM lbl JOIN cs USING (community_id)""".stripMargin
 
   /** gr13's oracle: the fixed 5-round integer HITS unrolled (hub pass
     * + authority pass per round, the authority vector renormalized to
@@ -1980,6 +2006,8 @@ object SparkEntry {
          |LEFT JOIN cs ON c.cluster_id = cs.cluster_id""".stripMargin,
 
     "gr17_ktruss" -> ktrussSql,
+
+    "gr18_truss_communities" -> trussCommunitiesSql,
 
     "gr01_triangle_count" ->
       s"""WITH j AS ($ngramJaccardSql)

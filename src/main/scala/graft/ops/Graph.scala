@@ -694,4 +694,25 @@ object Graph {
         when(col("h1").isNotNull || col("h2").isNotNull, "hub")
           .otherwise("exact").as("tier"))
   }
+
+  /** gr18: truss communities — the named "product families" a catalog
+    * pipeline actually ships: connected components of gr17's 3-truss
+    * edge set (after the backbone + triadic-closure filters, a
+    * component IS a coherent co-purchase family, not a giant blob —
+    * running CC on the raw co-purchase graph yields one near-global
+    * component and is useless). Composition of two verified kernels:
+    * gr17's converged edge set feeds gr16's run-to-convergence
+    * two-star CC (frames ∝ truss edges, O(log n) rounds); output adds
+    * the family size per member. Oracle is algorithm-independent
+    * (recursive-CTE min reachable id over the same unrolled truss
+    * chain — the fixed point is the true partition). */
+  def gr18TrussCommunities(s: SparkSession, d: String): DataFrame = {
+    val truss = gr17KTruss(s, d).select(col("d1"), col("d2"))
+    val labels = twoStarFrom(truss.select(col("d2").as("hi"), col("d1").as("lo")))
+      .select(col("part_id"), col("component_id").as("community_id"))
+    val sizes = labels.groupBy(col("community_id"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("community_id"))
+      .select(col("part_id"), col("community_id"), col("community_size"))
+  }
 }

@@ -35,7 +35,7 @@ class OperatorsSpec extends SparkTestBase {
       "pp27_fuzzy_decontam",
       // the truss needs triangle-dense near-dup edges, absent in the
       // tiny slice (planted spec below)
-      "gr17_ktruss")
+      "gr17_ktruss", "gr18_truss_communities")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
@@ -2022,6 +2022,24 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out == Map(1L -> ((1L, 1L)), 2L -> ((1L, 0L)),
       3L -> ((1L, 0L)), 4L -> ((1L, 0L))), s"pattern semantics broken: $out")
+  }
+
+  test("gr18 communities co-label every truss edge and report exact sizes") {
+    val truss = ops.Graph.gr17KTruss(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val com = ops.Graph.gr18TrussCommunities(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val label = com.map(c => c._1 -> c._2).toMap
+    truss.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"edge ($a,$b) straddles communities")
+    }
+    val sizes = com.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    com.foreach { c =>
+      assert(c._3 == sizes(c._2), s"size column wrong for $c")
+      assert(c._2 <= c._1, "community id must be the member minimum")
+    }
+    assert(com.map(_._1).distinct.length == com.length,
+      "a node labeled twice")
   }
 
   test("operators tolerate an EMPTY corpus (zero-row inputs, real schemas)") {
