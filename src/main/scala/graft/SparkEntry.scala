@@ -299,6 +299,7 @@ object SparkEntry {
     "pp28_contam_report"    -> Pipelines.pp28ContamReport _,
     "ev51_pattern_negation" -> Events.ev51PatternNegation _,
     "gr18_truss_communities" -> Graph.gr18TrussCommunities _,
+    "ss19_hybrid_rrf"       -> Similarity.ss19HybridRrf _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -2263,6 +2264,43 @@ object SparkEntry {
     "ss12_mmr_topk" -> mmrTopkSql,
     "ss15_kmeans" -> kmeansSql,
     "ss17_index_refresh" -> indexRefreshSql,
+
+    // ss19: hybrid RRF — rank-only fusion on the 10⁶ div (60+rank)
+    // integer grid, so the float cosine only ever influences RANKS
+    // (ss01's proven replay) and the fusion is hash-exact.
+    "ss19_hybrid_rrf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |vc AS (SELECT qid, e.vec_id AS nid,
+        |         list_cosine_similarity(qe, e.embedding) AS cos
+        |       FROM q, embeddings e WHERE e.vec_id != qid),
+        |vtop AS (SELECT qid, nid, rk FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid) AS rk FROM vc) z WHERE rk <= 20),
+        |dt AS (SELECT doc_id, unnest(list_distinct(
+        |         string_split(trim(text), ' '))) AS tok FROM documents),
+        |qt AS (SELECT q.qid, dt.tok FROM q JOIN dt ON dt.doc_id = q.qid),
+        |lx AS (SELECT qt.qid, dt.doc_id AS nid, count(*) AS shared
+        |       FROM qt JOIN dt ON qt.tok = dt.tok AND dt.doc_id != qt.qid
+        |       GROUP BY 1, 2),
+        |ltop AS (SELECT qid, nid, rk FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY shared DESC, nid) AS rk FROM lx) z WHERE rk <= 20),
+        |f AS (SELECT coalesce(v.qid, l.qid) AS qid,
+        |        coalesce(v.nid, l.nid) AS nid,
+        |        CAST(coalesce(v.rk, 0) AS BIGINT) AS rank_vec,
+        |        CAST(coalesce(l.rk, 0) AS BIGINT) AS rank_lex,
+        |        CAST((CASE WHEN v.rk IS NULL THEN 0
+        |               ELSE 1000000 // (60 + v.rk) END)
+        |           + (CASE WHEN l.rk IS NULL THEN 0
+        |               ELSE 1000000 // (60 + l.rk) END) AS BIGINT) AS rrf_score
+        |      FROM vtop v FULL OUTER JOIN ltop l
+        |        ON v.qid = l.qid AND v.nid = l.nid)
+        |SELECT qid, nid AS neighbor_id, rank_vec, rank_lex, rrf_score,
+        |  CAST(rk_fused AS BIGINT) AS rk_fused
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY rrf_score DESC, nid) AS rk_fused FROM f) z
+        |WHERE rk_fused <= 5""".stripMargin,
 
     "ss04_knn_classify" ->
       s"""WITH knn AS ($bruteTopkSql),

@@ -816,4 +816,58 @@ object Similarity {
         .filter(col("vec_id") =!= col("qid")),
       expr("cosine_sim(q_emb, embedding)"), 3)
   }
+
+  /** ss19: HYBRID retrieval with reciprocal-rank fusion — the
+    * production RAG shape: a lexical tier (exact shared-token count
+    * through the token inverted index — embeddings miss exact
+    * identifiers/rare names) and a vector tier (ss01's broadcast
+    * cosine — lexical misses paraphrase) each produce a per-query
+    * top-20, fused by RRF: score(d) = Σ 10⁶ div (60 + rankₜ(d)) over
+    * the tiers that returned d (Cormack et al.'s k=60 — rank-only, so
+    * the two tiers' incomparable score scales never mix; on the
+    * integer grid the fusion is hash-exact even though the vector
+    * tier's underlying cosine is float). Both tier selections and the
+    * final fused top-5 ride the partial-aggregable TopKPairAggregator
+    * — no corpus-sized window anywhere; the fusion join is over
+    * ≤40 rows/query. Scale: queries broadcast both ways; the token
+    * join shuffles only matched (query, doc) pairs; corpus scanned,
+    * never reshuffled. */
+  def ss19HybridRrf(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val vtop = topkPairs(
+      emb.join(broadcast(queries), col("vec_id") =!= col("qid")),
+      expr("cosine_sim(q_emb, embedding)"), 20)
+      .withColumnRenamed("rk", "rank_vec")
+    val docToks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), " "))).as("tok"))
+    val qToks = docToks
+      .join(broadcast(queries.select(col("qid"))), col("doc_id") === col("qid"))
+      .select(col("qid"), col("tok"))
+    val shared = docToks.join(broadcast(qToks), Seq("tok"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("shared"))
+    val ltop = topkPairs(shared.withColumnRenamed("doc_id", "vec_id"),
+      col("shared").cast("double"), 20)
+      .withColumnRenamed("rk", "rank_lex")
+    val f = vtop.join(ltop, Seq("qid", "neighbor_id"), "full_outer")
+      .select(col("qid"), col("neighbor_id"),
+        coalesce(col("rank_vec"), lit(0)).cast("long").as("rank_vec"),
+        coalesce(col("rank_lex"), lit(0)).cast("long").as("rank_lex"))
+      .withColumn("rrf_score",
+        when(col("rank_vec") > 0, expr("1000000 div (60 + rank_vec)"))
+          .otherwise(lit(0L)) +
+        when(col("rank_lex") > 0, expr("1000000 div (60 + rank_lex)"))
+          .otherwise(lit(0L)))
+    val fused = topkPairs(f.withColumnRenamed("neighbor_id", "vec_id"),
+      col("rrf_score").cast("double"), 5)
+      .withColumnRenamed("rk", "rk_fused")
+    fused.join(f, Seq("qid", "neighbor_id"))
+      .select(col("qid"), col("neighbor_id"), col("rank_vec"),
+        col("rank_lex"), col("rrf_score").cast("long").as("rrf_score"),
+        col("rk_fused").cast("long").as("rk_fused"))
+  }
 }

@@ -2042,6 +2042,24 @@ class OperatorsSpec extends SparkTestBase {
       "a node labeled twice")
   }
 
+  test("ss19 RRF fusion is exactly consistent with its tier ranks") {
+    val rows = ops.Similarity.ss19HybridRrf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rv, rl, rrf) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rv > 0 || rl > 0, s"fused result in neither tier: $r")
+      assert(rv <= 20 && rl <= 20)
+      val exp = (if (rv > 0) 1000000L / (60 + rv) else 0L) +
+        (if (rl > 0) 1000000L / (60 + rl) else 0L)
+      assert(rrf == exp, s"RRF grid broken: $r expected $exp")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val rks = rs.map(_.getLong(5)).sorted.toSeq
+      assert(rks == (1L to rks.length), s"query $q fused ranks not contiguous: $rks")
+      assert(rks.length <= 5)
+    }
+  }
+
   test("operators tolerate an EMPTY corpus (zero-row inputs, real schemas)") {
     // an empty input partition / filtered-to-nothing day is a normal
     // production condition; an operator that throws there fails the
