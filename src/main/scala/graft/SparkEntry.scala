@@ -300,6 +300,8 @@ object SparkEntry {
     "ev51_pattern_negation" -> Events.ev51PatternNegation _,
     "gr18_truss_communities" -> Graph.gr18TrussCommunities _,
     "ss19_hybrid_rrf"       -> Similarity.ss19HybridRrf _,
+    "ev52_conversion_curve" -> Events.ev52ConversionCurve _,
+    "q66_runtime_bloom"     -> Relational.q66RuntimeBloom _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -1916,6 +1918,27 @@ object SparkEntry {
         |FROM bi JOIN sp ON bi.w1 = sp.w1 AND bi.w2 = sp.w2
         |GROUP BY 1""".stripMargin,
 
+    // ev52: conversion CDF — first purchase at-or-after first signup;
+    // cumulative counts against the full signup cohort per day offset.
+    "ev52_conversion_curve" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch(ts) AS BIGINT) AS ts_s FROM events),
+        |su AS (SELECT user_id, min(ts_s) AS su FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (SELECT e.user_id, min(e.ts_s - su.su) AS delta_s
+        |         FROM e JOIN su USING (user_id)
+        |         WHERE e.event_type = 'purchase' AND e.ts_s >= su.su
+        |         GROUP BY 1),
+        |cohort AS (SELECT su.user_id, conv.delta_s // 86400 AS off_days
+        |           FROM su LEFT JOIN conv USING (user_id)),
+        |spine AS (SELECT unnest(range(0, 8)) AS k)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_signups,
+        |  CAST(sum(CASE WHEN off_days IS NOT NULL AND off_days <= k
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST(sum(CASE WHEN off_days IS NOT NULL AND off_days <= k
+        |       THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS conv_bp
+        |FROM cohort CROSS JOIN spine GROUP BY 1""".stripMargin,
+
     // ev51: CEP negation pattern — conditional mins over the identical
     // [1 FOLLOWING, ∞) frame; row-local integer match rule; an error
     // sharing the purchase's second blocks (total, engine-agnostic).
@@ -2910,6 +2933,17 @@ object SparkEntry {
         |FROM f LEFT JOIN verb ON f.doc_id = verb.eval_id
         |LEFT JOIN fuzzy ON f.doc_id = fuzzy.eval_id
         |WHERE f.is_eval""".stripMargin,
+
+    // q66: the bloom runtime filter is semantically transparent, so
+    // the oracle is the plain join — hash match = transparency proof.
+    "q66_runtime_bloom" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS revenue_c
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
 
     "q49_hot_cold_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,

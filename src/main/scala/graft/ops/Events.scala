@@ -1281,4 +1281,37 @@ object Events {
       .agg(count(lit(1)).as("n_views"), sum(col("m")).as("n_matches"))
       .withColumn("match_bp", expr("n_matches * 10000 div n_views"))
   }
+
+  /** ev52: signup→purchase conversion curve — for each day offset
+    * k ∈ [0, 7], the share of signed-up users whose FIRST purchase
+    * after (or at) their first signup lands within k days, in exact
+    * bp (the time-to-convert CDF; its complement is the retention
+    * funnel's survival curve). One pass collapses events to per-user
+    * (first signup, first purchase ≥ signup) — min-aggregates, no
+    * window — then an 8-row broadcast offset spine counts
+    * cumulatively; denominators stay the full signup cohort, so the
+    * curve is monotone and ends at the overall conversion rate.
+    * Calendar-bounded output; all integer arithmetic. */
+  def ev52ConversionCurve(s: SparkSession, d: String): DataFrame = {
+    val ev0 = ev(s, d)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("ts_s"))
+    val su = ev0.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("su"))
+    // first purchase AT-or-AFTER the first signup: the signup time must
+    // join in BEFORE the min, or a user with purchases on both sides of
+    // signup would be scored by the pre-signup one and dropped
+    val conv = ev0.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("ts_s") >= col("su"))
+      .groupBy(col("user_id")).agg(min(col("ts_s") - col("su")).as("delta_s"))
+    val cohort = su.join(conv, Seq("user_id"), "left_outer")
+      .select(col("user_id"), expr("delta_s div 86400").as("off_days"))
+    val spine = s.range(0, 8).select(col("id").as("k"))
+    cohort.crossJoin(broadcast(spine))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when(col("off_days").isNotNull && col("off_days") <= col("k"), 1L)
+          .otherwise(0L)).as("n_converted"))
+      .withColumn("conv_bp", expr("n_converted * 10000 div n_signups"))
+  }
 }

@@ -1197,4 +1197,39 @@ object Relational {
       .agg(sum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** q66: RUNTIME (bloom-filter) row-level join pruning — q51's DPP
+    * idea without needing a partitioned layout: orders carries a
+    * selective predicate (1-URGENT, ~1/5 of orders), so Catalyst's
+    * InjectRuntimeFilter builds a bloom filter over the filtered
+    * orderkeys at runtime and pushes `might_contain` into the
+    * LINEITEM scan — ~80% of the fact side is dropped BEFORE its
+    * shuffle (at 100 TB: the shuffle is the cost; DPP only helps when
+    * the layout anticipated the key). Thresholds are conf'd down in a
+    * child session (the q64 isolation pattern) because the injection
+    * gate reads size ESTIMATES that local test parquet never crosses;
+    * on a real warehouse the defaults fire by themselves. Broadcast
+    * is disabled for the query so the join actually shuffles — a
+    * broadcast join already prunes implicitly and would make the
+    * demonstration vacuous. The bloom filter is semantically
+    * transparent (false positives only re-admit rows the join then
+    * drops): the oracle is the PLAIN join — the hash match proves
+    * transparency; the spec asserts the filter is actually in the
+    * plan (an uninjected demo is a silent no-op, the q56 lesson). */
+  def q66RuntimeBloom(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ord = Tables.orders(s2, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Tables.lineitem(s2, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("revenue_c"))
+  }
 }

@@ -2060,6 +2060,28 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("ev52 conversion curve is monotone over a constant cohort") {
+    val rows = ops.Events.ev52ConversionCurve(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 8, "one row per day offset 0..7")
+    assert(rows.map(_.getLong(1)).toSet.size == 1,
+      "cohort denominator must not vary with k")
+    val conv = rows.map(_.getLong(2))
+    assert(conv.zip(conv.tail).forall { case (a, b) => a <= b },
+      s"CDF not monotone: ${conv.mkString(",")}")
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1),
+      s"bp grid broken: $r"))
+  }
+
+  test("q66 actually injects the runtime bloom filter into the fact scan") {
+    val df = ops.Relational.q66RuntimeBloom(spark, sf)
+    df.collect() // force execution so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+      s"runtime bloom filter not injected - the demo is a silent no-op:\n" +
+        plan.take(2000))
+  }
+
   test("operators tolerate an EMPTY corpus (zero-row inputs, real schemas)") {
     // an empty input partition / filtered-to-nothing day is a normal
     // production condition; an operator that throws there fails the
