@@ -302,6 +302,12 @@ object SparkEntry {
     "ss19_hybrid_rrf"       -> Similarity.ss19HybridRrf _,
     "ev52_conversion_curve" -> Events.ev52ConversionCurve _,
     "q66_runtime_bloom"     -> Relational.q66RuntimeBloom _,
+    "q67_skyline"           -> Relational.q67Skyline _,
+    "ev53_seasonal_naive"   -> Events.ev53SeasonalNaive _,
+    "tx50_subword_vocab"    -> Text.tx50SubwordVocab _,
+    "pp29_inference_batches" -> Pipelines.pp29InferenceBatches _,
+    "ss20_quota_topk"       -> Similarity.ss20QuotaTopk _,
+    "pp30_data_constrained" -> Pipelines.pp30DataConstrained _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -723,7 +729,7 @@ object SparkEntry {
          |        FROM e$r, unnest(range(1, len(arr))) AS t(i)
          |        GROUP BY 1, 2),
          |b$r AS (SELECT pa, pb, cnt FROM p$r ORDER BY cnt DESC, pa, pb LIMIT 1),
-         |w$r AS (SELECT wc, replace(syms, '<' || b.pa || '><' || b.pb || '>',
+         |w$r AS (SELECT w, wc, replace(syms, '<' || b.pa || '><' || b.pb || '>',
          |                 '<' || b.pa || b.pb || '>') AS syms
          |        FROM w${r - 1} CROSS JOIN b$r b)""".stripMargin
     s"""tkx AS (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents),
@@ -2944,6 +2950,111 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
+
+    // q67: 2-D skyline via the per-distinct-price cumulative max —
+    // dominated ⇔ a strictly cheaper price reaches the size, or the
+    // part's own price bucket strictly exceeds it.
+    "q67_skyline" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |    CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c
+        |  FROM part),
+        |pp AS (SELECT price_c, max(p_size) AS max_here FROM p GROUP BY 1),
+        |cm AS (SELECT price_c, max_here,
+        |    max(max_here) OVER (ORDER BY price_c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_cheaper
+        |  FROM pp)
+        |SELECT p.p_partkey, p.p_size, p.price_c
+        |FROM p JOIN cm USING (price_c)
+        |WHERE NOT (coalesce(cm.max_cheaper, -9223372036854775807 - 1)
+        |             >= p.p_size
+        |           OR cm.max_here > p.p_size)""".stripMargin,
+
+    // ev53: causal same-weekday trailing-mean forecast backtest;
+    // DuckDB dayofweek is 0-based — +1 matches Spark (ev34 precedent).
+    "ev53_seasonal_naive" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+        |t AS (SELECT day, n_events, dayofweek(day) + 1 AS weekday FROM daily),
+        |h AS (SELECT day, weekday, n_events,
+        |    sum(n_events) OVER w AS hist_sum,
+        |    count(*) OVER w AS hist_n
+        |  FROM t WINDOW w AS (PARTITION BY weekday ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT day, weekday, n_events,
+        |  CAST(hist_sum // hist_n AS BIGINT) AS forecast,
+        |  CAST(abs(n_events - hist_sum // hist_n) AS BIGINT) AS abs_err,
+        |  CAST(abs(n_events - hist_sum // hist_n) * 10000
+        |    // (hist_sum // hist_n) AS BIGINT) AS err_bp
+        |FROM h WHERE hist_n >= 1""".stripMargin,
+
+    // tx50: corpus piece frequencies under the tx45-learned merges —
+    // the chain's final word-type frame (w10) segmented and exploded.
+    "tx50_subword_vocab" ->
+      s"""WITH $bpeChainSql,
+         |px AS (SELECT w, wc, unnest(string_split(
+         |         substr(syms, 2, length(syms) - 2), '><')) AS piece
+         |       FROM w10)
+         |SELECT piece, CAST(count(DISTINCT w) AS BIGINT) AS n_word_types,
+         |  CAST(sum(wc) AS BIGINT) AS n_occurrences,
+         |  CAST(length(piece) AS BIGINT) AS piece_len
+         |FROM px GROUP BY piece""".stripMargin,
+
+    // pp29: power-of-2 length bands via the same 10-row band spine,
+    // FFD row_number inside each band, padding waste to the batch max.
+    "pp29_inference_batches" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |bands AS (SELECT CAST(power(2, i) AS BIGINT) AS band
+        |          FROM unnest(range(4, 14)) AS t(i)),
+        |bd AS (SELECT doc_id, n_tok, min(band) AS band
+        |       FROM d JOIN bands ON band >= greatest(n_tok, 16)
+        |       GROUP BY 1, 2),
+        |rn AS (SELECT band, doc_id, n_tok, row_number() OVER (
+        |    PARTITION BY band ORDER BY n_tok DESC, doc_id) AS rn FROM bd),
+        |b AS (SELECT band, (rn - 1) // 32 AS batch_id, n_tok FROM rn)
+        |SELECT band, CAST(batch_id AS BIGINT) AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_tok) AS BIGINT) AS max_len,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * max(n_tok) AS BIGINT) AS padded_tokens,
+        |  CAST((count(*) * max(n_tok) - sum(n_tok)) * 10000
+        |    // (count(*) * max(n_tok)) AS BIGINT) AS waste_bp
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // pp30: exact dedup scoped within source; keeper token count is the
+    // hash-group min (copies share text); 4-epoch effective cap.
+    "pp30_data_constrained" ->
+      """WITH d AS (SELECT source, md5(text) AS h,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |g AS (SELECT source, h, count(*) AS n_copies, min(n_tok) AS n_tok
+        |      FROM d GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(n_copies * n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_tok) AS BIGINT) AS unique_tokens,
+        |  CAST(sum(n_copies * n_tok) * 10000 // sum(n_tok) AS BIGINT)
+        |    AS epochs_bp,
+        |  CAST(least(sum(n_copies * n_tok), sum(n_tok) * 4) AS BIGINT)
+        |    AS effective_tokens
+        |FROM g GROUP BY 1""".stripMargin,
+
+    // ss20: per-(query, source) top-2 then global top-10 — rank-only
+    // output, float cosine only orders (ss01's contract).
+    "ss20_quota_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT qid, e.vec_id AS cid, d.source,
+        |        list_cosine_similarity(qe, e.embedding) AS cos
+        |      FROM q, embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |      WHERE e.vec_id != qid),
+        |r2 AS (SELECT qid, cid, source, cos, row_number() OVER (
+        |    PARTITION BY qid, source ORDER BY cos DESC, cid) AS sr FROM c),
+        |k AS (SELECT qid, cid, source, cos FROM r2 WHERE sr <= 2),
+        |g AS (SELECT qid, cid, source, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM k)
+        |SELECT qid, cid AS neighbor_id, source, CAST(rk AS BIGINT) AS rk
+        |FROM g WHERE rk <= 10""".stripMargin,
 
     "q49_hot_cold_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,

@@ -1314,4 +1314,34 @@ object Events {
           .otherwise(0L)).as("n_converted"))
       .withColumn("conv_bp", expr("n_converted * 10000 div n_signups"))
   }
+
+  /** ev53: seasonal-naive forecast backtest — the capacity-planning
+    * baseline every on-call dashboard runs: predict each day's event
+    * count as the integer mean of all PRIOR same-weekday days (the
+    * causal trailing window — ev34's weekday median is a full-sample
+    * diagnostic; this is an honest walk-forward forecast), and score
+    * |actual − forecast| per day plus the deviation in bp. Days with
+    * no same-weekday history (the first week) are excluded — a
+    * forecast needs a past. The daily frame is calendar-bounded, so
+    * the per-weekday ordered window costs nothing at any corpus
+    * scale; the only corpus-sized work is the one groupBy(day) scan. */
+  def ev53SeasonalNaive(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("weekday", dayofweek(col("day")))
+    // calendar-bounded frame: one row per day — the trailing window and
+    // its sort never touch the event table
+    val wTrail = Window.partitionBy(col("weekday")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("hist_sum", sum(col("n_events")).over(wTrail))
+      .withColumn("hist_n", count(lit(1)).over(wTrail))
+      .filter(col("hist_n") >= 1)
+      .withColumn("forecast", expr("hist_sum div hist_n"))
+      .withColumn("abs_err", abs(col("n_events") - col("forecast")))
+      .withColumn("err_bp", expr("abs_err * 10000 div forecast"))
+      .select(col("day"), col("weekday"), col("n_events"),
+        col("forecast"), col("abs_err"), col("err_bp"))
+  }
 }

@@ -941,4 +941,68 @@ object Pipelines {
           .when(col("n_fuzzy_train") > 0, "fuzzy")
           .otherwise("clean"))
   }
+
+  /** pp29: inference batch planner — the serving-side twin of pp22's
+    * training packer: batched inference pads every sequence in a batch
+    * to the batch max, so the scheduler first buckets docs into
+    * power-of-2 length bands (16…8192, assigned by a 10-row broadcast
+    * band spine — integer-exact, no float log2 whose ties at exact
+    * powers would split across engines) and then cuts each band into
+    * batches of ≤32 docs, longest-first (FFD inside the band keeps
+    * same-batch lengths close, minimizing pad waste). Emits the batch
+    * manifest with the padding-waste bp a capacity planner reads. The
+    * per-band row_number is the pp22 prefix-sum shape: at 100 TB the
+    * ~10 band partitions sub-shard by a key prefix exactly as pp22's
+    * per-source bins do — the batch ids gain a shard prefix, the
+    * algorithm is unchanged. */
+  def pp29InferenceBatches(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+    val bands = s.range(4, 14).select(expr("CAST(pow(2, id) AS BIGINT)").as("band"))
+    val banded = docs
+      .join(broadcast(bands), col("band") >= greatest(col("n_tok"), lit(16L)))
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(min(col("band")).as("band"))
+    val w = Window.partitionBy(col("band"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+    banded
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr("(rn - 1) div 32"))
+      .groupBy(col("band"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_len"),
+        sum(col("n_tok")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("max_len"))
+      .withColumn("waste_bp",
+        expr("(padded_tokens - sum_tokens) * 10000 div padded_tokens"))
+  }
+
+  /** pp30: data-constrained scaling accounting (Muennighoff et al.
+    * 2305.16264 — repeated data is worth roughly full value to ~4
+    * epochs, little beyond): per source, the total token mass, the
+    * UNIQUE mass after exact dedup (dd01's content-hash rule, scoped
+    * within source — cross-source duplication is pp06's mixing
+    * question, not this one), the implied epoch count over the unique
+    * set on the bp grid (pp26's int64-safe choice), and the effective
+    * token budget under the 4-epoch cap — the number that says whether
+    * a source can actually fill its pp06 mix share or will be
+    * repeating itself past usefulness. Duplicates share their text, so
+    * the keeper's token count is min over the hash group — no second
+    * scan, no join back; two partial-agg'd shuffles (source×hash, then
+    * source). */
+  def pp30DataConstrained(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), md5(col("text").cast("binary")).as("h"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+    docs.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("n_tok")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_copies") * col("n_tok")).as("total_tokens"),
+        sum(col("n_tok")).as("unique_tokens"))
+      .withColumn("epochs_bp",
+        expr("total_tokens * 10000 div unique_tokens"))
+      .withColumn("effective_tokens",
+        least(col("total_tokens"), col("unique_tokens") * 4))
+  }
 }

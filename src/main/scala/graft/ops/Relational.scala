@@ -1232,4 +1232,35 @@ object Relational {
         sum(round(col("l_extendedprice") * 100, 0).cast("long"))
           .as("revenue_c"))
   }
+
+  /** q67: SKYLINE (Pareto frontier) of parts — minimize price,
+    * maximize size; a part is dominated iff some other part is no
+    * worse on both axes and strictly better on one. The naive
+    * formulation is an O(n²) self-theta-join; the 2-D structure
+    * collapses it to one aggregate + one tiny window: group parts by
+    * DISTINCT price (cents grid — the shared double parses exactly)
+    * keeping max size per price, run the strictly-cheaper cumulative
+    * max over the price-sorted aggregate (∝ distinct prices, never
+    * the fact table — the only sorted frame), broadcast it back, and
+    * test each part row-locally: dominated ⇔ a strictly cheaper price
+    * reaches its size, or its own price bucket exceeds its size. The
+    * part scan stays one embarrassingly-parallel pass at 100 TB; the
+    * global sort touches only the price-level frame (bounded by the
+    * price domain, ~10⁵ cents values). */
+  def q67Skyline(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("price_c"))
+    val wPrev = Window.orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-price frame: ∝ distinct prices — the documented small sorted frame
+    val perPrice = Tables.part(s, d)
+      .groupBy(round(col("p_retailprice") * 100, 0).cast("long").as("price_c"))
+      .agg(max(col("p_size").cast("long")).as("max_here"))
+      .withColumn("max_cheaper", max(col("max_here")).over(wPrev))
+    parts.join(broadcast(perPrice), Seq("price_c"))
+      .filter(!(coalesce(col("max_cheaper"), lit(Long.MinValue)) >= col("p_size") ||
+        col("max_here") > col("p_size")))
+      .select(col("p_partkey"), col("p_size"), col("price_c"))
+  }
 }

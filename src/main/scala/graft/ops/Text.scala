@@ -982,6 +982,36 @@ object Text {
           x => x("pw"))), ",").as("pieces"))
   }
 
+  /** tx50: subword vocabulary under the learned tokenizer — the
+    * artifact a tokenizer build actually ships (vocab file + frequency
+    * stats): segment the corpus with tx45's 10 learned merges and
+    * report, per resulting piece, how many word TYPES contain it and
+    * its total corpus occurrences (type count × word frequency — the
+    * exact corpus token count under that segmentation, no second
+    * corpus pass: the word-type frame from the trainer already carries
+    * the weights). Everything beyond the one corpus-scan word count
+    * runs on the vocab-sized frame; the 10 merge applications are
+    * broadcast-crossJoin replaces, tx46's apply side re-used on types
+    * instead of the token stream. */
+  def tx50SubwordVocab(s: SparkSession, d: String): DataFrame = {
+    val chain = bpeChain(s, d)
+    var words = bpeWords(s, d)
+    chain.zipWithIndex.foreach { case (b, r) =>
+      words = words
+        .crossJoin(broadcast(b.select(col("pa").as(s"pa$r"), col("pb").as(s"pb$r"))))
+        .withColumn("syms", expr(
+          s"replace(syms, concat('<', pa$r, '><', pb$r, '>'), concat('<', pa$r, pb$r, '>'))"))
+        .drop(s"pa$r", s"pb$r")
+    }
+    words
+      .select(col("w"), col("wc"),
+        explode(expr("split(substring(syms, 2, length(syms) - 2), '><')")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(countDistinct(col("w")).as("n_word_types"),
+        sum(col("wc")).as("n_occurrences"))
+      .withColumn("piece_len", length(col("piece")).cast("long"))
+  }
+
   /** tx47: unigram-LM surprise filter — the CCNet-style perplexity
     * partition (Wenzek et al. 1911.00359) with the corpus's own
     * unigram model standing in for the external KenLM: each token

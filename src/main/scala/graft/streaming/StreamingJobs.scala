@@ -683,4 +683,56 @@ object StreamingJobs {
         col("max_contain_bp"),
         (col("max_contain_bp") >= 3000L).as("contaminated"))
   }
+
+  case class PartPoint(p_partkey: Long, p_size: Long, price_c: Long)
+  case class FrontierRow(version: Long, p_partkey: Long, p_size: Long,
+    price_c: Long)
+
+  /** st25: streaming SKYLINE maintenance — q67's Pareto frontier kept
+    * live as new parts arrive (the "best tradeoffs right now" board a
+    * pricing service polls). State is the frontier ITSELF, not the
+    * stream: by the 2-D dominance structure at most one point per
+    * distinct price survives, so state is bounded by the price domain
+    * regardless of how many parts ever flowed. Each arriving point is
+    * admitted iff no frontier point dominates it; admission evicts
+    * everything it dominates (ties on both axes co-survive, q67's
+    * rule). Emits the full frontier snapshot per changed batch with a
+    * monotone version — readers take max(version) (Append mode can't
+    * retract evicted rows; a versioned snapshot of a bounded set is
+    * the retraction-free encoding). The constant grouping key funnels
+    * only batch rows, not history; at warehouse rates the stateless
+    * pre-step is a per-partition local skyline (mapPartitions) so the
+    * funnel carries ≤ |frontier| rows per partition — the admission
+    * loop itself is O(|batch|·|frontier|). */
+  def streamingSkyline(parts: Dataset[PartPoint]): Dataset[FrontierRow] = {
+    import parts.sparkSession.implicits._
+    parts.groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Long, List[PartPoint]), FrontierRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[(Long, List[PartPoint])]) =>
+          val (ver, front0) = state.getOption.getOrElse((0L, Nil))
+          def dominates(a: PartPoint, b: PartPoint): Boolean =
+            a.price_c <= b.price_c && a.p_size >= b.p_size &&
+              (a.price_c < b.price_c || a.p_size > b.p_size)
+          var front = front0
+          var changed = false
+          // p_partkey order: micro-batch replays admit deterministically
+          rows.toSeq.sortBy(_.p_partkey).foreach { p =>
+            // partkey re-delivery is idempotent; dominated points drop
+            if (!front.exists(f =>
+                dominates(f, p) || f.p_partkey == p.p_partkey)) {
+              front = p :: front.filterNot(f => dominates(p, f))
+              changed = true
+            }
+          }
+          if (!changed) Iterator.empty
+          else {
+            val v = ver + 1
+            state.update((v, front))
+            front.sortBy(_.p_partkey)
+              .map(p => FrontierRow(v, p.p_partkey, p.p_size, p.price_c))
+              .iterator
+          }
+      }
+  }
 }

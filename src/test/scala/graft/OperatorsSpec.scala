@@ -2245,4 +2245,105 @@ class OperatorsSpec extends SparkTestBase {
     // CCNet terciles: all three shards occupied on the corpus
     assert(got.values.map(_._3).toSet.size == 3, "degenerate tercile split")
   }
+
+  test("q67 skyline equals the brute-force dominance check") {
+    val parts = graft.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size").cast("long"),
+        round(col("p_retailprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(p: (Long, Long, Long)): Boolean = parts.exists { q =>
+      q._1 != p._1 && q._3 <= p._3 && q._2 >= p._2 &&
+        (q._3 < p._3 || q._2 > p._2)
+    }
+    val expect = parts.filterNot(dominated).map(_._1).toSet
+    val got = ops.Relational.q67Skyline(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expect, s"skyline mismatch: got $got expect $expect")
+  }
+
+  test("ev53 forecast is the trailing same-weekday integer mean") {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wd", dayofweek(col("day")))
+      .collect().map(r => (r.getDate(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._1.toString)
+    val expect = daily.groupBy(_._3).values.flatMap { rows =>
+      rows.sortBy(_._1.toString).zipWithIndex.drop(1).map { case ((d, n, _), i) =>
+        val hist = rows.sortBy(_._1.toString).take(i).map(_._2)
+        d.toString -> ((n, hist.sum / hist.length))
+      }
+    }.toMap
+    val got = ops.Events.ev53SeasonalNaive(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, "walk-forward forecast diverges from reference")
+  }
+
+  test("tx50 piece mass conserves total corpus token characters") {
+    // pieces partition every word: Σ piece_len · occurrences must equal
+    // the summed length of every token instance in the corpus
+    val vocab = ops.Text.tx50SubwordVocab(spark, sf).collect()
+    val pieceChars = vocab.map(r => r.getLong(2) * r.getLong(3)).sum
+    val corpusChars = graft.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .agg(sum(length(col("w")).cast("long"))).collect()(0).getLong(0)
+    assert(pieceChars == corpusChars,
+      s"segmentation lost characters: $pieceChars vs $corpusChars")
+    // and the learned merges actually fire: some piece longer than 1 char
+    assert(vocab.exists(_.getLong(3) > 1), "no multi-char piece produced")
+  }
+
+  test("pp29 batches conserve docs and respect band/batch caps") {
+    val batches = ops.Pipelines.pp29InferenceBatches(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(batches.map(_.getLong(2)).sum == nDocs, "doc conservation broken")
+    batches.foreach { r =>
+      val (band, n, maxLen, sumTok, padded, waste) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(n <= 32, s"batch over 32 docs: $r")
+      assert(maxLen <= band, s"doc longer than its band: $r")
+      assert(padded == n * maxLen && sumTok <= padded, s"padding math: $r")
+      assert(waste >= 0 && waste < 10000, s"waste_bp out of range: $r")
+    }
+    // FFD: within a band, batch max lengths never increase with batch_id
+    batches.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byId = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byId.zip(byId.tail).forall { case (a, b) => a >= b },
+        "longest-first batch order violated")
+    }
+  }
+
+  test("ss20 respects the per-source quota and rank contiguity") {
+    val rows = ops.Similarity.ss20QuotaTopk(spark, sf).collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    perQ.values.foreach { rs =>
+      assert(rs.length <= 10, "more than top-10 returned")
+      val ranks = rs.map(_.getLong(3)).sorted
+      assert(ranks.sameElements(1L to ranks.length), "ranks not contiguous")
+      rs.groupBy(_.getString(2)).values.foreach(g =>
+        assert(g.length <= 2, "source quota exceeded"))
+    }
+    // diversification is real: some query uses more than 5 sources
+    // (a plain top-10 from ≤5 sources would satisfy the quota vacuously)
+    assert(perQ.values.exists(_.map(_.getString(2)).distinct.length >= 5),
+      "quota never binds — test corpus degenerate?")
+  }
+
+  test("pp30 token accounting conserves mass and caps at 4 epochs") {
+    val rows = ops.Pipelines.pp30DataConstrained(spark, sf).collect()
+    val corpusTokens = graft.Tables.documents(spark, sf)
+      .agg(sum(size(split(trim(col("text")), " ")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getLong(1)).sum == corpusTokens,
+      "per-source totals must sum to the corpus token mass")
+    rows.foreach { r =>
+      val (tot, uniq, ep, eff) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(uniq <= tot && uniq > 0, s"unique mass out of range: $r")
+      assert(ep == tot * 10000 / uniq, s"epoch grid broken: $r")
+      assert(eff == math.min(tot, uniq * 4), s"4-epoch cap broken: $r")
+    }
+  }
 }

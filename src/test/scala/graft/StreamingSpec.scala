@@ -700,4 +700,37 @@ class StreamingSpec extends SparkTestBase {
       assert(!out(2L)._2 && !out(4L)._2, s"clean docs flagged: $out")
     } finally q.stop()
   }
+
+  test("st25 streaming skyline converges to the batch dominance rule") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import StreamingJobs.{PartPoint, FrontierRow}
+    val in = MemoryStream[PartPoint]
+    val q = StreamingJobs.streamingSkyline(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st25_out").start()
+    try {
+      val b1 = Seq(PartPoint(1, 5, 100), PartPoint(2, 3, 50), PartPoint(3, 4, 80))
+      val b2 = Seq(PartPoint(4, 6, 60)) // dominates 1 and 3, evicting both
+      val b3 = Seq(PartPoint(4, 6, 60), // re-delivery: idempotent
+        PartPoint(5, 6, 60)) // exact tie with 4 on both axes: co-survives
+      val b4 = Seq(PartPoint(6, 1, 500)) // dominated: frontier unchanged
+      Seq(b1, b2, b3, b4).foreach { b => in.addData(b); q.processAllAvailable() }
+      val rows = spark.sql("SELECT * FROM st25_out").as[FrontierRow].collect()
+      val lastV = rows.map(_.version).max
+      assert(lastV == 3L, s"b4 must not bump the version: $lastV")
+      val got = rows.filter(_.version == lastV)
+        .map(r => (r.p_partkey, r.p_size, r.price_c)).toSet
+      // brute-force skyline over everything ever fed
+      val all = (b1 ++ b2 ++ b3 ++ b4).distinct
+      val expect = all.filterNot(p => all.exists(o =>
+        o.p_partkey != p.p_partkey && o.price_c <= p.price_c &&
+          o.p_size >= p.p_size &&
+          (o.price_c < p.price_c || o.p_size > p.p_size)))
+        .map(p => (p.p_partkey, p.p_size, p.price_c)).toSet
+      assert(got == expect, s"frontier mismatch: got $got expect $expect")
+      // every emitted version is a monotone frontier sequence
+      assert(rows.map(_.version).distinct.sorted.sameElements(1L to lastV))
+    } finally q.stop()
+  }
 }
