@@ -308,6 +308,9 @@ object SparkEntry {
     "pp29_inference_batches" -> Pipelines.pp29InferenceBatches _,
     "ss20_quota_topk"       -> Similarity.ss20QuotaTopk _,
     "pp30_data_constrained" -> Pipelines.pp30DataConstrained _,
+    "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
+    "q69_assoc_rules"       -> Relational.q69AssocRules _,
+    "q70_dq_expectations"   -> Relational.q70DqExpectations _,
   )
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
@@ -3021,6 +3024,87 @@ object SparkEntry {
         |  CAST((count(*) * max(n_tok) - sum(n_tok)) * 10000
         |    // (count(*) * max(n_tok)) AS BIGINT) AS waste_bp
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // q68: 7 interior percentile_disc boundaries (one aggregate),
+    // row-local bucket = count of boundaries <= value.
+    "q68_equidepth_hist" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |             AS c FROM lineitem),
+        |cuts AS (SELECT
+        |    percentile_disc(0.125) WITHIN GROUP (ORDER BY c) AS b1,
+        |    percentile_disc(0.250) WITHIN GROUP (ORDER BY c) AS b2,
+        |    percentile_disc(0.375) WITHIN GROUP (ORDER BY c) AS b3,
+        |    percentile_disc(0.500) WITHIN GROUP (ORDER BY c) AS b4,
+        |    percentile_disc(0.625) WITHIN GROUP (ORDER BY c) AS b5,
+        |    percentile_disc(0.750) WITHIN GROUP (ORDER BY c) AS b6,
+        |    percentile_disc(0.875) WITHIN GROUP (ORDER BY c) AS b7
+        |  FROM v),
+        |b AS (SELECT c,
+        |    (CASE WHEN c >= b1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c >= b2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c >= b3 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c >= b4 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c >= b5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c >= b6 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c >= b7 THEN 1 ELSE 0 END) AS bucket
+        |  FROM v, cuts)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(c) AS BIGINT) AS min_c,
+        |  CAST(max(c) AS BIGINT) AS max_c
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // q69: brand-level baskets, directed pairs, min-support 50 before
+    // the metric joins; division order replayed exactly for lift.
+    "q69_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+        |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT count(*) AS n_orders FROM orders),
+        |bc AS (SELECT b, count(*) AS cnt FROM li GROUP BY 1),
+        |pr AS (SELECT x.b AS ante, y.b AS cons, count(*) AS pair_cnt
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.b != y.b
+        |       GROUP BY 1, 2 HAVING count(*) >= 50)
+        |SELECT ante, cons, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+        |  CAST(pair_cnt * 1000000 // n_orders AS BIGINT) AS support_ppm,
+        |  CAST(pair_cnt * 10000 // a.cnt AS BIGINT) AS confidence_bp,
+        |  CAST((pair_cnt * n_orders // a.cnt) * 10000 // c.cnt AS BIGINT)
+        |    AS lift_bp
+        |FROM pr JOIN bc a ON pr.ante = a.b
+        |JOIN bc c ON pr.cons = c.b CROSS JOIN n""".stripMargin,
+
+    // q70: five expectation rules as data; lineitem rules share one
+    // scan (RI rides a LEFT join), ppm guarded for empty inputs.
+    "q70_dq_expectations" ->
+      """WITH li AS (SELECT l.l_quantity, l.l_shipdate, o.o_orderkey AS ook
+        |            FROM lineitem l
+        |            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |a AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_quantity <= 0 OR l_quantity > 100
+        |        THEN 1 ELSE 0 END) AS v_range,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_null,
+        |    sum(CASE WHEN ook IS NULL THEN 1 ELSE 0 END) AS v_ri
+        |  FROM li),
+        |u AS (SELECT coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS v_uniq,
+        |        coalesce(sum(c), 0) AS n
+        |      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+        |o2 AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS v_neg
+        |  FROM orders),
+        |rules AS (
+        |  SELECT 'lineitem_quantity_range' AS rule, n, v_range AS v FROM a
+        |  UNION ALL
+        |  SELECT 'lineitem_shipdate_complete', n, v_null FROM a
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_resolves', n, v_ri FROM a
+        |  UNION ALL
+        |  SELECT 'orders_orderkey_unique', n, v_uniq FROM u
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_nonneg', n, v_neg FROM o2)
+        |SELECT rule, CAST(n AS BIGINT) AS n_checked,
+        |  CAST(v AS BIGINT) AS n_violations,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE v * 1000000 // n END AS BIGINT)
+        |    AS viol_ppm
+        |FROM rules""".stripMargin,
 
     // pp30: exact dedup scoped within source; keeper token count is the
     // hash-group min (copies share text); 4-epoch effective cap.

@@ -160,6 +160,12 @@ object Graph {
       val contrib = biDeg
         .join(ranks, biDeg("src") === ranks("node"))
         .select(col("dst").as("node2"), (col("rank") / col("deg")).as("c"))
+      // per-ROUND truncation is the measured optimum, not a habit:
+      // cadence-2 and cadence-5 variants (fewer materializations, 1 or
+      // 4 join+agg levels nested between truncations) both benched
+      // SLOWER at sf0.1 (gr03 8.5→10.5→12.0 s) — AQE re-optimizes the
+      // whole nested chain at every materialization point, and that
+      // re-planning outgrows the saved stage barriers
       ranks = contrib.groupBy(col("node2")).agg(sum(col("c")).as("in_sum"))
         .select(col("node2").as("node"),
           (lit(0.15) * tele(col("node2")) + lit(0.85) * col("in_sum")).as("rank"))

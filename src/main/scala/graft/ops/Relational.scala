@@ -1263,4 +1263,118 @@ object Relational {
         col("max_here") > col("p_size")))
       .select(col("p_partkey"), col("p_size"), col("price_c"))
   }
+
+  /** q68: EQUI-DEPTH histogram — the statistic a cost-based optimizer
+    * actually stores (ANALYZE TABLE ... FOR COLUMNS): 8 buckets of
+    * l_extendedprice holding ~equal row counts, unlike q13's
+    * fixed-WIDTH buckets that collapse under skew. The 7 interior
+    * boundaries are discrete percentiles (percentile_disc — a real
+    * data value, engine-agnostic; q61's precedent), computed in ONE
+    * aggregate over the cents grid, broadcast as a single row, and
+    * each row buckets itself by counting boundaries ≤ its value —
+    * row-local, no sort of the fact table anywhere. Half-open
+    * [lo, hi) ranges make boundary duplicates deterministic; heavy
+    * duplicate values produce visibly unequal depths — that is the
+    * histogram telling the optimizer about the skew, not a bug. */
+  def q68EquidepthHist(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.lineitem(s, d)
+      .select(round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+    val cutExprs = (1 to 7).map(k =>
+      expr(s"percentile_disc(${k}.0/8) WITHIN GROUP (ORDER BY c)").as(s"b$k"))
+    val cuts = v.agg(cutExprs.head, cutExprs.tail: _*)
+    v.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        (1 to 7).map(k => when(col("c") >= col(s"b$k"), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+  }
+
+  /** q69: association rules over order baskets — market-basket
+    * support / confidence / lift for BRAND pairs (directed rules
+    * a→b), the recommender/assortment classic. Items are collapsed to
+    * the brand level FIRST (25 brands — the standard taxonomy-level
+    * mining that makes rules statistically meaningful where raw-part
+    * pairs are ~unique), so every per-order pair expansion is over a
+    * ≤25-element distinct-brand basket — bounded by the taxonomy,
+    * never items². Min-support prunes pairs BEFORE the metric joins
+    * (the anti-explosion gate real miners apply); supports land on the
+    * exact ppm grid, confidence and lift on bp grids with the lift
+    * division ordered (pair·N div a-cnt) div b-cnt-scaled to stay
+    * int64-exact — both engines replay the identical order. Two
+    * aggregates (basket collapse, pair count) + broadcast brand
+    * counts; lift > 10⁴ bp ⇔ genuinely associated beyond chance. */
+  def q69AssocRules(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b")).distinct()
+    val nOrders = Tables.orders(s, d).agg(count(lit(1)).as("n_orders"))
+    val brandCnt = li.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.b") =!= col("y.b"))
+      .groupBy(col("x.b").as("ante"), col("y.b").as("cons"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 50)
+    pairs
+      .join(broadcast(brandCnt.select(col("b").as("ante"), col("cnt").as("a_cnt"))),
+        Seq("ante"))
+      .join(broadcast(brandCnt.select(col("b").as("cons"), col("cnt").as("c_cnt"))),
+        Seq("cons"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("pair_cnt"),
+        expr("pair_cnt * 1000000 div n_orders").as("support_ppm"),
+        expr("pair_cnt * 10000 div a_cnt").as("confidence_bp"),
+        expr("(pair_cnt * n_orders div a_cnt) * 10000 div c_cnt").as("lift_bp"))
+  }
+
+  /** q70: data-quality EXPECTATION suite — the pre-publish gate run AS
+    * DATA (the Deequ / Great Expectations shape): every rule reports
+    * (n_checked, n_violations, ppm) in one frame a release pipeline
+    * can assert on or archive. Five representative rule classes:
+    * range (quantity ∈ (0,100]), completeness (shipdate NOT NULL),
+    * referential integrity (every lineitem orderkey resolves in
+    * orders — a LEFT join + null flag, so the orphan check rides the
+    * same scan as the row-local rules), uniqueness (orderkey appears
+    * once — rows in >1-count groups), and non-negativity
+    * (totalprice ≥ 0). Cost: ONE pass over each fact table (all
+    * lineitem rules share a single aggregate; pp12's stack unpivot
+    * emits the long form) + the keys-only RI join — a green suite at
+    * 100 TB costs two scans, not five. */
+  def q70DqExpectations(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+    val liRules = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") <= 0 || col("l_quantity") > 100, 1L)
+          .otherwise(0L)).as("v_range"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_ri"))
+      .select(expr(
+        """stack(3,
+          |  'lineitem_quantity_range', n, v_range,
+          |  'lineitem_shipdate_complete', n, v_null,
+          |  'lineitem_orderkey_resolves', n, v_ri)
+          |AS (rule, n_checked, n_violations)""".stripMargin))
+    val dupRows = ord.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("v_uniq"),
+        coalesce(sum(col("c")), lit(0L)).as("n"))
+      .select(expr(
+        "stack(1, 'orders_orderkey_unique', n, v_uniq) " +
+          "AS (rule, n_checked, n_violations)"))
+    val ordRules = ord.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("v_neg"))
+      .select(expr(
+        "stack(1, 'orders_totalprice_nonneg', n, v_neg) " +
+          "AS (rule, n_checked, n_violations)"))
+    liRules.unionByName(dupRows).unionByName(ordRules)
+      .withColumn("viol_ppm",
+        when(col("n_checked") === 0, 0L)
+          .otherwise(expr("n_violations * 1000000 div n_checked")))
+  }
 }

@@ -704,6 +704,41 @@ object StreamingJobs {
     * pre-step is a per-partition local skyline (mapPartitions) so the
     * funnel carries ≤ |frontier| rows per partition — the admission
     * loop itself is O(|batch|·|frontier|). */
+  case class DailyCount(day: java.sql.Date, weekday: Int, n_events: Long)
+  case class ForecastRow(day: java.sql.Date, weekday: Int, n_events: Long,
+    forecast: Long, abs_err: Long)
+
+  /** st26: ev53's seasonal-naive backtest live — the on-call forecast
+    * board updating as each day's count closes. State per weekday is
+    * the sufficient statistic of the trailing mean: (sum, n) — two
+    * longs per weekday, SEVEN keys total, regardless of how many years
+    * flow. Each arriving day is first scored against the state
+    * (forecast = sum div n — the strictly-prior causal window, exactly
+    * ev53's rule) and then folded in; days within a micro-batch apply
+    * in day order so a catch-up batch replays the walk-forward
+    * sequence deterministically. First-ever day per weekday emits
+    * nothing (a forecast needs a past), matching the batch exclusion. */
+  def streamingForecast(days: Dataset[DailyCount]): Dataset[ForecastRow] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_.weekday)
+      .flatMapGroupsWithState[(Long, Long), ForecastRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (wd, rows, state: GroupState[(Long, Long)]) =>
+          var (sum, n) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toSeq.sortBy(_.day.toString).flatMap { r =>
+            val res = if (n >= 1) {
+              val f = sum / n
+              Some(ForecastRow(r.day, wd, r.n_events, f,
+                math.abs(r.n_events - f)))
+            } else None
+            sum += r.n_events; n += 1
+            res
+          }
+          state.update((sum, n))
+          out.iterator
+      }
+  }
+
   def streamingSkyline(parts: Dataset[PartPoint]): Dataset[FrontierRow] = {
     import parts.sparkSession.implicits._
     parts.groupByKey(_ => 0)

@@ -2331,6 +2331,64 @@ class OperatorsSpec extends SparkTestBase {
       "quota never binds — test corpus degenerate?")
   }
 
+  test("q68 equi-depth buckets conserve rows and order by value range") {
+    val rows = ops.Relational.q68EquidepthHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val n = graft.Tables.lineitem(spark, sf).count()
+    assert(rows.map(_._2).sum == n, "bucket counts must sum to the table")
+    assert(rows.map(_._1).toSeq == (0L until rows.length), "bucket ids contiguous")
+    // buckets tile the value axis in order: each min > previous max
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 < b._3, s"bucket ranges overlap: $a / $b")
+    case _ => ()
+    }
+    // equi-DEPTH: no bucket exceeds 2x the ideal share on this data
+    rows.foreach(r => assert(r._2 <= 2 * n / rows.length + 1,
+      s"bucket far off equal depth: $r"))
+  }
+
+  test("q69 rule metrics replay the brute-force basket counts") {
+    val baskets = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val brandCnt = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = byOrder.values.flatMap(bs =>
+      for (a <- bs; b <- bs if a != b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = pairCnt.filter(_._2 >= 50).map { case ((a, b), pc) =>
+      (a, b) -> ((pc, pc * 1000000 / nOrders, pc * 10000 / brandCnt(a),
+        (pc * nOrders / brandCnt(a)) * 10000 / brandCnt(b)))
+    }.toMap
+    val got = ops.Relational.q69AssocRules(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect, "rule metrics diverge from brute force")
+    assert(got.nonEmpty, "min-support pruned everything at test scale")
+  }
+
+  test("q70 expectation suite covers all rules on one clean corpus") {
+    val rows = ops.Relational.q70DqExpectations(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("lineitem_quantity_range",
+      "lineitem_shipdate_complete", "lineitem_orderkey_resolves",
+      "orders_orderkey_unique", "orders_totalprice_nonneg"))
+    val nLi = graft.Tables.lineitem(spark, sf).count()
+    val nOrd = graft.Tables.orders(spark, sf).count()
+    assert(rows("lineitem_quantity_range")._1 == nLi)
+    assert(rows("orders_totalprice_nonneg")._1 == nOrd)
+    rows.foreach { case (rule, (n, v, ppm)) =>
+      assert(v >= 0 && v <= n, s"$rule violation count out of range")
+      assert(ppm == (if (n == 0) 0L else v * 1000000 / n), s"$rule ppm grid")
+    }
+    // the synthetic corpus is referentially clean — RI must hold exactly
+    assert(rows("lineitem_orderkey_resolves")._2 == 0L, "orphans in testdata?")
+  }
+
   test("pp30 token accounting conserves mass and caps at 4 epochs") {
     val rows = ops.Pipelines.pp30DataConstrained(spark, sf).collect()
     val corpusTokens = graft.Tables.documents(spark, sf)

@@ -3,7 +3,7 @@ package graft
 import graft.streaming.StreamingJobs
 import graft.streaming.StreamingJobs.{Event, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.functions.{col, count, date_trunc, dayofweek, lit, sum}
 import java.sql.Timestamp
 
 /** Structured-Streaming specs (st01/st02): MemoryStream in, memory sink
@@ -731,6 +731,39 @@ class StreamingSpec extends SparkTestBase {
       assert(got == expect, s"frontier mismatch: got $got expect $expect")
       // every emitted version is a monotone frontier sequence
       assert(rows.map(_.version).distinct.sorted.sameElements(1L to lastV))
+    } finally q.stop()
+  }
+
+  test("st26 streaming forecast equals the batch ev53 backtest") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import StreamingJobs.{DailyCount, ForecastRow}
+    // the REAL daily frame, fed in day order split across two batches —
+    // the stream is the batch backtest's walk-forward replayed live
+    val daily = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wd", dayofweek(col("day")))
+      .collect().map(r => DailyCount(r.getDate(0), r.getInt(2), r.getLong(1)))
+      .sortBy(_.day.toString)
+    val in = MemoryStream[DailyCount]
+    val q = StreamingJobs.streamingForecast(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st26_out").start()
+    try {
+      val (b1, b2) = daily.splitAt(daily.length / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM st26_out").as[ForecastRow].collect()
+        .map(r => r.day.toString -> ((r.n_events, r.forecast, r.abs_err)))
+        .toMap
+      val expect = ops.Events.ev53SeasonalNaive(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => r.getDate(0).toString ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expect, s"streaming != batch: " +
+        s"only-stream ${got.keySet -- expect.keySet}, " +
+        s"only-batch ${expect.keySet -- got.keySet}")
     } finally q.stop()
   }
 }
