@@ -1279,9 +1279,22 @@ object Relational {
   def q68EquidepthHist(s: SparkSession, d: String): DataFrame = {
     val v = Tables.lineitem(s, d)
       .select(round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
-    val cutExprs = (1 to 7).map(k =>
-      expr(s"percentile_disc(${k}.0/8) WITHIN GROUP (ORDER BY c)").as(s"b$k"))
-    val cuts = v.agg(cutExprs.head, cutExprs.tail: _*)
+    // Spark's percentile_disc is a single-group sort-collect (11 s at
+    // sf0.1, unusable at 100 TB); the boundaries come instead from the
+    // q63/ev33 distributed value-histogram: one groupBy(value) shuffle,
+    // a cumulative count over the ∝|distinct values| histogram frame,
+    // and boundary k = min value whose cumulative count reaches rank
+    // ceil(k·n/8) — exactly percentile_disc's definition, so the
+    // DuckDB oracle is unchanged and the hash proves the equivalence.
+    val hist = v.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = v.agg(count(lit(1)).as("n"))
+    val cutCols = (1 to 7).map(k =>
+      min(when(col("cum") * 8 >= col("n") * k, col("c"))).as(s"b$k"))
+    val cuts = hist.crossJoin(broadcast(tot))
+      .agg(cutCols.head, cutCols.tail: _*)
     v.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         (1 to 7).map(k => when(col("c") >= col(s"b$k"), 1L).otherwise(0L))

@@ -573,13 +573,19 @@ object Text {
     * TakeOrderedAndProject (per-partition heap + driver merge of 20),
     * not a global sort. Ties break on the pair string. */
   def tx33BpePairs(s: SparkSession, d: String): DataFrame =
+    // collapse to word TYPES first (the tx45 trainer's formulation):
+    // pair counts weighted by type frequency are arithmetically the
+    // per-instance counts, but the char-pair explosion runs over the
+    // vocab-sized frame instead of every token instance — the corpus
+    // pays one word count, not one row per character
     Tables.documents(s, d)
       .select(explode(tokens).as("w"))
       .filter(length(col("w")) >= 2)
-      .select(explode(expr(
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
         .as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair")).limit(20)
 
   /** tx35: vocabulary encoding — map each doc's first 16 tokens to

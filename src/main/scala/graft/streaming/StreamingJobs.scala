@@ -739,6 +739,32 @@ object StreamingJobs {
       }
   }
 
+  /** st27: the q70 data-quality gate live — expectation counters
+    * maintained AT INGEST so a bad upstream deploy shows on the DQ
+    * board within a micro-batch instead of at the nightly audit. Each
+    * arriving lineitem row expands to one (rule, violated) pair per
+    * row-local rule — range, completeness, and referential integrity,
+    * the RI flag from a stream–STATIC left join against the orders
+    * dimension (st07's pattern: the dim is re-read per batch, no
+    * stream-stream state) — and a Complete-mode aggregate keeps one
+    * (n_checked, n_violations) row PER RULE: state = |rules| rows,
+    * never traffic. Same rule names as q70, so the live board and the
+    * batch audit reconcile by key. */
+  def streamingDqGate(lineitems: DataFrame, orders: DataFrame): DataFrame =
+    lineitems
+      .join(orders.select(col("o_orderkey")),
+        lineitems("l_orderkey") === col("o_orderkey"), "left_outer")
+      .select(explode(array(
+        struct(lit("lineitem_quantity_range").as("rule"),
+          (col("l_quantity") <= 0 || col("l_quantity") > 100).as("viol")),
+        struct(lit("lineitem_shipdate_complete").as("rule"),
+          col("l_shipdate").isNull.as("viol")),
+        struct(lit("lineitem_orderkey_resolves").as("rule"),
+          col("o_orderkey").isNull.as("viol")))).as("r"))
+      .groupBy(col("r.rule").as("rule"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("r.viol"), 1L).otherwise(0L)).as("n_violations"))
+
   def streamingSkyline(parts: Dataset[PartPoint]): Dataset[FrontierRow] = {
     import parts.sparkSession.implicits._
     parts.groupByKey(_ => 0)

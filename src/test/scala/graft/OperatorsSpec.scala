@@ -507,7 +507,9 @@ class OperatorsSpec extends SparkTestBase {
       "pp14_shard_plan",       // 16-shard load frame
       "tx35_token_ids",        // 256-row vocab rank (post-limit)
       "ev44_pareto",           // ≤ |distinct activity levels| histogram rows
-      "pp19_token_budget")     // |sources|-row remainder ranking
+      "pp19_token_budget",     // |sources|-row remainder ranking
+      "q67_skyline",           // ≤ |distinct prices| per-price max frame
+      "q68_equidepth_hist")    // ≤ |distinct values| histogram frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan

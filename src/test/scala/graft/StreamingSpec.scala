@@ -734,6 +734,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st27 streaming DQ gate counts violations across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ordersDim = Seq(10L, 11L, 12L).toDF("o_orderkey")
+    val in = MemoryStream[(Long, Double, Option[String])]
+    val li = in.toDF().toDF("l_orderkey", "l_quantity", "l_shipdate")
+    val q = StreamingJobs.streamingDqGate(li, ordersDim)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st27_out").start()
+    try {
+      in.addData((10L, 5.0, Some("1995-01-01")), // clean
+        (99L, 5.0, Some("1995-01-02"))) // orphan orderkey
+      q.processAllAvailable()
+      in.addData((11L, 500.0, Some("1995-01-03")), // range violation
+        (12L, 5.0, None)) // missing shipdate
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM st27_out").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == Map(
+        "lineitem_quantity_range" -> ((4L, 1L)),
+        "lineitem_shipdate_complete" -> ((4L, 1L)),
+        "lineitem_orderkey_resolves" -> ((4L, 1L))),
+        s"DQ counters wrong: $got")
+    } finally q.stop()
+  }
+
   test("st26 streaming forecast equals the batch ev53 backtest") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
