@@ -660,9 +660,16 @@ object Dedup {
         .join(labels.select(col("node").as("v2"), col("lbl").as("nlbl")),
           Seq("v2"))
         .groupBy(col("v1")).agg(min(col("nlbl")).as("nbr_min"))
-      labels = CacheScope.cached(
+      labels = {
+        import graft.ops.Checkpoints.TruncateOps
+        // lazy truncation instead of a full cache: labels is referenced
+        // twice next round, and localCheckpoint materializes once
+        // without the columnar InMemoryRelation conversion (the
+        // minLabelFrom measurement — ~35% off the kernel at sf0.1)
         labels.join(nbrMin.withColumnRenamed("v1", "node"), Seq("node"))
-          .select(col("node"), least(col("lbl"), col("nbr_min")).as("lbl")))
+          .select(col("node"), least(col("lbl"), col("nbr_min")).as("lbl"))
+          .truncated
+      }
     }
     labels.select(col("node").as("vec_id"), col("lbl").as("cluster_id"))
   }

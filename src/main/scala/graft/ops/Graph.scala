@@ -232,10 +232,14 @@ object Graph {
         .join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")),
           Seq("dst"))
         .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_min"))
-      labels = CacheScope.cached(
-        labels.join(nbrMin.select(col("nbr_min"), col("src").as("node")),
+      labels = labels.join(nbrMin.select(col("nbr_min"), col("src").as("node")),
             Seq("node"))
-          .select(col("node"), least(col("lbl"), col("nbr_min")).as("lbl")))
+          .select(col("node"), least(col("lbl"), col("nbr_min")).as("lbl"))
+          // labels is referenced TWICE next round (nbrMin + the join) —
+          // lazy truncation materializes once without the columnar
+          // InMemoryRelation conversion a full cache pays (the gr03
+          // pattern; measured vs per-round CacheScope.cached below)
+          .truncated
     }
     labels.select(col("node").as("part_id"), col("lbl").as("component_id"))
   }
@@ -474,12 +478,14 @@ object Graph {
     for (_ <- 1 to 5) {
       val hub = cp.join(auth, Seq("p"))
         .groupBy(col("c")).agg(sum(col("a")).as("h"))
-      // cache the per-round part scores: `raw` is referenced twice
+      // cut the per-round part scores: `raw` is referenced twice
       // (mass total + renormalize), and without a cut each reference
       // re-executes the whole prior-round subtree — the unrolled loop
-      // compounds 2× per round (31 s → 2.5 s at sf0.1)
-      val raw = CacheScope.cached(cp.join(hub, Seq("c"))
-        .groupBy(col("p")).agg(sum(col("h")).as("ar")))
+      // compounds 2× per round (31 s → 2.5 s at sf0.1); lazy
+      // truncation materializes once without the InMemoryRelation
+      // conversion a full cache pays (the minLabelFrom measurement)
+      val raw = cp.join(hub, Seq("c"))
+        .groupBy(col("p")).agg(sum(col("h")).as("ar")).truncated
       val mass = raw.agg(sum(col("ar")).as("tot"))
       auth = raw.crossJoin(broadcast(mass))
         .select(col("p"), expr("ar * 1048576 div tot").as("a"))
@@ -596,10 +602,11 @@ object Graph {
         .distinct()
       // SMALL-STAR: u and all smaller neighbors re-attach to the
       // minimum smaller neighbor: (hi,lo) edges grouped by hi. `lsc`
-      // is cached within the round (three references: the min agg and
+      // is cut within the round (three references: the min agg and
       // both halves of the emission) so the large-star subtree runs
-      // once per round, not three times.
-      val lsc = CacheScope.cached(ls)
+      // once per round, not three times; lazy truncation over a full
+      // cache per the minLabelFrom measurement.
+      val lsc = ls.truncated
       val smin = lsc.groupBy(col("hi")).agg(min(col("lo")).as("m"))
       val withM = lsc.join(smin, Seq("hi"))
       val ss = withM

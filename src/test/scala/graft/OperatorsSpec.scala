@@ -1341,13 +1341,18 @@ class OperatorsSpec extends SparkTestBase {
     val during = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
     assert((during -- before).nonEmpty, "expected these ops to cache")
     ops.CacheScope.unpersistAll()
-    // unpersist is async (blocking=false): poll briefly
+    // unpersist is async (blocking=false): poll briefly. The kernels'
+    // per-round localCheckpoint blocks are NOT CacheScope's to drain —
+    // their contract is release-on-GC via the ContextCleaner once the
+    // query's plan is unreachable (exactly this test's state after
+    // count() returns), so nudge GC while polling and hold both paths
+    // to the same end state: no storage pinned past the query.
     val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
     var leftover = Set.empty[Int]
     while ({
       leftover = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet -- before
       leftover.nonEmpty && System.nanoTime < deadline
-    }) Thread.sleep(200)
+    }) { System.gc(); Thread.sleep(200) }
     assert(leftover.isEmpty, s"storage pinned past the drain: $leftover")
   }
 
