@@ -145,16 +145,19 @@ object Graph {
     // node-id expression, so it never costs a join.
     // Degree is pre-joined into the edge frame ONCE: each round then
     // needs a single (tiny, AQE-broadcast) rank join instead of a rank
-    // join plus a degree join. Each round ends in a LAZY localCheckpoint
+    // join plus a degree join. bi/deg/biDeg are kernel-LOCAL frames —
+    // lazy truncation, not a cache (the minLabelFrom measurement:
+    // gr03+gr07 16.8 → 7.2 s at sf0.1; even 10 re-reads of the RDD
+    // beat the InMemoryRelation build+conversion at this frame size).
+    // Each round ends in a LAZY localCheckpoint
     // (the gr05 pattern): it truncates the logical plan to a flat
     // LogicalRDD with no extra job — without truncation the unrolled
     // plan TEXT alone grows geometrically (10 rounds of nested
     // InMemoryRelation plans OOMed the driver just rendering the AQE
     // explain string), and the old eager checkpoints cost 3 extra jobs.
-    val bi = CacheScope.cached(bi0)
-    val deg = CacheScope.cached(
-      bi.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    val biDeg = CacheScope.cached(bi.join(deg, Seq("src")))
+    val bi = bi0.truncated
+    val deg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg")).truncated
+    val biDeg = bi.join(deg, Seq("src")).truncated
     var ranks = deg.select(col("src").as("node"), tele(col("src")).as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = biDeg
