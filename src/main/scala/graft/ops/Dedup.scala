@@ -602,12 +602,18 @@ object Dedup {
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = sh.join(freq, Seq("s"))
-      .withColumn("rk", row_number().over(w))
-      .join(sizes, Seq("doc_id"))
-      // prefix length = n − ceil(0.6·n) + 1; ceil(3n/5) = (3n+4) div 5
-      .filter(col("rk") <= col("n") - expr("(3 * n + 4) div 5") + 1)
-      .select(col("doc_id"), col("s"))
+    val prefix = {
+      import graft.ops.Checkpoints.TruncateOps
+      sh.join(freq, Seq("s"))
+        .withColumn("rk", row_number().over(w))
+        .join(sizes, Seq("doc_id"))
+        // prefix length = n − ceil(0.6·n) + 1; ceil(3n/5) = (3n+4) div 5
+        .filter(col("rk") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+        .select(col("doc_id"), col("s"))
+        // both sides of the candidate self-join read this frame — one
+        // cut spares the df-join + per-doc rank window a second run
+        .truncated
+    }
     val cand = prefix.select(col("s"), col("doc_id").as("d1"))
       .join(prefix.select(col("s"), col("doc_id").as("d2")), Seq("s"))
       .filter(col("d1") < col("d2"))

@@ -70,8 +70,10 @@ object Graph {
     * aggregate, which AQE broadcasts when it fits. */
   private def safeAdj(bi: DataFrame, maxDeg: Int): DataFrame = {
     val deg = bi.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+    // callers read the safe adjacency twice (both wedge legs) — cut it
     bi.join(deg.filter(col("deg") <= maxDeg).select(col("m")),
       Seq("m"), "left_semi")
+      .truncated
   }
 
   /** gr04 kernel over an arbitrary oriented edge frame: exact
@@ -340,13 +342,16 @@ object Graph {
     val e = edges(s, d)
     val bi = e.select(col("d1").as("m"), col("d2").as("n"))
       .unionByName(e.select(col("d2").as("m"), col("d1").as("n")))
-    val deg = bi.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+    // deg is read four times (guard filter + three broadcasts) and
+    // safe twice (both wedge legs) — cut each once
+    val deg = bi.groupBy(col("m")).agg(count(lit(1)).as("deg")).truncated
     // wedge ENUMERATION restricted to deg ≤ wedgeMaxDeg centers (the
     // hub guard — see wedgeMaxDeg); the deg table itself stays full so
     // jaccard_ppm sees the true endpoint degrees even when an endpoint
     // is a hub. Oracle applies the identical center restriction.
     val safe = bi.join(deg.filter(col("deg") <= wedgeMaxDeg).select(col("m")),
       Seq("m"), "left_semi")
+      .truncated
     val n1 = safe.select(col("m"), col("n").as("a"))
     val n2 = safe.select(col("m").as("m2"), col("n").as("b"))
     val wedges = n1.join(n2, col("m") === col("m2") && col("a") < col("b"))
