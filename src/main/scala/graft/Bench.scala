@@ -46,6 +46,19 @@ object Bench {
     // the driver always runs with no args (full sweep)
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    // contention evidence: per-query PROCESS CPU seconds next to wall
+    // seconds. On an uncontended 32-thread box a parallel query shows
+    // wall ≈ cpu/32..cpu/1; a loaded machine shows wall ≫ cpu (the
+    // process simply not getting scheduled) — the signature that
+    // adjudicates a slow sweep without a re-run. Load averages at
+    // sweep start/end complete the picture.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuSec: Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+    val loadStart = osBean.getSystemLoadAverage
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -56,16 +69,23 @@ object Bench {
       graft.ops.CacheScope.resetCounters()
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
+        val c0 = procCpuSec
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
-        (ok, (System.nanoTime() - t0) / 1e9)
+        (ok, (System.nanoTime() - t0) / 1e9, procCpuSec - c0)
       }
       val (h, m) = graft.ops.CacheScope.counters
-      val t = if (runs.forall(_._1)) runs.map(_._2).min else -1.0
-      (name, t, h, m)
-    }.map { case (name, t, h, m) => (name, t, h, m) }
-    val cacheByName = results.map { case (n, _, h, m) => n -> s"$h:$m" }.toMap
-    val timed = results.map { case (n, t, _, _) => n -> t }
+      val (t, c) =
+        if (runs.forall(_._1)) {
+          val best = runs.minBy(_._2)
+          (best._2, best._3) // cpu OF the min-wall run, not min cpu
+        } else (-1.0, -1.0)
+      (name, t, c, h, m)
+    }
+    val loadEnd = osBean.getSystemLoadAverage
+    val cacheByName = results.map { case (n, _, _, h, m) => n -> s"$h:$m" }.toMap
+    val cpuByName = results.map { case (n, _, c, _, _) => n -> c }.toMap
+    val timed = results.map { case (n, t, _, _, _) => n -> t }
     val failed = timed.collect { case (n, t) if t < 0 => n }
     val okTimes = timed.collect { case (_, t) if t >= 0 => t }
     val total = okTimes.sum
@@ -78,6 +98,7 @@ object Bench {
     // full per-query maps: informational lines, NOT the contract line
     println(s"""{"bench_full":${qmap(timed)}}""")
     println(s"""{"cache_full":${smap(timed.map { case (n, _) => n -> cacheByName(n) })}}""")
+    println(s"""{"cpu_full":${qmap(timed.map { case (n, _) => n -> cpuByName(n) })}}""")
     val head = timed.filter { case (n, _) => headline.contains(n) }
     // slowest-20 map IN the contract line: round-over-round per-query
     // comparison must not depend on how much of stdout a consumer keeps
@@ -88,8 +109,14 @@ object Bench {
     // compared round-over-round (kept to 10 so the line stays inside
     // the consumer's ~2000-char tail window)
     val cacheSlow = slowest.take(10).map { case (n, _) => n -> cacheByName(n) }
+    // cpu next to wall for exactly the timings being compared — plus
+    // the sweep totals and load averages: wall_total ≈ cpu_total/k for
+    // some healthy parallelism k, while wall ≫ cpu means the box was
+    // contended and the sweep's wall numbers are not the code's
+    val cpuSlow = slowest.take(10).map { case (n, _) => n -> cpuByName(n) }
+    val cpuTotal = timed.collect { case (n, t) if t >= 0 => cpuByName(n) }.sum
     val (hTot, mTot) = results.foldLeft((0L, 0L)) {
-      case ((a, b), (_, _, h, m)) => (a + h, b + m)
+      case ((a, b), (_, _, _, h, m)) => (a + h, b + m)
     }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
@@ -97,6 +124,6 @@ object Bench {
     // contract line so it is the last thing on stdout
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(head)},"slowest":${qmap(slowest)},"cache":${smap(cacheSlow)},"cache_hits":$hTot,"cache_misses":$mTot,"n_queries":${timed.size},"n_failed":${failed.size},"errors":$errs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"queries":${qmap(head)},"slowest":${qmap(slowest)},"cpu":${qmap(cpuSlow)},"cache":${smap(cacheSlow)},"cache_hits":$hTot,"cache_misses":$mTot,"n_queries":${timed.size},"n_failed":${failed.size},"errors":$errs,"sf":"$sfName"}""")
   }
 }

@@ -307,7 +307,10 @@ object SparkEntry {
     "tx50_subword_vocab"    -> Text.tx50SubwordVocab _,
     "pp29_inference_batches" -> Pipelines.pp29InferenceBatches _,
     "ss20_quota_topk"       -> Similarity.ss20QuotaTopk _,
+    "ss21_bm25_topk"        -> Similarity.ss21Bm25Topk _,
+    "ss22_nsw_topk"         -> Similarity.ss22NswTopk _,
     "pp30_data_constrained" -> Pipelines.pp30DataConstrained _,
+    "pp31_soft_mix"         -> Pipelines.pp31SoftMix _,
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,
@@ -871,6 +874,38 @@ object SparkEntry {
       |FROM s GROUP BY 1, 2""".stripMargin
 
   /** ss02's oracle, reused by ss09's recall audit. */
+  // kNN JOIN via the ss05 IVF replay chain, query set = every
+  // vector, k=3 — shared by ss18 (direct) and ss22 (as the NSW
+  // graph substrate).
+  private val knnJoinSql: String =
+    """WITH ex AS (SELECT vec_id, label, i,
+        |       CAST(embedding[i+1] AS DOUBLE) AS x
+        |     FROM embeddings, range(64) t(i)),
+        |cent AS (SELECT label AS cell, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |vc AS (SELECT ex.vec_id, cent.cell,
+        |         sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS ccos
+        |       FROM ex JOIN cent ON ex.i = cent.i
+        |       GROUP BY 1, 2),
+        |assigned AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crk
+        |  FROM vc) WHERE crk = 1),
+        |probes AS (SELECT vec_id AS qid, cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crk
+        |  FROM vc) WHERE crk <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qe.embedding, e.embedding) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.qid
+        |  JOIN embeddings qe ON qe.vec_id = p.qid
+        |  JOIN embeddings e ON e.vec_id = a.vec_id),
+        |r AS (SELECT qid, neighbor_id,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos DESC, neighbor_id) AS rk
+        |      FROM cand)
+        |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 3""".stripMargin
+
   private val ss02Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding,
          |             ${lshBucketSqlExpr(0)} AS b0,
@@ -1824,7 +1859,6 @@ object SparkEntry {
         |  (d.dim_rows = g.n_rows) AS nullsafe_match
         |FROM grouped g LEFT JOIN dim d ON g.x IS NOT DISTINCT FROM d.y""".stripMargin,
 
-
     "dd12_token_windows" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
         |           FROM documents
@@ -2311,7 +2345,11 @@ object SparkEntry {
         |      ORDER BY cos DESC, nid) AS rk FROM vc) z WHERE rk <= 20),
         |dt AS (SELECT doc_id, unnest(list_distinct(
         |         string_split(trim(text), ' '))) AS tok FROM documents),
-        |qt AS (SELECT q.qid, dt.tok FROM q JOIN dt ON dt.doc_id = q.qid),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |inf AS (SELECT tok FROM dt CROSS JOIN nd GROUP BY tok, n_docs
+        |        HAVING count(*) * 10 <= n_docs),
+        |qt AS (SELECT q.qid, dt.tok FROM q JOIN dt ON dt.doc_id = q.qid
+        |       JOIN inf ON inf.tok = dt.tok),
         |lx AS (SELECT qt.qid, dt.doc_id AS nid, count(*) AS shared
         |       FROM qt JOIN dt ON qt.tok = dt.tok AND dt.doc_id != qt.qid
         |       GROUP BY 1, 2),
@@ -2380,34 +2418,62 @@ object SparkEntry {
     // ss18 reuses ss05's proven replay chain with the query set widened
     // to EVERY vector (the kNN-join shape) and k=3; the engine-side
     // shuffle-vs-broadcast strategy is invisible to the result.
-    "ss18_knn_join" ->
-      """WITH ex AS (SELECT vec_id, label, i,
-        |       CAST(embedding[i+1] AS DOUBLE) AS x
-        |     FROM embeddings, range(64) t(i)),
-        |cent AS (SELECT label AS cell, i, avg(x) AS c FROM ex GROUP BY 1, 2),
-        |vc AS (SELECT ex.vec_id, cent.cell,
-        |         sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS ccos
-        |       FROM ex JOIN cent ON ex.i = cent.i
-        |       GROUP BY 1, 2),
-        |assigned AS (SELECT vec_id, cell FROM (
-        |  SELECT vec_id, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crk
-        |  FROM vc) WHERE crk = 1),
-        |probes AS (SELECT vec_id AS qid, cell FROM (
-        |  SELECT vec_id, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crk
-        |  FROM vc) WHERE crk <= 2),
-        |cand AS (SELECT p.qid, a.vec_id AS neighbor_id,
-        |    list_cosine_similarity(qe.embedding, e.embedding) AS cos
-        |  FROM probes p
-        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.qid
-        |  JOIN embeddings qe ON qe.vec_id = p.qid
-        |  JOIN embeddings e ON e.vec_id = a.vec_id),
-        |r AS (SELECT qid, neighbor_id,
-        |        row_number() OVER (PARTITION BY qid
-        |          ORDER BY cos DESC, neighbor_id) AS rk
-        |      FROM cand)
-        |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 3""".stripMargin,
+    "ss18_knn_join" -> knnJoinSql,
+
+    // ss22: NSW beam search replayed hop by hop — the kNN-join graph
+    // (ss18's proven SQL) symmetrized, one shared entry point, 3
+    // unrolled expand-and-prune rounds on (cosine DESC, vec_id) beams
+    // of 8, final top-5. Rank-only, the ss05 float discipline.
+    "ss22_nsw_topk" ->
+      s"""WITH knn AS ($knnJoinSql),
+         |e0 AS (SELECT qid AS src, neighbor_id AS dst FROM knn
+         |       WHERE qid >= 10 AND neighbor_id >= 10),
+         |edges AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         |q AS (SELECT vec_id AS qid, embedding AS qe
+         |      FROM embeddings WHERE vec_id < 10),
+         |entry AS (SELECT min(vec_id) AS vec_id FROM embeddings
+         |          WHERE vec_id >= 10),
+         |b0 AS (SELECT q.qid, entry.vec_id FROM q CROSS JOIN entry),
+         |x1 AS (SELECT DISTINCT qid, vec_id FROM (
+         |    SELECT qid, vec_id FROM b0
+         |    UNION ALL
+         |    SELECT b0.qid, e.dst AS vec_id FROM b0
+         |    JOIN edges e ON e.src = b0.vec_id)),
+         |b1 AS (SELECT qid, vec_id FROM (
+         |    SELECT x1.qid, x1.vec_id, row_number() OVER (PARTITION BY x1.qid
+         |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
+         |               x1.vec_id) AS rk
+         |    FROM x1 JOIN embeddings c ON c.vec_id = x1.vec_id
+         |    JOIN q ON q.qid = x1.qid) z WHERE rk <= 8),
+         |x2 AS (SELECT DISTINCT qid, vec_id FROM (
+         |    SELECT qid, vec_id FROM b1
+         |    UNION ALL
+         |    SELECT b1.qid, e.dst AS vec_id FROM b1
+         |    JOIN edges e ON e.src = b1.vec_id)),
+         |b2 AS (SELECT qid, vec_id FROM (
+         |    SELECT x2.qid, x2.vec_id, row_number() OVER (PARTITION BY x2.qid
+         |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
+         |               x2.vec_id) AS rk
+         |    FROM x2 JOIN embeddings c ON c.vec_id = x2.vec_id
+         |    JOIN q ON q.qid = x2.qid) z WHERE rk <= 8),
+         |x3 AS (SELECT DISTINCT qid, vec_id FROM (
+         |    SELECT qid, vec_id FROM b2
+         |    UNION ALL
+         |    SELECT b2.qid, e.dst AS vec_id FROM b2
+         |    JOIN edges e ON e.src = b2.vec_id)),
+         |b3 AS (SELECT qid, vec_id FROM (
+         |    SELECT x3.qid, x3.vec_id, row_number() OVER (PARTITION BY x3.qid
+         |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
+         |               x3.vec_id) AS rk
+         |    FROM x3 JOIN embeddings c ON c.vec_id = x3.vec_id
+         |    JOIN q ON q.qid = x3.qid) z WHERE rk <= 8)
+         |SELECT qid, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk FROM (
+         |    SELECT b3.qid, b3.vec_id, row_number() OVER (PARTITION BY b3.qid
+         |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
+         |               b3.vec_id) AS rk
+         |    FROM b3 JOIN embeddings c ON c.vec_id = b3.vec_id
+         |    JOIN q ON q.qid = b3.qid) z WHERE rk <= 5""".stripMargin,
 
     // ss08's oracle replays the SQ8 pipeline exactly: the integer code
     // dot is exact in both engines (|dot| ≤ 64·127² ≪ 2^53, DuckDB's
@@ -3010,8 +3076,8 @@ object SparkEntry {
         |  FROM documents),
         |bands AS (SELECT CAST(power(2, i) AS BIGINT) AS band
         |          FROM unnest(range(4, 14)) AS t(i)),
-        |bd AS (SELECT doc_id, n_tok, min(band) AS band
-        |       FROM d JOIN bands ON band >= greatest(n_tok, 16)
+        |bd AS (SELECT doc_id, n_tok, coalesce(min(band), 8192) AS band
+        |       FROM d LEFT JOIN bands ON band >= greatest(n_tok, 16)
         |       GROUP BY 1, 2),
         |rn AS (SELECT band, doc_id, n_tok, row_number() OVER (
         |    PARTITION BY band ORDER BY n_tok DESC, doc_id) AS rn FROM bd),
@@ -3077,7 +3143,8 @@ object SparkEntry {
     "q70_dq_expectations" ->
       """WITH li AS (SELECT l.l_quantity, l.l_shipdate, o.o_orderkey AS ook
         |            FROM lineitem l
-        |            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |              ON l.l_orderkey = o.o_orderkey),
         |a AS (SELECT count(*) AS n,
         |    sum(CASE WHEN l_quantity <= 0 OR l_quantity > 100
         |        THEN 1 ELSE 0 END) AS v_range,
@@ -3122,6 +3189,78 @@ object SparkEntry {
         |  CAST(least(sum(n_copies * n_tok), sum(n_tok) * 4) AS BIGINT)
         |    AS effective_tokens
         |FROM g GROUP BY 1""".stripMargin,
+
+    // pp31: dd25's weights applied — soft/hard/raw token mass per
+    // source; per-doc integer weighting replayed exactly, signed
+    // soft-vs-hard delta kept as a subtraction (negative division is
+    // the one integer op the engines disagree on).
+    "pp31_soft_mix" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |cs AS (SELECT cluster_id, count(*) AS cluster_size
+         |       FROM clusters GROUP BY 1),
+         |w AS (SELECT d.doc_id,
+         |    coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |    CAST(1000000 // coalesce(cs.cluster_size, 1) AS BIGINT)
+         |      AS weight_ppm
+         |  FROM documents d
+         |  LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         |  LEFT JOIN cs ON c.cluster_id = cs.cluster_id),
+         |k AS (SELECT cluster_id, min(doc_id) AS keeper_id FROM w GROUP BY 1),
+         |d2 AS (SELECT doc_id, source,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |m AS (SELECT d2.source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+         |    CAST(sum(n_tok * weight_ppm // 1000000) AS BIGINT) AS soft_tokens,
+         |    CAST(sum(CASE WHEN w.doc_id = k.keeper_id THEN n_tok ELSE 0 END)
+         |      AS BIGINT) AS hard_tokens
+         |  FROM d2 JOIN w ON d2.doc_id = w.doc_id
+         |  JOIN k ON w.cluster_id = k.cluster_id
+         |  GROUP BY 1)
+         |SELECT source, n_docs, raw_tokens, soft_tokens, hard_tokens,
+         |  CAST((raw_tokens - soft_tokens) * 10000 // raw_tokens AS BIGINT)
+         |    AS soft_discount_bp,
+         |  soft_tokens - hard_tokens AS soft_minus_hard_tokens
+         |FROM m""".stripMargin,
+
+    // ss21: integer BM25 — Lucene-positive micro-nat idf (the tx08 ln
+    // grid), the k1/b saturation cleared to one integer division per
+    // (doc, term), per-term postings statically truncated to the
+    // top-64 by (tf DESC, doc_id); scores exact int64 on both engines.
+    "ss21_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
+        |             AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(100 * CAST(sum(dl) AS BIGINT) // count(*) AS BIGINT) AS a_c
+        |  FROM dl),
+        |idf AS (SELECT tok,
+        |    CAST(round(ln(CAST(n_docs * 2 + 2 AS DOUBLE)
+        |      / CAST(df * 2 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS idf_micro,
+        |    a_c
+        |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) x
+        |  CROSS JOIN tot),
+        |post AS (SELECT tok, doc_id, tf FROM (
+        |    SELECT tok, doc_id, tf, row_number() OVER (PARTITION BY tok
+        |      ORDER BY tf DESC, doc_id) AS prk FROM tf) z WHERE prk <= 64),
+        |qt AS (SELECT tf.doc_id AS qid, tf.tok, idf.idf_micro, idf.a_c
+        |       FROM tf JOIN idf ON idf.tok = tf.tok WHERE tf.doc_id < 10),
+        |sc AS (SELECT qt.qid, post.doc_id,
+        |    CAST(sum(qt.idf_micro * 22 * post.tf * qt.a_c
+        |      // (10 * qt.a_c * post.tf + 3 * qt.a_c + 900 * dl.dl))
+        |      AS BIGINT) AS bm25_micro
+        |  FROM qt JOIN post ON post.tok = qt.tok AND post.doc_id != qt.qid
+        |  JOIN dl ON dl.doc_id = post.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT qid, doc_id AS neighbor_id, bm25_micro,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY bm25_micro DESC, doc_id) AS rk FROM sc) z
+        |WHERE rk <= 10""".stripMargin,
 
     // ss20: per-(query, source) top-2 then global top-10 — rank-only
     // output, float cosine only orders (ss01's contract).

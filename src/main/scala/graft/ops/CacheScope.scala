@@ -14,8 +14,21 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheScope {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val liveRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
   private val hits = new java.util.concurrent.atomic.AtomicLong
   private val misses = new java.util.concurrent.atomic.AtomicLong
+
+  /** Register a localCheckpoint-backed RDD (Checkpoints.truncate) so a
+    * drain releases its blocks deterministically instead of waiting on
+    * the ContextCleaner noticing plan unreachability — a long-lived
+    * driver with a lazy heap must not pin storage across requests.
+    * Unlike caches, a truncated RDD cannot recompute after unpersist
+    * (its lineage is cut), so the drain contract is: call only after
+    * the request's results are materialized — exactly when Verify and
+    * a service harness call it. */
+  private[graft] def registerRdd(r: org.apache.spark.rdd.RDD[_]): Unit =
+    liveRdds.add(r)
 
   private[graft] def cached(df: DataFrame): DataFrame = {
     // plan-cache reuse accounting: a HIT means this logical plan is
@@ -43,6 +56,11 @@ object CacheScope {
     while (df != null) {
       df.unpersist()
       df = live.poll()
+    }
+    var r = liveRdds.poll()
+    while (r != null) {
+      r.unpersist(blocking = false)
+      r = liveRdds.poll()
     }
   }
 }

@@ -23,7 +23,19 @@ object Checkpoints {
         val sc = spark.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
         df.checkpoint(eager = false)
-      case None => df.localCheckpoint(eager = false)
+      case None =>
+        val out = df.localCheckpoint(eager = false)
+        // register the checkpoint-backed RDD with the drain scope:
+        // local-checkpoint blocks otherwise free only when the
+        // ContextCleaner notices plan unreachability (GC-dependent),
+        // and a long-lived driver with a lazy heap would pin storage
+        // across back-to-back queries
+        out.queryExecution.analyzed.foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            CacheScope.registerRdd(l.rdd)
+          case _ =>
+        }
+        out
     }
   }
 

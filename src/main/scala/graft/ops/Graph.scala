@@ -679,11 +679,14 @@ object Graph {
     * then the truss demands the pair ALSO close a triangle with a
     * third backbone partner — chains of pairwise-popular items fall
     * out, stable product communities remain (at sf0.01: 115 729 raw
-    * edges → 3 445 backbone → 181 truss, stable from round 1). Three
-    * FIXED peel rounds (gr05's unroll discipline; the fixed point is
-    * reached in one here and confirmed by the rest — the spec plants
-    * a clique that must survive and a path that must vanish),
-    * per-round lineage truncated. Support enumeration rides the wedge
+    * edges → 3 445 backbone → 181 truss, stable from round 1). Peeled
+    * TO CONVERGENCE (the gr16 discipline): peel only removes edges, so
+    * a stable edge COUNT is a stable edge SET — one driver-side scalar
+    * per round (the sanctioned gr16/dd06 convergence-check pattern)
+    * decides the fixed point, and a graph still peeling after 10
+    * rounds errors instead of silently under-peeling (this corpus
+    * family converges in 1; the oracle replays enough rounds to cover
+    * the cap's observed fixed point). Per-round lineage truncated. Support enumeration rides the wedge
     * hub guard (deg ≤ 64 centers; edges touching a deg > 64 hub are
     * KEPT without enumeration, reported tier='hub' — at 100 TB a
     * viral item backbone-co-bought with thousands is exactly the
@@ -701,8 +704,21 @@ object Graph {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select(col("d1"), col("d2")))
-    for (_ <- 1 to 3)
+    // convergence scalar: peel is monotone-decreasing, so an unchanged
+    // count IS the fixed point; error past the cap rather than ship an
+    // under-peeled truss on a deeper graph
+    var n = e.count()
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      if (rounds > 10) throw new IllegalStateException(
+        s"gr17 truss peel not converged after 10 rounds ($n edges left)")
       e = CacheScope.cached(trussPeel(e, 1L, wedgeMaxDeg).truncated)
+      val n2 = e.count()
+      converged = n2 == n
+      n = n2
+    }
     val deg = biAdj(e).groupBy(col("m")).agg(count(lit(1)).as("deg"))
     val hubs = deg.filter(col("deg") > wedgeMaxDeg).select(col("m"))
     val sup = commonNeighborPairs(e, wedgeMaxDeg)

@@ -960,10 +960,16 @@ object Pipelines {
       .select(col("doc_id"),
         size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
     val bands = s.range(4, 14).select(expr("CAST(pow(2, id) AS BIGINT)").as("band"))
+    // LEFT join + coalesce: a doc longer than the top band (no matching
+    // spine row) clamps INTO the top band instead of silently vanishing
+    // from the manifest — the planner must never lose documents on a
+    // long-doc corpus (truncation-to-context is the serving layer's
+    // call, not the batcher's)
     val banded = docs
-      .join(broadcast(bands), col("band") >= greatest(col("n_tok"), lit(16L)))
+      .join(broadcast(bands),
+        col("band") >= greatest(col("n_tok"), lit(16L)), "left_outer")
       .groupBy(col("doc_id"), col("n_tok"))
-      .agg(min(col("band")).as("band"))
+      .agg(coalesce(min(col("band")), lit(8192L)).as("band"))
     val w = Window.partitionBy(col("band"))
       .orderBy(col("n_tok").desc, col("doc_id"))
     banded
@@ -1004,5 +1010,44 @@ object Pipelines {
         expr("total_tokens * 10000 div unique_tokens"))
       .withColumn("effective_tokens",
         least(col("total_tokens"), col("unique_tokens") * 4))
+  }
+
+  /** pp31: SOFT-dedup training mix — dd25's duplication-aware sampling
+    * weights applied as BEHAVIOR, not reported as a table: per source,
+    * the token mass each of the three dedup regimes actually feeds the
+    * mix. `raw_tokens` keeps every copy at full weight; `soft_tokens`
+    * samples each doc ∝ its dd25 weight (expected mass = Σ n_tok ·
+    * weight_ppm div 10⁶, exact per-doc integer then summed — a family
+    * duplicated n× contributes ≈ one doc's mass while retaining all n
+    * phrasings in the pool); `hard_tokens` is dd07's keep-best world
+    * (cluster min-id keeper only — singletons keep themselves). The
+    * discount columns are the knob a mix designer reads: how much mass
+    * soft dedup trims per source, and how much MORE than hard dedup it
+    * retains (soft ≥ hard exactly when cluster members' lengths
+    * differ — the keeper is not always the longest). Scale: rides
+    * dd25's cluster frame (∝ near-dups, AQE-broadcast onto the corpus
+    * scan) + one per-source aggregate; no new shuffle class. */
+  def pp31SoftMix(s: SparkSession, d: String): DataFrame = {
+    val w = Dedup.dd25DupWeights(s, d) // (doc_id, cluster_id, cluster_size, weight_ppm)
+    val keepers = w.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+    docs.join(w, Seq("doc_id"))
+      .join(keepers, Seq("cluster_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("raw_tokens"),
+        sum(expr("n_tok * weight_ppm div 1000000")).as("soft_tokens"),
+        sum(when(col("doc_id") === col("keeper_id"), col("n_tok"))
+          .otherwise(0L)).as("hard_tokens"))
+      .withColumn("soft_discount_bp",
+        expr("(raw_tokens - soft_tokens) * 10000 div raw_tokens"))
+      // signed exact difference, NOT a bp: soft < hard happens when a
+      // cluster's keeper is its longest member, and Spark (truncate)
+      // vs DuckDB (floor) disagree on negative integer division
+      .withColumn("soft_minus_hard_tokens",
+        col("soft_tokens") - col("hard_tokens"))
   }
 }

@@ -1175,6 +1175,16 @@ object Relational {
         .coalesce(1)
         .write.mode("overwrite").parquet(dir.toString)
     }
+    // `_MV_SOURCE` sidecar: the exact source path this MV aggregates.
+    // SummaryRewrite compares it to the scan's rootPath before firing,
+    // so a session holding two scale dirs can never have one dir's
+    // queries answered from the other dir's MV. Written even when the
+    // data dir pre-exists (sidecar-less dirs from older layouts).
+    val sidecar = new java.io.File(dir, "_MV_SOURCE")
+    val src = new java.io.File(d, "lineitem.parquet").getAbsolutePath
+    if (!sidecar.isFile)
+      java.nio.file.Files.write(sidecar.toPath,
+        src.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     dir.toString
   }
 
@@ -1357,8 +1367,11 @@ object Relational {
     * 100 TB costs two scans, not five. */
   def q70DqExpectations(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
+    // DISTINCT keys for the RI probe: a duplicate o_orderkey (exactly
+    // the failure the uniqueness rule reports) must not fan out
+    // lineitem rows and inflate the row-local rule counts
     val li = Tables.lineitem(s, d)
-      .join(ord.select(col("o_orderkey")),
+      .join(ord.select(col("o_orderkey")).distinct(),
         col("l_orderkey") === col("o_orderkey"), "left_outer")
     val liRules = li.agg(
         count(lit(1)).as("n"),

@@ -923,10 +923,18 @@ object Text {
     * aggregate and the replace, and nested per-round InMemoryRelations
     * make the explain string grow geometrically (the documented
     * gr03/AQE OOM hazard) — truncation keeps every round's plan flat. */
-  private def bpeChain(s: SparkSession, d: String): Seq[DataFrame] = {
+  private def bpeChain(s: SparkSession, d: String): Seq[DataFrame] =
+    bpeChainWithWords(s, d)._1
+
+  /** The merge chain PLUS the fully-merged word-type frame the trainer
+    * ends on — tx50 consumes the latter directly, so the vocab build
+    * costs no second corpus scan and no re-application of the merges
+    * (the trainer already segmented every word type). */
+  private def bpeChainWithWords(
+      s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
     import Checkpoints.TruncateOps
     var words = bpeWords(s, d).truncated
-    (1 to bpeRounds).map { _ =>
+    val chain = (1 to bpeRounds).map { _ =>
       val best = CacheScope.cached(words
         .withColumn("arr", expr("split(substring(syms, 2, length(syms) - 2), '><')"))
         .filter(size(col("arr")) >= 2)
@@ -946,6 +954,7 @@ object Text {
         .truncated
       best
     }
+    (chain, words)
   }
 
   /** tx45: BPE trainer — the 10 learned merges in rank order, each with
@@ -994,21 +1003,14 @@ object Text {
     * report, per resulting piece, how many word TYPES contain it and
     * its total corpus occurrences (type count × word frequency — the
     * exact corpus token count under that segmentation, no second
-    * corpus pass: the word-type frame from the trainer already carries
-    * the weights). Everything beyond the one corpus-scan word count
-    * runs on the vocab-sized frame; the 10 merge applications are
-    * broadcast-crossJoin replaces, tx46's apply side re-used on types
-    * instead of the token stream. */
+    * corpus pass: the trainer's FINAL word-type frame — weights, fully
+    * merged symbols and all — is consumed as-is via bpeChainWithWords,
+    * so the vocab build adds only the vocab-sized piece explode on top
+    * of the training run it shares). */
   def tx50SubwordVocab(s: SparkSession, d: String): DataFrame = {
-    val chain = bpeChain(s, d)
-    var words = bpeWords(s, d)
-    chain.zipWithIndex.foreach { case (b, r) =>
-      words = words
-        .crossJoin(broadcast(b.select(col("pa").as(s"pa$r"), col("pb").as(s"pb$r"))))
-        .withColumn("syms", expr(
-          s"replace(syms, concat('<', pa$r, '><', pb$r, '>'), concat('<', pa$r, pb$r, '>'))"))
-        .drop(s"pa$r", s"pb$r")
-    }
+    // the trainer's own final word frame IS the segmented corpus: no
+    // second corpus scan, no re-application of the 10 merges
+    val (_, words) = bpeChainWithWords(s, d)
     words
       .select(col("w"), col("wc"),
         explode(expr("split(substring(syms, 2, length(syms) - 2), '><')")).as("piece"))

@@ -83,7 +83,15 @@ object SaltSkewRewrite extends Rule[LogicalPlan] {
     val n = conf.getConfString("spark.graft.saltSkew", "0").toInt
     if (n < 2) plan
     else plan.transform {
-      case agg: Aggregate if !alreadySalted(agg) && eligible(agg) =>
+      case agg: Aggregate if !alreadySalted(agg) && eligible(agg) &&
+          // decline when every referenced column is a grouping key
+          // (e.g. groupBy(k).agg(count(*))): the salt would hash the
+          // key alone, giving every row of a hot key the SAME salt —
+          // phase 1 keeps the original cardinality and the rewrite
+          // adds a pass with zero spreading. A no-op beats a free
+          // extra aggregate.
+          !agg.references.forall(c =>
+            agg.groupingExpressions.exists(_.semanticEquals(c))) =>
         // salt only the columns the aggregate already references (in a
         // deterministic order) — hashing the full row would pin every
         // column into the scan and defeat column pruning / pushdown

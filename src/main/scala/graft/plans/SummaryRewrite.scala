@@ -49,12 +49,29 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def isLineitemScan(p: LogicalPlan): Boolean =
-    scanOf(p).exists(_.relation match {
+  /** The lineitem scan's root path (scheme-stripped), if the child is
+    * a bare (possibly pruned) lineitem parquet scan. */
+  private def lineitemRoot(p: LogicalPlan): Option[String] =
+    scanOf(p).flatMap(_.relation match {
       case h: HadoopFsRelation =>
-        h.location.rootPaths.exists(_.getName.startsWith("lineitem"))
-      case _ => false
+        h.location.rootPaths.find(_.getName.startsWith("lineitem"))
+          .map(_.toUri.getPath)
+      case _ => None
     })
+
+  /** The MV's recorded source table, from the `_MV_SOURCE` sidecar the
+    * layout job writes next to the summary parquet. The rule fires
+    * ONLY when the scan being rewritten reads exactly that path — a
+    * session reading two scale dirs with the flag set must never have
+    * one dir's queries silently answered from the other dir's MV.
+    * Fail-closed: a summary dir without a sidecar serves nothing. */
+  private def mvSource(dir: String): Option[String] = {
+    val f = new java.io.File(dir, "_MV_SOURCE")
+    if (f.isFile)
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    else None
+  }
 
   private def eligible(agg: Aggregate): Boolean =
     agg.groupingExpressions.nonEmpty &&
@@ -89,7 +106,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     if (dir.isEmpty) plan
     else plan.transform {
       case agg: Aggregate
-          if isLineitemScan(agg.child) && eligible(agg) =>
+          if eligible(agg) &&
+            lineitemRoot(agg.child).exists(src =>
+              mvSource(dir).contains(src)) =>
         // analyze (not optimize) the MV scan — fresh attribute ids,
         // no optimizer recursion
         val mv = SparkSession.active.read.parquet(dir)

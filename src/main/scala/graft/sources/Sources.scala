@@ -151,6 +151,56 @@ object Sources {
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** EQUI-DEPTH range layout — the layout job that CONSUMES the q68
+    * histogram statistic instead of merely publishing it: shard
+    * boundaries are the table's own exact equi-depth percentile cuts
+    * (distributed value-histogram + cumulative rank over the
+    * ∝|distinct values| frame — the q68 derivation, generalized), so
+    * every shard holds ≈ n/nShards rows even under heavy value skew.
+    * `repartitionByRange` gets boundaries from a reservoir SAMPLE — on
+    * a skewed 100 TB column a sampling miss writes one fat file that
+    * becomes the straggler task of every downstream scan; the exact
+    * histogram costs one aggregate and cannot miss. Shards land as
+    * hive dirs (`shard=K/`), each internally sorted on `c`, and
+    * `_RANGES.json` records per-shard (min, max, rows) — the same
+    * driver-side pruning index writeRangeOrdered emits, so a range
+    * reader opens only overlapping shards. Rows equal to a boundary
+    * value stay together (ranges are disjoint; a heavy single value
+    * bounds the balance, exactly as in q68). */
+  def writeEquiDepth(df: DataFrame, path: String, c: String,
+      nShards: Int = 8): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.withColumn("__c", col(c).cast("long"))
+    val hist = v.groupBy(col("__c")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("__c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = v.agg(count(lit(1)).as("n"))
+    val cutCols = (1 until nShards).map(k =>
+      min(when(col("cum") * nShards >= col("n") * k, col("__c"))).as(s"b$k"))
+    val cuts = hist.crossJoin(broadcast(tot)).agg(cutCols.head, cutCols.tail: _*)
+    v.crossJoin(broadcast(cuts))
+      .withColumn("shard",
+        (1 until nShards).map(k =>
+          when(col("__c") >= col(s"b$k"), 1).otherwise(0)).reduce(_ + _))
+      .drop("__c" +: (1 until nShards).map(k => s"b$k"): _*)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col(c))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val ranges = df.sparkSession.read.parquet(path)
+      .groupBy(col("shard"))
+      .agg(min(col(c)).cast("long").as("mn"), max(col(c)).cast("long").as("mx"),
+        count(lit(1)).as("rows"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._2)
+    val body = ranges.map { case (sh, mn, mx, n) =>
+      s"""{"file":"shard=$sh","min":$mn,"max":$mx,"rows":$n}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_RANGES.json"),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
       nFiles: Int = 8): Unit = {
     val stats = df.agg(

@@ -51,12 +51,12 @@ object VersionedCorpus {
 
   def latestVersion(root: String): Option[Long] = versions(root).lastOption
 
-  /** Publish `df` as the next snapshot version; returns the version
-    * number. Data lands first (private per-version dir), the manifest
-    * publishes last and atomically. */
-  def publish(df: DataFrame, root: String): Long = {
-    val next = latestVersion(root).getOrElse(0L) + 1
-    val dataDir = new File(new File(root, "_data"), s"v$next")
+  /** Write `df` into `_data/<dirName>` and atomically (re)publish
+    * version `version`'s manifest pointing at it. The shared tail of
+    * publish (new version) and purge (history rewrite). */
+  private def writeAndPublish(df: DataFrame, root: String, version: Long,
+      dirName: String): Unit = {
+    val dataDir = new File(new File(root, "_data"), dirName)
     df.write.parquet(dataDir.getAbsolutePath)
     val parts = Option(dataDir.listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
@@ -66,38 +66,54 @@ object VersionedCorpus {
     val fileList = parts.map(f =>
       s"""{"file":"${f.getName}","bytes":${f.length}}""").mkString("[", ",", "]")
     val manifest =
-      s"""{"version":$next,"n_files":${parts.length},"n_rows":$nRows,""" +
-        s""""n_bytes":${parts.map(_.length).sum},"files":$fileList}"""
+      s"""{"version":$version,"dir":"$dirName","n_files":${parts.length},""" +
+        s""""n_rows":$nRows,"n_bytes":${parts.map(_.length).sum},""" +
+        s""""files":$fileList}"""
     versionsDir(root).mkdirs()
-    val tmp = Paths.get(root, "_versions", s".v$next.json.tmp")
+    val tmp = Paths.get(root, "_versions", s".v$version.json.tmp")
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(root, "_versions", s"v$next.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // REPLACE_EXISTING: purge atomically swaps an existing version's
+    // manifest; readers see either the old or the new snapshot, never
+    // a partial one
+    Files.move(tmp, Paths.get(root, "_versions", s"v$version.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Publish `df` as the next snapshot version; returns the version
+    * number. Data lands first (private per-version dir), the manifest
+    * publishes last and atomically. */
+  def publish(df: DataFrame, root: String): Long = {
+    val next = latestVersion(root).getOrElse(0L) + 1
+    writeAndPublish(df, root, next, s"v$next")
     next
   }
 
-  /** Parsed manifest: (file names, n_rows). */
+  /** Parsed manifest: (data dir name, file names, n_rows). `dir`
+    * defaults to `v<version>` for manifests written before the purge
+    * feature recorded it explicitly. */
   private def manifest(spark: SparkSession, root: String,
-      version: Long): (Seq[String], Long) = {
+      version: Long): (String, Seq[String], Long) = {
     val path = new File(versionsDir(root), s"v$version.json")
     require(path.isFile, s"version $version not published under $root")
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
-      StructField("version", LongType), StructField("n_files", LongType),
+      StructField("version", LongType), StructField("dir", StringType),
+      StructField("n_files", LongType),
       StructField("n_rows", LongType), StructField("n_bytes", LongType),
       StructField("files", ArrayType(StructType(Seq(
         StructField("file", StringType), StructField("bytes", LongType)))))))
     val row = spark.read.schema(schema).json(path.getAbsolutePath).head()
-    val files = row.getSeq[org.apache.spark.sql.Row](4).map(_.getString(0))
-    (files, row.getLong(2))
+    val dir = Option(row.getString(1)).getOrElse(s"v$version")
+    val files = row.getSeq[org.apache.spark.sql.Row](5).map(_.getString(0))
+    (dir, files, row.getLong(3))
   }
 
   /** The corpus exactly as of `version`: loads only the files that
     * version's manifest lists. */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val (files, _) = manifest(spark, root, version)
+    val (dir, files, _) = manifest(spark, root, version)
     val paths = files.map(f =>
-      new File(new File(new File(root, "_data"), s"v$version"), f).getAbsolutePath)
+      new File(new File(new File(root, "_data"), dir), f).getAbsolutePath)
     spark.read.parquet(paths: _*)
   }
 
@@ -108,5 +124,91 @@ object VersionedCorpus {
   /** Audit row count a version's manifest promises (reconcile against
     * `readAt(...).count()` — the graft-manifest completeness pattern). */
   def manifestRows(spark: SparkSession, root: String, version: Long): Long =
-    manifest(spark, root, version)._2
+    manifest(spark, root, version)._3
+
+  // ------------------------------------------------------------------
+  // Retention: soft delete, GDPR purge, garbage collection
+  // ------------------------------------------------------------------
+
+  /** SOFT delete: the next snapshot version excludes rows matching
+    * `cond`. History untouched — time travel to earlier versions still
+    * shows the rows (a retracted-content workflow, not a legal purge:
+    * for "forget doc X everywhere" use `purgeKeys`). */
+  def deleteWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): Long =
+    publish(readLatest(spark, root).filter(!cond), root)
+
+  /** HARD delete (the GDPR path): remove every row whose `keyCol` is
+    * in `keys` from EVERY published version — history is rewritten in
+    * place. Each affected version's surviving rows are written to a
+    * fresh generation dir (`v3p1`, `v3p2`, …: data files stay
+    * immutable, the purge never edits a published file) and its
+    * manifest is atomically re-pointed, so version numbers, unaffected
+    * rows, and time-travel semantics are all preserved; the orphaned
+    * pre-purge dirs are reclaimed by `gc`. The match is a
+    * broadcast-anti-join against the key set (the shape that holds
+    * when a weekly deletion batch meets a 100 TB corpus: tombstone
+    * keys are small, the corpus streams past them once per affected
+    * version); versions with no matching row are left byte-identical.
+    * An audit tombstone (`_tombstones/t<seq>.json`) records what was
+    * purged and which versions were rewritten — the deletion
+    * certificate a compliance review asks for. Returns the versions
+    * rewritten. */
+  def purgeKeys(spark: SparkSession, root: String, keyCol: String,
+      keys: Seq[Long]): Seq[Long] = {
+    import org.apache.spark.sql.functions.broadcast
+    val tomb = spark.createDataset(keys)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
+    val rewritten = versions(root).filter { v =>
+      val snap = readAt(spark, root, v)
+      val hit = snap.join(broadcast(tomb), Seq(keyCol), "left_semi")
+        .limit(1).count() > 0
+      if (hit) {
+        val (oldDir, _, _) = manifest(spark, root, v)
+        val dataRoot = new File(root, "_data")
+        val gen = Iterator.from(1)
+          .find(g => !new File(dataRoot, s"v${v}p$g").exists()).get
+        writeAndPublish(
+          snap.join(broadcast(tomb), Seq(keyCol), "left_anti"),
+          root, v, s"v${v}p$gen")
+        assert(oldDir != s"v${v}p$gen")
+      }
+      hit
+    }
+    val tombDir = new File(root, "_tombstones")
+    tombDir.mkdirs()
+    val seq = Option(tombDir.listFiles()).getOrElse(Array.empty[File])
+      .count(_.getName.endsWith(".json")) + 1
+    val record =
+      s"""{"seq":$seq,"key_col":"$keyCol",""" +
+        s""""keys":${keys.sorted.mkString("[", ",", "]")},""" +
+        s""""versions_rewritten":${rewritten.mkString("[", ",", "]")}}"""
+    val tmp = Paths.get(root, "_tombstones", s".t$seq.json.tmp")
+    Files.write(tmp, record.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(root, "_tombstones", s"t$seq.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    rewritten
+  }
+
+  /** Garbage-collect `_data` dirs no published manifest references:
+    * pre-purge generations and failed-publish orphans (data written,
+    * manifest never landed). Safe by construction — a reader resolves
+    * files ONLY through manifests, so an unreferenced dir is invisible
+    * to every reader before gc removes it. Returns
+    * (dirs removed, bytes freed). */
+  def gc(spark: SparkSession, root: String): (Long, Long) = {
+    val referenced = versions(root)
+      .map(v => manifest(spark, root, v)._1).toSet
+    val dataRoot = new File(root, "_data")
+    val orphans = Option(dataRoot.listFiles()).getOrElse(Array.empty[File])
+      .filter(d => d.isDirectory && !referenced(d.getName))
+    var bytes = 0L
+    orphans.foreach { d =>
+      Option(d.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
+        bytes += f.length(); Files.delete(f.toPath)
+      }
+      Files.delete(d.toPath)
+    }
+    (orphans.length.toLong, bytes)
+  }
 }

@@ -752,7 +752,9 @@ object StreamingJobs {
     * batch audit reconcile by key. */
   def streamingDqGate(lineitems: DataFrame, orders: DataFrame): DataFrame =
     lineitems
-      .join(orders.select(col("o_orderkey")),
+      // DISTINCT keys (the q70 rule): a duplicated dimension key must
+      // not fan out stream rows and inflate the row-local counters
+      .join(orders.select(col("o_orderkey")).distinct(),
         lineitems("l_orderkey") === col("o_orderkey"), "left_outer")
       .select(explode(array(
         struct(lit("lineitem_quantity_range").as("rule"),
@@ -779,11 +781,30 @@ object StreamingJobs {
           var changed = false
           // p_partkey order: micro-batch replays admit deterministically
           rows.toSeq.sortBy(_.p_partkey).foreach { p =>
-            // partkey re-delivery is idempotent; dominated points drop
-            if (!front.exists(f =>
-                dominates(f, p) || f.p_partkey == p.p_partkey)) {
-              front = p :: front.filterNot(f => dominates(p, f))
-              changed = true
+            front.find(_.p_partkey == p.p_partkey) match {
+              case Some(old)
+                  if old.price_c == p.price_c && old.p_size == p.p_size =>
+                // exact re-delivery: idempotent, frontier untouched
+              case Some(_) =>
+                // ATTRIBUTE UPDATE (repriced/resized part): evict the
+                // stale point, then re-run admission for the new one.
+                // One-pass caveat, documented: points the stale entry
+                // dominated in the past are not resurrected — the
+                // stream skyline is an upper bound on staleness, the
+                // batch job (q67) is the periodic exact rebuild.
+                front = front.filterNot(_.p_partkey == p.p_partkey)
+                if (!front.exists(f => dominates(f, p)))
+                  front = p :: front.filterNot(f => dominates(p, f))
+                changed = true
+              case None =>
+                // dominated new points drop; ties on both axes are
+                // kept (the frontier is the true skyline, ties and
+                // all — its size is bounded by the skyline, not by
+                // traffic)
+                if (!front.exists(f => dominates(f, p))) {
+                  front = p :: front.filterNot(f => dominates(p, f))
+                  changed = true
+                }
             }
           }
           if (!changed) Iterator.empty

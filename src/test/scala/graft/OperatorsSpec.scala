@@ -576,6 +576,15 @@ class OperatorsSpec extends SparkTestBase {
       .agg(countDistinct(col("l_orderkey")).as("d"))
     assert(!nd.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
       "distinct aggregate must not be salted")
+    // count-only decline: when every referenced column is a grouping
+    // key (groupBy(k).agg(count(*))) the salt hashes the key alone, so
+    // every row of a hot key would get the SAME salt — zero spreading,
+    // one free extra aggregate. The rule must leave the plan direct.
+    val co = graft.Tables.lineitem(s2, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    assert(!co.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
+      "count-only aggregate must not be salted (no column to spread on)")
   }
 
   test("Dataset.observe surfaces pipeline counters without a second scan") {
@@ -1342,17 +1351,16 @@ class OperatorsSpec extends SparkTestBase {
     assert((during -- before).nonEmpty, "expected these ops to cache")
     ops.CacheScope.unpersistAll()
     // unpersist is async (blocking=false): poll briefly. The kernels'
-    // per-round localCheckpoint blocks are NOT CacheScope's to drain —
-    // their contract is release-on-GC via the ContextCleaner once the
-    // query's plan is unreachable (exactly this test's state after
-    // count() returns), so nudge GC while polling and hold both paths
-    // to the same end state: no storage pinned past the query.
+    // per-round localCheckpoint RDDs are registered with CacheScope by
+    // Checkpoints.truncate, so the drain releases them DETERMINISTICALLY
+    // — no System.gc() nudge, no ContextCleaner dependence: a plain
+    // wait must reach zero pinned storage.
     val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
     var leftover = Set.empty[Int]
     while ({
       leftover = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet -- before
       leftover.nonEmpty && System.nanoTime < deadline
-    }) { System.gc(); Thread.sleep(200) }
+    }) { Thread.sleep(200) }
     assert(leftover.isEmpty, s"storage pinned past the drain: $leftover")
   }
 
@@ -2158,6 +2166,16 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     assert(coarse.collect().map(r =>
       (r.getString(0), r.getDouble(1), r.getLong(2))).toSet == coarseRaw)
+    // source guard: the SAME summaryDir must never serve a scan of a
+    // DIFFERENT scale dir — the _MV_SOURCE sidecar pins the MV to the
+    // fact table it aggregated, so a session holding two dirs cannot
+    // have one dir's queries answered from the other dir's MV
+    val cross = Tables.lineitem(s2, "/root/testdata/sf0.01")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+    val crossPlan = cross.queryExecution.executedPlan.toString
+    assert(!crossPlan.contains("graft-mv") && crossPlan.contains("lineitem"),
+      s"MV served a scan of a different source dir:\n$crossPlan")
   }
 
   test("ss18 kNN join plans the candidate join as a shuffle, not a broadcast") {
@@ -2322,6 +2340,20 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("pp29 clamps over-band docs into the top band instead of dropping them") {
+    // planted long-doc corpus: the band spine tops out at 8192, so a
+    // 9999-token doc has no matching spine row — the LEFT join +
+    // coalesce must clamp it into the top band, never lose it
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pp29long").toString
+    Seq((1L, ("w " * 9999).trim), (2L, "a b c"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val rows = ops.Pipelines.pp29InferenceBatches(spark, tmp).collect()
+    assert(rows.map(_.getLong(2)).sum == 2L, "planner lost a document")
+    assert(rows.exists(r => r.getLong(0) == 8192L && r.getLong(3) == 9999L),
+      s"long doc not clamped into the top band: ${rows.mkString(";")}")
+  }
+
   test("ss20 respects the per-source quota and rank contiguity") {
     val rows = ops.Similarity.ss20QuotaTopk(spark, sf).collect()
     val perQ = rows.groupBy(_.getLong(0))
@@ -2410,5 +2442,66 @@ class OperatorsSpec extends SparkTestBase {
       assert(ep == tot * 10000 / uniq, s"epoch grid broken: $r")
       assert(eff == math.min(tot, uniq * 4), s"4-epoch cap broken: $r")
     }
+  }
+
+  test("pp31 soft mix: raw >= soft, dd25 weights actually discount, exact deltas") {
+    val rows = ops.Pipelines.pp31SoftMix(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "doc mass lost")
+    rows.foreach { r =>
+      val (raw, soft, hard, bp, delta) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(soft <= raw && hard <= raw && soft >= 0 && hard >= 0,
+        s"mass ordering broken: $r")
+      assert(bp == (raw - soft) * 10000 / raw, s"discount grid broken: $r")
+      assert(delta == soft - hard, s"soft-hard delta broken: $r")
+    }
+    // the corpus HAS near-dup families — the weights must bite somewhere
+    assert(rows.exists(r => r.getLong(3) < r.getLong(2)),
+      "soft dedup discounted nothing — dd25 weights not applied")
+  }
+
+  test("ss21 BM25 ranks are contiguous with monotone positive scores") {
+    val rows = ops.Similarity.ss21Bm25Topk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), "query returned itself")
+      assert(r.getLong(2) > 0L, s"non-positive BM25 score: $r")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).sameElements(1L to byRank.length),
+        s"query $q ranks not contiguous")
+      assert(byRank.length <= 10)
+      val scores = byRank.map(_.getLong(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not monotone with rank")
+    }
+  }
+
+  test("ss22 NSW results are reachable within 3 hops of the entry point") {
+    val res = ops.Similarity.ss22NswTopk(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val rks = rs.map(_.getLong(2)).sorted.toSeq
+      assert(rks == (1L to rks.length) && rks.length <= 5,
+        s"query $q ranks broken: $rks")
+    }
+    assert(res.forall(_.getLong(1) >= 10L), "query vectors leaked into results")
+    // necessary condition of a graph walk: every answer sits within 3
+    // hops of the shared entry node in the symmetrized kNN graph
+    val knn = ops.Similarity.ss18KnnJoin(spark, sf)
+      .filter(col("qid") >= 10 && col("neighbor_id") >= 10)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (knn ++ knn.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val entry = knn.flatMap(e => Seq(e._1, e._2)).min
+    var reach = Set(entry)
+    (1 to 3).foreach { _ =>
+      reach = reach ++ reach.flatMap(n => adj.getOrElse(n, Set.empty))
+    }
+    res.foreach(r => assert(reach.contains(r.getLong(1)),
+      s"result ${r.getLong(1)} not reachable in 3 hops from entry $entry"))
   }
 }

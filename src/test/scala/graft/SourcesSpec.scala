@@ -365,6 +365,97 @@ class SourcesSpec extends SparkTestBase {
       s"read-at-v1 must touch only v1 files:\n$scanned")
   }
 
+  test("versioned corpus: soft delete, GDPR purge rewrites history, gc frees orphans") {
+    import graft.sources.VersionedCorpus
+    val root = s"$tmp/versioned-retention"
+    val base = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    VersionedCorpus.publish(base.filter(col("doc_id") < 300), root)
+    VersionedCorpus.publish(base.filter(col("doc_id") < 400), root)
+    // SOFT delete: v3 excludes the rows, history still shows them
+    val v3 = VersionedCorpus.deleteWhere(spark, root, col("doc_id") === 7L)
+    assert(v3 == 3L)
+    assert(VersionedCorpus.readAt(spark, root, 3L)
+      .filter(col("doc_id") === 7L).count() == 0L)
+    assert(VersionedCorpus.readAt(spark, root, 2L)
+      .filter(col("doc_id") === 7L).count() == 1L, "soft delete must not rewrite history")
+    // GDPR purge: doc 11 vanishes from EVERY version, the rest of each
+    // snapshot is preserved exactly, manifests reconcile
+    val before = (1L to 3L).map(v =>
+      v -> VersionedCorpus.readAt(spark, root, v).collect().toSet).toMap
+    val rewritten = VersionedCorpus.purgeKeys(spark, root, "doc_id", Seq(11L))
+    assert(rewritten == Seq(1L, 2L, 3L), s"all versions held doc 11: $rewritten")
+    (1L to 3L).foreach { v =>
+      val now = VersionedCorpus.readAt(spark, root, v).collect().toSet
+      assert(now == before(v).filterNot(_.getLong(0) == 11L),
+        s"purge at v$v must remove ONLY the purged key")
+      assert(VersionedCorpus.manifestRows(spark, root, v) == now.size.toLong,
+        s"manifest count stale after purge at v$v")
+    }
+    // the audit tombstone exists and names the purge
+    val tombs = new java.io.File(root, "_tombstones").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(tombs.length == 1)
+    val trec = new String(java.nio.file.Files.readAllBytes(tombs.head.toPath))
+    assert(trec.contains("\"keys\":[11]") && trec.contains("doc_id"), trec)
+    // a purge of an absent key touches nothing
+    assert(VersionedCorpus.purgeKeys(spark, root, "doc_id", Seq(999999L)).isEmpty)
+    // GC: pre-purge dirs + a planted failed-publish orphan are freed;
+    // every version still reads back exactly afterwards
+    val orphan = new java.io.File(new java.io.File(root, "_data"), "v99")
+    orphan.mkdirs()
+    java.nio.file.Files.write(new java.io.File(orphan, "junk.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val (nDirs, bytes) = VersionedCorpus.gc(spark, root)
+    assert(nDirs == 4L && bytes > 0L, // v1, v2, v3 pre-purge dirs + v99
+      s"gc freed $nDirs dirs / $bytes bytes")
+    (1L to 3L).foreach { v =>
+      assert(VersionedCorpus.readAt(spark, root, v).collect().toSet ==
+        before(v).filterNot(_.getLong(0) == 11L), s"v$v unreadable after gc")
+    }
+    assert(VersionedCorpus.gc(spark, root) == ((0L, 0L)), "gc must be idempotent")
+  }
+
+  test("equi-depth layout balances shards under value skew and indexes them") {
+    import graft.sources.Sources
+    val dir = s"$tmp/equidepth"
+    // heavily value-skewed column: value k carries ~2k+1 rows (floor of
+    // sqrt) — the distribution where a sampled range partitioner can
+    // misplace boundaries; the exact histogram cannot
+    val data = spark.range(10000).select(col("id"),
+      expr("CAST(floor(sqrt(id)) AS BIGINT)").as("v"))
+    Sources.writeEquiDepth(data, dir, "v", nShards = 8)
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_RANGES.json")))
+    val entries = body.stripPrefix("[").stripSuffix("]").split("\\},")
+      .map { e =>
+        def f(k: String) =
+          raw""""$k":(-?\d+)""".r.findFirstMatchIn(e).get.group(1).toLong
+        (f("min"), f("max"), f("rows"))
+      }.sortBy(_._1)
+    assert(entries.length == 8, s"expected 8 shards: $body")
+    assert(entries.map(_._3).sum == 10000L, "rows lost in the layout")
+    // equi-depth: every shard within ideal ± the heaviest single value
+    // (a value never splits across shards — the q68 balance bound)
+    val maxValueCnt = 199L
+    entries.foreach { case (mn, mx, n) =>
+      assert(n >= 1250 - maxValueCnt && n <= 1250 + maxValueCnt,
+        s"shard [$mn,$mx] unbalanced: $n rows")
+    }
+    // disjoint, ordered, gap-free coverage of the value domain
+    entries.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 < b._1, s"overlapping shard ranges: $a $b")
+    }
+    // the index prunes: a point predicate overlaps exactly one shard
+    val probe = entries(3)._1
+    assert(entries.count(e => e._1 <= probe && probe <= e._2) == 1,
+      "point lookup must resolve to one shard")
+    // read-back integrity incl. the hive shard column
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000L &&
+      back.select("v").collect().map(_.getLong(0)).sorted.sameElements(
+        data.select("v").collect().map(_.getLong(0)).sorted))
+  }
+
   test("compaction plan covers every file once, packs under target, is deterministic") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString

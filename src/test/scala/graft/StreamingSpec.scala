@@ -731,6 +731,24 @@ class StreamingSpec extends SparkTestBase {
       assert(got == expect, s"frontier mismatch: got $got expect $expect")
       // every emitted version is a monotone frontier sequence
       assert(rows.map(_.version).distinct.sorted.sameElements(1L to lastV))
+      // ATTRIBUTE UPDATE (repriced part): same key, better price —
+      // the stale frontier entry is evicted and the new point re-runs
+      // admission, not silently ignored
+      in.addData(Seq(PartPoint(2, 3, 40))); q.processAllAvailable()
+      val v4 = spark.sql("SELECT * FROM st25_out").as[FrontierRow].collect()
+      assert(v4.map(_.version).max == 4L, "update must bump the version")
+      val f4 = v4.filter(_.version == 4L)
+        .map(r => (r.p_partkey, r.p_size, r.price_c)).toSet
+      assert(f4.contains((2L, 3L, 40L)) && !f4.exists(
+        p => p._1 == 2L && p._3 == 50L),
+        s"stale entry not replaced on update: $f4")
+      // degrading update: the new attributes are dominated (4 is
+      // cheaper AND bigger), so the part leaves the frontier entirely
+      in.addData(Seq(PartPoint(2, 2, 70))); q.processAllAvailable()
+      val v5 = spark.sql("SELECT * FROM st25_out").as[FrontierRow].collect()
+      assert(v5.map(_.version).max == 5L, "eviction must bump the version")
+      assert(!v5.filter(_.version == 5L).exists(_.p_partkey == 2L),
+        "dominated update must not re-enter the frontier")
     } finally q.stop()
   }
 
