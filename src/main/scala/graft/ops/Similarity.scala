@@ -1006,16 +1006,19 @@ object Similarity {
     * IVF probes cells, and the graph walk touches O(beam·k·hops)
     * vectors. Rank-only output (float cosine orders, never grades). */
   def ss22NswTopk(s: SparkSession, d: String): DataFrame = {
+    import Checkpoints.TruncateOps
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val corpus = emb.filter(col("vec_id") >= 10)
-    // symmetric NSW edges from the kNN-join graph (k=3 both ways)
+    // symmetric NSW edges from the kNN-join graph (k=3 both ways);
+    // TRUNCATED: each of the 3 hops joins this frame — without the cut
+    // the whole ss18 index-build lineage re-executes per hop
     val knn = ss18KnnJoin(s, d)
       .filter(col("qid") >= 10 && col("neighbor_id") >= 10)
       .select(col("qid").as("src"), col("neighbor_id").as("dst"))
     val edges = knn.unionByName(
         knn.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct().truncated
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
     val entry = corpus.agg(min(col("vec_id")).as("vec_id"))
@@ -1029,8 +1032,11 @@ object Similarity {
       val scoredHop = expanded
         .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .join(broadcast(queries), Seq("qid"))
+      // per-hop cut (the iterative-kernel discipline): keeps each
+      // hop's plan flat instead of nesting 3 join rounds
       beam = topkPairs(scoredHop, expr("cosine_sim(q_emb, embedding)"), 8)
         .select(col("qid"), col("neighbor_id").as("vec_id"))
+        .truncated
     }
     val fin = beam
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))

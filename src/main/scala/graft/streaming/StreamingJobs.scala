@@ -470,7 +470,8 @@ object StreamingJobs {
     * At 100 TB the same shape holds because the published artifact is
     * the GROUP GRID, never the fact stream. */
   def streamingSummaryMaintenance(lineitems: DataFrame, mvDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, sourcePath: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     lineitems
       .groupBy(col("l_returnflag"), col("l_linestatus"),
         month(col("l_shipdate")).as("ship_month"))
@@ -481,6 +482,14 @@ object StreamingJobs {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         val tmp = s"$mvDir.tmp-$id"
         batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        // the MV→table binding SummaryRewrite demands (fail-closed):
+        // written into the tmp dir BEFORE the swap, so every published
+        // generation carries its `_MV_SOURCE` sidecar atomically
+        sourcePath.foreach { src =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, "_MV_SOURCE"),
+            src.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
         val fs = new java.io.File(mvDir)
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))

@@ -561,7 +561,10 @@ class StreamingSpec extends SparkTestBase {
     val q = StreamingJobs.streamingSummaryMaintenance(
       in.toDF().toDF("l_orderkey", "l_returnflag", "l_linestatus",
         "l_quantity", "l_shipdate"),
-      mvDir, s"$base/ckpt")
+      mvDir, s"$base/ckpt",
+      // bind the MV to the raw table it stands in for — the sidecar
+      // SummaryRewrite now requires before routing any scan to it
+      sourcePath = Some(s"$base/lineitem.parquet"))
     def servedTotals(): Map[(String, String), (Double, Long)] = {
       val s2 = spark.newSession()
       s2.conf.set("spark.graft.summaryDir", mvDir)
