@@ -826,4 +826,62 @@ object StreamingJobs {
           }
       }
   }
+
+  case class PostingRow(tok: String, df: Long, doc_id: Long, tf: Long,
+    rk: Int)
+
+  /** st28: streaming maintenance of ss21's impact-ordered posting
+    * index — the lexical-retrieval twin of st23's ANN-index upkeep: as
+    * documents arrive, each term's state is its df counter plus its
+    * top-`keep` postings by (tf DESC, doc_id) — EXACTLY the statically
+    * truncated list the batch builder ships, so a BM25 serving tier
+    * reads a fresh index without ever re-scanning the corpus. Per-doc
+    * term frequencies are computed ROW-LOCALLY (array ops on the doc's
+    * own text — no pre-aggregation state), so the only keyed state is
+    * per TERM: 1 long + ≤`keep` pairs, bounded by the vocabulary,
+    * never by traffic. Each update emits the term's refreshed posting
+    * list (Append mode; the last emission per term IS the index — the
+    * st25 versioned-snapshot discipline). Insert-only stream assumed
+    * (re-delivering a doc already inside a term's kept list replaces
+    * its entry idempotently, but a doc pruned from the top-`keep`
+    * cannot be recognized as seen — tracking every doc per term is
+    * exactly the unbounded state this design exists to avoid; the
+    * batch rebuild (ss21) is the periodic exact reconciliation). */
+  def streamingPostingIndex(docs: DataFrame,
+      keep: Int = 64): Dataset[PostingRow] = {
+    import docs.sparkSession.implicits._
+    val terms = docs
+      .withColumn("toks", split(trim(col("text")), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(array_distinct(toks),
+          |  t -> struct(t AS tok,
+          |              size(filter(toks, x -> x = t)) AS tf))"""
+          .stripMargin)).as("p"))
+      .select(col("p.tok").as("tok"), col("doc_id"),
+        col("p.tf").cast("long").as("tf"))
+      .as[(String, Long, Long)]
+    terms.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, List[(Long, Long)]), PostingRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tok, rows, state: GroupState[(Long, List[(Long, Long)])]) =>
+          val (df0, top0) = state.getOption.getOrElse((0L, Nil))
+          var df = df0
+          var top = top0 // (tf, doc_id), best-first
+          // doc_id order: micro-batch replays fold deterministically
+          rows.toSeq.sortBy(_._2).foreach { case (_, doc, tf) =>
+            if (!top.exists(e => e._2 == doc && e._1 == tf)) {
+              df += (if (top.exists(_._2 == doc)) 0L else 1L)
+              top = ((tf, doc) :: top.filterNot(_._2 == doc))
+                .sortBy(e => (-e._1, e._2)).take(keep)
+            } else () // exact re-delivery of a kept posting: idempotent
+          }
+          if (df == df0 && top == top0) Iterator.empty
+          else {
+            state.update((df, top))
+            top.iterator.zipWithIndex.map { case ((tf, doc), i) =>
+              PostingRow(tok, df, doc, tf, i + 1)
+            }
+          }
+      }
+  }
 }

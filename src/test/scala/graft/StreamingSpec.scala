@@ -755,6 +755,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st28 streaming posting index matches the batch truncated index") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import StreamingJobs.PostingRow
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingJobs.streamingPostingIndex(
+        in.toDF().toDF("doc_id", "text"), keep = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st28_out").start()
+    try {
+      in.addData((1L, "a a b"), (2L, "a b b b")); q.processAllAvailable()
+      in.addData((3L, "a a a c"), (4L, "b")); q.processAllAvailable()
+      def current(): Map[String, (Long, Set[(Long, Long, Int)])] =
+        spark.sql("SELECT * FROM st28_out").as[PostingRow].collect()
+          .groupBy(_.tok).map { case (t, rs) =>
+            val df = rs.map(_.df).max // df is monotone: max = latest state
+            t -> ((df, rs.filter(_.df == df)
+              .map(r => (r.doc_id, r.tf, r.rk)).toSet))
+          }
+      val got = current()
+      // batch truth with keep=2: per term, df over ALL docs, postings
+      // = top-2 by (tf DESC, doc_id)
+      assert(got("a") == ((3L, Set((3L, 3L, 1), (1L, 2L, 2)))),
+        s"term a wrong: ${got("a")}")
+      assert(got("b") == ((3L, Set((2L, 3L, 1), (1L, 1L, 2)))),
+        s"term b wrong (df must count PRUNED doc 4): ${got("b")}")
+      assert(got("c") == ((1L, Set((3L, 1L, 1)))), s"term c wrong: ${got("c")}")
+      // exact re-delivery of kept postings: no state change, no emission
+      val before = spark.sql("SELECT count(*) FROM st28_out").head().getLong(0)
+      in.addData((3L, "a a a c")); q.processAllAvailable()
+      val after = spark.sql("SELECT count(*) FROM st28_out").head().getLong(0)
+      assert(after == before, "exact re-delivery must be silent")
+    } finally q.stop()
+  }
+
   test("st27 streaming DQ gate counts violations across batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
