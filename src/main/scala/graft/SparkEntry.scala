@@ -311,6 +311,7 @@ object SparkEntry {
     "ss22_nsw_topk"         -> Similarity.ss22NswTopk _,
     "pp30_data_constrained" -> Pipelines.pp30DataConstrained _,
     "pp31_soft_mix"         -> Pipelines.pp31SoftMix _,
+    "pp32_purge_impact"     -> Pipelines.pp32PurgeImpact _,
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,
@@ -3223,6 +3224,49 @@ object SparkEntry {
          |    AS soft_discount_bp,
          |  soft_tokens - hard_tokens AS soft_minus_hard_tokens
          |FROM m""".stripMargin,
+
+    // pp32: purge blast radius — the three derived-artifact replays
+    // (ss21 truncated postings, ss05 cell assignment, dd06 clusters)
+    // each reduced to one distinct-count pair; planted doc_id % 97
+    // tombstone rule, affected share in exact bp.
+    "pp32_purge_impact" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
+         |             AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         |post AS (SELECT tok, doc_id FROM (
+         |    SELECT tok, doc_id, row_number() OVER (PARTITION BY tok
+         |      ORDER BY tf DESC, doc_id) AS prk FROM tf) z WHERE prk <= 64),
+         |lex AS (SELECT 'postings_terms' AS artifact,
+         |    CAST(count(DISTINCT CASE WHEN doc_id % 97 = 0 THEN tok END)
+         |      AS BIGINT) AS n_affected,
+         |    CAST(count(DISTINCT tok) AS BIGINT) AS n_total FROM post),
+         |ex AS (SELECT vec_id, label, i,
+         |       CAST(embedding[i+1] AS DOUBLE) AS x
+         |     FROM embeddings, range(64) r(i)),
+         |cent AS (SELECT label AS cell, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+         |vc AS (SELECT ex.vec_id, cent.cell,
+         |         sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS ccos
+         |       FROM ex JOIN cent ON ex.i = cent.i GROUP BY 1, 2),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cell) AS crk FROM vc) WHERE crk = 1),
+         |cel AS (SELECT 'ivf_cells' AS artifact,
+         |    CAST(count(DISTINCT CASE WHEN vec_id % 97 = 0 THEN cell END)
+         |      AS BIGINT) AS n_affected,
+         |    CAST(count(DISTINCT cell) AS BIGINT) AS n_total FROM assigned),
+         |clusters AS ($dupClustersSql),
+         |clu AS (SELECT 'dup_clusters' AS artifact,
+         |    CAST(count(DISTINCT CASE WHEN doc_id % 97 = 0 THEN cluster_id END)
+         |      AS BIGINT) AS n_affected,
+         |    CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_total
+         |  FROM clusters),
+         |u AS (SELECT * FROM lex UNION ALL SELECT * FROM cel
+         |      UNION ALL SELECT * FROM clu)
+         |SELECT artifact, n_affected, n_total,
+         |  CAST(CASE WHEN n_total = 0 THEN 0
+         |       ELSE n_affected * 10000 // n_total END AS BIGINT)
+         |    AS affected_bp
+         |FROM u""".stripMargin,
 
     // ss21: integer BM25 — Lucene-positive micro-nat idf (the tx08 ln
     // grid), the k1/b saturation cleared to one integer division per

@@ -1050,4 +1050,47 @@ object Pipelines {
       .withColumn("soft_minus_hard_tokens",
         col("soft_tokens") - col("hard_tokens"))
   }
+
+  /** pp32: PURGE blast-radius audit — the governance op that makes the
+    * VersionedCorpus GDPR path operable at scale: deleting docs from
+    * the corpus is not enough, every DERIVED artifact that memorized
+    * them must also forget, and the purge scheduler's first question
+    * is "how much of each index does this tombstone batch invalidate —
+    * patch or rebuild?". Measured here for the three artifact families
+    * the engine ships: the truncated BM25 posting lists (a term is
+    * affected iff a purged doc sits in its kept top-64 — pruned docs
+    * were never in the index), the IVF cell assignment (a cell is
+    * affected iff it contains a purged vector; vec_id ≡ doc_id, the
+    * ss20 identity), and the near-dup clusters (an affected cluster's
+    * keeper choice may change). One distinct-count aggregate per
+    * artifact frame (the artifacts are already computed/cached by
+    * their owners), tombstone membership row-local (the planted
+    * doc_id % 97 rule stands in for production's broadcast tombstone
+    * key set so the oracle replays it); affected share in exact bp. */
+  def pp32PurgeImpact(s: SparkSession, d: String): DataFrame = {
+    val purged = (c: org.apache.spark.sql.Column) => c % 97 === 0
+    val post = Similarity.bm25Postings(Similarity.termFreqs(s, d))
+    val lex = post.agg(
+      countDistinct(when(purged(col("doc_id")), col("tok"))).as("n_affected"),
+      countDistinct(col("tok")).as("n_total"))
+      .select(lit("postings_terms").as("artifact"),
+        col("n_affected"), col("n_total"))
+    val cells = Similarity.cellAssignments(s, d)
+      .select(col("vec_id"), col("cell"))
+      .agg(
+        countDistinct(when(purged(col("vec_id")), col("cell"))).as("n_affected"),
+        countDistinct(col("cell")).as("n_total"))
+      .select(lit("ivf_cells").as("artifact"),
+        col("n_affected"), col("n_total"))
+    val clus = Dedup.dd06DupClusters(s, d).agg(
+      countDistinct(when(purged(col("doc_id")), col("cluster_id")))
+        .as("n_affected"),
+      countDistinct(col("cluster_id")).as("n_total"))
+      .select(lit("dup_clusters").as("artifact"),
+        col("n_affected"), col("n_total"))
+    lex.unionByName(cells).unionByName(clus)
+      .withColumn("affected_bp",
+        when(col("n_total") === 0, 0L)
+          .otherwise(expr("n_affected * 10000 div n_total")))
+  }
 }

@@ -948,11 +948,31 @@ object Similarity {
     * stopword-heavy corpus like this one's 31-token vocabulary).
     * Integer scores are graded directly — the ln micro-rounding is the
     * only float, on the proven cross-engine grid. */
+  /** Per-(doc, term) frequencies — the shared base of the lexical
+    * index surface (ss21, pp32). */
+  private[ops] def termFreqs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** ss21's statically truncated impact-ordered postings
+    * (tok, doc_id, tf): top-64 per term by (tf DESC, doc_id) via the
+    * partial-aggregable TopKPairAggregator — exposed for pp32's
+    * purge-impact audit. */
+  private[ops] def bm25Postings(tf: DataFrame): DataFrame = {
+    val topPost = udaf(new graft.functions.TopKPairAggregator(64))
+    tf.groupBy(col("tok"))
+      .agg(topPost(col("tf").cast("double"), col("doc_id")).as("top"))
+      .select(col("tok"), explode(col("top")).as("p"))
+      .select(col("tok"), col("p._2").as("doc_id"),
+        col("p._1").cast("long").as("tf"))
+  }
+
   def ss21Bm25Topk(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(s, d)
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val tot = dl.agg(sum(col("dl")).as("t_tokens"),
       count(lit(1)).as("n_docs"),
@@ -966,12 +986,7 @@ object Similarity {
       .select(col("tok"), col("idf_micro"), col("a_c"))
     // statically-pruned impact-ordered postings: top-64 docs per term
     // by tf — partial-aggregable, no df-sized window partition
-    val topPost = udaf(new graft.functions.TopKPairAggregator(64))
-    val postings = tf.groupBy(col("tok"))
-      .agg(topPost(col("tf").cast("double"), col("doc_id")).as("top"))
-      .select(col("tok"), explode(col("top")).as("p"))
-      .select(col("tok"), col("p._2").as("doc_id"),
-        col("p._1").cast("long").as("tf"))
+    val postings = bm25Postings(tf)
     val qTerms = tf.filter(col("doc_id") < 10)
       .select(col("doc_id").as("qid"), col("tok"))
       .join(idf, Seq("tok"))

@@ -2461,6 +2461,26 @@ class OperatorsSpec extends SparkTestBase {
       "soft dedup discounted nothing — dd25 weights not applied")
   }
 
+  test("pp32 purge impact counts reconcile with the cluster artifact") {
+    val rows = ops.Pipelines.pp32PurgeImpact(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("postings_terms", "ivf_cells", "dup_clusters"))
+    rows.foreach { case (a, (aff, tot, bp)) =>
+      assert(aff >= 0 && aff <= tot, s"$a affected out of range")
+      assert(bp == (if (tot == 0) 0L else aff * 10000 / tot), s"$a bp grid")
+    }
+    // independent recomputation of the cluster tier from the public
+    // artifact: the audit must agree with the artifact it audits
+    val clusters = ops.Dedup.dd06DupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expTotal = clusters.map(_._2).distinct.length.toLong
+    val expAff = clusters.filter(_._1 % 97 == 0).map(_._2).distinct.length.toLong
+    assert(rows("dup_clusters")._1 == expAff &&
+      rows("dup_clusters")._2 == expTotal,
+      s"cluster tier disagrees with dd06: ${rows("dup_clusters")}")
+  }
+
   test("ss21 BM25 ranks are contiguous with monotone positive scores") {
     val rows = ops.Similarity.ss21Bm25Topk(spark, sf).collect()
     assert(rows.nonEmpty)
