@@ -312,6 +312,10 @@ object SparkEntry {
     "pp30_data_constrained" -> Pipelines.pp30DataConstrained _,
     "pp31_soft_mix"         -> Pipelines.pp31SoftMix _,
     "pp32_purge_impact"     -> Pipelines.pp32PurgeImpact _,
+    "ev54_bot_detect"       -> Events.ev54BotDetect _,
+    "pp33_domain_caps"      -> Pipelines.pp33DomainCaps _,
+    "ss23_hybrid_bm25"      -> Similarity.ss23HybridBm25 _,
+    "dd26_chain_risk"       -> Dedup.dd26ChainRisk _,
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,
@@ -3267,6 +3271,141 @@ object SparkEntry {
          |       ELSE n_affected * 10000 // n_total END AS BIGINT)
          |    AS affected_bp
          |FROM u""".stripMargin,
+
+    // dd26: per-cluster chain-collapse risk — edges with zero triangle
+    // support through the SAME wedge-safe (deg ≤ 64 center) kernel as
+    // gr04, aggregated per dd06 cluster; bp share exact.
+    "dd26_chain_risk" ->
+      s"""WITH j AS ($ngramJaccardSql),
+         |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
+         |deg AS (SELECT m, count(*) AS deg FROM bi GROUP BY 1),
+         |safe AS (SELECT bi.m, bi.n FROM bi JOIN deg USING (m)
+         |         WHERE deg.deg <= 64),
+         |cn AS (SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS common
+         |       FROM safe x JOIN safe y ON x.m = y.m AND x.n < y.n
+         |       GROUP BY 1, 2),
+         |es AS (SELECT j.d1, j.d2, coalesce(cn.common, 0) AS support
+         |       FROM j LEFT JOIN cn ON cn.a = j.d1 AND cn.b = j.d2),
+         |clusters AS ($dupClustersSql),
+         |ce AS (SELECT c.cluster_id, es.support
+         |       FROM es JOIN clusters c ON c.doc_id = es.d1),
+         |agg AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+         |          CAST(sum(CASE WHEN support = 0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_bridge_edges
+         |        FROM ce GROUP BY 1),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM clusters GROUP BY 1)
+         |SELECT sz.cluster_id, n_members, n_edges, n_bridge_edges,
+         |  CAST(n_bridge_edges * 10000 // n_edges AS BIGINT)
+         |    AS bridge_share_bp
+         |FROM sz JOIN agg ON agg.cluster_id = sz.cluster_id""".stripMargin,
+
+    // ev54: per-user inter-arrival regularity on the integer second
+    // grid (ev33's timestamp convention); modal gap ties to the
+    // smallest value, thresholds ≥20 events / ≥50% modal share / ≤2
+    // distinct deltas.
+    "ev54_bot_detect" ->
+      """WITH g AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        |  FROM events),
+        |h AS (SELECT user_id, gap_s, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_gaps,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_gaps
+        |       FROM h GROUP BY 1),
+        |tp AS (SELECT user_id, gap_s AS modal_gap_s, cnt AS modal_cnt
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |           ORDER BY cnt DESC, gap_s) AS rk FROM h) z
+        |       WHERE rk = 1)
+        |SELECT st.user_id, n_gaps + 1 AS n_events, n_distinct_gaps,
+        |  modal_gap_s,
+        |  CAST(modal_cnt * 1000000 // n_gaps AS BIGINT) AS modal_share_ppm,
+        |  (modal_cnt * 1000000 // n_gaps >= 500000
+        |    OR n_distinct_gaps <= 2) AS is_bot
+        |FROM st JOIN tp ON tp.user_id = st.user_id
+        |WHERE n_gaps >= 19""".stripMargin,
+
+    // pp33: per-source cap at 60 docs by (n_chars DESC, doc_id) —
+    // the same deterministic rank the Spark TopKPairAggregator keeps.
+    "pp33_domain_caps" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents),
+        |k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |        CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |      FROM r WHERE rk <= 60 GROUP BY 1),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS chars_total
+        |      FROM documents GROUP BY 1)
+        |SELECT a.source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
+        |  chars_total, chars_kept,
+        |  CAST(CASE WHEN chars_total = 0 THEN 0
+        |       ELSE chars_kept * 1000000 // chars_total END AS BIGINT)
+        |    AS kept_ppm
+        |FROM a JOIN k ON k.source = a.source""".stripMargin,
+
+    // ss23: RRF fusion of the BM25 tier (ss21's truncated
+    // impact-ordered index, top-20) with the brute cosine tier
+    // (top-20); rank-only fusion on the integer grid, final top-5.
+    "ss23_hybrid_bm25" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
+        |             AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(100 * CAST(sum(dl) AS BIGINT) // count(*) AS BIGINT) AS a_c
+        |  FROM dl),
+        |idf AS (SELECT tok,
+        |    CAST(round(ln(CAST(n_docs * 2 + 2 AS DOUBLE)
+        |      / CAST(df * 2 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS idf_micro,
+        |    a_c
+        |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) x
+        |  CROSS JOIN tot),
+        |post AS (SELECT tok, doc_id, tf FROM (
+        |    SELECT tok, doc_id, tf, row_number() OVER (PARTITION BY tok
+        |      ORDER BY tf DESC, doc_id) AS prk FROM tf) z WHERE prk <= 64),
+        |qt AS (SELECT tf.doc_id AS qid, tf.tok, idf.idf_micro, idf.a_c
+        |       FROM tf JOIN idf ON idf.tok = tf.tok WHERE tf.doc_id < 10),
+        |sc AS (SELECT qt.qid, post.doc_id,
+        |    CAST(sum(qt.idf_micro * 22 * post.tf * qt.a_c
+        |      // (10 * qt.a_c * post.tf + 3 * qt.a_c + 900 * dl.dl))
+        |      AS BIGINT) AS bm25_micro
+        |  FROM qt JOIN post ON post.tok = qt.tok AND post.doc_id != qt.qid
+        |  JOIN dl ON dl.doc_id = post.doc_id
+        |  GROUP BY 1, 2),
+        |btop AS (SELECT qid, doc_id AS nid, rk FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY bm25_micro DESC, doc_id) AS rk FROM sc) z
+        |    WHERE rk <= 20),
+        |q AS (SELECT vec_id AS qid, embedding AS qe
+        |      FROM embeddings WHERE vec_id < 10),
+        |vc AS (SELECT qid, e.vec_id AS nid,
+        |         list_cosine_similarity(qe, e.embedding) AS cos
+        |       FROM q, embeddings e WHERE e.vec_id != qid),
+        |vtop AS (SELECT qid, nid, rk FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid) AS rk FROM vc) z WHERE rk <= 20),
+        |f AS (SELECT coalesce(v.qid, b.qid) AS qid,
+        |        coalesce(v.nid, b.nid) AS nid,
+        |        CAST(coalesce(v.rk, 0) AS BIGINT) AS rank_vec,
+        |        CAST(coalesce(b.rk, 0) AS BIGINT) AS rank_bm25,
+        |        CAST((CASE WHEN v.rk IS NULL THEN 0
+        |               ELSE 1000000 // (60 + v.rk) END)
+        |           + (CASE WHEN b.rk IS NULL THEN 0
+        |               ELSE 1000000 // (60 + b.rk) END) AS BIGINT)
+        |          AS rrf_score
+        |      FROM vtop v FULL OUTER JOIN btop b
+        |        ON v.qid = b.qid AND v.nid = b.nid)
+        |SELECT qid, nid AS neighbor_id, rank_vec, rank_bm25, rrf_score,
+        |  CAST(rk_fused AS BIGINT) AS rk_fused
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY rrf_score DESC, nid) AS rk_fused FROM f) z
+        |WHERE rk_fused <= 5""".stripMargin,
 
     // ss21: integer BM25 — Lucene-positive micro-nat idf (the tx08 ln
     // grid), the k1/b saturation cleared to one integer division per

@@ -867,4 +867,48 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("weight_ppm"))
   }
+
+  /** dd26: chain-collapse RISK audit — the known failure mode of
+    * transitive-closure dedup (dd06): clustering is the closure of
+    * PAIRWISE near-duplication, which is not transitive, so a chain
+    * A~B~C can merge A and C at effective similarity far below
+    * threshold, and one borderline false-positive pair welds two
+    * unrelated families into a single cluster whose keep-best (dd07)
+    * then discards half a family. The risk signature is an edge with
+    * NO triangle support: a genuine dup family is clique-shaped
+    * (every wedge closed), a chain weld hangs on one unsupported
+    * edge. Per cluster: member count, edge count, bridge edges
+    * (support 0 through the gr04 wedge-safe kernel — same deg ≤ 64
+    * hub rule, oracle replays it), and the bridge share in exact bp —
+    * the "review before trusting this merge" queue, highest shares
+    * first (size-2 clusters are definitionally 100%: a single pair IS
+    * an unsupported merge; readers condition on n_members). Scale:
+    * support rides the hub-guarded wedge join (∝ Σ safe-deg², never
+    * family³); cluster labels and sizes are the dd06 frames already
+    * bounded by near-dup docs; the final aggregate is ∝ clusters. */
+  def dd26ChainRisk(s: SparkSession, d: String): DataFrame = {
+    val pairs = CacheScope.cached(
+      dd02MinhashLsh(s, d).select(col("d1"), col("d2")))
+    val support = Graph.commonNeighborPairs(pairs, Graph.wedgeMaxDeg)
+    val esup = pairs
+      .join(support,
+        pairs("d1") === support("a") && pairs("d2") === support("b"),
+        "left_outer")
+      .select(col("d1"), col("d2"),
+        coalesce(col("common"), lit(0L)).as("support"))
+    val labels = dd06DupClusters(s, d)
+    val byCluster = esup
+      .join(labels.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("support") === 0, 1L).otherwise(0L))
+          .as("n_bridge_edges"))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    sizes.join(byCluster, Seq("cluster_id"))
+      .withColumn("bridge_share_bp",
+        expr("n_bridge_edges * 10000 div n_edges"))
+      .select(col("cluster_id"), col("n_members"), col("n_edges"),
+        col("n_bridge_edges"), col("bridge_share_bp"))
+  }
 }

@@ -1344,4 +1344,53 @@ object Events {
       .select(col("day"), col("weekday"), col("n_events"),
         col("forecast"), col("abs_err"), col("err_bp"))
   }
+
+  /** ev54: BOT / timer-traffic detection — flag users whose
+    * inter-arrival pattern is too regular to be human (cron scrapers
+    * and synthetic-load timers emit events on a fixed period; at crawl
+    * scale they dominate raw volume, so the gate runs BEFORE
+    * sessionization/feature ops to protect every per-user aggregate
+    * downstream). Per-user gap histogram on the integer second grid
+    * (ev33's proven cross-engine timestamp convention): gaps are
+    * consecutive deltas in (ts, event_id) order; the MODAL gap (most
+    * frequent delta, ties to the smallest) and its ppm share of all
+    * gaps measure regularity, n_distinct_gaps measures repertoire.
+    * is_bot when ≥ 20 events and (modal share ≥ 50% or ≤ 2 distinct
+    * deltas) — a human's gaps never concentrate like that; a timer's
+    * always do. Scale: one per-user-ordered window (the same shuffle
+    * every session op pays), one (user, gap) partial agg whose frame
+    * is bounded per user by that user's event count, and a per-user
+    * top-1 window over DISTINCT deltas only — never the event table.
+    * Flagged or not, every qualifying user's regularity row is graded
+    * (the thresholds live in one place, the data decides). */
+  def ev54BotDetect(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = ev(s, d)
+      .withColumn("prev_t", lag(col("ts").cast("long"), 1).over(w))
+      .filter(col("prev_t").isNotNull)
+      .select(col("user_id"),
+        (col("ts").cast("long") - col("prev_t")).as("gap_s"))
+    val hist = gaps.groupBy(col("user_id"), col("gap_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hist.groupBy(col("user_id"))
+      .agg(sum(col("cnt")).as("n_gaps"),
+        count(lit(1)).as("n_distinct_gaps"))
+    // per-user frame here is the DISTINCT-gap histogram, not events
+    val wTop = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("gap_s"))
+    val modal = hist.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("gap_s").as("modal_gap_s"),
+        col("cnt").as("modal_cnt"))
+    stats.join(modal, Seq("user_id"))
+      .filter(col("n_gaps") >= 19) // ≥ 20 events
+      .withColumn("modal_share_ppm",
+        expr("modal_cnt * 1000000 div n_gaps"))
+      .withColumn("is_bot",
+        col("modal_share_ppm") >= 500000 || col("n_distinct_gaps") <= 2)
+      .select(col("user_id"), (col("n_gaps") + 1).as("n_events"),
+        col("n_distinct_gaps"), col("modal_gap_s"),
+        col("modal_share_ppm"), col("is_bot"))
+  }
 }

@@ -1093,4 +1093,41 @@ object Pipelines {
         when(col("n_total") === 0, 0L)
           .otherwise(expr("n_affected * 10000 div n_total")))
   }
+
+  /** pp33: per-DOMAIN contribution caps — no single source may put
+    * more than CAP=60 docs into the training pool (the C4/RefinedWeb
+    * guard against one crawled domain flooding the mix; pp06 balances
+    * token MASS across sources, this bounds DOC COUNT so a single
+    * domain's boilerplate can't dominate even inside its mass quota).
+    * Rank within source is deterministic quality-by-length
+    * (n_chars DESC, doc_id) — the real pipeline swaps in any
+    * per-doc score without touching the mechanics. Scale: the
+    * per-source selection is the partial-aggregable
+    * TopKPairAggregator, NEVER a window over the corpus partitioned
+    * by source (one mega-domain at 100 TB would serialize that
+    * partition's sort on a single task); ≤ CAP pairs per source cross
+    * the shuffle, the kept-doc join back is a semi-sized hash join,
+    * and the report is one row per source. */
+  def pp33DomainCaps(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val topk = udaf(new graft.functions.TopKPairAggregator(60))
+    val kept = docs.groupBy(col("source"))
+      .agg(topk(col("n_chars").cast("double"), col("doc_id")).as("top"))
+      .select(col("source"), explode(col("top")).as("p"))
+      .select(col("source"), col("p._2").as("doc_id"))
+    val keptStats = kept.join(docs, Seq("source", "doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    val allStats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_total"))
+    allStats.join(keptStats, Seq("source"))
+      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+      .withColumn("kept_ppm",
+        when(col("chars_total") === 0, 0L)
+          .otherwise(expr("chars_kept * 1000000 div chars_total")))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("n_dropped"), col("chars_total"), col("chars_kept"),
+        col("kept_ppm"))
+  }
 }

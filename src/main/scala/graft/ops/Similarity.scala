@@ -969,7 +969,10 @@ object Similarity {
         col("p._1").cast("long").as("tf"))
   }
 
-  def ss21Bm25Topk(s: SparkSession, d: String): DataFrame = {
+  /** ss21's per-(query, doc) BM25 integer scores through the truncated
+    * impact-ordered index — the shared lexical tier of ss21 (direct
+    * top-10) and ss23 (hybrid fusion). */
+  private[ops] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
     val tf = termFreqs(s, d)
@@ -990,13 +993,17 @@ object Similarity {
     val qTerms = tf.filter(col("doc_id") < 10)
       .select(col("doc_id").as("qid"), col("tok"))
       .join(idf, Seq("tok"))
-    val scored = postings.join(broadcast(qTerms), Seq("tok"))
+    postings.join(broadcast(qTerms), Seq("tok"))
       .filter(col("doc_id") =!= col("qid"))
       .join(dl, Seq("doc_id"))
       .withColumn("contrib", expr(
         "idf_micro * 22 * tf * a_c div (10 * a_c * tf + 3 * a_c + 900 * dl)"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("contrib")).as("bm25_micro"))
+  }
+
+  def ss21Bm25Topk(s: SparkSession, d: String): DataFrame = {
+    val scored = bm25Scored(s, d)
     val top = topkPairs(scored.withColumnRenamed("doc_id", "vec_id"),
       col("bm25_micro").cast("double"), 10)
     top.join(scored.withColumnRenamed("doc_id", "neighbor_id"),
@@ -1058,5 +1065,51 @@ object Similarity {
       .join(broadcast(queries), Seq("qid"))
     topkPairs(fin, expr("cosine_sim(q_emb, embedding)"), 5)
       .select(col("qid"), col("neighbor_id"), col("rk").cast("long").as("rk"))
+  }
+
+  /** ss23: PRODUCTION hybrid retrieval — ss19's RRF shape with the
+    * lexical tier upgraded from raw shared-token counts to ss21's
+    * BM25 over the truncated impact-ordered index (df weighting fixes
+    * the quality half: a rare identifier now outranks ten mid-df
+    * matches; the top-64 posting truncation fixes the scale half:
+    * candidate fanout ≤ 64·|query terms| with NO df cap to return
+    * nothing on a stopword-heavy corpus). Each tier emits a per-query
+    * top-20 through the partial-aggregable TopKPairAggregator, fused
+    * rank-only by RRF (Σ 10⁶ div (60 + rank) — BM25 micro-scores and
+    * float cosines never mix scales), final top-5 per query. The
+    * fusion join is over ≤ 40 rows per query; both tier selections
+    * shuffle only matched pairs. This is the retrieval stack a RAG
+    * serving layer runs at corpus scale: postings bounded per term,
+    * vector tier swappable for ss22's graph walk, fusion arithmetic
+    * hash-exact on the integer grid. */
+  def ss23HybridBm25(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val vtop = topkPairs(
+      emb.join(broadcast(queries), col("vec_id") =!= col("qid")),
+      expr("cosine_sim(q_emb, embedding)"), 20)
+      .withColumnRenamed("rk", "rank_vec")
+    val btop = topkPairs(
+      bm25Scored(s, d).withColumnRenamed("doc_id", "vec_id"),
+      col("bm25_micro").cast("double"), 20)
+      .withColumnRenamed("rk", "rank_bm25")
+    val f = vtop.join(btop, Seq("qid", "neighbor_id"), "full_outer")
+      .select(col("qid"), col("neighbor_id"),
+        coalesce(col("rank_vec"), lit(0)).cast("long").as("rank_vec"),
+        coalesce(col("rank_bm25"), lit(0)).cast("long").as("rank_bm25"))
+      .withColumn("rrf_score",
+        when(col("rank_vec") > 0, expr("1000000 div (60 + rank_vec)"))
+          .otherwise(lit(0L)) +
+        when(col("rank_bm25") > 0, expr("1000000 div (60 + rank_bm25)"))
+          .otherwise(lit(0L)))
+    val fused = topkPairs(f.withColumnRenamed("neighbor_id", "vec_id"),
+      col("rrf_score").cast("double"), 5)
+      .withColumnRenamed("rk", "rk_fused")
+    fused.join(f, Seq("qid", "neighbor_id"))
+      .select(col("qid"), col("neighbor_id"), col("rank_vec"),
+        col("rank_bm25"), col("rrf_score").cast("long").as("rrf_score"),
+        col("rk_fused").cast("long").as("rk_fused"))
   }
 }

@@ -190,6 +190,26 @@ object VersionedCorpus {
     rewritten
   }
 
+  /** Every key ever purged, from the `_tombstones` ledger — the
+    * deny-list an INGEST gate applies so purged keys cannot re-enter
+    * via late replays or backfills (purgeKeys erases the past; this
+    * is how the future stays erased). Driver-side metadata read:
+    * the ledger is ∝ deletion requests (KBs/week), never corpus-
+    * sized. */
+  def tombstoneKeys(root: String): Seq[Long] = {
+    val tombDir = new File(root, "_tombstones")
+    val keyArr = """"keys":\[([0-9,\-]*)\]""".r
+    Option(tombDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .flatMap { f =>
+        val txt = new String(Files.readAllBytes(f.toPath),
+          StandardCharsets.UTF_8)
+        keyArr.findFirstMatchIn(txt).map(_.group(1)).toSeq
+          .flatMap(g => if (g.isEmpty) Nil
+            else g.split(",").toSeq.map(_.toLong))
+      }.distinct.sorted.toSeq
+  }
+
   /** Garbage-collect `_data` dirs no published manifest references:
     * pre-purge generations and failed-publish orphans (data written,
     * manifest never landed). Safe by construction — a reader resolves

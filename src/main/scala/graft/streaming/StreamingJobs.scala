@@ -884,4 +884,27 @@ object StreamingJobs {
           }
       }
   }
+
+  /** st29: streaming PURGE gate — the ingest half of the GDPR loop.
+    * VersionedCorpus.purgeKeys erases a key from every published
+    * version (the past); this gate applies the SAME `_tombstones`
+    * ledger to the ingest stream so a purged key can never re-enter
+    * via a late replay, an upstream backfill, or a crawler that
+    * re-fetches the page (without it, the next publish resurrects
+    * what compliance certified deleted). Mechanics: the ledger keys
+    * — ∝ deletion requests, KBs against a 100 TB corpus — become one
+    * static broadcast frame; the stream anti-joins on doc_id.
+    * STATELESS (no state store, no watermark, Append): the deny-list
+    * lives in the plan, not in state, so gate memory is independent
+    * of traffic. Ledger is read at plan build — production wraps
+    * this in foreachBatch to re-read per batch; the restart-to-
+    * refresh caveat is the documented tradeoff for a shuffle-free
+    * plan. */
+  def streamingPurgeGate(docs: DataFrame, corpusRoot: String): DataFrame = {
+    val s = docs.sparkSession
+    val keys = s.createDataset(
+      graft.sources.VersionedCorpus.tombstoneKeys(corpusRoot))(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
+    docs.join(broadcast(keys), Seq("doc_id"), "left_anti")
+  }
 }

@@ -2057,6 +2057,125 @@ class OperatorsSpec extends SparkTestBase {
       "a node labeled twice")
   }
 
+  test("ev54 flags the planted timer, clears the human, skips the sparse") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ats(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    var eid = 0L
+    def mk(uid: Long, secs: Seq[Long]) = secs.map { sc =>
+      eid += 1; (eid, ats(sc), uid, "view", 1.0, "{}")
+    }
+    // u1: 25 events on an exact 60 s timer → modal share 100%
+    val timer = mk(1L, (0 until 25).map(_ * 60L))
+    // u2: 25 events, all 24 gaps distinct (30 + 7i) → modal share 1/24
+    val human = mk(2L, (0 until 25).map(i => (0 until i)
+      .map(j => 30L + 7 * j).sum))
+    // u3: 5 events — below the 20-event floor, must not appear
+    val sparse = mk(3L, (0 until 5).map(_ * 60L))
+    val rows = (timer ++ human ++ sparse)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev54").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ops.Events.ev54BotDetect(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out.keySet == Set(1L, 2L), s"wrong users surfaced: $out")
+    assert(out(1L) == ((25L, 1L, 60L, 1000000L, true)),
+      s"timer row wrong: ${out(1L)}")
+    val (n2, nd2, _, share2, bot2) = out(2L)
+    assert(n2 == 25L && nd2 == 24L && share2 == 1000000L / 24 && !bot2,
+      s"human row wrong: ${out(2L)}")
+  }
+
+  test("pp33 caps every source at 60 docs ranked by length") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.groupBy(_._1).map { case (src, rs) =>
+      val kept = rs.sortBy(t => (-t._3, t._2)).take(60)
+      src -> ((rs.length.toLong, kept.length.toLong,
+        rs.map(_._3).sum, kept.map(_._3).sum))
+    }
+    val got = ops.Pipelines.pp33DomainCaps(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect, s"cap selection diverges: $got vs $expect")
+    ops.Pipelines.pp33DomainCaps(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) <= 60, s"cap exceeded: $r")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2), s"drop count: $r")
+      assert(r.getLong(6) == r.getLong(5) * 1000000L / r.getLong(4),
+        s"ppm grid broken: $r")
+    }
+  }
+
+  test("dd26 bridge accounting matches an independent recomputation") {
+    val pairs = ops.Dedup.dd02MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus has no near-dup pairs to audit")
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val safeCenters = adj.filter { case (_, ns) => ns.size <= 64 }
+    def support(a: Long, b: Long): Long = safeCenters.count {
+      case (_, ns) => ns.contains(a) && ns.contains(b)
+    }.toLong
+    // reference clusters: min reachable id per component
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (ra min rb, ra max rb)
+        parent(hi) = lo }
+    }
+    val nodes = adj.keySet
+    val members = nodes.groupBy(find)
+    val expect = members.map { case (cl, ms) =>
+      val es = pairs.filter(p => find(p._1) == cl)
+      val bridges = es.count(p => support(p._1, p._2) == 0).toLong
+      cl -> ((ms.size.toLong, es.length.toLong, bridges,
+        bridges * 10000L / es.length))
+    }
+    val got = ops.Dedup.dd26ChainRisk(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"chain-risk diverges:\n got $got\n exp $expect")
+    // definitional invariant: a 2-member cluster is one unsupported edge
+    got.foreach { case (cl, (m, e, b, bp)) =>
+      if (m == 2) assert(e == 1 && b == 1 && bp == 10000L,
+        s"size-2 cluster $cl must be a single bridge: $e $b $bp")
+    }
+  }
+
+  test("ss23 fusion is rank-consistent and its BM25 tier matches ss21") {
+    val rows = ops.Similarity.ss23HybridBm25(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rv, rb, rrf) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rv > 0 || rb > 0, s"fused result in neither tier: $r")
+      assert(rv <= 20 && rb <= 20)
+      val exp = (if (rv > 0) 1000000L / (60 + rv) else 0L) +
+        (if (rb > 0) 1000000L / (60 + rb) else 0L)
+      assert(rrf == exp, s"RRF grid broken: $r expected $exp")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val rks = rs.map(_.getLong(5)).sorted.toSeq
+      assert(rks == (1L to rks.length),
+        s"query $q fused ranks not contiguous: $rks")
+      assert(rks.length <= 5)
+    }
+    // the lexical tier IS ss21: where a fused row sits in the BM25
+    // top-10, its rank must equal ss21's rank for the same pair
+    val bm = ops.Similarity.ss21Bm25Topk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    rows.filter(r => r.getLong(3) > 0 && r.getLong(3) <= 10).foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bm.get(key).contains(r.getLong(3)),
+        s"BM25 tier rank diverges from ss21 at $key: $r")
+    }
+  }
+
   test("ss19 RRF fusion is exactly consistent with its tier ranks") {
     val rows = ops.Similarity.ss19HybridRrf(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -848,4 +848,42 @@ class StreamingSpec extends SparkTestBase {
         s"only-batch ${expect.keySet -- got.keySet}")
     } finally q.stop()
   }
+
+  test("st29 purge gate blocks every tombstoned key, including replays") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.VersionedCorpus
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-st29").toString
+    // history: publish, then purge 2 and 5 in SEPARATE batches — the
+    // gate must union the whole ledger, not just the last record
+    VersionedCorpus.publish(
+      (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text"), root)
+    assert(VersionedCorpus.purgeKeys(spark, root, "doc_id", Seq(2L))
+      == Seq(1L))
+    assert(VersionedCorpus.purgeKeys(spark, root, "doc_id", Seq(5L))
+      == Seq(1L))
+    assert(VersionedCorpus.tombstoneKeys(root) == Seq(2L, 5L))
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs.streamingPurgeGate(docs, root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st29_out").start()
+    try {
+      in.addData((1L, "a"), (2L, "purged"), (3L, "b"))
+      q.processAllAvailable()
+      // late replay of a purged key + fresh traffic in a later batch
+      in.addData((5L, "purged too"), (2L, "replayed"), (7L, "new"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM st29_out")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 3L, 7L), s"gate let a tombstone through: $got")
+      // gate ≡ the batch anti-join on the same ledger
+      val batch = Seq(1L, 2L, 3L, 5L, 2L, 7L).toDF("doc_id")
+        .join(VersionedCorpus.tombstoneKeys(root).toDF("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
 }
