@@ -2439,7 +2439,29 @@ object SparkEntry {
          |      FROM embeddings WHERE vec_id < 10),
          |entry AS (SELECT min(vec_id) AS vec_id FROM embeddings
          |          WHERE vec_id >= 10),
-         |b0 AS (SELECT q.qid, entry.vec_id FROM q CROSS JOIN entry),
+         |cx AS (SELECT vec_id, label, i,
+         |       CAST(embedding[i+1] AS DOUBLE) AS x
+         |     FROM embeddings, range(64) r(i)),
+         |cc AS (SELECT label AS cell, i, avg(x) AS c FROM cx GROUP BY 1, 2),
+         |cvc AS (SELECT cx.vec_id, cc.cell,
+         |         sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS ccos
+         |       FROM cx JOIN cc ON cx.i = cc.i GROUP BY 1, 2),
+         |casg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cell) AS crk FROM cvc) z WHERE crk = 1),
+         |qc AS (SELECT vec_id AS qid, cell FROM casg WHERE vec_id < 10),
+         |ecell AS (SELECT qid, vec_id FROM (
+         |    SELECT qc.qid, casg.vec_id, row_number() OVER (
+         |        PARTITION BY qc.qid
+         |        ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
+         |                 casg.vec_id) AS rk
+         |    FROM qc JOIN casg ON casg.cell = qc.cell AND casg.vec_id >= 10
+         |    JOIN embeddings c ON c.vec_id = casg.vec_id
+         |    JOIN q ON q.qid = qc.qid) z WHERE rk = 1),
+         |b0 AS (SELECT DISTINCT qid, vec_id FROM (
+         |    SELECT q.qid, entry.vec_id FROM q CROSS JOIN entry
+         |    UNION ALL
+         |    SELECT qid, vec_id FROM ecell) u),
          |x1 AS (SELECT DISTINCT qid, vec_id FROM (
          |    SELECT qid, vec_id FROM b0
          |    UNION ALL
