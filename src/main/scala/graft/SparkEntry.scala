@@ -316,6 +316,8 @@ object SparkEntry {
     "pp33_domain_caps"      -> Pipelines.pp33DomainCaps _,
     "ss23_hybrid_bm25"      -> Similarity.ss23HybridBm25 _,
     "dd26_chain_risk"       -> Dedup.dd26ChainRisk _,
+    "dd27_safe_clusters"    -> Dedup.dd27SafeClusters _,
+    "pp34_cap_curve"        -> Pipelines.pp34CapCurve _,
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,
@@ -3321,6 +3323,67 @@ object SparkEntry {
          |  CAST(n_bridge_edges * 10000 // n_edges AS BIGINT)
          |    AS bridge_share_bp
          |FROM sz JOIN agg ON agg.cluster_id = sz.cluster_id""".stripMargin,
+
+    // dd27: min-label components over the triangle-supported edge
+    // subset (bridges dropped), reported per original dd06 cluster;
+    // members with no supported edge stay as their own singleton.
+    "dd27_safe_clusters" ->
+      s"""WITH j AS ($ngramJaccardSql),
+         |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
+         |deg AS (SELECT m, count(*) AS deg FROM bi GROUP BY 1),
+         |safe AS (SELECT bi.m, bi.n FROM bi JOIN deg USING (m)
+         |         WHERE deg.deg <= 64),
+         |cn AS (SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS common
+         |       FROM safe x JOIN safe y ON x.m = y.m AND x.n < y.n
+         |       GROUP BY 1, 2),
+         |es AS (SELECT j.d1, j.d2, coalesce(cn.common, 0) AS support
+         |       FROM j LEFT JOIN cn ON cn.a = j.d1 AND cn.b = j.d2),
+         |sup AS (SELECT d1, d2 FROM es WHERE support > 0),
+         |sbi AS (SELECT d1 AS a, d2 AS b FROM sup
+         |        UNION ALL SELECT d2, d1 FROM sup),
+         |sreach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM sbi
+         |    UNION
+         |    SELECT r.a, sbi.b FROM r JOIN sbi ON r.b = sbi.a)
+         |  SELECT * FROM r),
+         |sc AS (SELECT a AS doc_id, least(a, min(b)) AS safe_id
+         |       FROM sreach GROUP BY a),
+         |clusters AS ($dupClustersSql),
+         |mem AS (SELECT c.doc_id, c.cluster_id,
+         |          coalesce(sc.safe_id, c.doc_id) AS safe_id
+         |        FROM clusters c LEFT JOIN sc ON sc.doc_id = c.doc_id),
+         |ssz AS (SELECT cluster_id, safe_id, CAST(count(*) AS BIGINT) AS sz
+         |        FROM mem GROUP BY 1, 2)
+         |SELECT cluster_id, CAST(sum(sz) AS BIGINT) AS n_members,
+         |  CAST(count(*) AS BIGINT) AS n_safe_clusters,
+         |  CAST(max(sz) AS BIGINT) AS largest_safe,
+         |  count(*) > 1 AS split
+         |FROM ssz GROUP BY 1""".stripMargin,
+
+    // pp34: the cap sweep re-ranks only the ≤160-row/source top list;
+    // saturated = sources whose doc count exceeds the cap.
+    "pp34_cap_curve" ->
+      """WITH caps AS (SELECT CAST(unnest([10,20,40,60,80,160]) AS BIGINT)
+        |               AS cap),
+        |r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents),
+        |k AS (SELECT cap, CAST(count(*) AS BIGINT) AS docs_kept,
+        |        CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |      FROM r JOIN caps ON r.rk <= caps.cap GROUP BY 1),
+        |srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |         FROM documents GROUP BY 1),
+        |sat AS (SELECT cap, CAST(sum(CASE WHEN n > cap THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_saturated
+        |        FROM srcs CROSS JOIN caps GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t_docs,
+        |          CAST(sum(n_chars) AS BIGINT) AS t_chars FROM documents)
+        |SELECT k.cap, docs_kept, chars_kept, n_saturated,
+        |  CAST(docs_kept * 1000000 // t_docs AS BIGINT) AS docs_kept_ppm,
+        |  CAST(chars_kept * 1000000 // t_chars AS BIGINT) AS chars_kept_ppm
+        |FROM k JOIN sat ON sat.cap = k.cap CROSS JOIN tot""".stripMargin,
 
     // ev54: per-user inter-arrival regularity on the integer second
     // grid (ev33's timestamp convention); modal gap ties to the

@@ -285,7 +285,15 @@ object Dedup {
     // pair source is the MinHash path: identical verified pair set as
     // dd04 (so the oracle is unchanged) at a fraction of the cost —
     // at scale you never run the exact all-pairs join just to cluster.
-    val pairs = dd02MinhashLsh(s, d).select(col("d1"), col("d2"))
+    propagateMinLabels(dd02MinhashLsh(s, d).select(col("d1"), col("d2")))
+      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Min-label propagation to convergence over an oriented (d1, d2)
+    * pair frame — dd06's kernel, factored so dd27 can recluster over
+    * the triangle-supported edge subset with the identical
+    * convergence discipline. Returns (doc, lbl). */
+  private def propagateMinLabels(pairs: DataFrame): DataFrame = {
     val edges = CacheScope.cached(pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
     // LAZY localCheckpoint: truncates the per-round lineage (the round
@@ -326,8 +334,8 @@ object Dedup {
     // hitting the cap is a hard error, not a silent wrong answer: a
     // component with diameter > maxRounds would carry stale labels
     if (!converged) throw new IllegalStateException(
-      s"dd06 label propagation did not converge within $maxRounds rounds")
-    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+      s"min-label propagation did not converge within $maxRounds rounds")
+    labels
   }
 
   /** dd07: canonical document per duplicate cluster — the terminal op
@@ -886,16 +894,23 @@ object Dedup {
     * support rides the hub-guarded wedge join (∝ Σ safe-deg², never
     * family³); cluster labels and sizes are the dd06 frames already
     * bounded by near-dup docs; the final aggregate is ∝ clusters. */
-  def dd26ChainRisk(s: SparkSession, d: String): DataFrame = {
+  /** Every verified near-dup edge with its triangle support through
+    * the wedge-safe kernel — shared base of dd26 (risk report) and
+    * dd27 (conservative reclustering). */
+  private def edgeSupport(s: SparkSession, d: String): DataFrame = {
     val pairs = CacheScope.cached(
       dd02MinhashLsh(s, d).select(col("d1"), col("d2")))
     val support = Graph.commonNeighborPairs(pairs, Graph.wedgeMaxDeg)
-    val esup = pairs
+    pairs
       .join(support,
         pairs("d1") === support("a") && pairs("d2") === support("b"),
         "left_outer")
       .select(col("d1"), col("d2"),
         coalesce(col("common"), lit(0L)).as("support"))
+  }
+
+  def dd26ChainRisk(s: SparkSession, d: String): DataFrame = {
+    val esup = edgeSupport(s, d)
     val labels = dd06DupClusters(s, d)
     val byCluster = esup
       .join(labels.withColumnRenamed("doc_id", "d1"), Seq("d1"))
@@ -910,5 +925,40 @@ object Dedup {
         expr("n_bridge_edges * 10000 div n_edges"))
       .select(col("cluster_id"), col("n_members"), col("n_edges"),
         col("n_bridge_edges"), col("bridge_share_bp"))
+  }
+
+  /** dd27: conservative RECLUSTERING — dd26's remedy: drop every
+    * triangle-unsupported (bridge) edge and re-run min-label over the
+    * supported core, so a single borderline false-positive pair can
+    * no longer weld two families (the k-truss-community principle —
+    * gr17/gr18's filter — applied where it matters most: before dd07
+    * discards "duplicates"). Per ORIGINAL dd06 cluster: how many safe
+    * sub-clusters it splits into, the largest one, and whether it
+    * split at all — the triage view (split clusters get human/
+    * stricter-threshold review, unsplit ones are safe to dedup
+    * aggressively). Members whose every edge was a bridge become
+    * their own singleton (safe_id = doc_id) — conservative means
+    * never merging on unsupported evidence, not dropping docs.
+    * Scale: edge support is dd26's hub-guarded wedge frame; the
+    * re-propagation runs over a SUBSET of the dd06 edges with the
+    * same convergence discipline; the report is ∝ clusters. */
+  def dd27SafeClusters(s: SparkSession, d: String): DataFrame = {
+    val esup = CacheScope.cached(edgeSupport(s, d))
+    val safe = propagateMinLabels(
+      esup.filter(col("support") > 0).select(col("d1"), col("d2")))
+    val old = dd06DupClusters(s, d)
+    val mem = old
+      .join(safe.withColumnRenamed("doc", "doc_id"), Seq("doc_id"),
+        "left_outer")
+      .withColumn("safe_id", coalesce(col("lbl"), col("doc_id")))
+    val bySafe = mem.groupBy(col("cluster_id"), col("safe_id"))
+      .agg(count(lit(1)).as("sz"))
+    bySafe.groupBy(col("cluster_id"))
+      .agg(sum(col("sz")).as("n_members"),
+        count(lit(1)).as("n_safe_clusters"),
+        max(col("sz")).as("largest_safe"))
+      .withColumn("split", col("n_safe_clusters") > 1)
+      .select(col("cluster_id"), col("n_members"),
+        col("n_safe_clusters"), col("largest_safe"), col("split"))
   }
 }

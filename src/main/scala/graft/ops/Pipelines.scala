@@ -1130,4 +1130,47 @@ object Pipelines {
         col("n_dropped"), col("chars_total"), col("chars_kept"),
         col("kept_ppm"))
   }
+
+  /** pp34: contribution-cap SENSITIVITY curve — the tuning companion
+    * to pp33 (the dd13/dd24 auto-tuner pattern applied to domain
+    * caps): for each candidate cap, what fraction of the corpus's
+    * docs and char mass survives and how many sources the cap
+    * actually binds (n_saturated) — the curve a pipeline owner reads
+    * to pick the cap that tames mega-domains without starving the
+    * long tail. One per-source top-160 via the partial-aggregable
+    * TopKPairAggregator (possible BECAUSE the rank list is bounded by
+    * the largest candidate cap — the sweep re-reads the ≤160-row/
+    * source frame, never the corpus), a 6-row broadcast cap spine,
+    * and two 1-row totals; no window over the corpus anywhere. */
+  def pp34CapCurve(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val perSrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val topk = udaf(new graft.functions.TopKPairAggregator(160))
+    val ranked = docs.groupBy(col("source"))
+      .agg(topk(col("n_chars").cast("double"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("pair._1").cast("long").as("n_chars"))
+    val caps = s.range(1).select(explode(array(
+      Seq(10, 20, 40, 60, 80, 160).map(c => lit(c.toLong)): _*)).as("cap"))
+    val kept = ranked.crossJoin(broadcast(caps))
+      .filter(col("rk") <= col("cap"))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+    val sat = perSrc.crossJoin(broadcast(caps))
+      .groupBy(col("cap"))
+      .agg(sum(when(col("n_docs") > col("cap"), 1L).otherwise(0L))
+        .as("n_saturated"))
+    val tot = docs.agg(count(lit(1)).as("t_docs"),
+      sum(col("n_chars")).as("t_chars"))
+    kept.join(sat, Seq("cap")).crossJoin(broadcast(tot))
+      .withColumn("docs_kept_ppm", expr("docs_kept * 1000000 div t_docs"))
+      .withColumn("chars_kept_ppm",
+        expr("chars_kept * 1000000 div t_chars"))
+      .select(col("cap"), col("docs_kept"), col("chars_kept"),
+        col("n_saturated"), col("docs_kept_ppm"), col("chars_kept_ppm"))
+  }
 }

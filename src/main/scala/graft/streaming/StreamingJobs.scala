@@ -907,4 +907,65 @@ object StreamingJobs {
       org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
     docs.join(broadcast(keys), Seq("doc_id"), "left_anti")
   }
+
+  case class BotState(lastSec: Long, nGaps: Long,
+    counters: Map[Long, Long], evicted: Boolean)
+  case class BotRow(user_id: Long, n_gaps: Long, modal_gap_s: Long,
+    modal_lb_ppm: Long, exact: Boolean, is_bot: Boolean)
+
+  /** st30: ev54's bot/timer gate LIVE — per-user state is BOUNDED by
+    * a 4-counter Misra–Gries sketch of gap values plus (last second,
+    * gap count): ev54's exact per-user gap histogram is unbounded in
+    * distinct deltas, which a state store must never be. MG's
+    * majority guarantee carries the flag: a timer's dominant delta is
+    * always retained with count ≥ true − n/4, so its lower-bound
+    * share still clears the 50% rule for the traffic the gate exists
+    * to catch (share ≈ 100%), while a human's spread deltas keep
+    * every counter small. When the sketch has NEVER evicted (≤ 4
+    * distinct deltas seen) it is the exact histogram — both batch
+    * rules (≥ 50% modal share, ≤ 2 distinct) apply verbatim and the
+    * row is marked `exact`; after an eviction the gate turns
+    * conservative (lower-bound share only — flags are definite, a
+    * borderline 50.1% bot may wait for the batch ev54
+    * reconciliation, never the reverse). One emission per active user
+    * per batch, latest row wins (the st25 snapshot discipline);
+    * batch rows fold in (ts, event_id) order so replays are
+    * deterministic. */
+  def streamingBotGate(events: Dataset[Event]): Dataset[BotRow] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[BotState]): BotRow = {
+      var st = state.getOption.getOrElse(BotState(Long.MinValue, 0L,
+        Map.empty[Long, Long], evicted = false))
+      batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val sec = e.ts.getTime / 1000L
+        if (st.lastSec != Long.MinValue) {
+          val g = sec - st.lastSec
+          val c = st.counters
+          val next =
+            if (c.contains(g)) c + (g -> (c(g) + 1L))
+            else if (c.size < 4) c + (g -> 1L)
+            else { // Misra–Gries decrement round
+              st = st.copy(evicted = true)
+              c.map { case (k, v) => k -> (v - 1L) }.filter(_._2 > 0L)
+            }
+          st = st.copy(nGaps = st.nGaps + 1L, counters = next)
+        }
+        st = st.copy(lastSec = sec)
+      }
+      state.update(st)
+      val (modalGap, modalCnt) =
+        if (st.counters.isEmpty) (0L, 0L)
+        else st.counters.toSeq.sortBy { case (g, c) => (-c, g) }.head
+      val lbPpm =
+        if (st.nGaps == 0L) 0L else modalCnt * 1000000L / st.nGaps
+      val exact = !st.evicted
+      val isBot = st.nGaps >= 19L && (
+        if (exact) lbPpm >= 500000L || st.counters.size <= 2
+        else lbPpm >= 500000L)
+      BotRow(userId, st.nGaps, modalGap, lbPpm, exact, isBot)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
 }

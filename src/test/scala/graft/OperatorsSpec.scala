@@ -2148,6 +2148,63 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("dd27 reclusters exactly the triangle-supported core") {
+    val pairs = ops.Dedup.dd02MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val safeCenters = adj.filter { case (_, ns) => ns.size <= 64 }
+    def supported(a: Long, b: Long): Boolean = safeCenters.exists {
+      case (_, ns) => ns.contains(a) && ns.contains(b)
+    }
+    def components(es: Seq[(Long, Long)], nodes: Set[Long]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val nodes = adj.keySet
+    val oldLbl = components(pairs.toSeq, nodes)
+    val supEdges = pairs.filter(p => supported(p._1, p._2)).toSeq
+    val safeLbl = components(supEdges,
+      supEdges.flatMap(e => Seq(e._1, e._2)).toSet)
+    val expect = nodes.groupBy(oldLbl).map { case (cl, ms) =>
+      val safeIds = ms.map(m => safeLbl.getOrElse(m, m))
+      val sizes = ms.groupBy(m => safeLbl.getOrElse(m, m))
+        .values.map(_.size.toLong)
+      cl -> ((ms.size.toLong, safeIds.size.toLong, sizes.max,
+        safeIds.size > 1))
+    }
+    val got = ops.Dedup.dd27SafeClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == expect, s"safe reclustering diverges:\n$got\nvs\n$expect")
+  }
+
+  test("pp34 cap curve is monotone and agrees with pp33 at cap 60") {
+    val rows = ops.Pipelines.pp34CapCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(10L, 20L, 40L, 60L, 80L, 160L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3,
+        s"kept mass must grow with the cap: $a -> $b")
+      assert(a._4 >= b._4, s"saturation must shrink with the cap: $a -> $b")
+    }
+    val caps33 = ops.Pipelines.pp33DomainCaps(spark, sf).collect()
+    val at60 = rows.find(_._1 == 60L).get
+    assert(at60._2 == caps33.map(_.getLong(2)).sum,
+      "cap-60 docs disagree with pp33")
+    assert(at60._3 == caps33.map(_.getLong(5)).sum,
+      "cap-60 chars disagree with pp33")
+  }
+
   test("ss23 fusion is rank-consistent and its BM25 tier matches ss21") {
     val rows = ops.Similarity.ss23HybridBm25(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -886,4 +886,53 @@ class StreamingSpec extends SparkTestBase {
       assert(got == batch, s"stream $got != batch $batch")
     } finally q.stop()
   }
+
+  test("st30 bot gate flags the timer exactly and stays conservative after eviction") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ats(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    var eid = 0L
+    def mk(uid: Long, secs: Seq[Long]) = secs.map { sc =>
+      eid += 1; Event(eid, ats(sc), uid, "view", 1.0)
+    }
+    val timer = mk(1L, (0 until 25).map(_ * 60L))
+    val human = mk(2L, (0 until 25).map(i =>
+      (0 until i).map(j => 30L + 7 * j).sum))
+    val in = MemoryStream[Event]
+    val q = StreamingJobs.streamingBotGate(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("st30_out").start()
+    try {
+      // split mid-stream: the cross-batch gap must ride lastSec state
+      in.addData(timer.take(13) ++ human.take(13))
+      q.processAllAvailable()
+      in.addData(timer.drop(13) ++ human.drop(13))
+      q.processAllAvailable()
+      val fin = spark.sql(
+        "SELECT user_id, n_gaps, modal_gap_s, modal_lb_ppm, exact, is_bot " +
+          "FROM st30_out").collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rs) => u -> rs.maxBy(_.getLong(1)) }
+      val t = fin(1L)
+      assert(t.getLong(1) == 24L && t.getLong(2) == 60L &&
+        t.getLong(3) == 1000000L && t.getBoolean(4) && t.getBoolean(5),
+        s"timer row wrong: $t")
+      val h = fin(2L)
+      assert(h.getLong(1) == 24L && !h.getBoolean(4) && !h.getBoolean(5),
+        s"human row wrong: $h")
+      // agreement with the batch rule on the same traffic
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-st30").toString
+      (timer ++ human).map(e =>
+          (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+      val ev = graft.ops.Events.ev54BotDetect(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+      assert(ev == Map(1L -> true, 2L -> false),
+        s"batch twin disagrees: $ev")
+    } finally q.stop()
+  }
 }
