@@ -318,6 +318,7 @@ object SparkEntry {
     "dd26_chain_risk"       -> Dedup.dd26ChainRisk _,
     "dd27_safe_clusters"    -> Dedup.dd27SafeClusters _,
     "pp34_cap_curve"        -> Pipelines.pp34CapCurve _,
+    "sk12_sliding_hll"      -> Sketches.sk12SlidingHll _,
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,

@@ -189,6 +189,32 @@ object Sketches {
         sum(hll_sketch_estimate(col("sk"))).as("sum_daily_est"))
   }
 
+  /** sk12: SLIDING-window distinct — trailing-7-day distinct users
+    * per day from the stored daily sketch table, the production
+    * answer where ev14's exact rolling distinct re-scans a week of
+    * raw events per day: here each day's answer is the HLL union of
+    * ≤ 7 daily sketches, so the daily corpus is read ONCE ever (into
+    * the sketch table) and every window after that is sketch-merge
+    * arithmetic on a calendar-bounded frame (days × 7 rows — free at
+    * any event volume; this is also why the sketches must be
+    * mergeable: a max or bitmap per day would not compose into
+    * windows). Declared approximate (rows+spec): the spec bounds the
+    * estimate against the exact trailing distinct at ≤ 5%, the HLL
+    * lg_k=12 guarantee. */
+  def sk12SlidingHll(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val h = daily.select(col("day").as("h_day"), col("sk"))
+    daily.select(col("day"))
+      .join(h, col("h_day").between(date_sub(col("day"), 6), col("day")))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_days_present"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_users_7d"))
+  }
+
   /** sk09: exact heavy hitters by two bounded passes — pass 1 runs the
     * Misra–Gries sketch (O(k) state, mergeable, partial-agg'd) over
     * the corpus token stream to get a ≤k candidate set with NO false

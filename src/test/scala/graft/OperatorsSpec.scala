@@ -2148,6 +2148,30 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("sk12 sliding HLL tracks the exact trailing-7-day distinct within 5%") {
+    val du = graft.Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    val days = du.map(_._1).distinct.sorted
+    val exact = days.map { d =>
+      val win = days.filter(h => h <= d &&
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(h), java.time.LocalDate.parse(d)) <= 6)
+        .toSet
+      d -> du.filter(e => win.contains(e._1)).map(_._2).distinct.length
+    }.toMap
+    val got = ops.Sketches.sk12SlidingHll(spark, sf).collect()
+    assert(got.length == days.length, "one row per active day")
+    got.foreach { r =>
+      val (d, present, est) =
+        (r.getDate(0).toString, r.getLong(1), r.getLong(2).toDouble)
+      assert(present <= 7, s"window wider than 7 days: $r")
+      val ex = exact(d)
+      assert(math.abs(est - ex) <= math.max(2.0, 0.05 * ex),
+        s"day $d estimate $est vs exact $ex outside 5%")
+    }
+  }
+
   test("dd27 reclusters exactly the triangle-supported core") {
     val pairs = ops.Dedup.dd02MinhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
