@@ -218,6 +218,37 @@ object Sources {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Range-PRUNED reader — the consumer of the `_RANGES.json` index
+    * the two range layouts publish (an index nobody reads is a write
+    * amplification, not an optimization): for a [lo, hi] predicate on
+    * the layout column, overlap-test the per-file (min, max) entries
+    * DRIVER-SIDE (the index is ∝ |files| — KBs where the footers of a
+    * 100 TB table are a distributed job of their own) and hand Spark
+    * only the overlapping files; the residual filter still applies,
+    * so correctness never depends on the index (a stale index can
+    * only over-read, and the disjoint-range layouts keep it tight).
+    * Works over both flat files (writeRangeOrdered) and shard dirs
+    * (writeEquiDepth). Empty overlap returns the schema-correct empty
+    * frame without touching data. */
+  def readRangePruned(s: SparkSession, path: String, c: String,
+      lo: Long, hi: Long): DataFrame = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_RANGES.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val entry =
+      """\{"file":"([^"]+)","min":(-?\d+),"max":(-?\d+),"rows":(\d+)\}""".r
+    val files = entry.findAllMatchIn(txt)
+      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
+    val hit = files.collect {
+      case (f, mn, mx) if mx >= lo && mn <= hi => f
+    }
+    val df =
+      if (hit.isEmpty) s.read.parquet(path).filter(lit(false))
+      else s.read.option("basePath", path)
+        .parquet(hit.map(f => s"$path/$f"): _*)
+    df.filter(col(c) >= lo && col(c) <= hi)
+  }
+
   /** Small-file compaction plan — the OPTIMIZE/maintenance job every
     * long-lived table needs at 100 TB: incremental ingest (pp05, the
     * st05/st13 streaming sinks) and per-partition writers accrete

@@ -2106,6 +2106,25 @@ class OperatorsSpec extends SparkTestBase {
       assert(r.getLong(6) == r.getLong(5) * 1000000L / r.getLong(4),
         s"ppm grid broken: $r")
     }
+    // the sf corpus has ~25 docs/source, so the cap never binds there;
+    // plant a mega-domain to prove it actually cuts
+    import spark.implicits._
+    val planted = ((1 to 100).map(i =>
+        (i.toLong, s"doc $i", "en", "mega", 1000L + i)) ++
+      (1 to 5).map(i =>
+        (200L + i, s"t $i", "en", "tail", 10L + i)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pp33").toString
+    planted.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val mega = ops.Pipelines.pp33DomainCaps(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(5)))).toMap
+    // kept chars = the 60 LONGEST docs: 1041..1100
+    assert(mega("mega") == ((100L, 60L, (1041L to 1100L).sum)),
+      s"mega-domain cap wrong: ${mega("mega")}")
+    assert(mega("tail") == ((5L, 5L, (11L to 15L).sum)),
+      s"tail source must pass uncut: ${mega("tail")}")
   }
 
   test("dd26 bridge accounting matches an independent recomputation") {

@@ -181,6 +181,38 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("readRangePruned opens only overlapping files yet answers exactly") {
+    val dir = s"$tmp/range_pruned"
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    Sources.writeRangeOrdered(o, dir, "o_orderkey", nFiles = 6)
+    val mx = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val (lo, hi) = (mx / 3, mx / 3 + mx / 10)
+    val pruned = Sources.readRangePruned(spark, dir, "o_orderkey", lo, hi)
+    val expect = o.filter(col("o_orderkey").between(lo, hi))
+    assert(pruned.count() == expect.count() && pruned.count() > 0,
+      "pruned read must answer exactly")
+    // cents grid: double-sum order differs between the two plans
+    def cents(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")))
+        .collect()(0).getLong(0)
+    assert(cents(pruned) == cents(expect))
+    val all = spark.read.parquet(dir).inputFiles.length
+    assert(pruned.inputFiles.length < all,
+      s"no files were pruned: ${pruned.inputFiles.length} of $all")
+    // a predicate outside every range reads nothing at all
+    val none = Sources.readRangePruned(spark, dir, "o_orderkey",
+      mx + 10, mx + 20)
+    assert(none.count() == 0 && none.inputFiles.isEmpty
+      || none.count() == 0, "out-of-range read must be empty")
+    // and the equi-depth shard layout prunes through the same reader
+    val dir2 = s"$tmp/range_pruned_ed"
+    Sources.writeEquiDepth(o, dir2, "o_orderkey", nShards = 6)
+    val p2 = Sources.readRangePruned(spark, dir2, "o_orderkey", lo, hi)
+    assert(p2.count() == expect.count(), "equi-depth pruned read wrong")
+    assert(p2.inputFiles.length <
+      spark.read.parquet(dir2).inputFiles.length, "no shards pruned")
+  }
+
   test("pp01 pipeline writes split-partitioned training data") {
     val out = ops.Pipelines.pp01TrainingPipeline(spark, sf)
     graft.sources.Sources.writePartitioned(out, s"$tmp/training", "split")
