@@ -61,6 +61,7 @@ class OperatorsSpec extends SparkTestBase {
       // SURVEY.md §2 (dd09/sk06/ss08/ss10/ss14 promoted round 5): only
       // sketches over engine-internal hashes (HLL/GK/KLL/CMS/bloom) and
       // deflate remain unoracled
+      "sk12_sliding_hll",
       "tx41_compressibility")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
@@ -2228,6 +2229,18 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3), r.getBoolean(4)))).toMap
     assert(got == expect, s"safe reclustering diverges:\n$got\nvs\n$expect")
+  }
+
+  test("pp33/pp34 plans carry no window operator (mega-domain safety)") {
+    // the §5 claim made checkable: per-source selection must ride the
+    // partial-aggregable top-k, never a window partitioned by source
+    // (which would serialize a mega-domain's corpus share on one task)
+    Seq(ops.Pipelines.pp33DomainCaps(spark, sf),
+        ops.Pipelines.pp34CapCurve(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"window operator found in a capped plan:\n$plan")
+    }
   }
 
   test("pp34 cap curve is monotone and agrees with pp33 at cap 60") {
