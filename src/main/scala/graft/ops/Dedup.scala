@@ -944,20 +944,43 @@ object Dedup {
     * same convergence discipline; the report is ∝ clusters. */
   def dd27SafeClusters(s: SparkSession, d: String): DataFrame = {
     val esup = CacheScope.cached(edgeSupport(s, d))
-    val safe = propagateMinLabels(
-      esup.filter(col("support") > 0).select(col("d1"), col("d2")))
-    val old = dd06DupClusters(s, d)
-    val mem = old
+    val labels = CacheScope.cached(dd06DupClusters(s, d))
+    // work ∝ the RISK surface: a cluster whose every edge is
+    // supported provably reclusters to itself (its supported edge set
+    // IS its edge set, which is connected by construction), so the
+    // second propagation loop runs only over clusters that actually
+    // carry a bridge — on a clean corpus that is almost nothing,
+    // while the naive form re-propagates every clique for no reason
+    val eLbl = esup
+      .join(labels.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+    val bridged = eLbl.groupBy(col("cluster_id"))
+      .agg(sum(when(col("support") === 0, 1L).otherwise(0L)).as("nb"))
+      .filter(col("nb") > 0).select(col("cluster_id"))
+    val supE = eLbl.filter(col("support") > 0)
+      .join(broadcast(bridged), Seq("cluster_id"), "left_semi")
+      .select(col("d1"), col("d2"))
+    val safe = propagateMinLabels(supE)
+    val memBridged = labels
+      .join(broadcast(bridged), Seq("cluster_id"), "left_semi")
       .join(safe.withColumnRenamed("doc", "doc_id"), Seq("doc_id"),
         "left_outer")
       .withColumn("safe_id", coalesce(col("lbl"), col("doc_id")))
-    val bySafe = mem.groupBy(col("cluster_id"), col("safe_id"))
+    val aggBridged = memBridged
+      .groupBy(col("cluster_id"), col("safe_id"))
       .agg(count(lit(1)).as("sz"))
-    bySafe.groupBy(col("cluster_id"))
+      .groupBy(col("cluster_id"))
       .agg(sum(col("sz")).as("n_members"),
         count(lit(1)).as("n_safe_clusters"),
         max(col("sz")).as("largest_safe"))
       .withColumn("split", col("n_safe_clusters") > 1)
+    val aggClean = labels
+      .join(broadcast(bridged), Seq("cluster_id"), "left_anti")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("n_safe_clusters", lit(1L))
+      .withColumn("largest_safe", col("n_members"))
+      .withColumn("split", lit(false))
+    aggBridged.unionByName(aggClean)
       .select(col("cluster_id"), col("n_members"),
         col("n_safe_clusters"), col("largest_safe"), col("split"))
   }
