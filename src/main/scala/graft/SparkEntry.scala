@@ -319,6 +319,7 @@ object SparkEntry {
     "dd27_safe_clusters"    -> Dedup.dd27SafeClusters _,
     "pp34_cap_curve"        -> Pipelines.pp34CapCurve _,
     "sk12_sliding_hll"      -> Sketches.sk12SlidingHll _,
+    "dd28_safe_keep_best"   -> Dedup.dd28SafeKeepBest _,
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,
@@ -3361,6 +3362,43 @@ object SparkEntry {
          |  CAST(max(sz) AS BIGINT) AS largest_safe,
          |  count(*) > 1 AS split
          |FROM ssz GROUP BY 1""".stripMargin,
+
+    // dd28: one keeper per SAFE sub-cluster (dd27's partition), dd07's
+    // quality rule; |keepers per original cluster| = n_safe_clusters.
+    "dd28_safe_keep_best" ->
+      s"""WITH j AS ($ngramJaccardSql),
+         |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
+         |deg AS (SELECT m, count(*) AS deg FROM bi GROUP BY 1),
+         |safe AS (SELECT bi.m, bi.n FROM bi JOIN deg USING (m)
+         |         WHERE deg.deg <= 64),
+         |cn AS (SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS common
+         |       FROM safe x JOIN safe y ON x.m = y.m AND x.n < y.n
+         |       GROUP BY 1, 2),
+         |es AS (SELECT j.d1, j.d2, coalesce(cn.common, 0) AS support
+         |       FROM j LEFT JOIN cn ON cn.a = j.d1 AND cn.b = j.d2),
+         |sup AS (SELECT d1, d2 FROM es WHERE support > 0),
+         |sbi AS (SELECT d1 AS a, d2 AS b FROM sup
+         |        UNION ALL SELECT d2, d1 FROM sup),
+         |sreach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM sbi
+         |    UNION
+         |    SELECT r.a, sbi.b FROM r JOIN sbi ON r.b = sbi.a)
+         |  SELECT * FROM r),
+         |sc AS (SELECT a AS doc_id, least(a, min(b)) AS safe_id
+         |       FROM sreach GROUP BY a),
+         |clusters AS ($dupClustersSql),
+         |mem AS (SELECT c.doc_id, c.cluster_id,
+         |          coalesce(sc.safe_id, c.doc_id) AS safe_id
+         |        FROM clusters c LEFT JOIN sc ON sc.doc_id = c.doc_id),
+         |scores AS ($qualityScoreSql),
+         |r AS (SELECT mem.cluster_id, mem.safe_id, mem.doc_id,
+         |        row_number() OVER (PARTITION BY mem.safe_id
+         |          ORDER BY s.score DESC, mem.doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY mem.safe_id) AS n_members
+         |      FROM mem JOIN scores s USING (doc_id))
+         |SELECT cluster_id, safe_id, doc_id AS keeper_id, n_members
+         |FROM r WHERE rk = 1""".stripMargin,
 
     // pp34: the cap sweep re-ranks only the ≤160-row/source top list;
     // saturated = sources whose doc count exceeds the cap.

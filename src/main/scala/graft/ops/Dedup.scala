@@ -942,15 +942,18 @@ object Dedup {
     * Scale: edge support is dd26's hub-guarded wedge frame; the
     * re-propagation runs over a SUBSET of the dd06 edges with the
     * same convergence discipline; the report is ∝ clusters. */
-  def dd27SafeClusters(s: SparkSession, d: String): DataFrame = {
+  /** Every clustered doc with its original dd06 cluster AND its safe
+    * (bridge-free) sub-cluster — dd27's member frame, factored so
+    * dd28 can keep-best over it. Work ∝ the RISK surface: a cluster
+    * whose every edge is supported provably reclusters to itself (its
+    * supported edge set IS its edge set, which is connected by
+    * construction), so the second propagation loop runs only over
+    * clusters that actually carry a bridge — on a clean corpus that
+    * is almost nothing, while the naive form re-propagates every
+    * clique for no reason. */
+  private def safeMembers(s: SparkSession, d: String): DataFrame = {
     val esup = CacheScope.cached(edgeSupport(s, d))
     val labels = CacheScope.cached(dd06DupClusters(s, d))
-    // work ∝ the RISK surface: a cluster whose every edge is
-    // supported provably reclusters to itself (its supported edge set
-    // IS its edge set, which is connected by construction), so the
-    // second propagation loop runs only over clusters that actually
-    // carry a bridge — on a clean corpus that is almost nothing,
-    // while the naive form re-propagates every clique for no reason
     val eLbl = esup
       .join(labels.withColumnRenamed("doc_id", "d1"), Seq("d1"))
     val bridged = eLbl.groupBy(col("cluster_id"))
@@ -965,7 +968,16 @@ object Dedup {
       .join(safe.withColumnRenamed("doc", "doc_id"), Seq("doc_id"),
         "left_outer")
       .withColumn("safe_id", coalesce(col("lbl"), col("doc_id")))
-    val aggBridged = memBridged
+      .select(col("doc_id"), col("cluster_id"), col("safe_id"))
+    val memClean = labels
+      .join(broadcast(bridged), Seq("cluster_id"), "left_anti")
+      .withColumn("safe_id", col("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("safe_id"))
+    memBridged.unionByName(memClean)
+  }
+
+  def dd27SafeClusters(s: SparkSession, d: String): DataFrame =
+    safeMembers(s, d)
       .groupBy(col("cluster_id"), col("safe_id"))
       .agg(count(lit(1)).as("sz"))
       .groupBy(col("cluster_id"))
@@ -973,15 +985,30 @@ object Dedup {
         count(lit(1)).as("n_safe_clusters"),
         max(col("sz")).as("largest_safe"))
       .withColumn("split", col("n_safe_clusters") > 1)
-    val aggClean = labels
-      .join(broadcast(bridged), Seq("cluster_id"), "left_anti")
-      .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
-      .withColumn("n_safe_clusters", lit(1L))
-      .withColumn("largest_safe", col("n_members"))
-      .withColumn("split", lit(false))
-    aggBridged.unionByName(aggClean)
       .select(col("cluster_id"), col("n_members"),
         col("n_safe_clusters"), col("largest_safe"), col("split"))
+
+  /** dd28: SAFE keep-best — the conservative dedup terminal closing
+    * the dd26 → dd27 loop: dd07 keeps one doc per dd06 cluster, which
+    * is exactly wrong when that cluster is a chain weld of two
+    * families (half a family silently discarded on the strength of
+    * one unsupported edge); dd28 keeps one doc per SAFE sub-cluster
+    * instead, so a split cluster keeps one representative per welded
+    * family and nothing is lost to bridge evidence. Emits the
+    * original cluster id alongside — |keepers per original cluster| =
+    * dd27's n_safe_clusters, which is the conservation spec. Same
+    * quality rule as dd07 (tx02 score, ties → smaller id); the
+    * keep-best window partitions by safe cluster, bounded by cluster
+    * size (the dd07 precedent). */
+  def dd28SafeKeepBest(s: SparkSession, d: String): DataFrame = {
+    val mem = CacheScope.cached(safeMembers(s, d))
+    val kept = keepBestFrom(
+      mem.select(col("doc_id"), col("safe_id").as("cluster_id")),
+      Text.tx02QualityScore(s, d).select(col("doc_id"), col("score")))
+    val lineage = mem.select(col("safe_id"), col("cluster_id")).distinct()
+    kept.withColumnRenamed("cluster_id", "safe_id")
+      .join(lineage, Seq("safe_id"))
+      .select(col("cluster_id"), col("safe_id"), col("keeper_id"),
+        col("n_members"))
   }
 }

@@ -2231,6 +2231,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == expect, s"safe reclustering diverges:\n$got\nvs\n$expect")
   }
 
+  test("dd28 keeps exactly one top-quality doc per safe sub-cluster") {
+    val kept = ops.Dedup.dd28SafeKeepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.map(_._2).distinct.length == kept.length,
+      "one keeper per safe cluster")
+    // conservation vs dd27: keepers per original cluster = its
+    // safe-cluster count; member mass reconciles
+    val d27 = ops.Dedup.dd27SafeClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val perCluster = kept.groupBy(_._1)
+    assert(perCluster.keySet == d27.keySet, "cluster sets differ")
+    perCluster.foreach { case (cl, ks) =>
+      assert(ks.length.toLong == d27(cl)._2,
+        s"cluster $cl keeper count ${ks.length} != n_safe ${d27(cl)._2}")
+      assert(ks.map(_._4).sum == d27(cl)._1,
+        s"cluster $cl member mass diverges")
+    }
+    // dominance vs one member we can name without the private member
+    // frame: safe_id IS the safe cluster's min-id member, so the
+    // keeper must beat it on (score DESC, doc_id ASC)
+    val scores = ops.Text.tx02QualityScore(spark, sf)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    kept.foreach { case (_, safeId, keeper, _) =>
+      assert(scores.contains(keeper), s"keeper $keeper unscored")
+      assert(scores(keeper) > scores(safeId) ||
+        (scores(keeper) == scores(safeId) && keeper <= safeId),
+        s"keeper $keeper does not dominate member $safeId")
+    }
+  }
+
   test("pp33/pp34 plans carry no window operator (mega-domain safety)") {
     // the §5 claim made checkable: per-source selection must ride the
     // partial-aggregable top-k, never a window partitioned by source
