@@ -320,6 +320,7 @@ object SparkEntry {
     "pp34_cap_curve"        -> Pipelines.pp34CapCurve _,
     "sk12_sliding_hll"      -> Sketches.sk12SlidingHll _,
     "dd28_safe_keep_best"   -> Dedup.dd28SafeKeepBest _,
+    "ev55_churn_cohorts"    -> Events.ev55ChurnCohorts _,
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,
@@ -3362,6 +3363,36 @@ object SparkEntry {
          |  CAST(max(sz) AS BIGINT) AS largest_safe,
          |  count(*) > 1 AS split
          |FROM ssz GROUP BY 1""".stripMargin,
+
+    // ev55: recency churn per signup cohort — horizon = corpus max
+    // day, churned = silent > 14 days, lower-median silence.
+    "ev55_churn_cohorts" ->
+      """WITH h AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+        |u AS (SELECT user_id,
+        |        CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week,
+        |        max(CAST(ts AS DATE)) AS last_day
+        |      FROM events GROUP BY 1),
+        |ux AS (SELECT u.*, date_diff('day', last_day, h.h) AS days_silent
+        |       FROM u CROSS JOIN h),
+        |tot AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users,
+        |          CAST(sum(CASE WHEN days_silent > 14 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_churned
+        |        FROM ux GROUP BY 1),
+        |hist AS (SELECT cohort_week, days_silent, count(*) AS cnt
+        |         FROM ux GROUP BY 1, 2),
+        |ch AS (SELECT cohort_week, days_silent,
+        |        CAST(sum(cnt) OVER (PARTITION BY cohort_week
+        |          ORDER BY days_silent) AS BIGINT) AS cum
+        |      FROM hist),
+        |med AS (SELECT ch.cohort_week,
+        |          min(CASE WHEN cum * 2 >= n_users THEN days_silent END)
+        |            AS median_days_silent
+        |        FROM ch JOIN tot USING (cohort_week) GROUP BY 1)
+        |SELECT tot.cohort_week, n_users, n_churned,
+        |  CAST(n_churned * 10000 // n_users AS BIGINT) AS churn_bp,
+        |  CAST(median_days_silent AS BIGINT) AS median_days_silent
+        |FROM tot JOIN med ON med.cohort_week = tot.cohort_week"""
+        .stripMargin,
 
     // dd28: one keeper per SAFE sub-cluster (dd27's partition), dd07's
     // quality rule; |keepers per original cluster| = n_safe_clusters.

@@ -1393,4 +1393,50 @@ object Events {
         col("n_distinct_gaps"), col("modal_gap_s"),
         col("modal_share_ppm"), col("is_bot"))
   }
+
+  /** ev55: CHURN accounting by signup cohort — the retention board's
+    * flip side (ev04 asks "who came back", this asks "who has gone
+    * quiet"): a user is churned when their LAST event predates the
+    * observed horizon (corpus max day) by more than 14 days —
+    * recency-based churn, the definition that works without a
+    * subscription table. Per signup cohort week (the corpus spans
+    * weeks, not years — a month grid collapses to one row): users,
+    * churned
+    * users, churn share in exact bp, and the lower-median days-silent
+    * (order statistic on the integer day grid, the ev34 discipline)
+    * — read together, a rising churn_bp with a high
+    * median silence means the cohort decayed long ago, not recently.
+    * Scale: two per-user aggregates off one scan (first/last event),
+    * the 1-row horizon broadcast via crossJoin, and a per-cohort
+    * median over the DISTINCT silent-day values histogram — frames ∝
+    * users then ∝ cohorts×days, never event-sized windows. */
+  def ev55ChurnCohorts(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val horizon = e.agg(max(to_date(col("ts"))).as("h"))
+    val users = e.groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts"))).cast("date")
+          .as("cohort_week"),
+        max(to_date(col("ts"))).as("last_day"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("days_silent", datediff(col("h"), col("last_day")))
+      .withColumn("churned", col("days_silent") > 14)
+    // per-cohort lower-median of days_silent via the value histogram
+    // (frames ∝ cohorts × distinct silence values, never users)
+    val hist = users.groupBy(col("cohort_week"), col("days_silent"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("cohort_week")).orderBy(col("days_silent"))))
+    val tot = users.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"))
+    val med = hist.join(tot, Seq("cohort_week"))
+      .groupBy(col("cohort_week"))
+      .agg(min(when(col("cum") * 2 >= col("n_users"), col("days_silent")))
+        .as("median_days_silent"))
+    tot.join(med, Seq("cohort_week"))
+      .withColumn("churn_bp", expr("n_churned * 10000 div n_users"))
+      .select(col("cohort_week"), col("n_users"), col("n_churned"),
+        col("churn_bp"), col("median_days_silent").cast("long")
+          .as("median_days_silent"))
+  }
 }

@@ -2231,6 +2231,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == expect, s"safe reclustering diverges:\n$got\nvs\n$expect")
   }
 
+  test("ev55 churn and median silence match an independent recompute") {
+    val ue = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        date_trunc("week", col("ts")).cast("date").as("m")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getDate(2).toLocalDate))
+    val horizon = ue.map(_._2).max
+    val perUser = ue.groupBy(_._1).map { case (u, es) =>
+      (u, es.map(_._3).min,
+        java.time.temporal.ChronoUnit.DAYS.between(
+          es.map(_._2).max, horizon))
+    }
+    val expect = perUser.groupBy(_._2).map { case (m, us) =>
+      val silences = us.map(_._3).toSeq.sorted
+      val n = silences.length
+      val churned = silences.count(_ > 14).toLong
+      val median = silences((n - 1) / 2) // lower median
+      m.toString -> ((n.toLong, churned, churned * 10000L / n, median))
+    }
+    val got = ops.Events.ev55ChurnCohorts(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"churn accounting diverges:\n$got\nvs\n$expect")
+  }
+
   test("dd28 keeps exactly one top-quality doc per safe sub-cluster") {
     val kept = ops.Dedup.dd28SafeKeepBest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
