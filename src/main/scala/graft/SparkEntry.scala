@@ -321,6 +321,7 @@ object SparkEntry {
     "sk12_sliding_hll"      -> Sketches.sk12SlidingHll _,
     "dd28_safe_keep_best"   -> Dedup.dd28SafeKeepBest _,
     "ev55_churn_cohorts"    -> Events.ev55ChurnCohorts _,
+    "mm14_repair_plan"      -> Multimodal.mm14RepairPlan _,
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,
@@ -3363,6 +3364,40 @@ object SparkEntry {
          |  CAST(max(sz) AS BIGINT) AS largest_safe,
          |  count(*) > 1 AS split
          |FROM ssz GROUP BY 1""".stripMargin,
+
+    // mm14: rendezvous repair plan for failed node 7 — target = each
+    // affected chunk's rank-4 node; mm11's scoring replayed.
+    "mm14_repair_plan" ->
+      """WITH c AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(CAST(ceil(octet_length(encode(text)) / 32.0)
+        |      AS BIGINT))) AS chunk_idx
+        |  FROM documents),
+        |ch AS (SELECT
+        |    md5(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64))
+        |      AS chunk_md5,
+        |    CAST(length(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64))
+        |      // 2 AS BIGINT) AS chunk_bytes
+        |  FROM c),
+        |u AS (SELECT chunk_md5, max(chunk_bytes) AS chunk_bytes
+        |      FROM ch GROUP BY 1),
+        |p AS (SELECT chunk_md5, chunk_bytes, unnest(range(16)) AS node
+        |      FROM u),
+        |r AS (SELECT chunk_md5, chunk_bytes, node,
+        |    md5(chunk_md5 || '#' || CAST(node AS VARCHAR)) AS score
+        |  FROM p),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY chunk_md5
+        |    ORDER BY score DESC, node) AS rk FROM r),
+        |aff AS (SELECT chunk_md5, rk = 1 AS lost_primary
+        |        FROM rk WHERE rk <= 3 AND node = 7),
+        |tgt AS (SELECT chunk_md5, CAST(node AS BIGINT) AS node,
+        |          chunk_bytes
+        |        FROM rk WHERE rk = 4)
+        |SELECT tgt.node, CAST(count(*) AS BIGINT) AS n_repairs,
+        |  CAST(sum(chunk_bytes) AS BIGINT) AS repair_bytes,
+        |  CAST(sum(CASE WHEN lost_primary THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lost_primary
+        |FROM aff JOIN tgt USING (chunk_md5) GROUP BY 1""".stripMargin,
 
     // ev55: recency churn per signup cohort — horizon = corpus max
     // day, churned = silent > 14 days, lower-median silence.

@@ -271,6 +271,46 @@ object Multimodal {
         sum(col("chunk_bytes")).as("total_bytes"))
   }
 
+  /** mm14: replica REPAIR plan — the rebuild-storm question mm11's
+    * placement begs: when node 7 dies, which chunks are suddenly
+    * under-replicated, where does each one's NEW third copy go, and
+    * is that repair traffic balanced or does it melt one node?
+    * Rendezvous hashing answers it with no coordination state: the
+    * repair target for a chunk is simply its rank-4 node (the next
+    * best score after the current top-3 — never the failed node,
+    * which occupies one of the top-3 slots by construction), so every
+    * survivor independently computes the same plan from the chunk
+    * hash alone. Per target node: incoming repairs, bytes, and how
+    * many arrive as new PRIMARIES (rank-1 lost — these also take over
+    * read traffic, the hotter half of the storm). Scale: identical
+    * shape to mm11 — unique chunks × 16 scored rows, the per-chunk
+    * window is 16 rows, one partial agg; the plan is |nodes| rows. */
+  def mm14RepairPlan(s: SparkSession, d: String): DataFrame = {
+    val failed = 7L
+    val unique = mm03Chunking(s, d)
+      .groupBy(col("chunk_md5"))
+      .agg(max(col("chunk_bytes")).cast("long").as("chunk_bytes"))
+    val w = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col("score").desc, col("node"))
+    val rk = unique
+      .withColumn("node", explode(sequence(lit(0), lit(15))))
+      .withColumn("score",
+        md5(concat(col("chunk_md5"), lit("#"), col("node").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+    val affected = rk
+      .filter(col("rk") <= 3 && col("node") === failed)
+      .select(col("chunk_md5"), (col("rk") === 1).as("lost_primary"))
+    val target = rk.filter(col("rk") === 4)
+      .select(col("chunk_md5"), col("node").cast("long").as("node"),
+        col("chunk_bytes"))
+    affected.join(target, Seq("chunk_md5"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_repairs"),
+        sum(col("chunk_bytes")).as("repair_bytes"),
+        sum(when(col("lost_primary"), 1L).otherwise(0L))
+          .as("n_lost_primary"))
+  }
+
   /** mm12: CAS dedup-savings report by source — logical chunk bytes vs
     * unique chunk bytes, with each unique chunk attributed to its
     * min-doc_id owner's source (deterministic first-owner accounting,

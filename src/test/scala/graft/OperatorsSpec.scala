@@ -2231,6 +2231,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == expect, s"safe reclustering diverges:\n$got\nvs\n$expect")
   }
 
+  test("mm14 repair plan matches a full rendezvous replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val uniq = ops.Multimodal.mm03Chunking(spark, sf)
+      .groupBy(col("chunk_md5"))
+      .agg(max(col("chunk_bytes")).cast("long").as("b")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = uniq.flatMap { case (h, b) =>
+      val ranked = (0 until 16)
+        .map(n => (n.toLong, md5hex(s"$h#$n")))
+        .sortBy { case (n, sc) => (sc, n) }(
+          Ordering.Tuple2(Ordering.String.reverse, Ordering.Long))
+      if (ranked.take(3).exists(_._1 == 7L))
+        Some((ranked(3)._1, b, ranked.head._1 == 7L))
+      else None
+    }.groupBy(_._1).map { case (n, rs) =>
+      n -> ((rs.length.toLong, rs.map(_._2).sum,
+        rs.count(_._3).toLong))
+    }
+    val got = ops.Multimodal.mm14RepairPlan(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == expect, s"repair plan diverges:\n$got\nvs\n$expect")
+    assert(!got.contains(7L), "the failed node cannot be a repair target")
+  }
+
   test("ev55 churn and median silence match an independent recompute") {
     val ue = graft.Tables.events(spark, sf)
       .select(col("user_id"), to_date(col("ts")).as("day"),
