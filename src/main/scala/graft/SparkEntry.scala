@@ -322,6 +322,7 @@ object SparkEntry {
     "dd28_safe_keep_best"   -> Dedup.dd28SafeKeepBest _,
     "ev55_churn_cohorts"    -> Events.ev55ChurnCohorts _,
     "mm14_repair_plan"      -> Multimodal.mm14RepairPlan _,
+    "pp35_temp_curve"       -> Pipelines.pp35TempCurve _,
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,
@@ -3364,6 +3365,26 @@ object SparkEntry {
          |  CAST(max(sz) AS BIGINT) AS largest_safe,
          |  count(*) > 1 AS split
          |FROM ssz GROUP BY 1""".stripMargin,
+
+    // pp35: temperature curve on the sqrt-chain micro grid (IEEE sqrt
+    // is correctly rounded on both engines; pow is not).
+    "pp35_temp_curve" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT 'raw' AS tau, source, n_docs,
+        |    CAST(round(n_docs * 1000000.0) AS BIGINT) AS w_micro FROM n
+        |  UNION ALL
+        |  SELECT 'sqrt', source, n_docs,
+        |    CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) FROM n
+        |  UNION ALL
+        |  SELECT 'fourth_root', source, n_docs,
+        |    CAST(round(sqrt(sqrt(n_docs)) * 1000000) AS BIGINT) FROM n),
+        |tot AS (SELECT tau, CAST(sum(w_micro) AS BIGINT) AS w_tot
+        |        FROM t GROUP BY 1)
+        |SELECT t.tau, t.source, n_docs, w_micro,
+        |  CAST(w_micro * 1000000 // w_tot AS BIGINT) AS share_ppm
+        |FROM t JOIN tot USING (tau)""".stripMargin,
 
     // mm14: rendezvous repair plan for failed node 7 — target = each
     // affected chunk's rank-4 node; mm11's scoring replayed.

@@ -1131,6 +1131,33 @@ object Pipelines {
         col("kept_ppm"))
   }
 
+  /** pp35: TEMPERATURE curve for the mix flattener — pp10 samples at
+    * one fixed temperature; this is the tuning table that justifies
+    * the choice: per-source target share at τ = 1 (raw, big sources
+    * dominate), τ = 1/2 (pp10's sqrt flattening), τ = 1/4 (nearly
+    * uniform), all on a cross-engine-exact grid: n^(1/2) and n^(1/4)
+    * are computed as sqrt chains — IEEE sqrt is CORRECTLY ROUNDED on
+    * both engines where pow() is not, so the micro-rounded weights
+    * (round(·10⁶), the tx08 ln precedent) hash-match with no float
+    * in the graded shares (share = w_micro·10⁶ div Σw_micro). Scale:
+    * one per-source count, a 3-way union of |sources|-sized frames,
+    * one 3-row total — nothing corpus-sized after the first scan. */
+  def pp35TempCurve(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    def tier(name: String, w: org.apache.spark.sql.Column) =
+      n.select(lit(name).as("tau"), col("source"), col("n_docs"),
+        round(w * lit(1000000.0)).cast("long").as("w_micro"))
+    val t = tier("raw", col("n_docs").cast("double"))
+      .unionByName(tier("sqrt", sqrt(col("n_docs"))))
+      .unionByName(tier("fourth_root", sqrt(sqrt(col("n_docs")))))
+    val tot = t.groupBy(col("tau")).agg(sum(col("w_micro")).as("w_tot"))
+    t.join(tot, Seq("tau"))
+      .withColumn("share_ppm", expr("w_micro * 1000000 div w_tot"))
+      .select(col("tau"), col("source"), col("n_docs"), col("w_micro"),
+        col("share_ppm"))
+  }
+
   /** pp34: contribution-cap SENSITIVITY curve — the tuning companion
     * to pp33 (the dd13/dd24 auto-tuner pattern applied to domain
     * caps): for each candidate cap, what fraction of the corpus's

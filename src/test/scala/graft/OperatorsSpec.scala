@@ -2231,6 +2231,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == expect, s"safe reclustering diverges:\n$got\nvs\n$expect")
   }
 
+  test("pp35 temperature tiers order correctly and shares sum to ~1") {
+    val rows = ops.Pipelines.pp35TempCurve(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byTau = rows.groupBy(_._1)
+    assert(byTau.keySet == Set("raw", "sqrt", "fourth_root"))
+    byTau.foreach { case (tau, rs) =>
+      val tot = rs.map(_._5).sum
+      assert(math.abs(tot - 1000000L) <= rs.length,
+        s"$tau shares sum to $tot, not ~10^6")
+    }
+    // flattening: for the largest source the share must fall as τ
+    // drops; for the smallest it must rise (when sizes differ)
+    val sizes = byTau("raw").map(r => r._2 -> r._3).toMap
+    if (sizes.values.toSet.size > 1) {
+      val biggest = sizes.maxBy(_._2)._1
+      val smallest = sizes.minBy(_._2)._1
+      def share(tau: String, src: String) =
+        byTau(tau).find(_._2 == src).get._5
+      assert(share("raw", biggest) >= share("sqrt", biggest) &&
+        share("sqrt", biggest) >= share("fourth_root", biggest),
+        "big source must flatten down")
+      assert(share("raw", smallest) <= share("sqrt", smallest) &&
+        share("sqrt", smallest) <= share("fourth_root", smallest),
+        "small source must flatten up")
+    }
+    // the sqrt tier is exactly pp10's quota weighting shape
+    byTau("sqrt").foreach { case (_, src, n, w, _) =>
+      assert(w == math.round(math.sqrt(n.toDouble) * 1e6),
+        s"sqrt micro-weight off for $src")
+    }
+  }
+
   test("mm14 repair plan matches a full rendezvous replay") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
