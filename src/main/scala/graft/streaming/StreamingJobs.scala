@@ -908,6 +908,42 @@ object StreamingJobs {
     docs.join(broadcast(keys), Seq("doc_id"), "left_anti")
   }
 
+  case class CapRow(source: String, doc_id: Long, admitted: Boolean,
+    n_seen: Long)
+
+  /** st31: streaming DOMAIN-cap enforcement — pp33's guard at ingest:
+    * no source may put more than `cap` docs into the live pool, so a
+    * crawler that suddenly floods one domain is throttled at the
+    * door instead of polluting everything downstream until the next
+    * batch rebuild. State per source is ONE counter (bounded by the
+    * source domain, never traffic). Admission is arrival order
+    * ((doc_id within a batch for replay determinism)) — the stream
+    * cannot rank docs it has not seen, so quality-ranked selection
+    * remains batch pp33's job: the gate bounds volume NOW, the
+    * periodic batch re-selects the best `cap` retrospectively (the
+    * Kappa split every st-twin documents). At-least-once caveat:
+    * a re-delivered doc increments the counter again (per-doc
+    * dedup state would be unbounded — st20's keep-first tier is the
+    * upstream that makes deliveries effectively-once). Emits every
+    * doc's disposition (admitted or not) — the audit row pp11-style
+    * funnels consume. */
+  def streamingDomainCaps(docs: DataFrame, cap: Long): Dataset[CapRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, CapRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src, rows, state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id) =>
+            n += 1
+            CapRow(src, id, n <= cap, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   case class BotState(lastSec: Long, nGaps: Long,
     counters: Map[Long, Long], evicted: Boolean)
   case class BotRow(user_id: Long, n_gaps: Long, modal_gap_s: Long,

@@ -887,6 +887,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st31 domain cap admits exactly cap docs per source across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Long)]
+    val docs = in.toDF().toDF("source", "doc_id")
+    val q = StreamingJobs.streamingDomainCaps(docs, cap = 3L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st31_out").start()
+    try {
+      in.addData(("mega", 1L), ("mega", 2L), ("tail", 10L))
+      q.processAllAvailable()
+      // the counter must survive the batch boundary
+      in.addData(("mega", 3L), ("mega", 4L), ("mega", 5L), ("tail", 11L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT source, doc_id, admitted, n_seen FROM st31_out")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getBoolean(2), r.getLong(3)))).toMap
+      assert(got.size == 7, s"one disposition per doc: $got")
+      assert(got(("mega", 1L)) == ((true, 1L)))
+      assert(got(("mega", 3L)) == ((true, 3L)),
+        "third mega doc is the last admitted")
+      assert(got(("mega", 4L)) == ((false, 4L)) &&
+        got(("mega", 5L)) == ((false, 5L)),
+        s"over-cap docs must be rejected: $got")
+      assert(got(("tail", 10L))._1 && got(("tail", 11L))._1,
+        "under-cap source must pass whole")
+    } finally q.stop()
+  }
+
   test("st30 bot gate flags the timer exactly and stays conservative after eviction") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
