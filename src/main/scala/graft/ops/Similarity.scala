@@ -153,14 +153,18 @@ object Similarity {
   }
 
   /** Every corpus vector with its nearest-centroid cell id (the IVF
-    * assignment step, exposed for dd16's cell-blocked dedup). */
+    * assignment step, exposed for dd16's cell-blocked dedup).
+    * CacheScope'd: FOUR operators (ss05, ss22, dd16, pp32) derive
+    * from this one frame, so a session running several of them pays
+    * the corpus×centroids scoring pass once. */
   private[ops] def cellAssignments(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val cent = CacheScope.cached(centroids(s, d))
     val emb = Tables.embeddings(s, d)
-    emb.select(col("vec_id"), col("embedding"))
-      .transform(nearestCellsFrom(cent, _, 1, "cell"))
-      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    CacheScope.cached(
+      emb.select(col("vec_id"), col("embedding"))
+        .transform(nearestCellsFrom(cent, _, 1, "cell"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
   }
 
   /** ss05: IVF-style ANN — the corpus is partitioned into coarse cells
