@@ -323,6 +323,7 @@ object SparkEntry {
     "ev55_churn_cohorts"    -> Events.ev55ChurnCohorts _,
     "mm14_repair_plan"      -> Multimodal.mm14RepairPlan _,
     "pp35_temp_curve"       -> Pipelines.pp35TempCurve _,
+    "q71_contingency"       -> Relational.q71Contingency _,
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,
@@ -3365,6 +3366,27 @@ object SparkEntry {
          |  CAST(max(sz) AS BIGINT) AS largest_safe,
          |  count(*) > 1 AS split
          |FROM ssz GROUP BY 1""".stripMargin,
+
+    // q71: independence deviation per contingency cell; abs + flag
+    // because Spark div truncates and DuckDB // floors (they agree
+    // only on nonnegative numerators).
+    "q71_contingency" ->
+      """WITH cells AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS BIGINT) AS observed
+        |  FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS r_tot
+        |       FROM lineitem GROUP BY 1),
+        |ct AS (SELECT l_linestatus, CAST(count(*) AS BIGINT) AS c_tot
+        |       FROM lineitem GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+        |SELECT cells.l_returnflag, cells.l_linestatus, observed,
+        |  r_tot, c_tot,
+        |  CAST(r_tot * c_tot * 1000 // n AS BIGINT) AS expected_milli,
+        |  CAST(abs(observed * 1000 - r_tot * c_tot * 1000 // n) * 10000
+        |    // (r_tot * c_tot * 1000 // n) AS BIGINT) AS abs_dev_bp,
+        |  observed * 1000 > r_tot * c_tot * 1000 // n AS over_represented
+        |FROM cells JOIN rt USING (l_returnflag)
+        |JOIN ct USING (l_linestatus) CROSS JOIN n""".stripMargin,
 
     // pp35: temperature curve on the sqrt-chain micro grid (IEEE sqrt
     // is correctly rounded on both engines; pow is not).

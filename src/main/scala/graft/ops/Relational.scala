@@ -1403,4 +1403,41 @@ object Relational {
         when(col("n_checked") === 0, 0L)
           .otherwise(expr("n_violations * 1000000 div n_checked")))
   }
+
+  /** q71: CONTINGENCY / independence audit — the column-correlation
+    * detector a profiler (pp12) stops short of: for the
+    * (returnflag × linestatus) grid, each cell's observed count
+    * against the independence expectation r·c∕n, with the deviation
+    * in exact bp — the signal that tells a CBO (or a data steward)
+    * two dimensions are NOT independent, so multiplying their
+    * selectivities under-estimates every conjunctive predicate
+    * (q68 gives per-column histograms; this is the 2-D correction).
+    * Integer discipline: expected on the MILLI grid
+    * (r·c·1000 div n — bounded by n²·1000, int64-safe to ~3×10⁶
+    * rows per side… at 100 TB swap the milli grid for per-partition
+    * pre-scaling, same shape), deviation as abs + direction flag
+    * because Spark's `div` truncates while DuckDB's `//` floors —
+    * they agree only on nonnegative numerators (grid rule learned
+    * here, recorded for every future signed division). Scale: three
+    * broadcast dimension aggregates + a |dims|²-row cell frame off
+    * one scan. */
+  def q71Contingency(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val cells = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("observed"))
+    val rt = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("r_tot"))
+    val ct = li.groupBy(col("l_linestatus")).agg(count(lit(1)).as("c_tot"))
+    val n = li.agg(count(lit(1)).as("n"))
+    cells.join(broadcast(rt), Seq("l_returnflag"))
+      .join(broadcast(ct), Seq("l_linestatus"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected_milli", expr("r_tot * c_tot * 1000 div n"))
+      .withColumn("abs_dev_bp", expr(
+        "abs(observed * 1000 - expected_milli) * 10000 div expected_milli"))
+      .withColumn("over_represented",
+        col("observed") * 1000 > col("expected_milli"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("observed"),
+        col("r_tot"), col("c_tot"), col("expected_milli"),
+        col("abs_dev_bp"), col("over_represented"))
+  }
 }

@@ -2231,6 +2231,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == expect, s"safe reclustering diverges:\n$got\nvs\n$expect")
   }
 
+  test("q71 contingency deviations match an exact recompute") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = li.length.toLong
+    val rt = li.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val ct = li.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val expect = li.groupBy(identity).map { case ((rf, ls), v) =>
+      val o = v.length.toLong
+      val em = rt(rf) * ct(ls) * 1000L / n
+      (rf, ls) -> ((o, em, math.abs(o * 1000L - em) * 10000L / em,
+        o * 1000L > em))
+    }
+    val got = ops.Relational.q71Contingency(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(5), r.getLong(6), r.getBoolean(7))))
+      .toMap
+    assert(got == expect, s"contingency diverges:\n$got\nvs\n$expect")
+    // Σ observed over the grid = n (no cell lost)
+    assert(got.values.map(_._1).sum == n)
+  }
+
   test("pp35 temperature tiers order correctly and shares sum to ~1") {
     val rows = ops.Pipelines.pp35TempCurve(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
