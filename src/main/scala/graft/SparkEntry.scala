@@ -324,6 +324,7 @@ object SparkEntry {
     "mm14_repair_plan"      -> Multimodal.mm14RepairPlan _,
     "pp35_temp_curve"       -> Pipelines.pp35TempCurve _,
     "q71_contingency"       -> Relational.q71Contingency _,
+    "pp36_worker_schedule"  -> Pipelines.pp36WorkerSchedule _,
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,
@@ -3366,6 +3367,35 @@ object SparkEntry {
          |  CAST(max(sz) AS BIGINT) AS largest_safe,
          |  count(*) > 1 AS split
          |FROM ssz GROUP BY 1""".stripMargin,
+
+    // pp36: 16 shards striped onto 4 workers by descending token
+    // load; overrun clamped at 0 (negative numerators divide
+    // differently across engines).
+    "pp36_worker_schedule" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(trim(text),' ')) AS BIGINT) AS n_tokens,
+        |    list_sum(list_transform(range(0,4), k ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5('shard:' || CAST(doc_id AS VARCHAR)), k+1, 1)) - 1
+        |        AS BIGINT) * (CAST(1 AS BIGINT) << (4*(3-k))))) % 16
+        |      AS shard_id
+        |  FROM documents),
+        |g AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_bytes
+        |  FROM d GROUP BY 1),
+        |a AS (SELECT *, (row_number() OVER (
+        |    ORDER BY n_tokens DESC, shard_id) - 1) % 4 AS worker FROM g),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM g)
+        |SELECT CAST(worker AS BIGINT) AS worker,
+        |  CAST(count(*) AS BIGINT) AS n_shards,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+        |  CAST(sum(n_tokens) * 10000 // t_tokens AS BIGINT) AS load_bp,
+        |  CAST(greatest(0, (sum(n_tokens) * 4 - t_tokens) * 10000
+        |    // t_tokens) AS BIGINT) AS overrun_bp
+        |FROM a CROSS JOIN tot GROUP BY worker, t_tokens""".stripMargin,
 
     // q71: independence deviation per contingency cell; abs + flag
     // because Spark div truncates and DuckDB // floors (they agree

@@ -1131,6 +1131,44 @@ object Pipelines {
         col("kept_ppm"))
   }
 
+  /** pp36: shard-to-WORKER schedule — the step between pp14's shard
+    * plan and a training run: 16 hash-shards onto 4 readers, striped
+    * by descending token load (rank k → worker (k−1) mod 4 — the
+    * deterministic near-LPT heuristic: the 4 heaviest shards land on
+    * 4 different workers, and each stripe round balances the
+    * residual; true LPT is a sequential argmin that a declarative
+    * plan can't express, and on hash-balanced shards the stripe is
+    * within a rounding of it). Per worker: shards, docs, tokens,
+    * bytes, load share in exact bp, and the makespan overrun vs the
+    * ideal 1/W share (the number the reader-pool sizing reads). The
+    * ordering window sorts the 16-row SHARD frame — bounded by the
+    * shard count, never data. */
+  def pp36WorkerSchedule(s: SparkSession, d: String): DataFrame = {
+    val W = 4L
+    val shards = pp14ShardPlan(s, d)
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+        col("n_bytes"))
+    val wOrd = Window.orderBy(col("n_tokens").desc, col("shard_id"))
+    val assigned = shards
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("worker", (col("rk") - 1) % W)
+    val tot = shards.agg(sum(col("n_tokens")).as("t_tokens"))
+    assigned.groupBy(col("worker"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"))
+      .crossJoin(broadcast(tot))
+      .withColumn("load_bp", expr("n_tokens * 10000 div t_tokens"))
+      .withColumn("overrun_bp",
+        expr(s"(n_tokens * $W - t_tokens) * 10000 div t_tokens"))
+      .withColumn("overrun_bp",
+        when(col("overrun_bp") < 0, 0L).otherwise(col("overrun_bp")))
+      .select(col("worker"), col("n_shards"), col("n_docs"),
+        col("n_tokens"), col("n_bytes"), col("load_bp"),
+        col("overrun_bp"))
+  }
+
   /** pp35: TEMPERATURE curve for the mix flattener — pp10 samples at
     * one fixed temperature; this is the tuning table that justifies
     * the choice: per-source target share at τ = 1 (raw, big sources

@@ -2231,6 +2231,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == expect, s"safe reclustering diverges:\n$got\nvs\n$expect")
   }
 
+  test("pp36 stripes shards near-LPT and conserves every shard") {
+    val shards = ops.Pipelines.pp14ShardPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sched = ops.Pipelines.pp36WorkerSchedule(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(sched.map(_._2).sum == shards.length, "every shard assigned")
+    assert(sched.map(_._4).sum == shards.map(_._3).sum,
+      "token mass conserved")
+    // independent striping replay
+    val order = shards.sortBy(t => (-t._3, t._1))
+    val expect = order.zipWithIndex
+      .groupBy { case (_, i) => (i % 4).toLong }
+      .map { case (w, ss) => w ->
+        ((ss.length.toLong, ss.map(_._1._3).sum)) }
+    sched.foreach { case (w, n, _, tok, _, _, _) =>
+      assert(expect(w) == ((n, tok)), s"worker $w diverges from stripe")
+    }
+    // the stripe must land within 2x of the ideal share (near-LPT on
+    // hash-balanced shards is far tighter; this is the hard floor)
+    sched.foreach { case (w, _, _, _, _, loadBp, overBp) =>
+      assert(loadBp <= 5000, s"worker $w carries $loadBp bp")
+      assert(overBp <= loadBp, s"overrun exceeds load: $w")
+    }
+  }
+
   test("q71 contingency deviations match an exact recompute") {
     val li = graft.Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_linestatus")).collect()
