@@ -506,6 +506,7 @@ class OperatorsSpec extends SparkTestBase {
       "gr02_degree_dist",      // |distinct degree| rows
       "pp13_pack_manifest",    // |doc_id ÷ 4096| bucket-offset frame
       "pp14_shard_plan",       // 16-shard load frame
+      "pp36_worker_schedule",  // 16-shard striping rank (∝ shard count)
       "tx35_token_ids",        // 256-row vocab rank (post-limit)
       "ev44_pareto",           // ≤ |distinct activity levels| histogram rows
       "pp19_token_budget",     // |sources|-row remainder ranking
