@@ -325,6 +325,7 @@ object SparkEntry {
     "pp35_temp_curve"       -> Pipelines.pp35TempCurve _,
     "q71_contingency"       -> Relational.q71Contingency _,
     "pp36_worker_schedule"  -> Pipelines.pp36WorkerSchedule _,
+    "tx51_hapax_profile"    -> Text.tx51HapaxProfile _,
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,
@@ -3367,6 +3368,23 @@ object SparkEntry {
          |  CAST(max(sz) AS BIGINT) AS largest_safe,
          |  count(*) > 1 AS split
          |FROM ssz GROUP BY 1""".stripMargin,
+
+    // tx51: per-source hapax (frequency-1) vocabulary share — exact
+    // counts, bp grids.
+    "tx51_hapax_profile" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        |       FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+        |    AS BIGINT) AS hapax_share_bp,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000
+        |    // CAST(sum(n) AS BIGINT) AS BIGINT) AS hapax_mass_bp
+        |FROM st GROUP BY 1""".stripMargin,
 
     // pp36: 16 shards striped onto 4 workers by descending token
     // load; overrun clamped at 0 (negative numerators divide

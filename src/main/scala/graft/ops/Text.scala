@@ -1129,4 +1129,32 @@ object Text {
           .otherwise(lit(0L)))
       .withColumn("is_code",
         (col("sym_bp") >= 300L || col("kw_hits") >= 3L).cast("int"))
+
+  /** tx51: per-SOURCE hapax profile — the share of a source's
+    * vocabulary that occurs exactly once IN THAT SOURCE (hapax
+    * legomena). Twin readings, both operational: a hapax share far
+    * ABOVE the corpus norm signals OCR/mojibake noise or aggressive
+    * token splitting (garbage tokens are almost always unique), far
+    * BELOW signals templated/boilerplate text (tx30's signal from
+    * the vocabulary side). tx32 ranks each doc's globally rarest
+    * tokens; this is the source-level distributional audit a crawl
+    * triage reads next to tx25's quality board. All counts exact
+    * int64: vocab size, hapax count, hapax share in bp, plus
+    * token-level hapax mass (hapax tokens ∕ total tokens, bp). One
+    * (source, token) partial agg off the token scan, then a
+    * \|sources\|-row rollup — nothing corpus-sized after the first
+    * shuffle. */
+  def tx51HapaxProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("n")).as("n_tokens"))
+      .withColumn("hapax_share_bp", expr("hapax * 10000 div vocab"))
+      .withColumn("hapax_mass_bp", expr("hapax * 10000 div n_tokens"))
+      .select(col("source"), col("vocab"), col("hapax"),
+        col("n_tokens"), col("hapax_share_bp"), col("hapax_mass_bp"))
 }

@@ -2232,6 +2232,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == expect, s"safe reclustering diverges:\n$got\nvs\n$expect")
   }
 
+  test("tx51 hapax profile matches an exact per-source recompute") {
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("source"), explode(split(trim(col("text")), " "))
+        .as("tok")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = toks.groupBy(_._1).map { case (src, ts) =>
+      val byTok = ts.groupBy(_._2).map { case (_, v) => v.length.toLong }
+      val vocab = byTok.size.toLong
+      val hapax = byTok.count(_ == 1L).toLong
+      val n = ts.length.toLong
+      src -> ((vocab, hapax, n, hapax * 10000L / vocab,
+        hapax * 10000L / n))
+    }
+    val got = ops.Text.tx51HapaxProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect, s"hapax profile diverges:\n$got\nvs\n$expect")
+  }
+
   test("pp36 stripes shards near-LPT and conserves every shard") {
     val shards = ops.Pipelines.pp14ShardPlan(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
