@@ -3430,8 +3430,9 @@ object SparkEntry {
         |SELECT cells.l_returnflag, cells.l_linestatus, observed,
         |  r_tot, c_tot,
         |  CAST(r_tot * c_tot * 1000 // n AS BIGINT) AS expected_milli,
-        |  CAST(abs(observed * 1000 - r_tot * c_tot * 1000 // n) * 10000
-        |    // (r_tot * c_tot * 1000 // n) AS BIGINT) AS abs_dev_bp,
+        |  CAST(CASE WHEN r_tot * c_tot * 1000 // n = 0 THEN 0
+        |    ELSE abs(observed * 1000 - r_tot * c_tot * 1000 // n) * 10000
+        |      // (r_tot * c_tot * 1000 // n) END AS BIGINT) AS abs_dev_bp,
         |  observed * 1000 > r_tot * c_tot * 1000 // n AS over_represented
         |FROM cells JOIN rt USING (l_returnflag)
         |JOIN ct USING (l_linestatus) CROSS JOIN n""".stripMargin,

@@ -14,8 +14,15 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheScope {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private val liveRdds =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  // WEAK references: truncated RDDs are never reused cross-query, so a
+  // harness that skips the drain (Bench keeps DataFrame caches warm
+  // across the sweep) must not have this registry pin every
+  // localCheckpoint's storage blocks for the process lifetime — once a
+  // query's plan is unreachable the ContextCleaner reclaims the RDD
+  // exactly as it would without the registry, while an explicit drain
+  // still unpersists everything still alive.
+  private val liveRdds = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
   private val hits = new java.util.concurrent.atomic.AtomicLong
   private val misses = new java.util.concurrent.atomic.AtomicLong
 
@@ -28,7 +35,7 @@ object CacheScope {
     * the request's results are materialized — exactly when Verify and
     * a service harness call it. */
   private[graft] def registerRdd(r: org.apache.spark.rdd.RDD[_]): Unit =
-    liveRdds.add(r)
+    liveRdds.add(new java.lang.ref.WeakReference(r))
 
   private[graft] def cached(df: DataFrame): DataFrame = {
     // plan-cache reuse accounting: a HIT means this logical plan is
@@ -57,10 +64,11 @@ object CacheScope {
       df.unpersist()
       df = live.poll()
     }
-    var r = liveRdds.poll()
-    while (r != null) {
-      r.unpersist(blocking = false)
-      r = liveRdds.poll()
+    var ref = liveRdds.poll()
+    while (ref != null) {
+      val r = ref.get()
+      if (r != null) r.unpersist(blocking = false)
+      ref = liveRdds.poll()
     }
   }
 }

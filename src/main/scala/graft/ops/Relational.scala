@@ -1432,8 +1432,13 @@ object Relational {
       .join(broadcast(ct), Seq("l_linestatus"))
       .crossJoin(broadcast(n))
       .withColumn("expected_milli", expr("r_tot * c_tot * 1000 div n"))
-      .withColumn("abs_dev_bp", expr(
-        "abs(observed * 1000 - expected_milli) * 10000 div expected_milli"))
+      // zero guard (the pp32 affected_bp pattern): tiny marginals on a
+      // huge table truncate expected_milli to 0 — deviation reported as
+      // 0 with over_represented carrying the direction, no div-by-zero
+      // on either engine
+      .withColumn("abs_dev_bp", when(col("expected_milli") === 0, lit(0L))
+        .otherwise(expr(
+          "abs(observed * 1000 - expected_milli) * 10000 div expected_milli")))
       .withColumn("over_represented",
         col("observed") * 1000 > col("expected_milli"))
       .select(col("l_returnflag"), col("l_linestatus"), col("observed"),

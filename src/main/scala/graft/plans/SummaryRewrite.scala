@@ -65,12 +65,26 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * session reading two scale dirs with the flag set must never have
     * one dir's queries silently answered from the other dir's MV.
     * Fail-closed: a summary dir without a sidecar serves nothing. */
+  // memoized per summaryDir: the sidecar is immutable once the layout
+  // job writes it, and this sits on the optimizer hot path (once per
+  // eligible Aggregate per optimization of every query in the session)
+  // — driver-side file IO there must happen at most once per dir. Only
+  // successful reads are cached: a dir whose sidecar hasn't landed yet
+  // stays fail-closed AND re-probed, so a layout job finishing later
+  // in the session is still picked up.
+  private val mvSourceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def mvSource(dir: String): Option[String] = {
-    val f = new java.io.File(dir, "_MV_SOURCE")
-    if (f.isFile)
-      Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
-    else None
+    Option(mvSourceCache.get(dir)).orElse {
+      val f = new java.io.File(dir, "_MV_SOURCE")
+      if (f.isFile) {
+        val v = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        mvSourceCache.put(dir, v)
+        Some(v)
+      } else None
+    }
   }
 
   private def eligible(agg: Aggregate): Boolean =

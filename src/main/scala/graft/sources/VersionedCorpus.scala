@@ -223,12 +223,16 @@ object VersionedCorpus {
     val orphans = Option(dataRoot.listFiles()).getOrElse(Array.empty[File])
       .filter(d => d.isDirectory && !referenced(d.getName))
     var bytes = 0L
-    orphans.foreach { d =>
-      Option(d.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
-        bytes += f.length(); Files.delete(f.toPath)
-      }
-      Files.delete(d.toPath)
+    // recursive: a failed-publish orphan (exactly what gc advertises it
+    // reclaims) still holds the writer's `_temporary/` subtree — a
+    // one-level delete would throw on the nested dir and abort gc with
+    // some orphans gone and the rest never reclaimed
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+      else bytes += f.length()
+      Files.delete(f.toPath)
     }
+    orphans.foreach(rm)
     (orphans.length.toLong, bytes)
   }
 }
