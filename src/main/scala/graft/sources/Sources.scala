@@ -153,37 +153,66 @@ object Sources {
 
   /** EQUI-DEPTH range layout — the layout job that CONSUMES the q68
     * histogram statistic instead of merely publishing it: shard
-    * boundaries are the table's own exact equi-depth percentile cuts
-    * (distributed value-histogram + cumulative rank over the
-    * ∝|distinct values| frame — the q68 derivation, generalized), so
-    * every shard holds ≈ n/nShards rows even under heavy value skew.
-    * `repartitionByRange` gets boundaries from a reservoir SAMPLE — on
-    * a skewed 100 TB column a sampling miss writes one fat file that
-    * becomes the straggler task of every downstream scan; the exact
-    * histogram costs one aggregate and cannot miss. Shards land as
-    * hive dirs (`shard=K/`), each internally sorted on `c`, and
-    * `_RANGES.json` records per-shard (min, max, rows) — the same
-    * driver-side pruning index writeRangeOrdered emits, so a range
-    * reader opens only overlapping shards. Rows equal to a boundary
-    * value stay together (ranges are disjoint; a heavy single value
-    * bounds the balance, exactly as in q68). */
+    * boundaries are equi-depth percentile cuts of the table's own
+    * value distribution, so every shard holds ≈ n/nShards rows even
+    * under heavy value skew. `repartitionByRange` gets boundaries from
+    * a reservoir SAMPLE — on a skewed 100 TB column a sampling miss
+    * writes one fat file that becomes the straggler task of every
+    * downstream scan; the histogram cuts cannot miss by more than one
+    * bucket's mass. The boundary derivation is a BOUNDED sufficient
+    * statistic, never a corpus-sized frame: values are pre-bucketed
+    * onto a fixed 65536-cell grid over [min, max] (one distributed
+    * per-bucket count — partial-aggregable, no window anywhere), and
+    * the ≤65536-row (bucket, count) partial is merged driver-side into
+    * cumulative cuts (the sk-family discipline; ~1 MB ceiling
+    * regardless of cardinality — on a near-unique 100 TB column the
+    * old distinct-value histogram WAS the corpus). Resolution bound:
+    * when the value span exceeds the grid, boundaries snap to bucket
+    * edges of width ceil(span/65536), so shard balance is exact up to
+    * the heaviest single bucket's mass (columns whose span fits the
+    * grid — integer codes, enum grids — keep exact per-value cuts:
+    * bucket width 1). Shards land as hive dirs (`shard=K/`), each
+    * internally sorted on `c`, and `_RANGES.json` records per-shard
+    * (min, max, rows) — the same driver-side pruning index
+    * writeRangeOrdered emits, so a range reader opens only overlapping
+    * shards. Rows equal at grid resolution stay together (ranges are
+    * disjoint; a heavy single value bounds the balance, as in q68). */
   def writeEquiDepth(df: DataFrame, path: String, c: String,
       nShards: Int = 8): Unit = {
-    import org.apache.spark.sql.expressions.Window
+    val grid = 65536L
     val v = df.withColumn("__c", col(c).cast("long"))
-    val hist = v.groupBy(col("__c")).agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.orderBy(col("__c"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = v.agg(count(lit(1)).as("n"))
-    val cutCols = (1 until nShards).map(k =>
-      min(when(col("cum") * nShards >= col("n") * k, col("__c"))).as(s"b$k"))
-    val cuts = hist.crossJoin(broadcast(tot)).agg(cutCols.head, cutCols.tail: _*)
-    v.crossJoin(broadcast(cuts))
-      .withColumn("shard",
-        (1 until nShards).map(k =>
-          when(col("__c") >= col(s"b$k"), 1).otherwise(0)).reduce(_ + _))
-      .drop("__c" +: (1 until nShards).map(k => s"b$k"): _*)
+    val statRow = v.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
+      count(lit(1)).as("n")).head()
+    val n = statRow.getLong(2)
+    val (mn, mx) = if (n == 0) (0L, 0L)
+      else (statRow.getLong(0), statRow.getLong(1))
+    // ceil(span/grid): bucket = (x - mn) / width — division first, so a
+    // full-Long-range span (timestamps in micros) cannot overflow
+    val width = math.max(1L, {
+      val span = mx - mn + 1
+      if (span <= 0) Long.MaxValue / grid // span overflowed: one width cap
+      else (span + grid - 1) / grid
+    })
+    // integer `div`, not `/`: double division loses exactness past 2^53
+    // on a full-range span; (__c - mn) is nonnegative so div == floor
+    val bucketCol = expr(s"(__c - ${mn}L) div ${width}L")
+    // the bounded sufficient statistic: ≤ 65536 (bucket, count) rows,
+    // merged driver-side — the ONLY collect, ∝ grid, never data
+    val buckets = v.groupBy(bucketCol.as("b")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cuts = {
+      var cum = 0L
+      val cumByBucket = buckets.map { case (b, cnt) => cum += cnt; (b, cum) }
+      (1 until nShards).flatMap { k =>
+        cumByBucket.find { case (_, cm) => cm * nShards >= n * k }.map(_._1)
+      }.distinct.sorted
+    }
+    val shardCol =
+      if (cuts.isEmpty) lit(0)
+      else cuts.map(b => when(bucketCol >= lit(b), 1).otherwise(0))
+        .reduce(_ + _)
+    v.withColumn("shard", shardCol)
+      .drop("__c")
       .repartition(col("shard"))
       .sortWithinPartitions(col(c))
       .write.mode("overwrite").partitionBy("shard").parquet(path)

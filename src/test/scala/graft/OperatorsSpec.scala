@@ -511,7 +511,12 @@ class OperatorsSpec extends SparkTestBase {
       "ev44_pareto",           // ≤ |distinct activity levels| histogram rows
       "pp19_token_budget",     // |sources|-row remainder ranking
       "q67_skyline",           // ≤ |distinct prices| per-price max frame
-      "q68_equidepth_hist")    // ≤ |distinct values| histogram frame
+      "q68_equidepth_hist")    // ≤ |distinct l_quantity| rows — a bounded
+                               // integer grid (1..50) by schema, never
+                               // near-unique; the layout twin
+                               // (writeEquiDepth) handles unbounded
+                               // cardinality via the fixed 65536-cell
+                               // grid with NO window at all
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan

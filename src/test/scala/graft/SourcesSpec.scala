@@ -488,6 +488,42 @@ class SourcesSpec extends SparkTestBase {
         data.select("v").collect().map(_.getLong(0)).sorted))
   }
 
+  test("equi-depth layout stays balanced on a NEAR-UNIQUE high-cardinality column") {
+    // the 100×-scale case the op advertises (a doc_id/timestamp-shaped
+    // column): |distinct values| ≈ n, so a distinct-value histogram
+    // would BE the corpus. The bounded-grid derivation instead
+    // pre-buckets onto the fixed 65536-cell grid (span 200000 → bucket
+    // width 4), and the only driver-side merge is the ≤65536-row
+    // partial — balance is exact up to one bucket's mass (4 rows here).
+    import graft.sources.Sources
+    val dir = s"$tmp/equidepth_hicard"
+    val n = 200000L
+    val data = spark.range(n).select(col("id"), col("id").as("v"))
+    Sources.writeEquiDepth(data, dir, "v", nShards = 8)
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_RANGES.json")))
+    val entries = body.stripPrefix("[").stripSuffix("]").split("\\},")
+      .map { e =>
+        def f(k: String) =
+          raw""""$k":(-?\d+)""".r.findFirstMatchIn(e).get.group(1).toLong
+        (f("min"), f("max"), f("rows"))
+      }.sortBy(_._1)
+    assert(entries.length == 8, s"expected 8 shards: $body")
+    assert(entries.map(_._3).sum == n, "rows lost in the layout")
+    val maxBucketMass = 4L // grid width ceil(200000/65536) = 4, 1 row/value
+    entries.foreach { case (mn, mx, rows) =>
+      assert(rows >= n / 8 - maxBucketMass && rows <= n / 8 + maxBucketMass,
+        s"shard [$mn,$mx] unbalanced on near-unique column: $rows rows")
+    }
+    entries.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 < b._1, s"overlapping shard ranges: $a $b")
+    }
+    // the pruned reader still answers exactly through the index
+    val got = Sources.readRangePruned(spark, dir, "v", 99990L, 100010L)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (99990L to 100010L).toSeq, "pruned read wrong")
+  }
+
   test("compaction plan covers every file once, packs under target, is deterministic") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
