@@ -59,6 +59,22 @@ object Bench {
       case _ => -1.0
     }
     val loadStart = osBean.getSystemLoadAverage
+    // eviction evidence (the round-6 adjudication gap): CacheScope's
+    // hit:miss profile counts cache() CALLS, so two runs of the same
+    // commit show identical profiles even when one box is thrashing
+    // storage blocks (evict → recompute → evict). EvictionMonitor
+    // counts still-persistent block DROPS and memory→disk DEMOTIONS
+    // (see its scaladoc for why both are needed), and the line also
+    // carries the heap ceiling and the peak cached-storage footprint —
+    // so a slow sweep carries its own memory-pressure verdict:
+    // evict_total+demote_total 0 at 8 g heap means wall numbers are
+    // the code's; either ≫ 0 means the box, not the plan
+    // (cross-checked by wall ≈ cpu/k staying healthy).
+    val pressure = graft.ops.EvictionMonitor.attach(spark.sparkContext)
+    def storageUsedMb: Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+    val maxHeapMb = Runtime.getRuntime.maxMemory >> 20
+    var storagePeakMb = 0L
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -67,6 +83,7 @@ object Bench {
       // query after the one that materialized a shared frame, shows
       // hits) vs pay the cold build (misses)
       graft.ops.CacheScope.resetCounters()
+      val ev0 = pressure.drops.get
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val c0 = procCpuSec
@@ -75,17 +92,20 @@ object Bench {
         (ok, (System.nanoTime() - t0) / 1e9, procCpuSec - c0)
       }
       val (h, m) = graft.ops.CacheScope.counters
+      storagePeakMb = math.max(storagePeakMb, storageUsedMb)
+      val ev = pressure.drops.get - ev0
       val (t, c) =
         if (runs.forall(_._1)) {
           val best = runs.minBy(_._2)
           (best._2, best._3) // cpu OF the min-wall run, not min cpu
         } else (-1.0, -1.0)
-      (name, t, c, h, m)
+      (name, t, c, h, m, ev)
     }
     val loadEnd = osBean.getSystemLoadAverage
-    val cacheByName = results.map { case (n, _, _, h, m) => n -> s"$h:$m" }.toMap
-    val cpuByName = results.map { case (n, _, c, _, _) => n -> c }.toMap
-    val timed = results.map { case (n, t, _, _, _) => n -> t }
+    val cacheByName = results.map { case (n, _, _, h, m, _) => n -> s"$h:$m" }.toMap
+    val cpuByName = results.map { case (n, _, c, _, _, _) => n -> c }.toMap
+    val evictByName = results.map { case (n, _, _, _, _, e) => n -> e }.toMap
+    val timed = results.map { case (n, t, _, _, _, _) => n -> t }
     val failed = timed.collect { case (n, t) if t < 0 => n }
     val okTimes = timed.collect { case (_, t) if t >= 0 => t }
     val total = okTimes.sum
@@ -114,9 +134,15 @@ object Bench {
     // some healthy parallelism k, while wall ≫ cpu means the box was
     // contended and the sweep's wall numbers are not the code's
     val cpuSlow = slowest.take(10).map { case (n, _) => n -> cpuByName(n) }
+    // per-slowest-10 eviction counts: the thrash signature lands on
+    // exactly the timings being compared round-over-round
+    val evictSlow = slowest.take(10).map { case (n, _) =>
+      n -> evictByName(n).toString }
+    val evictTotal = evictByName.values.sum
+    val demoteTotal = pressure.demotions.get
     val cpuTotal = timed.collect { case (n, t) if t >= 0 => cpuByName(n) }.sum
     val (hTot, mTot) = results.foldLeft((0L, 0L)) {
-      case ((a, b), (_, _, _, h, m)) => (a + h, b + m)
+      case ((a, b), (_, _, _, h, m, _)) => (a + h, b + m)
     }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
@@ -124,6 +150,6 @@ object Bench {
     // contract line so it is the last thing on stdout
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"queries":${qmap(head)},"slowest":${qmap(slowest)},"cpu":${qmap(cpuSlow)},"cache":${smap(cacheSlow)},"cache_hits":$hTot,"cache_misses":$mTot,"n_queries":${timed.size},"n_failed":${failed.size},"errors":$errs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"max_heap_mb":$maxHeapMb,"storage_peak_mb":$storagePeakMb,"evict_total":$evictTotal,"demote_total":$demoteTotal,"queries":${qmap(head)},"slowest":${qmap(slowest)},"cpu":${qmap(cpuSlow)},"cache":${smap(cacheSlow)},"evict":${smap(evictSlow)},"cache_hits":$hTot,"cache_misses":$mTot,"n_queries":${timed.size},"n_failed":${failed.size},"errors":$errs,"sf":"$sfName"}""")
   }
 }
