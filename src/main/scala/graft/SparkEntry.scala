@@ -329,7 +329,94 @@ object SparkEntry {
     "q68_equidepth_hist"    -> Relational.q68EquidepthHist _,
     "q69_assoc_rules"       -> Relational.q69AssocRules _,
     "q70_dq_expectations"   -> Relational.q70DqExpectations _,
+    "pp37_patch_postings"   -> Pipelines.pp37PatchPostings _,
+    "pp38_patch_ivf"        -> Pipelines.pp38PatchIvf _,
+    "pp39_patch_clusters"   -> Pipelines.pp39PatchClusters _,
+    "q72_selectivity"       -> Relational.q72SelectivityCorrect _,
+    "ss24_hybrid_walk"      -> Similarity.ss24HybridWalk _,
+    "ev56_gated_features"   -> Events.ev56GatedFeatures _,
   )
+
+  /** ss22's NSW walk replayed hop by hop (the kNN-join graph
+    * symmetrized, dual entries, 3 unrolled expand-and-prune rounds on
+    * (cosine DESC, vec_id) beams of 8) through the final-beam CTE
+    * `b3` — shared by ss22 (top-5 cut) and ss24 (top-8 vector tier). */
+  private lazy val nswWalkCtes: String =
+    s"""WITH knn AS ($knnJoinSql),
+       |e0 AS (SELECT qid AS src, neighbor_id AS dst FROM knn
+       |       WHERE qid >= 10 AND neighbor_id >= 10),
+       |edges AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+       |q AS (SELECT vec_id AS qid, embedding AS qe
+       |      FROM embeddings WHERE vec_id < 10),
+       |entry AS (SELECT min(vec_id) AS vec_id FROM embeddings
+       |          WHERE vec_id >= 10),
+       |cx AS (SELECT vec_id, label, i,
+       |       CAST(embedding[i+1] AS DOUBLE) AS x
+       |     FROM embeddings, range(64) r(i)),
+       |cc AS (SELECT label AS cell, i, avg(x) AS c FROM cx GROUP BY 1, 2),
+       |cvc AS (SELECT cx.vec_id, cc.cell,
+       |         sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS ccos
+       |       FROM cx JOIN cc ON cx.i = cc.i GROUP BY 1, 2),
+       |casg AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, cell) AS crk FROM cvc) z WHERE crk = 1),
+       |qc AS (SELECT vec_id AS qid, cell FROM casg WHERE vec_id < 10),
+       |ecell AS (SELECT qid, vec_id FROM (
+       |    SELECT qc.qid, casg.vec_id, row_number() OVER (
+       |        PARTITION BY qc.qid
+       |        ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
+       |                 casg.vec_id) AS rk
+       |    FROM qc JOIN casg ON casg.cell = qc.cell AND casg.vec_id >= 10
+       |    JOIN embeddings c ON c.vec_id = casg.vec_id
+       |    JOIN q ON q.qid = qc.qid) z WHERE rk = 1),
+       |b0 AS (SELECT DISTINCT qid, vec_id FROM (
+       |    SELECT q.qid, entry.vec_id FROM q CROSS JOIN entry
+       |    UNION ALL
+       |    SELECT qid, vec_id FROM ecell) u),
+       |x1 AS (SELECT DISTINCT qid, vec_id FROM (
+       |    SELECT qid, vec_id FROM b0
+       |    UNION ALL
+       |    SELECT b0.qid, e.dst AS vec_id FROM b0
+       |    JOIN edges e ON e.src = b0.vec_id)),
+       |b1 AS (SELECT qid, vec_id FROM (
+       |    SELECT x1.qid, x1.vec_id, row_number() OVER (PARTITION BY x1.qid
+       |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
+       |               x1.vec_id) AS rk
+       |    FROM x1 JOIN embeddings c ON c.vec_id = x1.vec_id
+       |    JOIN q ON q.qid = x1.qid) z WHERE rk <= 8),
+       |x2 AS (SELECT DISTINCT qid, vec_id FROM (
+       |    SELECT qid, vec_id FROM b1
+       |    UNION ALL
+       |    SELECT b1.qid, e.dst AS vec_id FROM b1
+       |    JOIN edges e ON e.src = b1.vec_id)),
+       |b2 AS (SELECT qid, vec_id FROM (
+       |    SELECT x2.qid, x2.vec_id, row_number() OVER (PARTITION BY x2.qid
+       |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
+       |               x2.vec_id) AS rk
+       |    FROM x2 JOIN embeddings c ON c.vec_id = x2.vec_id
+       |    JOIN q ON q.qid = x2.qid) z WHERE rk <= 8),
+       |x3 AS (SELECT DISTINCT qid, vec_id FROM (
+       |    SELECT qid, vec_id FROM b2
+       |    UNION ALL
+       |    SELECT b2.qid, e.dst AS vec_id FROM b2
+       |    JOIN edges e ON e.src = b2.vec_id)),
+       |b3 AS (SELECT qid, vec_id FROM (
+       |    SELECT x3.qid, x3.vec_id, row_number() OVER (PARTITION BY x3.qid
+       |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
+       |               x3.vec_id) AS rk
+       |    FROM x3 JOIN embeddings c ON c.vec_id = x3.vec_id
+       |    JOIN q ON q.qid = x3.qid) z WHERE rk <= 8)""".stripMargin
+
+  /** The walk's final ranked beam, cut at `k` — ss22's output shape. */
+  private def nswWalkSql(k: Int): String =
+    s"""$nswWalkCtes
+       |SELECT qid, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk FROM (
+       |    SELECT b3.qid, b3.vec_id, row_number() OVER (PARTITION BY b3.qid
+       |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
+       |               b3.vec_id) AS rk
+       |    FROM b3 JOIN embeddings c ON c.vec_id = b3.vec_id
+       |    JOIN q ON q.qid = b3.qid) z WHERE rk <= $k""".stripMargin
 
   /** sk11's 16 replicate-sum columns, generated once for the oracle. */
   private val bootstrapRepSql: String = (0 until 16).map { b =>
@@ -387,10 +474,13 @@ object SparkEntry {
 
   /** dd02's LSH+verify output is semantically identical to dd04's exact
     * pair set (verification removes all false positives; 16-band recall
-    * at the planted J≈0.97 near-dups is ~1), so both share one oracle. */
-  private val ngramJaccardSql: String =
-    """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
-      |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+    * at the planted J≈0.97 near-dups is ~1), so both share one oracle.
+    * `extra` narrows the document universe (pp39's purged-corpus
+    * rebuild appends the tombstone exclusion). */
+  private def ngramJaccardSqlFrom(extra: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+      |           FROM documents
+      |           WHERE len(string_split(trim(text),' ')) >= 3$extra),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |         range(1, len(tk)-1),
       |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
@@ -403,6 +493,7 @@ object SparkEntry {
       |        round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
       |      FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
       |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin
+  private val ngramJaccardSql: String = ngramJaccardSqlFrom("")
 
   /** dd09's oracle: the portable Kirsch–Mitzenmacher MinHash replayed
     * end to end — per-shingle (h1, h2) = the md5 halves, 32 min-slots
@@ -437,9 +528,10 @@ object SparkEntry {
       .stripMargin
   }
 
-  /** dd06's oracle, also the cluster CTE of dd07's. */
-  private val dupClustersSql: String =
-    s"""WITH pairs AS ($ngramJaccardSql),
+  /** dd06's oracle, also the cluster CTE of dd07's; `extra` narrows
+    * the document universe for pp39's purged-corpus rebuild. */
+  private def dupClustersSqlFrom(extra: String): String =
+    s"""WITH pairs AS (${ngramJaccardSqlFrom(extra)}),
        |bi AS (SELECT d1 AS a, d2 AS b FROM pairs
        |       UNION ALL SELECT d2, d1 FROM pairs),
        |reach AS (
@@ -450,6 +542,7 @@ object SparkEntry {
        |  SELECT * FROM r)
        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
        |FROM reach GROUP BY a""".stripMargin
+  private val dupClustersSql: String = dupClustersSqlFrom("")
 
   /** gr17's oracle: the fixed 3-round 3-truss peel over the
     * co-purchase backbone (pairs co-bought in ≥2 distinct orders),
@@ -942,6 +1035,31 @@ object SparkEntry {
          |          ORDER BY list_cosine_similarity(qe, emb) DESC, neighbor_id) AS rk
          |      FROM c)
          |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin
+
+  /** ev54's detector chain — shared by the ev54 entry and the
+    * ev56 bot-gate consumer. */
+  private val botDetectSql: String =
+    """WITH g AS (SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      |  FROM events),
+      |h AS (SELECT user_id, gap_s, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+      |st AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_gaps,
+      |         CAST(count(*) AS BIGINT) AS n_distinct_gaps
+      |       FROM h GROUP BY 1),
+      |tp AS (SELECT user_id, gap_s AS modal_gap_s, cnt AS modal_cnt
+      |       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |           ORDER BY cnt DESC, gap_s) AS rk FROM h) z
+      |       WHERE rk = 1)
+      |SELECT st.user_id, n_gaps + 1 AS n_events, n_distinct_gaps,
+      |  modal_gap_s,
+      |  CAST(modal_cnt * 1000000 // n_gaps AS BIGINT) AS modal_share_ppm,
+      |  (modal_cnt * 1000000 // n_gaps >= 500000
+      |    OR n_distinct_gaps <= 2) AS is_bot
+      |FROM st JOIN tp ON tp.user_id = st.user_id
+      |WHERE n_gaps >= 19""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q32_grouping_sets" ->
@@ -2439,78 +2557,7 @@ object SparkEntry {
     // (ss18's proven SQL) symmetrized, one shared entry point, 3
     // unrolled expand-and-prune rounds on (cosine DESC, vec_id) beams
     // of 8, final top-5. Rank-only, the ss05 float discipline.
-    "ss22_nsw_topk" ->
-      s"""WITH knn AS ($knnJoinSql),
-         |e0 AS (SELECT qid AS src, neighbor_id AS dst FROM knn
-         |       WHERE qid >= 10 AND neighbor_id >= 10),
-         |edges AS (SELECT DISTINCT src, dst FROM
-         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
-         |q AS (SELECT vec_id AS qid, embedding AS qe
-         |      FROM embeddings WHERE vec_id < 10),
-         |entry AS (SELECT min(vec_id) AS vec_id FROM embeddings
-         |          WHERE vec_id >= 10),
-         |cx AS (SELECT vec_id, label, i,
-         |       CAST(embedding[i+1] AS DOUBLE) AS x
-         |     FROM embeddings, range(64) r(i)),
-         |cc AS (SELECT label AS cell, i, avg(x) AS c FROM cx GROUP BY 1, 2),
-         |cvc AS (SELECT cx.vec_id, cc.cell,
-         |         sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS ccos
-         |       FROM cx JOIN cc ON cx.i = cc.i GROUP BY 1, 2),
-         |casg AS (SELECT vec_id, cell FROM (
-         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ccos DESC, cell) AS crk FROM cvc) z WHERE crk = 1),
-         |qc AS (SELECT vec_id AS qid, cell FROM casg WHERE vec_id < 10),
-         |ecell AS (SELECT qid, vec_id FROM (
-         |    SELECT qc.qid, casg.vec_id, row_number() OVER (
-         |        PARTITION BY qc.qid
-         |        ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
-         |                 casg.vec_id) AS rk
-         |    FROM qc JOIN casg ON casg.cell = qc.cell AND casg.vec_id >= 10
-         |    JOIN embeddings c ON c.vec_id = casg.vec_id
-         |    JOIN q ON q.qid = qc.qid) z WHERE rk = 1),
-         |b0 AS (SELECT DISTINCT qid, vec_id FROM (
-         |    SELECT q.qid, entry.vec_id FROM q CROSS JOIN entry
-         |    UNION ALL
-         |    SELECT qid, vec_id FROM ecell) u),
-         |x1 AS (SELECT DISTINCT qid, vec_id FROM (
-         |    SELECT qid, vec_id FROM b0
-         |    UNION ALL
-         |    SELECT b0.qid, e.dst AS vec_id FROM b0
-         |    JOIN edges e ON e.src = b0.vec_id)),
-         |b1 AS (SELECT qid, vec_id FROM (
-         |    SELECT x1.qid, x1.vec_id, row_number() OVER (PARTITION BY x1.qid
-         |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
-         |               x1.vec_id) AS rk
-         |    FROM x1 JOIN embeddings c ON c.vec_id = x1.vec_id
-         |    JOIN q ON q.qid = x1.qid) z WHERE rk <= 8),
-         |x2 AS (SELECT DISTINCT qid, vec_id FROM (
-         |    SELECT qid, vec_id FROM b1
-         |    UNION ALL
-         |    SELECT b1.qid, e.dst AS vec_id FROM b1
-         |    JOIN edges e ON e.src = b1.vec_id)),
-         |b2 AS (SELECT qid, vec_id FROM (
-         |    SELECT x2.qid, x2.vec_id, row_number() OVER (PARTITION BY x2.qid
-         |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
-         |               x2.vec_id) AS rk
-         |    FROM x2 JOIN embeddings c ON c.vec_id = x2.vec_id
-         |    JOIN q ON q.qid = x2.qid) z WHERE rk <= 8),
-         |x3 AS (SELECT DISTINCT qid, vec_id FROM (
-         |    SELECT qid, vec_id FROM b2
-         |    UNION ALL
-         |    SELECT b2.qid, e.dst AS vec_id FROM b2
-         |    JOIN edges e ON e.src = b2.vec_id)),
-         |b3 AS (SELECT qid, vec_id FROM (
-         |    SELECT x3.qid, x3.vec_id, row_number() OVER (PARTITION BY x3.qid
-         |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
-         |               x3.vec_id) AS rk
-         |    FROM x3 JOIN embeddings c ON c.vec_id = x3.vec_id
-         |    JOIN q ON q.qid = x3.qid) z WHERE rk <= 8)
-         |SELECT qid, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk FROM (
-         |    SELECT b3.qid, b3.vec_id, row_number() OVER (PARTITION BY b3.qid
-         |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
-         |               b3.vec_id) AS rk
-         |    FROM b3 JOIN embeddings c ON c.vec_id = b3.vec_id
-         |    JOIN q ON q.qid = b3.qid) z WHERE rk <= 5""".stripMargin,
+    "ss22_nsw_topk" -> nswWalkSql(5),
 
     // ss08's oracle replays the SQ8 pipeline exactly: the integer code
     // dot is exact in both engines (|dot| ≤ 64·127² ≪ 2^53, DuckDB's
@@ -3586,28 +3633,27 @@ object SparkEntry {
     // grid (ev33's timestamp convention); modal gap ties to the
     // smallest value, thresholds ≥20 events / ≥50% modal share / ≤2
     // distinct deltas.
-    "ev54_bot_detect" ->
-      """WITH g AS (SELECT user_id,
-        |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
-        |        PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
-        |  FROM events),
-        |h AS (SELECT user_id, gap_s, CAST(count(*) AS BIGINT) AS cnt
-        |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
-        |st AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_gaps,
-        |         CAST(count(*) AS BIGINT) AS n_distinct_gaps
-        |       FROM h GROUP BY 1),
-        |tp AS (SELECT user_id, gap_s AS modal_gap_s, cnt AS modal_cnt
-        |       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-        |           ORDER BY cnt DESC, gap_s) AS rk FROM h) z
-        |       WHERE rk = 1)
-        |SELECT st.user_id, n_gaps + 1 AS n_events, n_distinct_gaps,
-        |  modal_gap_s,
-        |  CAST(modal_cnt * 1000000 // n_gaps AS BIGINT) AS modal_share_ppm,
-        |  (modal_cnt * 1000000 // n_gaps >= 500000
-        |    OR n_distinct_gaps <= 2) AS is_bot
-        |FROM st JOIN tp ON tp.user_id = st.user_id
-        |WHERE n_gaps >= 19""".stripMargin,
+    "ev54_bot_detect" -> botDetectSql,
+
+    // ev56: ev12's per-user features minus ev54's bot flags — the
+    // detector's consumer; NOT IN is null-safe here (user_id is a
+    // key column on both sides).
+    "ev56_gated_features" ->
+      s"""WITH b AS ($botDetectSql)
+         |SELECT user_id,
+         | count(*) AS n_events,
+         | count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+         | count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+         | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+         | round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+         |   AS purchase_value,
+         | CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS last_seen,
+         | count(DISTINCT date_trunc('day', ts)) AS active_days
+         |FROM events
+         |WHERE user_id NOT IN (SELECT user_id FROM b WHERE is_bot)
+         |GROUP BY user_id""".stripMargin,
+
+
 
     // pp33: per-source cap at 60 docs by (n_chars DESC, doc_id) —
     // the same deterministic rank the Spark TopKPairAggregator keeps.
@@ -5482,5 +5528,156 @@ object SparkEntry {
         |    AS BIGINT) AS position,
         |  doc_id, band, draw
         |FROM x ORDER BY position LIMIT 100""".stripMargin,
+
+    // pp37: the oracle REBUILDS the truncated postings from scratch on
+    // the purged corpus — a hash match against Spark's incremental
+    // patch (pass-through unaffected terms + re-derive affected) is a
+    // cross-engine proof that patch ≡ rebuild. Membership replays the
+    // planted batch the PurgeLedger round-trips (doc_id % 97).
+    "pp37_patch_postings" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
+        |             AS tok FROM documents WHERE doc_id % 97 <> 0),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2)
+        |SELECT tok, doc_id, tf FROM (
+        |    SELECT tok, doc_id, tf, row_number() OVER (PARTITION BY tok
+        |      ORDER BY tf DESC, doc_id) AS prk FROM tf) z
+        |WHERE prk <= 64""".stripMargin,
+
+    // pp38: rebuild of the IVF assignment on the FULL corpus (the
+    // coarse quantizer is immutable under purge), counted before /
+    // purged / after per cell — the integer half of the sufficient
+    // stats; the float vsum patch is spec-verified ≡ rebuild.
+    "pp38_patch_ivf" ->
+      """WITH ex AS (SELECT vec_id, label, i,
+        |       CAST(embedding[i+1] AS DOUBLE) AS x
+        |     FROM embeddings, range(64) r(i)),
+        |cent AS (SELECT label AS cell, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |vc AS (SELECT ex.vec_id, cent.cell,
+        |         sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS ccos
+        |       FROM ex JOIN cent ON ex.i = cent.i GROUP BY 1, 2),
+        |assigned AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, cell) AS crk FROM vc) z WHERE crk = 1)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS cnt_before,
+        |  CAST(sum(CASE WHEN vec_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purged,
+        |  CAST(sum(CASE WHEN vec_id % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS cnt_after
+        |FROM assigned GROUP BY 1""".stripMargin,
+
+    // pp39: dd07's keeper table rebuilt from scratch on the purged
+    // corpus (clusters re-derived over the surviving document set —
+    // splits and dropouts fall out naturally); hash match against
+    // Spark's affected-clusters-only patch proves patch ≡ rebuild.
+    "pp39_patch_clusters" ->
+      s"""WITH clusters AS (${dupClustersSqlFrom(" AND doc_id % 97 <> 0")}),
+         |scores AS ($qualityScoreSql),
+         |j AS (SELECT c.cluster_id, c.doc_id, s.score
+         |      FROM clusters c JOIN scores s USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY score DESC, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |      FROM j)
+         |SELECT cluster_id, doc_id AS keeper_id, n_members
+         |FROM r WHERE rk = 1""".stripMargin,
+
+    // q72: the q71 consumer — per-cell conjunctive-predicate row
+    // estimates under independence vs contingency-corrected, errors in
+    // exact bp; division order written identically to the Spark plan
+    // (all operands nonnegative, so div and // agree).
+    "q72_selectivity" ->
+      """WITH joint AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS BIGINT) AS joint_rows,
+        |    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS actual_rows
+        |  FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS r_tot
+        |       FROM lineitem GROUP BY 1),
+        |ct AS (SELECT l_linestatus, CAST(count(*) AS BIGINT) AS c_tot
+        |       FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS q_rows
+        |  FROM lineitem),
+        |e AS (SELECT j.l_returnflag, j.l_linestatus, actual_rows,
+        |        CAST((r_tot * c_tot // n) * q_rows * 1000 // n AS BIGINT)
+        |          AS est_indep_milli,
+        |        CAST(joint_rows * q_rows * 1000 // n AS BIGINT)
+        |          AS est_corr_milli
+        |      FROM joint j JOIN rt USING (l_returnflag)
+        |      JOIN ct USING (l_linestatus) CROSS JOIN tot),
+        |f AS (SELECT *,
+        |        CAST(CASE WHEN actual_rows = 0 THEN 0
+        |          ELSE abs(est_indep_milli - actual_rows * 1000) * 10
+        |            // actual_rows END AS BIGINT) AS err_indep_bp,
+        |        CAST(CASE WHEN actual_rows = 0 THEN 0
+        |          ELSE abs(est_corr_milli - actual_rows * 1000) * 10
+        |            // actual_rows END AS BIGINT) AS err_corr_bp
+        |      FROM e)
+        |SELECT l_returnflag, l_linestatus, actual_rows, est_indep_milli,
+        |  est_corr_milli, err_indep_bp, err_corr_bp,
+        |  err_corr_bp <= err_indep_bp AS corr_improves
+        |FROM f""".stripMargin,
+
+    // ss24: the fully-bounded hybrid — the NSW walk's final beam
+    // (top-8, the shared nswWalkCtes replay) as the vector tier, ss23's
+    // BM25 top-20 as the lexical tier, the shared RRF fusion tail.
+    "ss24_hybrid_walk" ->
+      s"""$nswWalkCtes,
+         |vw AS (SELECT qid, vec_id AS nid, rk FROM (
+         |    SELECT b3.qid, b3.vec_id, row_number() OVER (PARTITION BY b3.qid
+         |      ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC,
+         |               b3.vec_id) AS rk
+         |    FROM b3 JOIN embeddings c ON c.vec_id = b3.vec_id
+         |    JOIN q ON q.qid = b3.qid) z WHERE rk <= 8),
+         |dt AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
+         |             AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM dt GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM dt GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(100 * CAST(sum(dl) AS BIGINT) // count(*) AS BIGINT) AS a_c
+         |  FROM dl),
+         |idf AS (SELECT tok,
+         |    CAST(round(ln(CAST(n_docs * 2 + 2 AS DOUBLE)
+         |      / CAST(df * 2 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS idf_micro,
+         |    a_c
+         |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) x
+         |  CROSS JOIN tot),
+         |post AS (SELECT tok, doc_id, tf FROM (
+         |    SELECT tok, doc_id, tf, row_number() OVER (PARTITION BY tok
+         |      ORDER BY tf DESC, doc_id) AS prk FROM tf) z WHERE prk <= 64),
+         |qt AS (SELECT tf.doc_id AS qid, tf.tok, idf.idf_micro, idf.a_c
+         |       FROM tf JOIN idf ON idf.tok = tf.tok WHERE tf.doc_id < 10),
+         |sc AS (SELECT qt.qid, post.doc_id,
+         |    CAST(sum(qt.idf_micro * 22 * post.tf * qt.a_c
+         |      // (10 * qt.a_c * post.tf + 3 * qt.a_c + 900 * dl.dl))
+         |      AS BIGINT) AS bm25_micro
+         |  FROM qt JOIN post ON post.tok = qt.tok AND post.doc_id != qt.qid
+         |  JOIN dl ON dl.doc_id = post.doc_id
+         |  GROUP BY 1, 2),
+         |btop AS (SELECT qid, doc_id AS nid, rk FROM (
+         |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY bm25_micro DESC, doc_id) AS rk FROM sc) z
+         |    WHERE rk <= 20),
+         |f AS (SELECT coalesce(v.qid, b.qid) AS qid,
+         |        coalesce(v.nid, b.nid) AS nid,
+         |        CAST(coalesce(v.rk, 0) AS BIGINT) AS rank_vec,
+         |        CAST(coalesce(b.rk, 0) AS BIGINT) AS rank_bm25,
+         |        CAST((CASE WHEN v.rk IS NULL THEN 0
+         |               ELSE 1000000 // (60 + v.rk) END)
+         |           + (CASE WHEN b.rk IS NULL THEN 0
+         |               ELSE 1000000 // (60 + b.rk) END) AS BIGINT)
+         |          AS rrf_score
+         |      FROM vw v FULL OUTER JOIN btop b
+         |        ON v.qid = b.qid AND v.nid = b.nid)
+         |SELECT qid, nid AS neighbor_id, rank_vec, rank_bm25, rrf_score,
+         |  CAST(rk_fused AS BIGINT) AS rk_fused
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY rrf_score DESC, nid) AS rk_fused FROM f) z
+         |WHERE rk_fused <= 5""".stripMargin,
   )
 }

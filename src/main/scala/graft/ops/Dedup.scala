@@ -292,8 +292,9 @@ object Dedup {
   /** Min-label propagation to convergence over an oriented (d1, d2)
     * pair frame — dd06's kernel, factored so dd27 can recluster over
     * the triangle-supported edge subset with the identical
-    * convergence discipline. Returns (doc, lbl). */
-  private def propagateMinLabels(pairs: DataFrame): DataFrame = {
+    * convergence discipline (pp39 reclusters affected-cluster
+    * survivors with it). Returns (doc, lbl). */
+  private[ops] def propagateMinLabels(pairs: DataFrame): DataFrame = {
     val edges = CacheScope.cached(pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
     // LAZY localCheckpoint: truncates the per-round lineage (the round

@@ -1064,11 +1064,17 @@ object Pipelines {
     * ss20 identity), and the near-dup clusters (an affected cluster's
     * keeper choice may change). One distinct-count aggregate per
     * artifact frame (the artifacts are already computed/cached by
-    * their owners), tombstone membership row-local (the planted
-    * doc_id % 97 rule stands in for production's broadcast tombstone
-    * key set so the oracle replays it); affected share in exact bp. */
+    * their owners), tombstone membership from the REAL `_tombstones`
+    * ledger ([[PurgeLedger]] round-trips the planted doc_id % 97
+    * batch through VersionedCorpus.purgeKeys → tombstoneKeys, so the
+    * DuckDB oracle replays membership while the Spark side reads the
+    * same ledger a production ingest gate reads); the key list is
+    * ∝ deletion requests, applied row-local via isin (a broadcast
+    * semi-join once batches outgrow a literal list); affected share
+    * in exact bp. */
   def pp32PurgeImpact(s: SparkSession, d: String): DataFrame = {
-    val purged = (c: org.apache.spark.sql.Column) => c % 97 === 0
+    val keys = PurgeLedger.keys(s, d)
+    val purged = (c: org.apache.spark.sql.Column) => c.isin(keys: _*)
     val post = Similarity.bm25Postings(Similarity.termFreqs(s, d))
     val lex = post.agg(
       countDistinct(when(purged(col("doc_id")), col("tok"))).as("n_affected"),
@@ -1237,5 +1243,112 @@ object Pipelines {
         expr("chars_kept * 1000000 div t_chars"))
       .select(col("cap"), col("docs_kept"), col("chars_kept"),
         col("n_saturated"), col("docs_kept_ppm"), col("chars_kept_ppm"))
+  }
+
+  // ------------------------------------------------------------------
+  // Purge PROPAGATION (pp37–pp39) — the ops pp32 begs for: pp32
+  // measures how much of each derived artifact a tombstone batch
+  // invalidates; these actually APPLY the batch, incrementally, with
+  // work ∝ the affected slice. Each op's DuckDB oracle REBUILDS the
+  // artifact from scratch on the purged corpus, so a hash match IS a
+  // cross-engine proof that patch ≡ rebuild.
+  // ------------------------------------------------------------------
+
+  /** pp37: patch the truncated BM25 postings for a tombstone batch —
+    * the index-layer half of the GDPR loop (purgeKeys forgets the
+    * corpus; this forgets the lexical index): terms whose kept top-64
+    * contains NO purged doc pass through UNTOUCHED (a purged doc
+    * below a term's kept cut can never alter its top-64, so
+    * pass-through is exact, not approximate); each AFFECTED term's
+    * list is re-derived from the standing tf frame minus the batch.
+    * Work ∝ affected terms' postings, never the corpus; the
+    * tombstone table is ledger-read ([[PurgeLedger]]) and broadcast.
+    * Oracle = full postings rebuild on the purged corpus. */
+  def pp37PatchPostings(s: SparkSession, d: String): DataFrame = {
+    val tomb = PurgeLedger.table(s, d)
+    val tf = Similarity.termFreqs(s, d)
+    val post = Similarity.bm25Postings(tf) // the standing artifact
+    val affected = post.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+      .select(col("tok")).distinct()
+    val passThrough = post.join(broadcast(affected), Seq("tok"), "left_anti")
+    val repaired = Similarity.bm25Postings(
+      tf.join(broadcast(affected), Seq("tok"), "left_semi")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+    passThrough.unionByName(repaired)
+  }
+
+  /** Patched IVF sufficient statistics with the float vector sums —
+    * st23's fold-in run in REVERSE: subtract each purged vector from
+    * its cell's (cnt, vsum) instead of re-scanning the corpus. The
+    * coarse quantizer (centroids) is immutable under purge — survivor
+    * assignments cannot change — so the stats subtraction IS the
+    * whole patch. Exposed for the spec, which checks vsum_after
+    * against a from-scratch rebuild (float sums are order-dependent,
+    * so the array is tolerance-checked there, never hash-graded). */
+  private[graft] def patchedIvfStats(s: SparkSession, d: String): DataFrame = {
+    val tomb = PurgeLedger.table(s, d).withColumnRenamed("doc_id", "vec_id")
+    val asg = Similarity.cellAssignments(s, d)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val before = Similarity.ivfSuffStats(asg)
+    val purged = Similarity.ivfSuffStats(
+        asg.join(broadcast(tomb), Seq("vec_id"), "left_semi"))
+      .withColumnRenamed("cnt", "p_cnt").withColumnRenamed("vsum", "p_vsum")
+    before.join(purged, Seq("cell"), "left_outer")
+      .withColumn("n_purged", coalesce(col("p_cnt"), lit(0L)))
+      .select(col("cell"), col("cnt").as("cnt_before"), col("n_purged"),
+        (col("cnt") - col("n_purged")).as("cnt_after"),
+        when(col("p_vsum").isNull, col("vsum"))
+          .otherwise(expr("zip_with(vsum, p_vsum, (a, b) -> a - b)"))
+          .as("vsum_after"))
+  }
+
+  /** pp38: patch the IVF (cnt, vsum) sufficient statistics for a
+    * tombstone batch (see [[patchedIvfStats]]). Graded output is the
+    * integer half (cell, cnt_before, n_purged, cnt_after) against a
+    * DuckDB rebuild of the assignment on the purged corpus; the float
+    * vsum patch is spec-verified ≡ rebuild to 1e-9. */
+  def pp38PatchIvf(s: SparkSession, d: String): DataFrame =
+    patchedIvfStats(s, d)
+      .select(col("cell"), col("cnt_before"), col("n_purged"),
+        col("cnt_after"))
+
+  /** pp39: patch the near-dup keeper table (dd07's artifact) for a
+    * tombstone batch — keepers of clusters with NO purged member pass
+    * through untouched (component membership depends only on the
+    * cluster's own edges, so other docs' departure cannot change it);
+    * each AFFECTED cluster's survivors are re-clustered over their
+    * surviving pair edges with dd06's convergence kernel (a purged
+    * BRIDGE doc splits its cluster; a survivor left edge-less drops
+    * out of the cluster table, exactly as a rebuild drops it) and
+    * keepers re-elected per resulting cluster by dd07's rule. The
+    * iterative work runs over affected clusters' edges only — at a
+    * weekly-batch : 100 TB-corpus ratio that is the difference
+    * between a purge costing minutes and costing a full dedup rerun.
+    * Oracle = dd07 rebuilt from scratch on the purged corpus. */
+  def pp39PatchClusters(s: SparkSession, d: String): DataFrame = {
+    val tomb = PurgeLedger.table(s, d)
+    val scores = Text.tx02QualityScore(s, d).select(col("doc_id"), col("score"))
+    val clusters = Dedup.dd06DupClusters(s, d)
+    val keepers = Dedup.keepBestFrom(clusters, scores) // standing artifact
+    val affected = clusters.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val passThrough = keepers.join(broadcast(affected), Seq("cluster_id"),
+      "left_anti")
+    // survivors of affected clusters; their surviving edges are the
+    // original pair set restricted to those survivors on BOTH ends
+    // (pair edges never cross components, so no cross-cluster edge can
+    // appear), re-clustered to convergence
+    val survivors = clusters
+      .join(broadcast(affected), Seq("cluster_id"), "left_semi")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val pairs = Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2"))
+      .join(broadcast(survivors).withColumnRenamed("doc_id", "d1"), Seq("d1"),
+        "left_semi")
+      .join(broadcast(survivors).withColumnRenamed("doc_id", "d2"), Seq("d2"),
+        "left_semi")
+    val reclustered = Dedup.propagateMinLabels(pairs)
+      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+    passThrough.unionByName(Dedup.keepBestFrom(reclustered, scores))
   }
 }

@@ -1445,4 +1445,64 @@ object Relational {
         col("r_tot"), col("c_tot"), col("expected_milli"),
         col("abs_dev_bp"), col("over_represented"))
   }
+
+  /** Core of q72, factored over any (a, b, extra-predicate) triple so
+    * the spec can plant a perfectly correlated pair and assert the
+    * correction's win. For each (a, b) cell: the row count a CBO
+    * would estimate for `a = x AND b = y AND pred` under (i) full
+    * independence (sel(a)·sel(b)·sel(pred)·n — what multiplying
+    * per-column histograms gives) and (ii) the q71
+    * contingency-CORRECTED form (joint(a,b)·sel(pred)·n — the 2-D
+    * joint replaces the a×b product, independence retained only for
+    * the third predicate), each vs the actual count, errors in exact
+    * bp. Integer grid throughout: estimates on the milli grid with
+    * the division order written identically in the oracle (Spark div
+    * and DuckDB // agree on nonnegative operands); r·c div n ≤ n
+    * before the q_cnt multiply keeps every product ≤ n²·1000
+    * (int64-safe to ~3×10⁶ rows/side — the q71 bound; pre-scale per
+    * partition beyond that). Scale: two broadcast dimension
+    * aggregates, one broadcast 1-row total, one |dims|²-cell frame —
+    * all off one scan of `df`. */
+  private[graft] def selectivityEstimates(df: DataFrame, a: String,
+      b: String, pred: Column): DataFrame = {
+    val joint = df.groupBy(col(a), col(b))
+      .agg(count(lit(1)).as("joint_rows"),
+        sum(when(pred, 1L).otherwise(0L)).as("actual_rows"))
+    val rt = df.groupBy(col(a)).agg(count(lit(1)).as("r_tot"))
+    val ct = df.groupBy(col(b)).agg(count(lit(1)).as("c_tot"))
+    val tot = df.agg(count(lit(1)).as("n"),
+      sum(when(pred, 1L).otherwise(0L)).as("q_rows"))
+    joint.join(broadcast(rt), Seq(a)).join(broadcast(ct), Seq(b))
+      .crossJoin(broadcast(tot))
+      .withColumn("est_indep_milli",
+        expr("(r_tot * c_tot div n) * q_rows * 1000 div n"))
+      .withColumn("est_corr_milli",
+        expr("joint_rows * q_rows * 1000 div n"))
+      // q71's zero-guard rule: an empty cell reports 0 error with
+      // actual_rows carrying the interpretation, never a div-by-zero
+      .withColumn("err_indep_bp", when(col("actual_rows") === 0, 0L)
+        .otherwise(expr(
+          "abs(est_indep_milli - actual_rows * 1000) * 10 div actual_rows")))
+      .withColumn("err_corr_bp", when(col("actual_rows") === 0, 0L)
+        .otherwise(expr(
+          "abs(est_corr_milli - actual_rows * 1000) * 10 div actual_rows")))
+      .withColumn("corr_improves", col("err_corr_bp") <= col("err_indep_bp"))
+      .select(col(a), col(b), col("actual_rows"), col("est_indep_milli"),
+        col("est_corr_milli"), col("err_indep_bp"), col("err_corr_bp"),
+        col("corr_improves"))
+  }
+
+  /** q72: SELECTIVITY-correction estimator — the consumer q71's audit
+    * exists for (the q68 → writeEquiDepth closure applied to the
+    * contingency table): estimate the conjunctive predicate
+    * `l_returnflag = x AND l_linestatus = y AND l_quantity > 25` per
+    * cell under independence vs with the q71 joint correcting the
+    * correlated (returnflag, linestatus) pair, and report both errors
+    * against the actual count — the table a cost-based optimizer
+    * reads to decide when multiplied per-column selectivities are
+    * lying (TPC-H's returnflag⇔linestatus coupling makes independence
+    * misestimate by orders of magnitude on the R/O and A/O cells). */
+  def q72SelectivityCorrect(s: SparkSession, d: String): DataFrame =
+    selectivityEstimates(Tables.lineitem(s, d), "l_returnflag",
+      "l_linestatus", col("l_quantity") > 25)
 }

@@ -157,7 +157,7 @@ object Similarity {
     * CacheScope'd: FOUR operators (ss05, ss22, dd16, pp32) derive
     * from this one frame, so a session running several of them pays
     * the corpus×centroids scoring pass once. */
-  private[ops] def cellAssignments(s: SparkSession, d: String): DataFrame = {
+  private[graft] def cellAssignments(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val cent = CacheScope.cached(centroids(s, d))
     val emb = Tables.embeddings(s, d)
@@ -165,6 +165,20 @@ object Similarity {
       emb.select(col("vec_id"), col("embedding"))
         .transform(nearestCellsFrom(cent, _, 1, "cell"))
         .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
+  }
+
+  /** IVF sufficient statistics (cell, cnt, vsum) over an assignment
+    * frame with (vec_id, cell, embedding) — the per-cell index state
+    * st23 maintains streaming-side, exposed for pp38's purge patch
+    * (which runs the fold-in in reverse). VecSumAgg keeps the shuffle
+    * at |dims| doubles per cell. */
+  private[ops] def ivfSuffStats(asg: DataFrame): DataFrame = {
+    val embAttr = asg.queryExecution.analyzed.output
+      .find(_.name == "embedding").get
+    val vecSum = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.VecSumAgg(embAttr, dim).toAggregateExpression())
+    asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), vecSum.as("vsum"))
   }
 
   /** ss05: IVF-style ANN — the corpus is partitioned into coarse cells
@@ -1035,7 +1049,14 @@ object Similarity {
     * point: at 100 TB the brute tier scans everything per query,
     * IVF probes cells, and the graph walk touches O(beam·k·hops)
     * vectors. Rank-only output (float cosine orders, never grades). */
-  def ss22NswTopk(s: SparkSession, d: String): DataFrame = {
+  def ss22NswTopk(s: SparkSession, d: String): DataFrame =
+    nswWalkTop(s, d, 5)
+
+  /** The NSW walk with a parameterized final cut — ss22 takes the
+    * top-5, ss24's hybrid takes the whole final beam (top-8) as its
+    * vector tier. Identical walk either way (entries, 3 hops, beam 8),
+    * so the two cuts are prefixes of one ranking. */
+  private def nswWalkTop(s: SparkSession, d: String, k: Int): DataFrame = {
     import Checkpoints.TruncateOps
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
@@ -1088,7 +1109,7 @@ object Similarity {
     val fin = beam
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(broadcast(queries), Seq("qid"))
-    topkPairs(fin, expr("cosine_sim(q_emb, embedding)"), 5)
+    topkPairs(fin, expr("cosine_sim(q_emb, embedding)"), k)
       .select(col("qid"), col("neighbor_id"), col("rk").cast("long").as("rk"))
   }
 
@@ -1120,6 +1141,15 @@ object Similarity {
       bm25Scored(s, d).withColumnRenamed("doc_id", "vec_id"),
       col("bm25_micro").cast("double"), 20)
       .withColumnRenamed("rk", "rank_bm25")
+    rrfFuse(vtop, btop)
+  }
+
+  /** Rank-only RRF fusion of a vector tier (qid, neighbor_id,
+    * rank_vec) with a lexical tier (qid, neighbor_id, rank_bm25):
+    * Σ 10⁶ div (60 + rank) over a full-outer join of the two bounded
+    * per-query lists, final top-5 — shared by ss23 and ss24 so the
+    * fusion arithmetic stays hash-identical across hybrids. */
+  private def rrfFuse(vtop: DataFrame, btop: DataFrame): DataFrame = {
     val f = vtop.join(btop, Seq("qid", "neighbor_id"), "full_outer")
       .select(col("qid"), col("neighbor_id"),
         coalesce(col("rank_vec"), lit(0)).cast("long").as("rank_vec"),
@@ -1136,5 +1166,26 @@ object Similarity {
       .select(col("qid"), col("neighbor_id"), col("rank_vec"),
         col("rank_bm25"), col("rrf_score").cast("long").as("rrf_score"),
         col("rk_fused").cast("long").as("rk_fused"))
+  }
+
+  /** ss24: the FULLY-BOUNDED hybrid — ss23 with the vector tier's
+    * brute corpus scan swapped for ss22's NSW graph walk (the
+    * verdict-named last brute scan in the retrieval stack): lexical
+    * candidates ≤ 64·|query terms| through the truncated
+    * impact-ordered postings, vector candidates O(beam·k·hops)
+    * through the graph walk — NOTHING in either tier touches the
+    * corpus per query, which is the shape a 100 TB serving layer
+    * requires. The walk's final beam (top-8) is the vector list
+    * (rank_vec ≤ 8, a prefix of ss22's ranking); BM25 keeps ss23's
+    * top-20; fusion is the shared rank-only RRF. Recall inherits
+    * ss22's documented isotropic-corpus floor — the planted-manifold
+    * spec, not sf recall, is the quality gate. */
+  def ss24HybridWalk(s: SparkSession, d: String): DataFrame = {
+    val vtop = nswWalkTop(s, d, 8).withColumnRenamed("rk", "rank_vec")
+    val btop = topkPairs(
+      bm25Scored(s, d).withColumnRenamed("doc_id", "vec_id"),
+      col("bm25_micro").cast("double"), 20)
+      .withColumnRenamed("rk", "rank_bm25")
+    rrfFuse(vtop, btop)
   }
 }

@@ -35,7 +35,11 @@ class OperatorsSpec extends SparkTestBase {
       "pp27_fuzzy_decontam",
       // the truss needs triangle-dense near-dup edges, absent in the
       // tiny slice (planted spec below)
-      "gr17_ktruss", "gr18_truss_communities")
+      "gr17_ktruss", "gr18_truss_communities",
+      // patching the keeper table needs near-dup clusters, absent in
+      // the tiny slice (patch ≡ rebuild asserted in its own spec and
+      // by the cross-engine hash gate at sf0.01)
+      "pp39_patch_clusters")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
@@ -3036,5 +3040,173 @@ class OperatorsSpec extends SparkTestBase {
     assert(nsw >= 0.9, s"NSW recall $nsw on the navigable plant")
     assert(nsw > ivf,
       s"graph walk ($nsw) must beat cell probing ($ivf) on the plant")
+  }
+
+  test("PurgeLedger round-trips the planted batch through a real ledger") {
+    val keys = ops.PurgeLedger.keys(spark, sf)
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keys.toSet == planted && keys.nonEmpty,
+      s"ledger keys ${keys.toSet} != planted batch $planted")
+    // the purge actually rewrote v1: the snapshot no longer contains
+    // any tombstoned key, while its row count dropped by exactly |batch|
+    val root = ops.PurgeLedger.root(sf).getAbsolutePath
+    val v1 = sources.VersionedCorpus.readAt(spark, root, 1L)
+    assert(v1.filter(col("doc_id").isin(keys: _*)).count() == 0,
+      "purged keys still readable from v1")
+    val total = Tables.documents(spark, sf).count()
+    assert(v1.count() == total - keys.size,
+      "v1 row count does not reflect the purge")
+  }
+
+  test("pp37 postings patch equals an in-engine rebuild on the purged corpus") {
+    val keys = ops.PurgeLedger.keys(spark, sf)
+    val patched = ops.Pipelines.pp37PatchPostings(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val purgedDocs = Tables.documents(spark, sf)
+      .filter(!col("doc_id").isin(keys: _*))
+    val tf = purgedDocs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val rebuilt = tf.groupBy(_._1).values.flatMap(rows =>
+      rows.sortBy(p => (-p._3, p._2)).take(64)).toSet
+    assert(patched == rebuilt,
+      s"patch-only: ${patched -- rebuilt}; rebuild-only: ${rebuilt -- patched}")
+    // and no purged doc survives anywhere in the patched index
+    assert(!patched.exists(p => keys.contains(p._2)),
+      "a purged doc survives in the patched postings")
+  }
+
+  test("pp38 vsum patch equals a from-scratch rebuild (float tolerance)") {
+    val keys = ops.PurgeLedger.keys(spark, sf)
+    val patched = ops.Pipelines.patchedIvfStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Double](4)))).toMap
+    // rebuild: same assignments (the quantizer is purge-immutable),
+    // survivors only, summed from scratch
+    val asg = ops.Similarity.cellAssignments(spark, sf)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble)))
+    val rebuilt = asg.filter(a => !keys.contains(a._1)).groupBy(_._2)
+      .view.mapValues(rows => rows.map(_._3)
+        .reduce((x, y) => x.zip(y).map { case (a, b) => a + b })).toMap
+    patched.foreach { case (cell, (cb, np, ca, vs)) =>
+      assert(cb - np == ca, s"cell $cell count arithmetic broken")
+      if (ca > 0) {
+        val rb = rebuilt(cell)
+        val maxDev = vs.zip(rb).map { case (a, b) => math.abs(a - b) }.max
+        assert(maxDev <= 1e-9, s"cell $cell vsum deviates by $maxDev")
+      }
+    }
+    assert(patched.keySet == asg.map(_._2).toSet,
+      "patched stats must cover every cell")
+  }
+
+  test("pp39 keeps unaffected keepers verbatim and never elects a purged doc") {
+    val keys = ops.PurgeLedger.keys(spark, sf).toSet
+    val out = ops.Pipelines.pp39PatchClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!out.exists(k => keys.contains(k._2)),
+      "a purged doc elected keeper")
+    // pass-through half: every keeper row of a cluster with no purged
+    // member survives VERBATIM (full patch ≡ rebuild is the hash
+    // gate's cross-engine job)
+    val clusters = ops.Dedup.dd06DupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val affected = clusters.filter(c => keys.contains(c._1)).map(_._2).toSet
+    val standing = ops.Dedup.dd07KeepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(k => !affected.contains(k._1)).toSet
+    assert(standing.subsetOf(out.toSet),
+      s"unaffected keepers changed: ${standing.diff(out.toSet)}")
+    // everything else must be a re-clustered affected-cluster survivor
+    // (note: an affected cluster whose min-label member was purged
+    // re-surfaces under a NEW id — its keeper is still a survivor)
+    val affSurvivors = clusters.filter(c => affected.contains(c._2))
+      .map(_._1).toSet -- keys
+    (out.toSet -- standing).foreach { e =>
+      assert(affSurvivors.contains(e._2),
+        s"extra keeper $e is not an affected-cluster survivor")
+    }
+  }
+
+  test("q72 correction wins on a planted perfectly-correlated pair") {
+    import spark.implicits._
+    // a ≡ b (perfect correlation): independence under-estimates every
+    // live cell by exactly 2×; the joint correction is exact because
+    // the third predicate (i % 4 < 2) is genuinely independent of a
+    val df = (0 until 100).map(i => (i.toLong % 2, i.toLong % 2, i.toLong))
+      .toDF("a", "b", "i")
+    val out = ops.Relational.selectivityEstimates(df, "a", "b",
+        col("i") % 4 < 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(out.keySet == Set((0L, 0L), (1L, 1L)), s"cells: ${out.keySet}")
+    out.foreach { case (cell, (actual, indep, corr, errI, errC, improves)) =>
+      assert(actual == 25L, s"$cell actual $actual")
+      assert(indep == 12500L && corr == 25000L,
+        s"$cell estimates ($indep, $corr)")
+      assert(errI == 5000L && errC == 0L, s"$cell errors ($errI, $errC)")
+      assert(improves, s"$cell correction must win")
+    }
+  }
+
+  test("ss24 fused ranks are consistent with ss21/ss22 and the RRF grid") {
+    val fused = ops.Similarity.ss24HybridWalk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(fused.nonEmpty)
+    val walk5 = ops.Similarity.ss22NswTopk(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val bm10 = ops.Similarity.ss21Bm25Topk(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    fused.foreach { case (q, n, rv, rb, score, _) =>
+      // the walk tier is a top-8 prefix extension of ss22's top-5
+      if (rv >= 1 && rv <= 5)
+        assert(walk5.get((q, n)).contains(rv),
+          s"($q,$n) rank_vec $rv disagrees with ss22")
+      // the lexical tier extends ss21's top-10 to top-20
+      if (rb >= 1 && rb <= 10)
+        assert(bm10.get((q, n)).contains(rb),
+          s"($q,$n) rank_bm25 $rb disagrees with ss21")
+      val expect = (if (rv > 0) 1000000L / (60 + rv) else 0L) +
+        (if (rb > 0) 1000000L / (60 + rb) else 0L)
+      assert(score == expect, s"($q,$n) rrf $score != $expect")
+    }
+  }
+
+  test("ev56 drops the planted timer's features and keeps the human's") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ats(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    var eid = 0L
+    def mk(uid: Long, secs: Seq[Long]) = secs.map { sc =>
+      eid += 1; (eid, ats(sc), uid, "view", 1.0, "{}")
+    }
+    val timer = mk(1L, (0 until 25).map(_ * 60L)) // ev54 flags this
+    val human = mk(2L, (0 until 25).map(i => (0 until i)
+      .map(j => 30L + 7 * j).sum)) // 24 distinct gaps, stays
+    val rows = (timer ++ human)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev56").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val gated = ops.Events.ev56GatedFeatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gated.keySet == Set(2L),
+      s"gate must drop user 1 and keep user 2: ${gated.keySet}")
+    assert(gated(2L) == 25L, s"human's features altered: $gated")
+    // consistency at the sf slice: gated = ev12 minus flagged bots
+    val bots = ops.Events.ev54BotDetect(spark, sf)
+      .filter(col("is_bot")).select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    val all = ops.Events.ev12UserFeatures(spark, sf)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val kept = ops.Events.ev56GatedFeatures(spark, sf)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- bots, "sf gate disagrees with ev12 ∖ ev54")
   }
 }
