@@ -1075,7 +1075,7 @@ object Pipelines {
   def pp32PurgeImpact(s: SparkSession, d: String): DataFrame = {
     val keys = PurgeLedger.keys(s, d)
     val purged = (c: org.apache.spark.sql.Column) => c.isin(keys: _*)
-    val post = Similarity.bm25Postings(Similarity.termFreqs(s, d))
+    val post = Similarity.postingsCached(s, d)
     val lex = post.agg(
       countDistinct(when(purged(col("doc_id")), col("tok"))).as("n_affected"),
       countDistinct(col("tok")).as("n_total"))
@@ -1266,8 +1266,8 @@ object Pipelines {
     * Oracle = full postings rebuild on the purged corpus. */
   def pp37PatchPostings(s: SparkSession, d: String): DataFrame = {
     val tomb = PurgeLedger.table(s, d)
-    val tf = Similarity.termFreqs(s, d)
-    val post = Similarity.bm25Postings(tf) // the standing artifact
+    val tf = Similarity.termFreqsCached(s, d)
+    val post = Similarity.postingsCached(s, d) // the standing artifact
     val affected = post.join(broadcast(tomb), Seq("doc_id"), "left_semi")
       .select(col("tok")).distinct()
     val passThrough = post.join(broadcast(affected), Seq("tok"), "left_anti")

@@ -128,7 +128,7 @@ object Similarity {
   }
 
   /** Label-centroid table (label, cent: array<double>) via VecSumAgg. */
-  private def centroids(s: SparkSession, d: String): DataFrame = {
+  private[graft] def centroids(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val embAttr = emb.queryExecution.analyzed.output.find(_.name == "embedding").get
     val vecSum = org.apache.spark.sql.graft.GraftDataset.column(
@@ -189,21 +189,30 @@ object Similarity {
     * not the corpus. */
   def ss05IvfTopk(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val cent = CacheScope.cached(centroids(s, d))
     // nearest-n cells per vector: cosine to each of the ~10 broadcast
     // centroids in the codegen'd CosineSim, then the partial-aggregable
     // top-n — the 10× row fan-out collapses back to one row per vector
     // inside each map task, so the exchange carries |vectors| rows, not
-    // 10×, and there is no per-vector window sort.
-    def nearestCells(df: DataFrame, n: Int, out: String): DataFrame =
-      nearestCellsFrom(cent, df, n, out)
+    // 10×, and there is no per-vector window sort. The assignment half
+    // is the shared cellAssignments frame (same arithmetic, cached for
+    // its four consumers).
+    ss05FromIndex(s, d, CacheScope.cached(centroids(s, d)),
+      cellAssignments(s, d).select(col("vec_id"), col("cell")))
+  }
+
+  /** IVF probing over EXPLICIT index frames — `cent` (cell, cent) and
+    * `cells` (vec_id, cell) — computed fresh (ss05) or loaded from
+    * published artifacts. Query probing is request-time work against
+    * the broadcast centroid table. */
+  private[graft] def ss05FromIndex(s: SparkSession, d: String,
+      cent: DataFrame, cells: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val assigned = emb.select(col("vec_id"), col("embedding"))
-      .transform(nearestCells(_, 1, "cell"))
+    val assigned = cells
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding"))
-      .transform(nearestCells(_, 2, "probe_cell"))
+      .transform(nearestCellsFrom(cent, _, 2, "probe_cell"))
       .join(emb.select(col("vec_id"), col("embedding").as("q_emb")), Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("probe_cell"), col("q_emb"))
     topkPairs(
@@ -967,8 +976,8 @@ object Similarity {
     * Integer scores are graded directly — the ln micro-rounding is the
     * only float, on the proven cross-engine grid. */
   /** Per-(doc, term) frequencies — the shared base of the lexical
-    * index surface (ss21, pp32). */
-  private[ops] def termFreqs(s: SparkSession, d: String): DataFrame =
+    * index surface (ss21, pp32, IndexArtifacts). */
+  private[graft] def termFreqs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
@@ -977,8 +986,8 @@ object Similarity {
   /** ss21's statically truncated impact-ordered postings
     * (tok, doc_id, tf): top-64 per term by (tf DESC, doc_id) via the
     * partial-aggregable TopKPairAggregator — exposed for pp32's
-    * purge-impact audit. */
-  private[ops] def bm25Postings(tf: DataFrame): DataFrame = {
+    * purge-impact audit and the persisted index artifact. */
+  private[graft] def bm25Postings(tf: DataFrame): DataFrame = {
     val topPost = udaf(new graft.functions.TopKPairAggregator(64))
     tf.groupBy(col("tok"))
       .agg(topPost(col("tf").cast("double"), col("doc_id")).as("top"))
@@ -987,28 +996,39 @@ object Similarity {
         col("p._1").cast("long").as("tf"))
   }
 
-  /** ss21's per-(query, doc) BM25 integer scores through the truncated
-    * impact-ordered index — the shared lexical tier of ss21 (direct
-    * top-10) and ss23 (hybrid fusion). */
-  private[ops] def bm25Scored(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+  /** Per-document token lengths (doc_id, dl) — persisted alongside the
+    * postings so a reader session can score without the corpus. */
+  private[graft] def docLens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
-    val tf = termFreqs(s, d)
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+
+  /** The BM25 lexicon (tok, idf_micro, a_c) — the per-term statistics
+    * half of the index (Lucene-positive micro-nat idf + the avgdl
+    * scalar replicated per row so one frame carries everything a
+    * scorer needs). */
+  private[graft] def bm25Lexicon(s: SparkSession, d: String): DataFrame = {
+    val dl = docLens(s, d)
     val tot = dl.agg(sum(col("dl")).as("t_tokens"),
       count(lit(1)).as("n_docs"),
       expr("100 * sum(dl) div count(1)").as("a_c")) // avgdl, centi-tokens
-    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    termFreqs(s, d).groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(tot))
       .withColumn("idf_micro",
         round(log((col("n_docs") * 2 + lit(2)).cast("double")
           / (col("df") * 2 + lit(1)).cast("double"))
           * lit(1000000.0)).cast("long"))
       .select(col("tok"), col("idf_micro"), col("a_c"))
-    // statically-pruned impact-ordered postings: top-64 docs per term
-    // by tf — partial-aggregable, no df-sized window partition
-    val postings = bm25Postings(tf)
-    val qTerms = tf.filter(col("doc_id") < 10)
+  }
+
+  /** BM25 scores through EXPLICIT index frames (postings, lexicon,
+    * doclens) — query-side term extraction stays request-time work on
+    * the documents table; the index side is whatever the caller hands
+    * in, computed fresh (ss21/ss23/ss24) or loaded from a published
+    * artifact (IndexArtifacts' reader variant). */
+  private[graft] def bm25ScoredFrom(s: SparkSession, d: String,
+      postings: DataFrame, idf: DataFrame, dl: DataFrame): DataFrame = {
+    val qTerms = termFreqsCached(s, d).filter(col("doc_id") < 10)
       .select(col("doc_id").as("qid"), col("tok"))
       .join(idf, Seq("tok"))
     postings.join(broadcast(qTerms), Seq("tok"))
@@ -1020,8 +1040,27 @@ object Similarity {
       .agg(sum(col("contrib")).as("bm25_micro"))
   }
 
-  def ss21Bm25Topk(s: SparkSession, d: String): DataFrame = {
-    val scored = bm25Scored(s, d)
+  /** The cached lexical index build — FIVE operators (ss21, ss23,
+    * ss24, pp32, pp37) derive from these frames, so a warm session
+    * pays the corpus token scan once (the cellAssignments precedent;
+    * CacheScope's plan-identity registration turns the later
+    * invocations into cache hits). */
+  private[graft] def termFreqsCached(s: SparkSession, d: String): DataFrame =
+    CacheScope.cached(termFreqs(s, d))
+  private[graft] def postingsCached(s: SparkSession, d: String): DataFrame =
+    CacheScope.cached(bm25Postings(termFreqsCached(s, d)))
+
+  /** ss21's per-(query, doc) BM25 integer scores through the truncated
+    * impact-ordered index — the shared lexical tier of ss21 (direct
+    * top-10) and ss23/ss24 (hybrid fusion). */
+  private[ops] def bm25Scored(s: SparkSession, d: String): DataFrame =
+    bm25ScoredFrom(s, d, postingsCached(s, d),
+      CacheScope.cached(bm25Lexicon(s, d)),
+      CacheScope.cached(docLens(s, d)))
+
+  /** ss21's output shape over any scored frame — shared with the
+    * read-from-artifact variant. */
+  private[graft] def bm25TopkFrom(scored: DataFrame): DataFrame = {
     val top = topkPairs(scored.withColumnRenamed("doc_id", "vec_id"),
       col("bm25_micro").cast("double"), 10)
     top.join(scored.withColumnRenamed("doc_id", "neighbor_id"),
@@ -1029,6 +1068,9 @@ object Similarity {
       .select(col("qid"), col("neighbor_id"),
         col("bm25_micro"), col("rk").cast("long").as("rk"))
   }
+
+  def ss21Bm25Topk(s: SparkSession, d: String): DataFrame =
+    bm25TopkFrom(bm25Scored(s, d))
 
   /** ss22: NSW-style GRAPH ANN — the index family that dominates
     * production vector search (HNSW's single-layer ancestor), on the
@@ -1056,7 +1098,17 @@ object Similarity {
     * top-5, ss24's hybrid takes the whole final beam (top-8) as its
     * vector tier. Identical walk either way (entries, 3 hops, beam 8),
     * so the two cuts are prefixes of one ranking. */
-  private def nswWalkTop(s: SparkSession, d: String, k: Int): DataFrame = {
+  private def nswWalkTop(s: SparkSession, d: String, k: Int): DataFrame =
+    nswWalkTopFrom(s, d, k, ss18KnnJoin(s, d),
+      cellAssignments(s, d).select(col("vec_id"), col("cell")))
+
+  /** The walk over EXPLICIT index frames — `knnSrc` with (qid,
+    * neighbor_id) edges and `cellsSrc` with (vec_id, cell) — computed
+    * fresh (ss22/ss24) or loaded from published artifacts
+    * (IndexArtifacts' reader variant). Query embeddings and true-cosine
+    * re-scoring stay request-time work against the corpus table. */
+  private[graft] def nswWalkTopFrom(s: SparkSession, d: String, k: Int,
+      knnSrc: DataFrame, cellsSrc: DataFrame): DataFrame = {
     import Checkpoints.TruncateOps
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
@@ -1064,7 +1116,7 @@ object Similarity {
     // symmetric NSW edges from the kNN-join graph (k=3 both ways);
     // TRUNCATED: each of the 3 hops joins this frame — without the cut
     // the whole ss18 index-build lineage re-executes per hop
-    val knn = ss18KnnJoin(s, d)
+    val knn = knnSrc
       .filter(col("qid") >= 10 && col("neighbor_id") >= 10)
       .select(col("qid").as("src"), col("neighbor_id").as("dst"))
     val edges = knn.unionByName(
@@ -1077,7 +1129,7 @@ object Similarity {
     // layers perform, at IVF probe-1 cost (candidates ∝ one cell's
     // occupancy, never the corpus); the graph walk then refines
     // ACROSS cell boundaries, which is exactly what probing can't do
-    val cells = cellAssignments(s, d).select(col("vec_id"), col("cell"))
+    val cells = cellsSrc
     val qCell = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("cell"))
     val cellCand = qCell

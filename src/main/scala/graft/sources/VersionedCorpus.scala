@@ -53,21 +53,40 @@ object VersionedCorpus {
 
   /** Write `df` into `_data/<dirName>` and atomically (re)publish
     * version `version`'s manifest pointing at it. The shared tail of
-    * publish (new version) and purge (history rewrite). */
+    * publish (new version) and purge (history rewrite). With
+    * `statsCol` set, the manifest additionally records that column's
+    * min/max — the version-pruning statistic `purgeKeys` consults so
+    * a tombstone batch entirely outside a version's key range skips
+    * that version without opening a single data file (here computed
+    * with one aggregate over the just-written files; a production
+    * writer lifts it from the parquet footers it already wrote). */
   private def writeAndPublish(df: DataFrame, root: String, version: Long,
-      dirName: String): Unit = {
+      dirName: String, statsCol: Option[String] = None): Unit = {
     val dataDir = new File(new File(root, "_data"), dirName)
     df.write.parquet(dataDir.getAbsolutePath)
     val parts = Option(dataDir.listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
       .sortBy(_.getName)
     // footer-only count: parquet row-group metadata, no data scan
-    val nRows = df.sparkSession.read.parquet(dataDir.getAbsolutePath).count()
+    val written = df.sparkSession.read.parquet(dataDir.getAbsolutePath)
+    val (nRows, statsJson) = statsCol match {
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{col, count, lit, max, min}
+        // cast-to-long: stats keys are integral but arrive as int or
+        // long depending on the producer's schema
+        val r = written.agg(count(lit(1)),
+          min(col(c).cast("long")), max(col(c).cast("long"))).head()
+        val stats = if (r.isNullAt(1)) "" // empty version: no range
+          else s""","stats":{"col":"$c","min":${r.getLong(1)},""" +
+            s""""max":${r.getLong(2)}}"""
+        (r.getLong(0), stats)
+      case None => (written.count(), "")
+    }
     val fileList = parts.map(f =>
       s"""{"file":"${f.getName}","bytes":${f.length}}""").mkString("[", ",", "]")
     val manifest =
       s"""{"version":$version,"dir":"$dirName","n_files":${parts.length},""" +
-        s""""n_rows":$nRows,"n_bytes":${parts.map(_.length).sum},""" +
+        s""""n_rows":$nRows,"n_bytes":${parts.map(_.length).sum}$statsJson,""" +
         s""""files":$fileList}"""
     versionsDir(root).mkdirs()
     val tmp = Paths.get(root, "_versions", s".v$version.json.tmp")
@@ -81,11 +100,31 @@ object VersionedCorpus {
 
   /** Publish `df` as the next snapshot version; returns the version
     * number. Data lands first (private per-version dir), the manifest
-    * publishes last and atomically. */
-  def publish(df: DataFrame, root: String): Long = {
+    * publishes last and atomically. Pass `statsCol` (a long key
+    * column, e.g. doc_id) to record its min/max in the manifest —
+    * opt-in because it costs one aggregate at publish time and buys
+    * driver-side version pruning in `purgeKeys`. */
+  def publish(df: DataFrame, root: String,
+      statsCol: Option[String] = None): Long = {
     val next = latestVersion(root).getOrElse(0L) + 1
-    writeAndPublish(df, root, next, s"v$next")
+    writeAndPublish(df, root, next, s"v$next", statsCol)
     next
+  }
+
+  /** Parsed manifest key-range stats, if the publisher recorded them:
+    * (column, min, max). Driver-side regex over the small manifest —
+    * the tombstoneKeys discipline. */
+  private[graft] def manifestStats(root: String,
+      version: Long): Option[(String, Long, Long)] = {
+    val path = new File(versionsDir(root), s"v$version.json")
+    if (!path.isFile) None
+    else {
+      val txt = new String(Files.readAllBytes(path.toPath),
+        StandardCharsets.UTF_8)
+      """"stats":\{"col":"(\w+)","min":(-?\d+),"max":(-?\d+)\}""".r
+        .findFirstMatchIn(txt)
+        .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
+    }
   }
 
   /** Parsed manifest: (data dir name, file names, n_rows). `dir`
@@ -160,17 +199,30 @@ object VersionedCorpus {
     val tomb = spark.createDataset(keys)(
       org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
     val rewritten = versions(root).filter { v =>
-      val snap = readAt(spark, root, v)
-      val hit = snap.join(broadcast(tomb), Seq(keyCol), "left_semi")
-        .limit(1).count() > 0
+      // driver-side version pruning: a manifest that recorded this key
+      // column's min/max and whose range excludes the whole batch is
+      // skipped without opening a data file — at 100 TB × many
+      // versions the probe pass, not the rewrite, dominates a purge,
+      // and most weekly batches touch recent versions only
+      val stats = manifestStats(root, v)
+      val pruned = stats.exists { case (c, lo, hi) =>
+        c == keyCol && keys.forall(k => k < lo || k > hi) }
+      val hit = !pruned && {
+        val snap = readAt(spark, root, v)
+        snap.join(broadcast(tomb), Seq(keyCol), "left_semi")
+          .limit(1).count() > 0
+      }
       if (hit) {
+        val snap = readAt(spark, root, v)
         val (oldDir, _, _) = manifest(spark, root, v)
         val dataRoot = new File(root, "_data")
         val gen = Iterator.from(1)
           .find(g => !new File(dataRoot, s"v${v}p$g").exists()).get
+        // a stats-bearing version keeps (refreshed) stats through the
+        // rewrite so future purges keep pruning it
         writeAndPublish(
           snap.join(broadcast(tomb), Seq(keyCol), "left_anti"),
-          root, v, s"v${v}p$gen")
+          root, v, s"v${v}p$gen", stats.map(_ => keyCol))
         assert(oldDir != s"v${v}p$gen")
       }
       hit

@@ -3100,6 +3100,17 @@ class OperatorsSpec extends SparkTestBase {
         val rb = rebuilt(cell)
         val maxDev = vs.zip(rb).map { case (a, b) => math.abs(a - b) }.max
         assert(maxDev <= 1e-9, s"cell $cell vsum deviates by $maxDev")
+        // the stats are SUFFICIENT: vsum_after / cnt_after IS the
+        // refreshed cell centroid — the quantizer update after a purge
+        // costs a |cells|-row division, never a corpus re-scan
+        val survivors = asg.filter(a => a._2 == cell && !keys.contains(a._1))
+        val mean = survivors.map(_._3)
+          .reduce((x, y) => x.zip(y).map { case (a, b) => a + b })
+          .map(_ / survivors.size)
+        val centDev = vs.map(_ / ca).zip(mean)
+          .map { case (a, b) => math.abs(a - b) }.max
+        assert(centDev <= 1e-9,
+          s"cell $cell refreshed centroid deviates by $centDev")
       }
     }
     assert(patched.keySet == asg.map(_._2).toSet,

@@ -558,4 +558,88 @@ class SourcesSpec extends SparkTestBase {
     val merged = spark.read.parquet(g0: _*)
     assert(merged.count() > 0)
   }
+
+  test("purgeKeys prunes stat-bearing versions without reading any data") {
+    import graft.sources.VersionedCorpus
+    val root = s"$tmp/vc_prune"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    VersionedCorpus.publish(docs, root, Some("doc_id"))                    // v1: [0, 499]
+    VersionedCorpus.publish(docs.filter(col("doc_id") < 100), root,
+      Some("doc_id"))                                                      // v2: [0, 99]
+    assert(VersionedCorpus.manifestStats(root, 1L).contains(("doc_id", 0L, 499L)))
+    assert(VersionedCorpus.manifestStats(root, 2L).contains(("doc_id", 0L, 99L)))
+    // a batch entirely outside every version's range must not launch a
+    // single Spark job — the probe is driver-side manifest arithmetic
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rewritten =
+        VersionedCorpus.purgeKeys(spark, root, "doc_id", Seq(1000000L))
+      Thread.sleep(1500) // let trailing listener events drain
+      assert(rewritten.isEmpty, s"out-of-range purge rewrote $rewritten")
+      assert(jobs.get == 0, s"pruned purge still launched ${jobs.get} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a batch inside v1's range but outside v2's rewrites exactly v1
+    assert(VersionedCorpus.purgeKeys(spark, root, "doc_id", Seq(200L))
+      == Seq(1L))
+    assert(VersionedCorpus.readAt(spark, root, 1L)
+      .filter(col("doc_id") === 200L).count() == 0)
+    // the rewrite refreshed the stats, so pruning keeps working on the
+    // new generation
+    val s1 = VersionedCorpus.manifestStats(root, 1L)
+    assert(s1.exists(t => t._1 == "doc_id" && t._2 == 0L && t._3 == 499L),
+      s"stats lost through the rewrite: $s1")
+    // and a batch hitting both versions rewrites both
+    assert(VersionedCorpus.purgeKeys(spark, root, "doc_id", Seq(50L))
+      == Seq(1L, 2L))
+  }
+
+  test("index artifacts publish once, serve bit-identical reads, and re-point on purge") {
+    import graft.sources.IndexArtifacts
+    val root = s"$tmp/idx"
+    val versions = IndexArtifacts.publishAll(spark, sf, root)
+    assert(versions.keySet == IndexArtifacts.names.toSet &&
+      versions.values.forall(_ == 1L), s"unexpected versions: $versions")
+    // two reader sessions load bit-identical postings without recompute
+    def postingsOf(s: org.apache.spark.sql.SparkSession) =
+      IndexArtifacts.read(s, root, "postings").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val firstRead = postingsOf(spark)
+    val secondRead = postingsOf(spark.newSession())
+    assert(firstRead == secondRead && firstRead.nonEmpty)
+    // the artifact equals the fresh build (same session → bit-stable)
+    val fresh = ops.Similarity.bm25Postings(
+        ops.Similarity.termFreqs(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(firstRead == fresh, "published postings drift from the build")
+    // served queries equal their build-side twins exactly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(IndexArtifacts.ss21FromArtifacts(spark, sf, root)) ==
+      rows(ops.Similarity.ss21Bm25Topk(spark, sf)), "ss21 from artifact drifts")
+    assert(rows(IndexArtifacts.ss05FromArtifacts(spark, sf, root)) ==
+      rows(ops.Similarity.ss05IvfTopk(spark, sf)), "ss05 from artifact drifts")
+    assert(rows(IndexArtifacts.ss22FromArtifacts(spark, sf, root)) ==
+      rows(ops.Similarity.ss22NswTopk(spark, sf)), "ss22 from artifact drifts")
+    // purge propagation re-points the postings artifact: v2 = pp37's
+    // patched index; v1 stays byte-identical (time travel intact)
+    val v2 = IndexArtifacts.publishPatchedPostings(spark, sf, root)
+    assert(v2 == 2L)
+    val patched = ops.Pipelines.pp37PatchPostings(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val v2read = graft.sources.VersionedCorpus
+      .readAt(spark, s"$root/postings", 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v2read == patched, "re-pointed artifact drifts from the patch")
+    val v1read = graft.sources.VersionedCorpus
+      .readAt(spark, s"$root/postings", 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v1read == firstRead, "pre-purge version no longer time-travels")
+  }
 }
