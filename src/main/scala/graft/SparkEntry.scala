@@ -335,6 +335,7 @@ object SparkEntry {
     "q72_selectivity"       -> Relational.q72SelectivityCorrect _,
     "ss24_hybrid_walk"      -> Similarity.ss24HybridWalk _,
     "ev56_gated_features"   -> Events.ev56GatedFeatures _,
+    "pp40_patch_lexicon"    -> Pipelines.pp40PatchLexicon _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -5543,6 +5544,27 @@ object SparkEntry {
         |    SELECT tok, doc_id, tf, row_number() OVER (PARTITION BY tok
         |      ORDER BY tf DESC, doc_id) AS prk FROM tf) z
         |WHERE prk <= 64""".stripMargin,
+
+    // pp40: the oracle rebuilds the lexicon (df, idf, avgdl) from
+    // scratch on the purged corpus; Spark patches by subtracting the
+    // purged docs' sufficient statistics — hash match proves
+    // patch ≡ rebuild for the statistics half pp37 leaves stale.
+    "pp40_patch_lexicon" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
+        |             AS tok FROM documents WHERE doc_id % 97 <> 0),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(100 * CAST(sum(dl) AS BIGINT) // count(*) AS BIGINT) AS a_c
+        |  FROM dl)
+        |SELECT tok, CAST(df AS BIGINT) AS df,
+        |  CAST(round(ln(CAST(n_docs * 2 + 2 AS DOUBLE)
+        |    / CAST(df * 2 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS idf_micro,
+        |  a_c
+        |FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) x
+        |CROSS JOIN tot""".stripMargin,
 
     // pp38: rebuild of the IVF assignment on the FULL corpus (the
     // coarse quantizer is immutable under purge), counted before /

@@ -1351,4 +1351,47 @@ object Pipelines {
       .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
     passThrough.unionByName(Dedup.keepBestFrom(reclustered, scores))
   }
+
+  /** pp40: patch the BM25 LEXICON for a tombstone batch — the
+    * statistics half pp37 leaves stale: a purged doc's departure
+    * changes every term's df it appeared in (not just top-64-affected
+    * terms), the corpus doc count, and the average document length —
+    * so a reader serving from patched postings against an unpatched
+    * lexicon scores with yesterday's idf. The patch is pure
+    * sufficient-statistic subtraction, every delta frame ∝ the purged
+    * batch: per-term df deltas and the (Δdocs, Δtokens) totals come
+    * from ONE semi-join of the tf frame against the broadcast
+    * tombstones; df′ = df − Δdf (terms reaching 0 drop out, exactly
+    * as a rebuild drops them), N′/T′ adjust the avgdl scalar, and the
+    * idf recomputes row-locally from the patched integers — so it is
+    * bit-identical to a from-scratch rebuild, which is what the
+    * DuckDB oracle computes (patch ≡ rebuild, cross-engine). The
+    * standing (N, T) totals read off the cached |docs|-row doclens
+    * frame — index metadata, not a corpus scan. */
+  def pp40PatchLexicon(s: SparkSession, d: String): DataFrame = {
+    val tomb = PurgeLedger.table(s, d)
+    val tf = Similarity.termFreqsCached(s, d)
+    val lex = Similarity.bm25Lexicon(s, d) // the standing artifact
+    val purgedTf = tf.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+    val dfDelta = purgedTf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df_delta"), sum(col("tf")).as("tf_delta"))
+    val standingTot = Similarity.docLens(s, d)
+      .agg(sum(col("dl")).as("t_tokens"), count(lit(1)).as("n_docs"))
+    val purgedTot = purgedTf
+      .agg(coalesce(sum(col("tf")), lit(0L)).as("t_delta"),
+        countDistinct(col("doc_id")).as("n_delta"))
+    val tot = standingTot.crossJoin(purgedTot)
+      .select((col("t_tokens") - col("t_delta")).as("t_after"),
+        (col("n_docs") - col("n_delta")).as("n_after"))
+      .withColumn("a_c_after", expr("100 * t_after div n_after"))
+    lex.join(broadcast(dfDelta), Seq("tok"), "left_outer")
+      .withColumn("df", col("df") - coalesce(col("df_delta"), lit(0L)))
+      .filter(col("df") > 0)
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), col("df"),
+        round(log((col("n_after") * 2 + lit(2)).cast("double")
+          / (col("df") * 2 + lit(1)).cast("double"))
+          * lit(1000000.0)).cast("long").as("idf_micro"),
+        col("a_c_after").as("a_c"))
+  }
 }

@@ -1003,10 +1003,12 @@ object Similarity {
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
 
-  /** The BM25 lexicon (tok, idf_micro, a_c) — the per-term statistics
-    * half of the index (Lucene-positive micro-nat idf + the avgdl
-    * scalar replicated per row so one frame carries everything a
-    * scorer needs). */
+  /** The BM25 lexicon (tok, df, idf_micro, a_c) — the per-term
+    * statistics half of the index (document frequency,
+    * Lucene-positive micro-nat idf, and the avgdl scalar replicated
+    * per row so one frame carries everything a scorer needs). df
+    * rides along because it is the sufficient statistic pp40's purge
+    * patch subtracts from. */
   private[graft] def bm25Lexicon(s: SparkSession, d: String): DataFrame = {
     val dl = docLens(s, d)
     val tot = dl.agg(sum(col("dl")).as("t_tokens"),
@@ -1018,7 +1020,7 @@ object Similarity {
         round(log((col("n_docs") * 2 + lit(2)).cast("double")
           / (col("df") * 2 + lit(1)).cast("double"))
           * lit(1000000.0)).cast("long"))
-      .select(col("tok"), col("idf_micro"), col("a_c"))
+      .select(col("tok"), col("df"), col("idf_micro"), col("a_c"))
   }
 
   /** BM25 scores through EXPLICIT index frames (postings, lexicon,

@@ -96,4 +96,38 @@ object IndexArtifacts {
       root: String): Long =
     VersionedCorpus.publish(graft.ops.Pipelines.pp37PatchPostings(s, d),
       sub(root, "postings"), Some("doc_id"))
+
+  /** Re-point the WHOLE lexical serving index for a tombstone batch —
+    * postings (pp37's patch), lexicon (pp40's sufficient-statistic
+    * patch: df/idf/avgdl all forget the batch), and doclens (an
+    * anti-join) plus the IVF cell assignment (survivor assignments
+    * are quantizer-immutable, so the patch is an anti-join) — so
+    * `ss21FromArtifacts`/`ss05FromArtifacts` readers of the new
+    * versions serve EXACTLY what a rebuild on the purged corpus would
+    * serve (spec-asserted). `knn_edges` is deliberately NOT patched:
+    * dropping a purged node's edges is not the rebuilt graph (its
+    * neighbors would re-select their k nearest among survivors) — the
+    * graph artifact is rebuild-class, and pretending otherwise would
+    * serve silently degraded walks. Returns name → new version for
+    * the four re-pointed artifacts. */
+  def publishPurgedIndex(s: SparkSession, d: String,
+      root: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions.broadcast
+    val ops = graft.ops.Pipelines
+    val tomb = graft.ops.PurgeLedger.table(s, d)
+    val tombVec = tomb.withColumnRenamed("doc_id", "vec_id")
+    Map(
+      "postings" -> VersionedCorpus.publish(
+        ops.pp37PatchPostings(s, d), sub(root, "postings"), Some("doc_id")),
+      "lexicon" -> VersionedCorpus.publish(
+        ops.pp40PatchLexicon(s, d), sub(root, "lexicon")),
+      "doclens" -> VersionedCorpus.publish(
+        Similarity.docLens(s, d)
+          .join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+        sub(root, "doclens"), Some("doc_id")),
+      "cells" -> VersionedCorpus.publish(
+        Similarity.cellAssignments(s, d).select("vec_id", "cell")
+          .join(broadcast(tombVec), Seq("vec_id"), "left_anti"),
+        sub(root, "cells"), Some("vec_id")))
+  }
 }

@@ -3145,6 +3145,21 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("pp40 lexicon patch equals an in-engine rebuild on the purged corpus") {
+    val keys = ops.PurgeLedger.keys(spark, sf)
+    val patched = ops.Pipelines.pp40PatchLexicon(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-pp40").toString
+    Tables.documents(spark, sf).filter(!col("doc_id").isin(keys: _*))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rebuilt = ops.Similarity.bm25Lexicon(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(patched == rebuilt,
+      s"patch-only: ${patched -- rebuilt}; rebuild-only: ${rebuilt -- patched}")
+  }
+
   test("q72 correction wins on a planted perfectly-correlated pair") {
     import spark.implicits._
     // a ≡ b (perfect correlation): independence under-estimates every

@@ -641,5 +641,21 @@ class SourcesSpec extends SparkTestBase {
       .readAt(spark, s"$root/postings", 1L).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(v1read == firstRead, "pre-purge version no longer time-travels")
+    // full lexical re-point: after publishPurgedIndex, a reader session
+    // serving ss21 from the artifacts gets EXACTLY what a from-scratch
+    // rebuild on the survivors-only corpus serves (query side included:
+    // a purged query doc's queries vanish on both paths)
+    val purged = IndexArtifacts.publishPurgedIndex(spark, sf, root)
+    assert(purged.keySet == Set("postings", "lexicon", "doclens", "cells")
+      && purged("postings") == 3L && purged("lexicon") == 2L,
+      s"unexpected re-point versions: $purged")
+    val keys = ops.PurgeLedger.keys(spark, sf)
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft-idx-purged").toString
+    Tables.documents(spark, sf).filter(!col("doc_id").isin(keys: _*))
+      .write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+    assert(rows(IndexArtifacts.ss21FromArtifacts(spark, sdir, root)) ==
+      rows(ops.Similarity.ss21Bm25Topk(spark, sdir)),
+      "post-purge reader drifts from the survivors-only rebuild")
   }
 }
