@@ -908,6 +908,80 @@ object StreamingJobs {
     docs.join(broadcast(keys), Seq("doc_id"), "left_anti")
   }
 
+  /** st32: TOMBSTONE-AWARE posting maintenance — the serving half of
+    * the streaming GDPR loop (st29 stops a purged key RE-ENTERING;
+    * this stops it from still being SERVED out of standing index
+    * state until the next batch rebuild): st28's fold extended with
+    * tombstone rows. Input carries docs and tombstones in one stream
+    * (doc_id, text, tombstone); a tombstone knows only its doc_id, so
+    * it fans to every term whose state might hold the doc — the
+    * BOUNDED vocabulary frame, the same cardinality the state itself
+    * is keyed by — and each term's fold drops the doc from its kept
+    * list (emitting the refreshed list; an emptied list emits ONE
+    * rk=0 retraction marker so downstream's last-emission-wins
+    * snapshot can forget the term rather than serve its stale final
+    * list). Semantics, stated exactly: (1) after a tombstone batch is
+    * processed, NO emission ever serves the purged doc again
+    * (additions sort before removals inside a batch, so a doc
+    * arriving together with its tombstone ends removed); (2) df is
+    * decremented only when the purged doc was in the kept list —
+    * for a doc pruned before purge the state cannot know membership,
+    * so between batch reconciliations df is a documented UPPER bound
+    * with drift ≤ |purged docs| (pp40's sufficient-statistic patch is
+    * the exact reconciliation, same Kappa split every st-twin
+    * documents); (3) state holds NO tombstone memory — bounded by
+    * vocabulary — so replay protection is st29's job, composed
+    * upstream (the spec wires both). */
+  def streamingPostingPurge(events: DataFrame, vocab: DataFrame,
+      keep: Int = 64): Dataset[PostingRow] = {
+    import events.sparkSession.implicits._
+    val docTerms = events.filter(!col("tombstone"))
+      .withColumn("toks", split(trim(col("text")), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(array_distinct(toks),
+          |  t -> struct(t AS tok,
+          |              size(filter(toks, x -> x = t)) AS tf))"""
+          .stripMargin)).as("p"))
+      .select(col("p.tok").as("tok"), col("doc_id"),
+        col("p.tf").cast("long").as("tf"))
+    val tombTerms = events.filter(col("tombstone"))
+      .select(col("doc_id")).crossJoin(broadcast(vocab))
+      .select(col("tok"), col("doc_id"), lit(-1L).as("tf"))
+    docTerms.unionByName(tombTerms).as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, List[(Long, Long)]), PostingRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tok, rows, state: GroupState[(Long, List[(Long, Long)])]) =>
+          val (df0, top0) = state.getOption.getOrElse((0L, Nil))
+          var df = df0
+          var top = top0 // (tf, doc_id), best-first
+          // additions before removals, doc_id order within each class:
+          // replay-deterministic, and doc-with-its-tombstone-in-one-
+          // batch deterministically ends removed
+          rows.toSeq.sortBy(r => (r._3 < 0, r._2)).foreach {
+            case (_, doc, tf) if tf >= 0 =>
+              if (!top.exists(e => e._2 == doc && e._1 == tf)) {
+                df += (if (top.exists(_._2 == doc)) 0L else 1L)
+                top = ((tf, doc) :: top.filterNot(_._2 == doc))
+                  .sortBy(e => (-e._1, e._2)).take(keep)
+              } else () // exact re-delivery of a kept posting: idempotent
+            case (_, doc, _) => // tombstone
+              if (top.exists(_._2 == doc)) {
+                top = top.filterNot(_._2 == doc)
+                df = math.max(0L, df - 1)
+              } else () // pruned-before-purge: df stays an upper bound
+          }
+          if (df == df0 && top == top0) Iterator.empty
+          else {
+            state.update((df, top))
+            if (top.isEmpty) Iterator.single(PostingRow(tok, df, -1L, 0L, 0))
+            else top.iterator.zipWithIndex.map { case ((tf, doc), i) =>
+              PostingRow(tok, df, doc, tf, i + 1)
+            }
+          }
+      }
+  }
+
   case class CapRow(source: String, doc_id: Long, admitted: Boolean,
     n_seen: Long)
 

@@ -966,4 +966,51 @@ class StreamingSpec extends SparkTestBase {
         s"batch twin disagrees: $ev")
     } finally q.stop()
   }
+
+  test("st32 tombstones stop serving purged docs; composed st29 blocks replays") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import StreamingJobs.PostingRow
+    // a REAL ledger for the composed st29 gate: doc 9 was purged before
+    // this stream started (the upstream-replay scenario)
+    val root = java.nio.file.Files.createTempDirectory("graft-st32").toString
+    graft.sources.VersionedCorpus.publish(
+      Seq((9L, "b b")).toDF("doc_id", "text"), root)
+    graft.sources.VersionedCorpus.purgeKeys(spark, root, "doc_id", Seq(9L))
+    val vocab = Seq("a", "b").toDF("tok")
+    val in = MemoryStream[(Long, String, Boolean)]
+    val ev = in.toDF().toDF("doc_id", "text", "tombstone")
+    // compose: st29 gates DOC rows against the ledger (tombstone rows
+    // pass through — they must reach the state they erase)
+    val events = StreamingJobs
+      .streamingPurgeGate(ev.filter(!col("tombstone")), root)
+      .unionByName(ev.filter(col("tombstone")))
+    val q = StreamingJobs.streamingPostingPurge(events, vocab, keep = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st32_out").start()
+    try {
+      def rows() = spark.sql("SELECT * FROM st32_out").as[PostingRow]
+        .collect().toSeq
+      // batch 1: docs 1, 2 index; the replayed purged doc 9 is gated out
+      in.addData((1L, "a a b", false), (2L, "a", false), (9L, "b b", false))
+      q.processAllAvailable()
+      val b1 = rows()
+      assert(b1.toSet == Set(PostingRow("a", 2L, 1L, 2L, 1),
+        PostingRow("a", 2L, 2L, 1L, 2), PostingRow("b", 1L, 1L, 1L, 1)),
+        s"batch-1 index wrong (is the st29 gate leaking doc 9?): $b1")
+      // batch 2: tombstone for doc 1 — term a re-emits without it, term
+      // b empties and emits the rk=0 retraction marker
+      in.addData((1L, "", true)); q.processAllAvailable()
+      val b2 = rows().drop(b1.size)
+      assert(b2.toSet == Set(PostingRow("a", 1L, 2L, 1L, 1),
+        PostingRow("b", 0L, -1L, 0L, 0)),
+        s"tombstone application wrong: $b2")
+      assert(!rows().drop(b1.size).exists(_.doc_id == 1L),
+        "a purged doc was served after its tombstone batch")
+      // batch 3: the purged-at-rest doc 9 replays again — gated, silent
+      val before = rows().size
+      in.addData((9L, "b b", false)); q.processAllAvailable()
+      assert(rows().size == before, "replay of a ledgered key re-entered")
+    } finally q.stop()
+  }
 }
