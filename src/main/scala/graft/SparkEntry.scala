@@ -336,6 +336,7 @@ object SparkEntry {
     "ss24_hybrid_walk"      -> Similarity.ss24HybridWalk _,
     "ev56_gated_features"   -> Events.ev56GatedFeatures _,
     "pp40_patch_lexicon"    -> Pipelines.pp40PatchLexicon _,
+    "mm15_purge_chunks"     -> Multimodal.mm15PurgeChunks _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -5544,6 +5545,35 @@ object SparkEntry {
         |    SELECT tok, doc_id, tf, row_number() OVER (PARTITION BY tok
         |      ORDER BY tf DESC, doc_id) AS prk FROM tf) z
         |WHERE prk <= 64""".stripMargin,
+
+    // mm15: chunk-level purge reclaim — deletable vs retained_shared
+    // classification of every chunk the tombstone batch references,
+    // replayed over the proven mm03 chunk grid with the planted batch.
+    "mm15_purge_chunks" ->
+      """WITH c AS (SELECT doc_id,
+        |    md5(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64))
+        |      AS chunk_md5,
+        |    CAST(length(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64))
+        |      // 2 AS BIGINT) AS chunk_bytes
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+        |          unnest(range(CAST(ceil(octet_length(encode(text)) / 32.0)
+        |            AS BIGINT))) AS chunk_idx
+        |        FROM documents)),
+        |pc AS (SELECT DISTINCT chunk_md5 FROM c WHERE doc_id % 97 = 0),
+        |ar AS (SELECT c.chunk_md5, c.chunk_bytes,
+        |         CASE WHEN c.doc_id % 97 = 0 THEN 0 ELSE 1 END AS survivor
+        |       FROM c JOIN pc ON pc.chunk_md5 = c.chunk_md5),
+        |cls AS (SELECT chunk_md5, CAST(max(chunk_bytes) AS BIGINT)
+        |          AS chunk_bytes,
+        |          max(survivor) AS has_survivor,
+        |          CAST(count(*) AS BIGINT) AS n_refs
+        |        FROM ar GROUP BY 1)
+        |SELECT CASE WHEN has_survivor = 1 THEN 'retained_shared'
+        |       ELSE 'deletable' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(n_refs) AS BIGINT) AS n_refs,
+        |  CAST(sum(chunk_bytes) AS BIGINT) AS n_bytes
+        |FROM cls GROUP BY 1""".stripMargin,
 
     // pp40: the oracle rebuilds the lexicon (df, idf, avgdl) from
     // scratch on the purged corpus; Spark patches by subtracting the

@@ -378,4 +378,40 @@ object Multimodal {
       .withColumn("fill_bp",
         expr(s"(text_tokens + media_tokens) * 10000 div $B"))
   }
+
+  /** mm15: CAS purge-reclaim audit — the GDPR loop extended to the
+    * BLOB layer (pp37–40 make the lexical/ANN/cluster indexes forget;
+    * this answers what the chunk STORE may physically delete): for
+    * every chunk the tombstone batch references, classify
+    * `deletable` (every referencing doc is purged — bytes reclaimable
+    * now) vs `retained_shared` (a survivor still references the
+    * content-addressed chunk, so the store MUST keep it — the doc is
+    * forgotten, its shared bytes legitimately live on as parts of
+    * other documents; the nuance a CAS deletion certificate has to
+    * state). Work ∝ the batch's chunk surface: one semi-join pulls
+    * the purged docs' chunk set, one semi-join carves those chunks'
+    * reference rows out of the manifest, survivor flags come from the
+    * broadcast ledger — the store-wide manifest is scanned, never
+    * shuffled beyond the affected refs. Same mm09 min/max-flag shape,
+    * keyed on the REAL ledger instead of the quality gate. */
+  def mm15PurgeChunks(s: SparkSession, d: String): DataFrame = {
+    val tomb = broadcast(
+      PurgeLedger.table(s, d).withColumn("purged", lit(1)))
+    val refs = mm03Chunking(s, d)
+    val affected = refs.join(tomb, Seq("doc_id"), "left_semi")
+      .select(col("chunk_md5")).distinct()
+    val ar = refs
+      .join(broadcast(affected), Seq("chunk_md5"), "left_semi")
+      .join(tomb, Seq("doc_id"), "left_outer")
+      .withColumn("survivor", when(col("purged").isNull, 1L).otherwise(0L))
+    ar.groupBy(col("chunk_md5"))
+      .agg(max(col("survivor")).as("has_survivor"),
+        count(lit(1)).as("n_refs"),
+        max(col("chunk_bytes")).cast("long").as("chunk_bytes"))
+      .withColumn("status", when(col("has_survivor") === 1,
+        "retained_shared").otherwise("deletable"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_refs")).as("n_refs"),
+        sum(col("chunk_bytes")).as("n_bytes"))
+  }
 }

@@ -3160,6 +3160,27 @@ class OperatorsSpec extends SparkTestBase {
       s"patch-only: ${patched -- rebuilt}; rebuild-only: ${rebuilt -- patched}")
   }
 
+  test("mm15 classifies exactly the purged docs' chunk surface, safely") {
+    val keys = ops.PurgeLedger.keys(spark, sf).toSet
+    val refs = ops.Multimodal.mm03Chunking(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val purgedChunks = refs.filter(r => keys.contains(r._1)).map(_._2).toSet
+    val survivorChunks = refs.filter(r => !keys.contains(r._1)).map(_._2).toSet
+    val out = ops.Multimodal.mm15PurgeChunks(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // coverage: every chunk the batch references is classified, once
+    assert(out.values.map(_._1).sum == purgedChunks.size,
+      s"classified ${out.values.map(_._1).sum} != surface ${purgedChunks.size}")
+    // safety: deletable count == chunks with NO survivor reference —
+    // the delete-a-live-blob bug is structurally impossible
+    val expectedDeletable = (purgedChunks -- survivorChunks).size.toLong
+    assert(out.getOrElse("deletable", (0L, 0L))._1 == expectedDeletable,
+      s"deletable ${out.get("deletable")} != expected $expectedDeletable")
+    assert(out.getOrElse("retained_shared", (0L, 0L))._1 ==
+      (purgedChunks & survivorChunks).size.toLong,
+      s"retained ${out.get("retained_shared")}")
+  }
+
   test("q72 correction wins on a planted perfectly-correlated pair") {
     import spark.implicits._
     // a ≡ b (perfect correlation): independence under-estimates every
