@@ -1094,15 +1094,18 @@ object Similarity {
     * IVF probes cells, and the graph walk touches O(beam·k·hops)
     * vectors. Rank-only output (float cosine orders, never grades). */
   def ss22NswTopk(s: SparkSession, d: String): DataFrame =
-    nswWalkTop(s, d, 5)
+    nswWalkTop8(s, d).filter(col("rk") <= 5)
 
-  /** The NSW walk with a parameterized final cut — ss22 takes the
-    * top-5, ss24's hybrid takes the whole final beam (top-8) as its
-    * vector tier. Identical walk either way (entries, 3 hops, beam 8),
-    * so the two cuts are prefixes of one ranking. */
-  private def nswWalkTop(s: SparkSession, d: String, k: Int): DataFrame =
-    nswWalkTopFrom(s, d, k, ss18KnnJoin(s, d),
-      cellAssignments(s, d).select(col("vec_id"), col("cell")))
+  /** The walk's final ranked beam, top-8, CACHED — ss22 serves its
+    * top-5 as a prefix filter and ss24's vector tier consumes the
+    * whole frame, so a session running both pays the walk once and
+    * the cache holds ≤ 8·|queries| rows (an output-sized cache, not
+    * the edge frame — caching the edges inside the hop joins measured
+    * SLOWER, see nswWalkTopFrom). Identical walk either way (entries,
+    * 3 hops, beam 8): the two cuts are prefixes of one ranking. */
+  private def nswWalkTop8(s: SparkSession, d: String): DataFrame =
+    CacheScope.cached(nswWalkTopFrom(s, d, 8, ss18KnnJoin(s, d),
+      cellAssignments(s, d).select(col("vec_id"), col("cell"))))
 
   /** The walk over EXPLICIT index frames — `knnSrc` with (qid,
     * neighbor_id) edges and `cellsSrc` with (vec_id, cell) — computed
@@ -1121,6 +1124,13 @@ object Similarity {
     val knn = knnSrc
       .filter(col("qid") >= 10 && col("neighbor_id") >= 10)
       .select(col("qid").as("src"), col("neighbor_id").as("dst"))
+    // TRUNCATED, not cached: each of the 3 hops joins this frame —
+    // without the cut the whole ss18 index-build lineage re-executes
+    // per hop. Measured (sf0.1): swapping the truncation for a
+    // CacheScope cache to share the frame between ss22 and ss24 made
+    // the quartet SLOWER (21.4 s → 26.8 s) — the InMemoryRelation
+    // conversion inside the hop joins costs more than the rebuild
+    // saves, the same finding as the iterative-kernel note in §5.
     val edges = knn.unionByName(
         knn.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().truncated
@@ -1235,7 +1245,7 @@ object Similarity {
     * ss22's documented isotropic-corpus floor — the planted-manifold
     * spec, not sf recall, is the quality gate. */
   def ss24HybridWalk(s: SparkSession, d: String): DataFrame = {
-    val vtop = nswWalkTop(s, d, 8).withColumnRenamed("rk", "rank_vec")
+    val vtop = nswWalkTop8(s, d).withColumnRenamed("rk", "rank_vec")
     val btop = topkPairs(
       bm25Scored(s, d).withColumnRenamed("doc_id", "vec_id"),
       col("bm25_micro").cast("double"), 20)
