@@ -47,15 +47,21 @@ object PurgeLedger {
 
   private def build(s: SparkSession, d: String): Seq[Long] = {
     val r = root(d).getAbsolutePath
-    if (VersionedCorpus.latestVersion(r).isEmpty) {
-      VersionedCorpus.publish(Tables.documents(s, d), r)
+    // recovery-keyed on the LEDGER, not the version: a crash between
+    // publish and purge leaves a corpus with no tombstones, and
+    // version-existence alone would then silently serve an EMPTY
+    // batch to every consumer — re-filing the purge is the correct
+    // (idempotent) recovery either way
+    if (VersionedCorpus.tombstoneKeys(r).isEmpty) {
+      if (VersionedCorpus.latestVersion(r).isEmpty)
+        VersionedCorpus.publish(Tables.documents(s, d), r, Some("doc_id"))
       // the planted deletion batch: ∝ requests, not corpus (52 keys at
       // sf0.1) — the one sanctioned driver-side collect in this path
       val batch = Tables.documents(s, d)
         .filter(col("doc_id") % 97 === 0)
         .select(col("doc_id")).orderBy(col("doc_id"))
         .collect().map(_.getLong(0)).toSeq
-      VersionedCorpus.purgeKeys(s, r, "doc_id", batch)
+      if (batch.nonEmpty) VersionedCorpus.purgeKeys(s, r, "doc_id", batch)
     }
     VersionedCorpus.tombstoneKeys(r)
   }
