@@ -337,6 +337,7 @@ object SparkEntry {
     "ev56_gated_features"   -> Events.ev56GatedFeatures _,
     "pp40_patch_lexicon"    -> Pipelines.pp40PatchLexicon _,
     "mm15_purge_chunks"     -> Multimodal.mm15PurgeChunks _,
+    "pp41_index_upsert"     -> Pipelines.pp41IndexUpsert _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -5539,6 +5540,20 @@ object SparkEntry {
     "pp37_patch_postings" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
         |             AS tok FROM documents WHERE doc_id % 97 <> 0),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2)
+        |SELECT tok, doc_id, tf FROM (
+        |    SELECT tok, doc_id, tf, row_number() OVER (PARTITION BY tok
+        |      ORDER BY tf DESC, doc_id) AS prk FROM tf) z
+        |WHERE prk <= 64""".stripMargin,
+
+    // pp41: the oracle is the FULL-corpus postings build — Spark folds
+    // the src0 arrival batch into the standing (non-src0) index by
+    // touched-terms-only re-derivation; hash match proves
+    // upsert ≡ rebuild.
+    "pp41_index_upsert" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
+        |             AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
         |       FROM t GROUP BY 1, 2)
         |SELECT tok, doc_id, tf FROM (

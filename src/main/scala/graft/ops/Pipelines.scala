@@ -1352,6 +1352,34 @@ object Pipelines {
     passThrough.unionByName(Dedup.keepBestFrom(reclustered, scores))
   }
 
+  /** pp41: index UPSERT — the ADD direction of pp37, completing the
+    * index lifecycle (build → upsert on arrivals → purge on
+    * tombstones → version → serve): fold an arrival batch (pp05's
+    * increment convention: source = src0) into the STANDING truncated
+    * postings without a rebuild. A new doc can only change the lists
+    * of terms IT CONTAINS, so every untouched term's top-64 passes
+    * through verbatim (exact, not approximate — adding a doc never
+    * reorders a list it is absent from) and only the touched terms'
+    * lists re-derive from the combined tf. Work ∝ the touched terms'
+    * postings (at 100 TB: an hourly batch touches a vocabulary
+    * sliver; st28 is this op's streaming twin, and this op is st28's
+    * periodic exact reconciliation). Oracle = the full-corpus
+    * postings build, so the hash match proves upsert ≡ rebuild. */
+  def pp41IndexUpsert(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val standing = Similarity.bm25Postings(
+      Similarity.termFreqsOf(docs.filter(col("source") =!= "src0")))
+    val arrivals = Similarity.termFreqsOf(
+      docs.filter(col("source") === "src0"))
+    val touched = arrivals.select(col("tok")).distinct()
+    val passThrough = standing
+      .join(broadcast(touched), Seq("tok"), "left_anti")
+    val rebuilt = Similarity.bm25Postings(
+      Similarity.termFreqsCached(s, d)
+        .join(broadcast(touched), Seq("tok"), "left_semi"))
+    passThrough.unionByName(rebuilt)
+  }
+
   /** pp40: patch the BM25 LEXICON for a tombstone batch — the
     * statistics half pp37 leaves stale: a purged doc's departure
     * changes every term's df it appeared in (not just top-64-affected

@@ -975,13 +975,19 @@ object Similarity {
     * stopword-heavy corpus like this one's 31-token vocabulary).
     * Integer scores are graded directly — the ln micro-rounding is the
     * only float, on the proven cross-engine grid. */
-  /** Per-(doc, term) frequencies — the shared base of the lexical
-    * index surface (ss21, pp32, IndexArtifacts). */
-  private[graft] def termFreqs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Per-(doc, term) frequencies over an explicit document frame —
+    * pp41's upsert patch builds the standing/arrival halves from
+    * filtered slices through this. */
+  private[graft] def termFreqsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+
+  /** Per-(doc, term) frequencies — the shared base of the lexical
+    * index surface (ss21, pp32, IndexArtifacts). */
+  private[graft] def termFreqs(s: SparkSession, d: String): DataFrame =
+    termFreqsOf(Tables.documents(s, d))
 
   /** ss21's statically truncated impact-ordered postings
     * (tok, doc_id, tf): top-64 per term by (tf DESC, doc_id) via the

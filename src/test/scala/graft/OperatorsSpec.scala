@@ -3160,6 +3160,35 @@ class OperatorsSpec extends SparkTestBase {
       s"patch-only: ${patched -- rebuilt}; rebuild-only: ${rebuilt -- patched}")
   }
 
+  test("pp41 upsert passes untouched terms through verbatim and equals a rebuild") {
+    import spark.implicits._
+    // planted corpus: standing docs over {alpha, beta}, the src0
+    // arrival over {beta, gamma} — alpha must pass through verbatim,
+    // beta re-derives with the arrival folded in, gamma is new
+    val dir = java.nio.file.Files.createTempDirectory("graft-pp41").toString
+    Seq(
+      (1L, "alpha alpha beta", "src1"),
+      (2L, "alpha beta beta", "src2"),
+      (3L, "beta gamma gamma", "src0")) // the arrival batch
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Pipelines.pp41IndexUpsert(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("alpha", 1L, 2L), ("alpha", 2L, 1L),          // untouched, verbatim
+      ("beta", 2L, 2L), ("beta", 1L, 1L), ("beta", 3L, 1L), // re-derived
+      ("gamma", 3L, 2L)),                            // new term
+      s"upsert wrong: $out")
+    // and at the sf slice: upsert ≡ full rebuild, term for term
+    val patched = ops.Pipelines.pp41IndexUpsert(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuild = ops.Similarity.bm25Postings(
+        ops.Similarity.termFreqs(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(patched == rebuild,
+      s"upsert drifts: ${patched.diff(rebuild)} / ${rebuild.diff(patched)}")
+  }
+
   test("mm15 classifies exactly the purged docs' chunk surface, safely") {
     val keys = ops.PurgeLedger.keys(spark, sf).toSet
     val refs = ops.Multimodal.mm03Chunking(spark, sf).collect()
