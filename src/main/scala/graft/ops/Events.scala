@@ -1445,14 +1445,16 @@ object Events {
     * a detection tier nobody reads is a table, not a gate): ev12's
     * per-user feature rows minus every user ev54 flags as a bot, so
     * timer traffic never contaminates per-user training features or
-    * the RFM tiers built on them. The bot list is ∝ flagged users
-    * (tiny) and broadcast into an anti-join; ev12's single-scan shape
-    * is otherwise untouched. The batch twin of running st30's gate
-    * ahead of st14's feature stream. */
+    * the RFM tiers built on them. The bot list is ∝ flagged users —
+    * small in practice but USER-scale in the worst case, so the
+    * anti-join is left to AQE (both sides already hash-partition on
+    * user_id, so the sort-merge fallback is exchange-free); ev12's
+    * single-scan shape is otherwise untouched. The batch twin of
+    * running st30's gate ahead of st14's feature stream. */
   def ev56GatedFeatures(s: SparkSession, d: String): DataFrame = {
     val bots = ev54BotDetect(s, d).filter(col("is_bot"))
       .select(col("user_id"))
     ev12UserFeatures(s, d)
-      .join(broadcast(bots), Seq("user_id"), "left_anti")
+      .join(bots, Seq("user_id"), "left_anti")
   }
 }

@@ -398,10 +398,14 @@ object Multimodal {
     val tomb = broadcast(
       PurgeLedger.table(s, d).withColumn("purged", lit(1)))
     val refs = mm03Chunking(s, d)
+    // `affected` is batch-AMPLIFIED (∝ purged docs' chunk counts — one
+    // purged multi-GB blob is millions of chunks), so its semi-join is
+    // left to AQE rather than force-broadcast; only the ledger frame
+    // keeps the hint
     val affected = refs.join(tomb, Seq("doc_id"), "left_semi")
       .select(col("chunk_md5")).distinct()
     val ar = refs
-      .join(broadcast(affected), Seq("chunk_md5"), "left_semi")
+      .join(affected, Seq("chunk_md5"), "left_semi")
       .join(tomb, Seq("doc_id"), "left_outer")
       .withColumn("survivor", when(col("purged").isNull, 1L).otherwise(0L))
     ar.groupBy(col("chunk_md5"))

@@ -1268,11 +1268,16 @@ object Pipelines {
     val tomb = PurgeLedger.table(s, d)
     val tf = Similarity.termFreqsCached(s, d)
     val post = Similarity.postingsCached(s, d) // the standing artifact
+    // broadcast only the LEDGER (∝ deletion requests, guaranteed
+    // small); `affected` is batch-AMPLIFIED (∝ the batch's term
+    // surface) so its joins are left to AQE, which broadcasts when
+    // the runtime size allows and degrades gracefully when a huge
+    // batch would blow a forced hint
     val affected = post.join(broadcast(tomb), Seq("doc_id"), "left_semi")
       .select(col("tok")).distinct()
-    val passThrough = post.join(broadcast(affected), Seq("tok"), "left_anti")
+    val passThrough = post.join(affected, Seq("tok"), "left_anti")
     val repaired = Similarity.bm25Postings(
-      tf.join(broadcast(affected), Seq("tok"), "left_semi")
+      tf.join(affected, Seq("tok"), "left_semi")
         .join(broadcast(tomb), Seq("doc_id"), "left_anti"))
     passThrough.unionByName(repaired)
   }
@@ -1338,14 +1343,18 @@ object Pipelines {
     // original pair set restricted to those survivors on BOTH ends
     // (pair edges never cross components, so no cross-cluster edge can
     // appear), re-clustered to convergence
+    // `survivors` is batch-AMPLIFIED (∝ affected clusters' sizes — a
+    // purged doc inside a mega boilerplate cluster would blow a
+    // forced broadcast), so its joins are left to AQE; only the
+    // ledger-sized frames keep explicit hints
     val survivors = clusters
       .join(broadcast(affected), Seq("cluster_id"), "left_semi")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
     val pairs = Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2"))
-      .join(broadcast(survivors).withColumnRenamed("doc_id", "d1"), Seq("d1"),
+      .join(survivors.withColumnRenamed("doc_id", "d1"), Seq("d1"),
         "left_semi")
-      .join(broadcast(survivors).withColumnRenamed("doc_id", "d2"), Seq("d2"),
+      .join(survivors.withColumnRenamed("doc_id", "d2"), Seq("d2"),
         "left_semi")
     val reclustered = Dedup.propagateMinLabels(pairs)
       .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
@@ -1371,12 +1380,14 @@ object Pipelines {
       Similarity.termFreqsOf(docs.filter(col("source") =!= "src0")))
     val arrivals = Similarity.termFreqsOf(
       docs.filter(col("source") === "src0"))
+    // `touched` is batch-amplified (∝ the arrival batch's vocabulary),
+    // so its joins are AQE's call rather than a forced broadcast
     val touched = arrivals.select(col("tok")).distinct()
     val passThrough = standing
-      .join(broadcast(touched), Seq("tok"), "left_anti")
+      .join(touched, Seq("tok"), "left_anti")
     val rebuilt = Similarity.bm25Postings(
       Similarity.termFreqsCached(s, d)
-        .join(broadcast(touched), Seq("tok"), "left_semi"))
+        .join(touched, Seq("tok"), "left_semi"))
     passThrough.unionByName(rebuilt)
   }
 
