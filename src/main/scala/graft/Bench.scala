@@ -59,6 +59,11 @@ object Bench {
       case _ => -1.0
     }
     val loadStart = osBean.getSystemLoadAverage
+    // endpoint load samples miss a mid-sweep co-tenant spike entirely
+    // (observed: start 0.5 / end 1.8 while the 5-min average peaked at
+    // 5.7 and the graph family ran 10× slow) — track the per-query
+    // maximum so the line carries the spike
+    var loadPeak = loadStart
     // eviction evidence (the round-6 adjudication gap): CacheScope's
     // hit:miss profile counts cache() CALLS, so two runs of the same
     // commit show identical profiles even when one box is thrashing
@@ -93,6 +98,7 @@ object Bench {
       }
       val (h, m) = graft.ops.CacheScope.counters
       storagePeakMb = math.max(storagePeakMb, storageUsedMb)
+      loadPeak = math.max(loadPeak, osBean.getSystemLoadAverage)
       val ev = pressure.drops.get - ev0
       val (t, c) =
         if (runs.forall(_._1)) {
@@ -150,6 +156,6 @@ object Bench {
     // contract line so it is the last thing on stdout
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"max_heap_mb":$maxHeapMb,"storage_peak_mb":$storagePeakMb,"evict_total":$evictTotal,"demote_total":$demoteTotal,"queries":${qmap(head)},"slowest":${qmap(slowest)},"cpu":${qmap(cpuSlow)},"cache":${smap(cacheSlow)},"evict":${smap(evictSlow)},"cache_hits":$hTot,"cache_misses":$mTot,"n_queries":${timed.size},"n_failed":${failed.size},"errors":$errs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"load_peak":${fmt(loadPeak)},"max_heap_mb":$maxHeapMb,"storage_peak_mb":$storagePeakMb,"evict_total":$evictTotal,"demote_total":$demoteTotal,"queries":${qmap(head)},"slowest":${qmap(slowest)},"cpu":${qmap(cpuSlow)},"cache":${smap(cacheSlow)},"evict":${smap(evictSlow)},"cache_hits":$hTot,"cache_misses":$mTot,"n_queries":${timed.size},"n_failed":${failed.size},"errors":$errs,"sf":"$sfName"}""")
   }
 }
