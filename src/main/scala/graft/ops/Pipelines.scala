@@ -1423,7 +1423,9 @@ object Pipelines {
       .select((col("t_tokens") - col("t_delta")).as("t_after"),
         (col("n_docs") - col("n_delta")).as("n_after"))
       .withColumn("a_c_after", expr("100 * t_after div n_after"))
-    lex.join(broadcast(dfDelta), Seq("tok"), "left_outer")
+    // dfDelta is batch-amplified (∝ the batch's term surface) — AQE's
+    // call, same rule as pp37/39/41; only 1-row totals keep hints here
+    lex.join(dfDelta, Seq("tok"), "left_outer")
       .withColumn("df", col("df") - coalesce(col("df_delta"), lit(0L)))
       .filter(col("df") > 0)
       .crossJoin(broadcast(tot))
