@@ -13,17 +13,32 @@ import org.apache.spark.sql.functions._
   * membership was an inline `doc_id % 97` rule that never touched the
   * VersionedCorpus machinery st29 already consumes.
   *
-  * Per sf directory (memoized per session, idempotent across
-  * sessions): publish the documents table as v1 of a scratch
-  * VersionedCorpus, file a GDPR purge for the planted deletion batch
-  * (every doc_id ≡ 0 mod 97 — a deterministic stand-in for the
-  * week's deletion requests, chosen so the DuckDB oracle can replay
-  * membership without seeing the ledger), then read the batch BACK
-  * through [[VersionedCorpus.tombstoneKeys]]. The consumers therefore
-  * exercise the full production path — purge → ledger write → ledger
-  * read → broadcast membership — and a spec asserts the round-trip
-  * returns exactly the planted batch and that v1's snapshot no longer
-  * contains it.
+  * TWO roots, chosen per session:
+  *
+  *  - **Production**: `spark.graft.ledger.root` (SparkSession conf)
+  *    points consumers at an EXISTING VersionedCorpus — the corpus
+  *    whose own purge history IS the ledger. No fixture copy, no
+  *    planted rule: `tombstoneKeys` of that root is authoritative.
+  *  - **Test default**: a scratch VersionedCorpus under
+  *    `java.io.tmpdir`, keyed by an md5 of the sf dir's CANONICAL
+  *    path (basename alone collides across parallel checkouts / CI
+  *    workers sharing /tmp). Per sf dir (memoized per session,
+  *    idempotent across sessions): publish the documents table as v1,
+  *    file a GDPR purge for the planted deletion batch (every doc_id
+  *    ≡ 0 mod 97 — a deterministic stand-in for the week's deletion
+  *    requests, chosen so the DuckDB oracle can replay membership
+  *    without seeing the ledger), then read the batch BACK through
+  *    [[VersionedCorpus.tombstoneKeys]]. The consumers therefore
+  *    exercise the full production path — purge → ledger write →
+  *    ledger read → broadcast membership.
+  *
+  * The scratch ledger is VALIDATED against the planted rule before
+  * it is served: a corpus regenerated under the same path (or a crash
+  * between publish and purge) leaves a stale ledger whose keys no
+  * longer equal the planted batch — serving it would make every
+  * pp37/38/39/40/mm15 consumer silently diverge from the oracle (or
+  * purge the wrong docs). On mismatch the scratch root is rebuilt
+  * from the current corpus.
   *
   * Scale shape: the batch `collect()` is ∝ deletion requests
   * (KBs/week — the same sanctioned-metadata class as `_RANGES.json`
@@ -33,37 +48,70 @@ import org.apache.spark.sql.functions._
   */
 object PurgeLedger {
 
+  /** Conf key naming an existing VersionedCorpus root whose ledger is
+    * authoritative — set it and the scratch fixture is never built. */
+  val rootConf = "spark.graft.ledger.root"
+
   private val cache = new ConcurrentHashMap[String, Seq[Long]]()
 
   /** Tombstoned doc_ids for sf dir `d`, via the ledger round-trip. */
   def keys(s: SparkSession, d: String): Seq[Long] =
-    cache.computeIfAbsent(root(d).getAbsolutePath, _ => build(s, d))
+    s.conf.getOption(rootConf) match {
+      case Some(prod) => // production: the corpus's own ledger, as-is
+        cache.computeIfAbsent(new File(prod).getAbsolutePath,
+          _ => VersionedCorpus.tombstoneKeys(prod))
+      case None =>
+        cache.computeIfAbsent(root(d).getAbsolutePath, _ => build(s, d))
+    }
 
   /** The scratch corpus root for `d` (exposed for the round-trip
-    * spec). */
-  private[graft] def root(d: String): File =
+    * spec): keyed on the canonical FULL path — basename alone makes
+    * two corpora with the same dir name (parallel checkouts, CI
+    * workers sharing one /tmp) collide on one ledger. */
+  private[graft] def root(d: String): File = {
+    val canon = new File(d).getCanonicalPath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
     new File(sys.props("java.io.tmpdir"),
-      s"graft_ledger_${new File(d).getName}")
+      s"graft_ledger_${new File(d).getName}_$h")
+  }
+
+  /** Drop the session memo for `d`'s scratch root (spec hook: lets a
+    * test simulate a NEW session revalidating an on-disk ledger). */
+  private[graft] def invalidate(d: String): Unit = {
+    cache.remove(root(d).getAbsolutePath): Unit
+  }
+
+  private def delete(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete(): Unit
+  }
 
   private def build(s: SparkSession, d: String): Seq[Long] = {
     val r = root(d).getAbsolutePath
-    // recovery-keyed on the LEDGER, not the version: a crash between
-    // publish and purge leaves a corpus with no tombstones, and
-    // version-existence alone would then silently serve an EMPTY
-    // batch to every consumer — re-filing the purge is the correct
-    // (idempotent) recovery either way
-    if (VersionedCorpus.tombstoneKeys(r).isEmpty) {
-      if (VersionedCorpus.latestVersion(r).isEmpty)
-        VersionedCorpus.publish(Tables.documents(s, d), r, Some("doc_id"))
-      // the planted deletion batch: ∝ requests, not corpus (52 keys at
-      // sf0.1) — the one sanctioned driver-side collect in this path
-      val batch = Tables.documents(s, d)
-        .filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id")).orderBy(col("doc_id"))
-        .collect().map(_.getLong(0)).toSeq
-      if (batch.nonEmpty) VersionedCorpus.purgeKeys(s, r, "doc_id", batch)
+    // the planted deletion batch from the CURRENT corpus: ∝ requests,
+    // not corpus (52 keys at sf0.1) — the one sanctioned driver-side
+    // collect in this path. Deriving it first is also the validation
+    // oracle for whatever ledger is already on disk.
+    val expected = Tables.documents(s, d)
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val loaded = VersionedCorpus.tombstoneKeys(r)
+    // serve the standing ledger only when it matches the planted rule
+    // exactly; anything else (empty after a crash between publish and
+    // purge, stale after a corpus regeneration at the same path) is
+    // rebuilt — re-filing a purge is idempotent, serving a wrong
+    // batch is not
+    if (loaded == expected && expected.nonEmpty) loaded
+    else {
+      if (root(d).exists()) delete(root(d))
+      VersionedCorpus.publish(Tables.documents(s, d), r, Some("doc_id"))
+      if (expected.nonEmpty)
+        VersionedCorpus.purgeKeys(s, r, "doc_id", expected)
+      VersionedCorpus.tombstoneKeys(r)
     }
-    VersionedCorpus.tombstoneKeys(r)
   }
 
   /** The ledger as a 1-column broadcastable frame (`doc_id`). */

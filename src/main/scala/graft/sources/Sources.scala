@@ -181,24 +181,38 @@ object Sources {
       nShards: Int = 8): Unit = {
     val grid = 65536L
     val v = df.withColumn("__c", col(c).cast("long"))
-    val statRow = v.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
+    // null keys never match a range predicate, so they ride shard 0
+    // (still listed in _RANGES — a shard the index omits is never
+    // read) and stay OUT of the boundary statistic and bucket math
+    val nn = v.filter(col("__c").isNotNull)
+    val statRow = nn.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
       count(lit(1)).as("n")).head()
     val n = statRow.getLong(2)
     val (mn, mx) = if (n == 0) (0L, 0L)
       else (statRow.getLong(0), statRow.getLong(1))
-    // ceil(span/grid): bucket = (x - mn) / width — division first, so a
-    // full-Long-range span (timestamps in micros) cannot overflow
-    val width = math.max(1L, {
-      val span = mx - mn + 1
-      if (span <= 0) Long.MaxValue / grid // span overflowed: one width cap
-      else (span + grid - 1) / grid
-    })
-    // integer `div`, not `/`: double division loses exactness past 2^53
-    // on a full-range span; (__c - mn) is nonnegative so div == floor
-    val bucketCol = expr(s"(__c - ${mn}L) div ${width}L")
+    // exact span in BigInt: on a column spanning more than half the
+    // Long range, mx - mn + 1 wraps, and wrapped bucket arithmetic
+    // yields negative, NON-MONOTONE buckets — shards would overlap in
+    // value ranges, silently breaking the disjointness invariant the
+    // _RANGES pruning readers assume
+    val span = (BigInt(mx) - BigInt(mn) + 1) max BigInt(1)
+    val width = ((span + grid - 1) / grid) max BigInt(1)
+    // integer `div`, not `/`: double division loses exactness past 2^53.
+    // (__c - mn) itself wraps when mn is deeply negative and __c large
+    // positive, so past the long-safe span the bucket math runs on
+    // DECIMAL(38,0) (exact, overflow-free; IntegralDivide returns
+    // long); the common case keeps the codegen'd long path
+    // mn via a string cast: Long.MinValue has no negative SQL literal
+    // (the parser sees unary minus over an overflowing positive)
+    val bucketCol =
+      if (span <= BigInt(Long.MaxValue))
+        expr(s"(__c - CAST('$mn' AS BIGINT)) div ${width.toLong}L")
+      else
+        expr(s"(CAST(__c AS DECIMAL(38,0)) - CAST('$mn' AS DECIMAL(38,0)))" +
+          s" div CAST('${width.toString}' AS DECIMAL(38,0))")
     // the bounded sufficient statistic: ≤ 65536 (bucket, count) rows,
     // merged driver-side — the ONLY collect, ∝ grid, never data
-    val buckets = v.groupBy(bucketCol.as("b")).agg(count(lit(1)).as("cnt"))
+    val buckets = nn.groupBy(bucketCol.as("b")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val cuts = {
       var cum = 0L
@@ -209,8 +223,9 @@ object Sources {
     }
     val shardCol =
       if (cuts.isEmpty) lit(0)
-      else cuts.map(b => when(bucketCol >= lit(b), 1).otherwise(0))
-        .reduce(_ + _)
+      else when(col("__c").isNull, lit(0)).otherwise(
+        cuts.map(b => when(bucketCol >= lit(b), 1).otherwise(0))
+          .reduce(_ + _))
     v.withColumn("shard", shardCol)
       .drop("__c")
       .repartition(col("shard"))
@@ -221,7 +236,13 @@ object Sources {
       .agg(min(col(c)).cast("long").as("mn"), max(col(c)).cast("long").as("mx"),
         count(lit(1)).as("rows"))
       .collect()
-      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      // an all-null shard (possible only for shard 0, where null keys
+      // live) records the EMPTY range (0, -1): truthful — no range
+      // predicate matches it, and nulls never match one either
+      .map(r => (r.get(0).toString,
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3)))
       .sortBy(_._2)
     val body = ranges.map { case (sh, mn, mx, n) =>
       s"""{"file":"shard=$sh","min":$mn,"max":$mx,"rows":$n}"""

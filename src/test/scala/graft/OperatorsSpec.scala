@@ -3060,6 +3060,72 @@ class OperatorsSpec extends SparkTestBase {
       "v1 row count does not reflect the purge")
   }
 
+  test("PurgeLedger keys scratch roots on the full path and validates the batch") {
+    // a second, differently-rooted corpus with a DIFFERENT planted
+    // batch (doc_ids shifted by +1, so its %97 set is disjoint from
+    // sf's) — a patch-family consumer against it must see ITS ledger
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ledger2").toString
+    Tables.documents(spark, sf)
+      .withColumn("doc_id", col("doc_id") + 1)
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    assert(ops.PurgeLedger.root(d2).getAbsolutePath !=
+      ops.PurgeLedger.root(sf).getAbsolutePath)
+    val k2 = ops.PurgeLedger.keys(spark, d2).toSet
+    val planted2 = Tables.documents(spark, d2)
+      .filter(col("doc_id") % 97 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(k2 == planted2 && k2.nonEmpty, s"second-corpus ledger $k2 != $planted2")
+    assert(k2 != ops.PurgeLedger.keys(spark, sf).toSet,
+      "shifted corpus must carry a different planted batch")
+    // a patch op pointed at the second corpus consumes the second
+    // ledger: pp37's repaired lists contain no tombstoned doc of d2
+    val patched = ops.Pipelines.pp37PatchPostings(spark, d2)
+    assert(patched.filter(col("doc_id").isin(k2.toSeq: _*)).count() == 0,
+      "pp37 against the second corpus leaked its tombstoned docs")
+    // two corpora under the SAME basename must not collide on one root
+    val pA = java.nio.file.Files.createTempDirectory("graft-basename-a")
+    val pB = java.nio.file.Files.createTempDirectory("graft-basename-b")
+    val dA = new java.io.File(pA.toFile, "sfX").getAbsolutePath
+    val dB = new java.io.File(pB.toFile, "sfX").getAbsolutePath
+    assert(ops.PurgeLedger.root(dA).getAbsolutePath !=
+      ops.PurgeLedger.root(dB).getAbsolutePath,
+      "same-basename corpora collide on one scratch ledger root")
+    // staleness: regenerate d2 with doc_ids DOUBLED (a genuinely
+    // different planted batch — a +k shift keeps the same multiples of
+    // 97), simulate a fresh session — the validator must detect the
+    // stale on-disk ledger and rebuild it from the current corpus
+    Tables.documents(spark, sf)
+      .withColumn("doc_id", col("doc_id") * 2)
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    ops.PurgeLedger.invalidate(d2)
+    val k3 = ops.PurgeLedger.keys(spark, d2).toSet
+    val planted3 = Tables.documents(spark, d2)
+      .filter(col("doc_id") % 97 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(k3 == planted3 && k3 != k2,
+      s"stale ledger served after corpus regeneration: $k3 vs $planted3")
+  }
+
+  test("PurgeLedger serves a production root from conf without a fixture copy") {
+    // production points consumers at an EXISTING VersionedCorpus whose
+    // own purge history is the ledger — no scratch copy, no planted rule
+    val prod = java.nio.file.Files
+      .createTempDirectory("graft-ledger-prod").toString
+    sources.VersionedCorpus.publish(
+      Tables.documents(spark, sf).select("doc_id", "text"), prod,
+      Some("doc_id"))
+    sources.VersionedCorpus.purgeKeys(spark, prod, "doc_id", Seq(3L, 5L, 8L))
+    spark.conf.set(ops.PurgeLedger.rootConf, prod)
+    try {
+      assert(ops.PurgeLedger.keys(spark, sf) == Seq(3L, 5L, 8L),
+        "conf-rooted ledger must serve the production corpus's tombstones")
+    } finally spark.conf.unset(ops.PurgeLedger.rootConf)
+    // with the conf cleared, the scratch path still serves the planted rule
+    assert(ops.PurgeLedger.keys(spark, sf).toSet ==
+      Tables.documents(spark, sf).filter(col("doc_id") % 97 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("pp37 postings patch equals an in-engine rebuild on the purged corpus") {
     val keys = ops.PurgeLedger.keys(spark, sf)
     val patched = ops.Pipelines.pp37PatchPostings(spark, sf).collect()

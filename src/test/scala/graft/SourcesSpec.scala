@@ -524,6 +524,59 @@ class SourcesSpec extends SparkTestBase {
     assert(got == (99990L to 100010L).toSeq, "pruned read wrong")
   }
 
+  test("equi-depth layout survives null keys and full-Long-range spans") {
+    import graft.sources.Sources
+    // null keys: routed to shard 0 (still listed in _RANGES so the
+    // shard is readable), kept OUT of the boundary statistic — the
+    // pre-fix code NPE'd on the null bucket group
+    val dirN = s"$tmp/equidepth_nulls"
+    val withNulls = spark.range(1000).select(col("id"),
+      when(col("id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("v"))
+    Sources.writeEquiDepth(withNulls, dirN, "v", nShards = 4)
+    val back = spark.read.parquet(dirN)
+    assert(back.count() == 1000L, "rows lost with null keys")
+    assert(back.filter(col("v").isNull).select("shard")
+      .distinct().collect().map(_.get(0).toString).toSeq == Seq("0"),
+      "null keys must all land in shard 0")
+    // range reads stay exact (nulls never match a range predicate)
+    val got = Sources.readRangePruned(spark, dirN, "v", 500L, 520L)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (500L to 520L).filter(_ % 10 != 0).toSeq,
+      "pruned read wrong on null-bearing layout")
+    // full-Long-range span: values straddling ±Long extremes used to
+    // wrap (x - mn) and the span arithmetic, producing negative
+    // buckets and OVERLAPPING shard ranges; the decimal path must
+    // keep buckets monotone and ranges disjoint
+    val dirX = s"$tmp/equidepth_extremes"
+    val extremes = spark.range(4000).select(col("id"),
+      when(col("id") % 2 === 0, lit(Long.MinValue) + col("id"))
+        .otherwise(lit(Long.MaxValue) - col("id")).as("v"))
+    Sources.writeEquiDepth(extremes, dirX, "v", nShards = 4)
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dirX, "_RANGES.json")))
+    val entries = body.stripPrefix("[").stripSuffix("]").split("\\},")
+      .map { e =>
+        def f(k: String) =
+          raw""""$k":(-?\d+)""".r.findFirstMatchIn(e).get.group(1).toLong
+        (f("min"), f("max"), f("rows"))
+      }.sortBy(_._1)
+    assert(entries.map(_._3).sum == 4000L, "rows lost at extreme span")
+    entries.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 < b._1, s"overlapping shard ranges at extremes: $a $b")
+      case _ => ()
+    }
+    // both value families land, and each shard's recorded range is
+    // truthful against its actual contents
+    val byShard = spark.read.parquet(dirX)
+      .groupBy(col("shard")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(byShard.map(_._1).toSeq == entries.map(_._1).toSeq &&
+      byShard.map(_._2).toSeq == entries.map(_._2).toSeq,
+      "_RANGES drifts from the actual shard contents at extreme span")
+  }
+
   test("compaction plan covers every file once, packs under target, is deterministic") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
