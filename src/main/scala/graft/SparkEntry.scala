@@ -334,6 +334,8 @@ object SparkEntry {
     "pp39_patch_clusters"   -> Pipelines.pp39PatchClusters _,
     "q72_selectivity"       -> Relational.q72SelectivityCorrect _,
     "ss24_hybrid_walk"      -> Similarity.ss24HybridWalk _,
+    "ss25_knn_upsert"       -> Similarity.ss25KnnUpsert _,
+    "ss26_knn_purge"        -> Similarity.ss26KnnPurge _,
     "ev56_gated_features"   -> Events.ev56GatedFeatures _,
     "pp40_patch_lexicon"    -> Pipelines.pp40PatchLexicon _,
     "mm15_purge_chunks"     -> Multimodal.mm15PurgeChunks _,
@@ -986,16 +988,23 @@ object SparkEntry {
 
   /** ss02's oracle, reused by ss09's recall audit. */
   // kNN JOIN via the ss05 IVF replay chain, query set = every
-  // vector, k=3 — shared by ss18 (direct) and ss22 (as the NSW
-  // graph substrate).
-  private val knnJoinSql: String =
-    """WITH ex AS (SELECT vec_id, label, i,
+  // vector, k=3 — shared by ss18 (direct), ss22 (as the NSW graph
+  // substrate) and, with filters, the ss25/ss26 lifecycle rebuilds:
+  // `centFilter` restricts the QUANTIZER's training set (the
+  // pre-change corpus — quantizer immutable under upsert/purge, the
+  // pp38 convention) and `memberFilter` restricts graph MEMBERSHIP
+  // (queries, candidates, assignments alike).
+  private def knnJoinSqlWhere(centFilter: String,
+      memberFilter: String): String =
+    s"""WITH ex AS (SELECT vec_id, label, i,
         |       CAST(embedding[i+1] AS DOUBLE) AS x
         |     FROM embeddings, range(64) t(i)),
-        |cent AS (SELECT label AS cell, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |cent AS (SELECT label AS cell, i, avg(x) AS c FROM ex
+        |         $centFilter GROUP BY 1, 2),
         |vc AS (SELECT ex.vec_id, cent.cell,
         |         sum(x*c) / (sqrt(sum(x*x)) * sqrt(sum(c*c))) AS ccos
         |       FROM ex JOIN cent ON ex.i = cent.i
+        |       $memberFilter
         |       GROUP BY 1, 2),
         |assigned AS (SELECT vec_id, cell FROM (
         |  SELECT vec_id, cell,
@@ -1016,6 +1025,8 @@ object SparkEntry {
         |          ORDER BY cos DESC, neighbor_id) AS rk
         |      FROM cand)
         |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 3""".stripMargin
+
+  private val knnJoinSql: String = knnJoinSqlWhere("", "")
 
   private val ss02Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding,
@@ -5687,6 +5698,21 @@ object SparkEntry {
         |  est_corr_milli, err_indep_bp, err_corr_bp,
         |  err_corr_bp <= err_indep_bp AS corr_improves
         |FROM f""".stripMargin,
+
+    // ss25: the oracle REBUILDS the kNN graph on corpus+batch under
+    // the STANDING quantizer (label centroids trained without the
+    // src0 arrivals — immutable under upsert); Spark folds the batch
+    // into the standing edges, so the hash is an upsert ≡ rebuild
+    // proof for the graph family.
+    "ss25_knn_upsert" -> knnJoinSqlWhere(
+      "WHERE vec_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src0')",
+      ""),
+
+    // ss26: the oracle rebuilds the graph on the SURVIVOR corpus under
+    // the full-corpus quantizer (immutable under purge, pp38's
+    // convention); Spark re-derives only survivors that lost a top-3
+    // neighbor — hash = patch ≡ rebuild.
+    "ss26_knn_purge" -> knnJoinSqlWhere("", "WHERE ex.vec_id % 97 <> 0"),
 
     // ss24: the fully-bounded hybrid — the NSW walk's final beam
     // (top-8, the shared nswWalkCtes replay) as the vector tier, ss23's

@@ -128,8 +128,15 @@ object Similarity {
   }
 
   /** Label-centroid table (label, cent: array<double>) via VecSumAgg. */
-  private[graft] def centroids(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+  private[graft] def centroids(s: SparkSession, d: String): DataFrame =
+    centroidsOf(Tables.embeddings(s, d))
+
+  /** Label-centroid table over an EXPLICIT embedding frame — the
+    * quantizer trainer parameterized by its training set, so the kNN
+    * lifecycle ops can train on the PRE-CHANGE corpus (the quantizer
+    * is immutable under upsert/purge — pp38's convention; retraining
+    * is ss17's periodic job, never part of a patch). */
+  private[graft] def centroidsOf(emb: DataFrame): DataFrame = {
     val embAttr = emb.queryExecution.analyzed.output.find(_.name == "embedding").get
     val vecSum = org.apache.spark.sql.graft.GraftDataset.column(
       graft.functions.VecSumAgg(embAttr, dim).toAggregateExpression())
@@ -825,21 +832,39 @@ object Similarity {
   def ss18KnnJoin(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val cent = CacheScope.cached(centroids(s, d))
-    val emb = Tables.embeddings(s, d)
-    val assigned = emb.select(col("vec_id"), col("embedding"))
+    knnJoinFrom(Tables.embeddings(s, d), cent)
+  }
+
+  /** Every vector of `emb` with its nearest cell under quantizer
+    * `cent`, carrying its embedding — the corpus side of the kNN
+    * join's cell-key equi-join (ss18's build, the lifecycle patches'
+    * re-derivation side). */
+  private[graft] def knnAssigned(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
       .transform(nearestCellsFrom(cent, _, 1, "cell"))
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-    val probes = emb.select(col("vec_id"), col("embedding"))
+
+  /** Every vector of `emb` fanned to its 2 probe cells under `cent`
+    * (qid, cell, q_emb) — the query side of the kNN join. */
+  private[graft] def knnProbes(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
       .transform(nearestCellsFrom(cent, _, 2, "probe_cell"))
       .join(emb.select(col("vec_id"), col("embedding").as("q_emb")), Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("probe_cell").as("cell"),
         col("q_emb"))
+
+  /** The kNN-join build over an EXPLICIT corpus frame and quantizer —
+    * ss18's shuffle formulation factored so the graph lifecycle ops
+    * (ss25 upsert, ss26 purge) can rebuild sub-graphs on candidate
+    * subsets with the IDENTICAL join/score/select plan. */
+  private[graft] def knnJoinFrom(emb: DataFrame, cent: DataFrame): DataFrame = {
     // the deliberate non-broadcast: SHUFFLE_HASH pins a cell-key hash
     // join even though the query side would fit a broadcast at test SF
     // (at production scale it cannot, and the plan must not flip under
     // the optimizer's size estimate)
     topkPairs(
-      assigned.join(probes.hint("SHUFFLE_HASH"), Seq("cell"))
+      knnAssigned(emb, cent)
+        .join(knnProbes(emb, cent).hint("SHUFFLE_HASH"), Seq("cell"))
         .filter(col("vec_id") =!= col("qid")),
       expr("cosine_sim(q_emb, embedding)"), 3)
   }
@@ -1257,5 +1282,145 @@ object Similarity {
       col("bm25_micro").cast("double"), 20)
       .withColumnRenamed("rk", "rank_bm25")
     rrfFuse(vtop, btop)
+  }
+
+  /** kNN-graph UPSERT over explicit frames — `standing`/`batch` are
+    * embedding frames (vec_id, label, embedding, …), `cent` the
+    * PRE-BATCH quantizer, `standingEdges` the standing (qid,
+    * neighbor_id, rk) artifact. The pp37 pass-through argument on the
+    * graph: an arrival can enter a standing node q's top-3 only by
+    * BEING A CANDIDATE of q, i.e. assigned into one of q's 2 probe
+    * cells — since removal never happens on upsert, every standing
+    * node the batch's cells never touch keeps its edge list VERBATIM
+    * (exact, not approximate), and an affected node's rebuilt top-3 =
+    * top-3 of (its standing top-3 ∪ the arrivals in its probe cells):
+    * candidates only ever get ADDED, so the standing top-3 already
+    * dominates every unchanged candidate. Work ∝ batch fan-in: batch
+    * assignment/probing ∝ batch, the new-candidate join fans each
+    * arrival to the standing probes of its cell, re-scoring touches
+    * affected nodes' ≤3 standing edges, and batch nodes run the ss18
+    * build restricted to THEIR probe cells. Batch-amplified frames
+    * (`newCand`, `affected`) carry no forced broadcast — AQE's call
+    * (the pp37/39/41 rule); at production scale `standing` probes and
+    * assignments load from the published cells artifact rather than
+    * recomputing (the pp37 standing-artifact convention). */
+  private[graft] def knnUpsertFrom(standing: DataFrame, batch: DataFrame,
+      cent: DataFrame, standingEdges: DataFrame): DataFrame = {
+    import Checkpoints.TruncateOps
+    // batch-side index entries: assignment + probes, both ∝ batch
+    val bAssigned = knnAssigned(batch, cent).truncated
+    // batch nodes are QUERIES of the rebuilt graph too: their
+    // candidates are everything assigned into their probe cells —
+    // standing members AND fellow arrivals
+    val allAssigned = knnAssigned(standing, cent).unionByName(bAssigned)
+    val batchEdges = topkPairs(
+      allAssigned.join(knnProbes(batch, cent).hint("SHUFFLE_HASH"),
+          Seq("cell"))
+        .filter(col("vec_id") =!= col("qid")),
+      expr("cosine_sim(q_emb, embedding)"), 3)
+    // arrivals entering standing nodes' candidate sets: fan each batch
+    // vector to the standing probes of its cell
+    val newCand = knnProbes(standing, cent).join(bAssigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("q_emb"), col("embedding"))
+      .truncated
+    val affected = newCand.select(col("qid")).distinct()
+    val passThrough = standingEdges.join(affected, Seq("qid"), "left_anti")
+    // affected nodes: re-score their ≤3 standing edges (same
+    // cosine_sim expression ⇒ bit-identical to the rebuild) and merge
+    // with the arrivals — candidates only grow, so this IS the
+    // rebuilt candidate top-3
+    val standingCand = standingEdges.join(affected, Seq("qid"), "left_semi")
+      .join(standing.select(col("vec_id").as("neighbor_id"),
+        col("embedding")), Seq("neighbor_id"))
+      .join(standing.select(col("vec_id").as("qid"),
+        col("embedding").as("q_emb")), Seq("qid"))
+      .select(col("qid"), col("neighbor_id").as("vec_id"),
+        col("q_emb"), col("embedding"))
+    val merged = topkPairs(standingCand.unionByName(newCand),
+      expr("cosine_sim(q_emb, embedding)"), 3)
+    passThrough.unionByName(merged).unionByName(batchEdges)
+  }
+
+  /** ss25: incremental kNN-graph UPSERT — the add direction pp41 gives
+    * the lexical index, for the graph family (the round-7 verdict's
+    * one index family with neither upsert nor purge): fold the pp05
+    * arrival batch (source = src0) into the STANDING kNN edges without
+    * a rebuild. The quantizer is the PRE-BATCH corpus's label
+    * centroids, immutable under upsert (pp38's convention — retraining
+    * is ss17's periodic job), so the oracle rebuilds the graph on
+    * corpus+batch with the standing quantizer and the hash match is a
+    * cross-engine upsert ≡ rebuild proof. Published as knn_edges v+1
+    * through IndexArtifacts so ss22 readers walk the fresh graph. */
+  def ss25KnnUpsert(s: SparkSession, d: String): DataFrame = {
+    import Checkpoints.TruncateOps
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val arrivals = Tables.documents(s, d)
+      .filter(col("source") === "src0").select(col("doc_id").as("vec_id"))
+    val standing = emb.join(arrivals, Seq("vec_id"), "left_anti").truncated
+    val batch = emb.join(arrivals, Seq("vec_id"), "left_semi").truncated
+    val cent = centroidsOf(standing).truncated
+    // the standing artifact, rebuilt in-query (pp37's convention; a
+    // serving session loads it via IndexArtifacts instead)
+    val standingEdges = knnJoinFrom(standing, cent).truncated
+    knnUpsertFrom(standing, batch, cent, standingEdges)
+  }
+
+  /** kNN-graph PURGE over explicit frames — `survAssigned` the
+    * survivor assignment (vec_id, cell, embedding) under the standing
+    * quantizer, `standingEdges` the standing graph, `tomb` the
+    * ledger. Purge only REMOVES candidates, so a survivor whose top-3
+    * contains no purged node keeps its list verbatim (a removal below
+    * rank 3 cannot promote anything); a survivor that LOST a neighbor
+    * re-derives its top-3 from the surviving members of its probe
+    * cells — the affected set is ∝ the purged nodes' graph in-degree,
+    * the same affected-only shape pp37 runs per term. Purged nodes'
+    * own edge lists drop entirely. */
+  private[graft] def knnPurgeFrom(survAssigned: DataFrame, cent: DataFrame,
+      standingEdges: DataFrame, tomb: DataFrame): DataFrame = {
+    import Checkpoints.TruncateOps
+    val survEdges = standingEdges.join(
+      broadcast(tomb.withColumnRenamed("vec_id", "qid")),
+      Seq("qid"), "left_anti")
+    val affected = survEdges.join(
+        broadcast(tomb.withColumnRenamed("vec_id", "neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+      .select(col("qid")).distinct().truncated
+    val passThrough = survEdges.join(affected, Seq("qid"), "left_anti")
+    val affEmb = survAssigned.select(col("vec_id"), col("embedding"))
+      .join(affected.withColumnRenamed("qid", "vec_id"),
+        Seq("vec_id"), "left_semi")
+    val rederived = topkPairs(
+      survAssigned.join(knnProbes(affEmb, cent).hint("SHUFFLE_HASH"),
+          Seq("cell"))
+        .filter(col("vec_id") =!= col("qid")),
+      expr("cosine_sim(q_emb, embedding)"), 3)
+    passThrough.unionByName(rederived)
+  }
+
+  /** ss26: kNN-graph PURGE patch — the graph loses its rebuild-class
+    * caveat: for the ledgered tombstone batch, drop purged nodes'
+    * lists and re-derive ONLY the survivors that lost a top-3
+    * neighbor (work ∝ purged in-degree — ≤ 3·|batch| affected
+    * queries), everything else passing through verbatim. Quantizer
+    * and survivor cell assignments are purge-immutable (pp38), so the
+    * survivor assignment is the cached cellAssignments frame
+    * anti-joined against the broadcast ledger. Oracle = the ss18
+    * build rebuilt on the survivor corpus under the full-corpus
+    * quantizer; hash match = patch ≡ rebuild, cross-engine. Published
+    * as knn_edges v+1 by publishPurgedIndex, which closes the one
+    * serving gap the round-7 advice flagged (a post-purge
+    * ss22FromArtifacts reader no longer walks tombstoned nodes). */
+  def ss26KnnPurge(s: SparkSession, d: String): DataFrame = {
+    import Checkpoints.TruncateOps
+    GraftFunctions.register(s)
+    val tomb = PurgeLedger.table(s, d).withColumnRenamed("doc_id", "vec_id")
+    val cent = CacheScope.cached(centroids(s, d))
+    val survAssigned = cellAssignments(s, d)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    val standingEdges = ss18KnnJoin(s, d).truncated
+    knnPurgeFrom(survAssigned, cent, standingEdges, tomb)
   }
 }

@@ -97,19 +97,21 @@ object IndexArtifacts {
     VersionedCorpus.publish(graft.ops.Pipelines.pp37PatchPostings(s, d),
       sub(root, "postings"), Some("doc_id"))
 
-  /** Re-point the WHOLE lexical serving index for a tombstone batch —
+  /** Re-point the WHOLE serving index for a tombstone batch —
     * postings (pp37's patch), lexicon (pp40's sufficient-statistic
-    * patch: df/idf/avgdl all forget the batch), and doclens (an
-    * anti-join) plus the IVF cell assignment (survivor assignments
-    * are quantizer-immutable, so the patch is an anti-join) — so
-    * `ss21FromArtifacts`/`ss05FromArtifacts` readers of the new
-    * versions serve EXACTLY what a rebuild on the purged corpus would
-    * serve (spec-asserted). `knn_edges` is deliberately NOT patched:
-    * dropping a purged node's edges is not the rebuilt graph (its
-    * neighbors would re-select their k nearest among survivors) — the
-    * graph artifact is rebuild-class, and pretending otherwise would
-    * serve silently degraded walks. Returns name → new version for
-    * the four re-pointed artifacts. */
+    * patch: df/idf/avgdl all forget the batch), doclens (an
+    * anti-join), the IVF cell assignment (survivor assignments are
+    * quantizer-immutable, so the patch is an anti-join), and — new in
+    * round 8 — `knn_edges` at ss26's affected-only graph patch
+    * (purged nodes' lists drop; survivors that lost a top-3 neighbor
+    * re-derive from their probe cells' surviving members; everyone
+    * else passes through verbatim). Readers of the new versions —
+    * `ss21FromArtifacts`, `ss05FromArtifacts`, AND
+    * `ss22FromArtifacts` — serve EXACTLY what a rebuild on the purged
+    * corpus (under the standing quantizer) would serve
+    * (spec-asserted); the round-7 gap where a post-purge walk could
+    * still serve tombstoned doc_ids off a stale graph is closed.
+    * Returns name → new version for the five re-pointed artifacts. */
   def publishPurgedIndex(s: SparkSession, d: String,
       root: String): Map[String, Long] = {
     import org.apache.spark.sql.functions.broadcast
@@ -128,6 +130,16 @@ object IndexArtifacts {
       "cells" -> VersionedCorpus.publish(
         Similarity.cellAssignments(s, d).select("vec_id", "cell")
           .join(broadcast(tombVec), Seq("vec_id"), "left_anti"),
-        sub(root, "cells"), Some("vec_id")))
+        sub(root, "cells"), Some("vec_id")),
+      "knn_edges" -> VersionedCorpus.publish(
+        Similarity.ss26KnnPurge(s, d), sub(root, "knn_edges"), Some("qid")))
   }
+
+  /** Arrival-batch maintenance for the graph artifact: publish ss25's
+    * upserted kNN edges as knn_edges v+1 — the graph twin of
+    * publishPatchedPostings' add direction (pp41). Returns the new
+    * version. */
+  def publishUpsertedKnn(s: SparkSession, d: String, root: String): Long =
+    VersionedCorpus.publish(Similarity.ss25KnnUpsert(s, d),
+      sub(root, "knn_edges"), Some("qid"))
 }

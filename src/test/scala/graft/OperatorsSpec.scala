@@ -3321,6 +3321,80 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("ss25/ss26 kNN lifecycle patches equal in-engine rebuilds with pass-through") {
+    graft.functions.GraftFunctions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).toString.toLong)).toSet
+    val emb = Tables.embeddings(spark, sf)
+    // upsert ≡ rebuild on corpus+batch under the STANDING quantizer
+    val arrivals = Tables.documents(spark, sf)
+      .filter(col("source") === "src0").select(col("doc_id").as("vec_id"))
+    val standing = emb.join(arrivals, Seq("vec_id"), "left_anti")
+    val upsert = rows(ops.Similarity.ss25KnnUpsert(spark, sf))
+    assert(upsert == rows(ops.Similarity.knnJoinFrom(emb,
+      ops.Similarity.centroidsOf(standing))), "ss25 drifts from the rebuild")
+    // purge ≡ rebuild on survivors under the FULL-corpus quantizer,
+    // and survivors that lost no top-3 neighbor pass through VERBATIM
+    val keys = ops.PurgeLedger.keys(spark, sf).toSet
+    val survivors = emb.filter(!col("vec_id").isin(keys.toSeq: _*))
+    val standingE = rows(ops.Similarity.ss18KnnJoin(spark, sf))
+    val patched = rows(ops.Similarity.ss26KnnPurge(spark, sf))
+    assert(patched == rows(ops.Similarity.knnJoinFrom(survivors,
+      ops.Similarity.centroids(spark, sf))), "ss26 drifts from the rebuild")
+    val affected = standingE.filter(e => keys.contains(e._2)).map(_._1)
+    val untouched = standingE.filter(e =>
+      !keys.contains(e._1) && !affected.contains(e._1))
+    assert(untouched.subsetOf(patched),
+      "ss26 must pass untouched survivors' edges through verbatim")
+    assert(patched.forall(e => !keys.contains(e._1) && !keys.contains(e._2)),
+      "ss26 output references a tombstoned node")
+  }
+
+  test("ss25 planted batch enters some standing top-3 lists and not others") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); parts.foreach { case (i, v) => a(i) = v }; a
+    }
+    // three orthogonal clusters; probe sets pinned by the ε-component:
+    // nodes 0–5 probe within {cell0, cell1}, nodes 6–7 probe {cell2,
+    // cell0} — so an arrival assigned to cell2 is a candidate of 6/7
+    // ONLY, and 0–5 must pass through bit-identically
+    val standing = Seq(
+      (0L, 0, vec(0 -> 1f, 1 -> 0.10f)), (1L, 0, vec(0 -> 1f, 1 -> 0.20f)),
+      (2L, 0, vec(0 -> 1f, 1 -> 0.15f)), (3L, 1, vec(1 -> 1f, 0 -> 0.10f)),
+      (4L, 1, vec(1 -> 1f, 0 -> 0.20f)), (5L, 1, vec(1 -> 1f, 0 -> 0.15f)),
+      (6L, 2, vec(2 -> 1f, 0 -> 0.10f)), (7L, 2, vec(2 -> 1f, 0 -> 0.20f)))
+      .toDF("vec_id", "label", "embedding")
+    val batch = Seq((100L, 2, vec(2 -> 1f, 0 -> 0.05f)))
+      .toDF("vec_id", "label", "embedding")
+    val cent = ops.Similarity.centroidsOf(standing)
+    val before = ops.Similarity.knnJoinFrom(standing, cent).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toLong)).toSet
+    val after = ops.Similarity
+      .knnUpsertFrom(standing, batch, cent,
+        ops.Similarity.knnJoinFrom(standing, cent))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toLong)).toSet
+    // upsert ≡ full rebuild on standing∪batch with the standing quantizer
+    val rebuilt = ops.Similarity
+      .knnJoinFrom(standing.unionByName(batch), cent).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toLong)).toSet
+    assert(after == rebuilt, "planted upsert drifts from the rebuild")
+    // the arrival ENTERED the axis-2 nodes' lists...
+    assert(Seq(6L, 7L).forall(q => after.exists(e => e._1 == q && e._2 == 100L)),
+      "arrival missing from the affected nodes' rebuilt top-3")
+    assert(!before.exists(_._2 == 100L))
+    // ...and nodes 0–5 (probes ⊆ {0,1}) passed through VERBATIM
+    (0L to 5L).foreach { q =>
+      assert(after.filter(_._1 == q) == before.filter(_._1 == q),
+        s"unaffected node $q did not pass through")
+    }
+    // the batch node itself got a full edge list
+    assert(after.count(_._1 == 100L) == 3)
+  }
+
   test("ev56 drops the planted timer's features and keeps the human's") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

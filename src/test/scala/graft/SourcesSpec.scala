@@ -524,6 +524,25 @@ class SourcesSpec extends SparkTestBase {
     assert(got == (99990L to 100010L).toSeq, "pruned read wrong")
   }
 
+  test("upserted knn edges publish as the next graph version") {
+    import graft.sources.{IndexArtifacts, VersionedCorpus}
+    val root = s"$tmp/idx_upsert"
+    val v1 = VersionedCorpus.publish(
+      ops.Similarity.ss18KnnJoin(spark, sf), s"$root/knn_edges", Some("qid"))
+    assert(v1 == 1L)
+    val v2 = IndexArtifacts.publishUpsertedKnn(spark, sf, root)
+    assert(v2 == 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).toString.toLong)).toSet
+    assert(rows(VersionedCorpus.readAt(spark, s"$root/knn_edges", 2L)) ==
+      rows(ops.Similarity.ss25KnnUpsert(spark, sf)),
+      "published upserted graph drifts from ss25")
+    assert(rows(VersionedCorpus.readAt(spark, s"$root/knn_edges", 1L)) ==
+      rows(ops.Similarity.ss18KnnJoin(spark, sf)),
+      "pre-upsert graph version no longer time-travels")
+  }
+
   test("equi-depth layout survives null keys and full-Long-range spans") {
     import graft.sources.Sources
     // null keys: routed to shard 0 (still listed in _RANGES so the
@@ -699,7 +718,8 @@ class SourcesSpec extends SparkTestBase {
     // rebuild on the survivors-only corpus serves (query side included:
     // a purged query doc's queries vanish on both paths)
     val purged = IndexArtifacts.publishPurgedIndex(spark, sf, root)
-    assert(purged.keySet == Set("postings", "lexicon", "doclens", "cells")
+    assert(purged.keySet ==
+      Set("postings", "lexicon", "doclens", "cells", "knn_edges")
       && purged("postings") == 3L && purged("lexicon") == 2L,
       s"unexpected re-point versions: $purged")
     val keys = ops.PurgeLedger.keys(spark, sf)
@@ -707,8 +727,33 @@ class SourcesSpec extends SparkTestBase {
       .createTempDirectory("graft-idx-purged").toString
     Tables.documents(spark, sf).filter(!col("doc_id").isin(keys: _*))
       .write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+    Tables.embeddings(spark, sf).filter(!col("vec_id").isin(keys: _*))
+      .write.mode("overwrite").parquet(s"$sdir/embeddings.parquet")
     assert(rows(IndexArtifacts.ss21FromArtifacts(spark, sdir, root)) ==
       rows(ops.Similarity.ss21Bm25Topk(spark, sdir)),
       "post-purge reader drifts from the survivors-only rebuild")
+    // the graph tier is no longer rebuild-class: the re-pointed
+    // knn_edges is ss26's patch, a post-purge walk reader serves the
+    // composition over the patched graph + survivor cells, and NO
+    // tombstoned doc_id appears anywhere in what it serves
+    val knnV2 = graft.sources.VersionedCorpus
+      .readAt(spark, s"$root/knn_edges", 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val patchedKnn = ops.Similarity.ss26KnnPurge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(knnV2 == patchedKnn, "re-pointed knn_edges drifts from ss26")
+    val served = IndexArtifacts.ss22FromArtifacts(spark, sdir, root).collect()
+    val tombSet = keys.toSet
+    assert(served.nonEmpty &&
+      !served.exists(r => tombSet.contains(r.getLong(0)) ||
+        tombSet.contains(r.getLong(1))),
+      "post-purge walk reader still serves tombstoned doc_ids")
+    val expectedWalk = ops.Similarity.nswWalkTopFrom(spark, sdir, 5,
+      ops.Similarity.ss26KnnPurge(spark, sf),
+      ops.Similarity.cellAssignments(spark, sf)
+        .select(col("vec_id"), col("cell"))
+        .filter(!col("vec_id").isin(keys: _*))).collect()
+    assert(served.map(_.toSeq).toSet == expectedWalk.map(_.toSeq).toSet,
+      "post-purge walk reader drifts from the patched-graph walk")
   }
 }
