@@ -1330,7 +1330,18 @@ object Pipelines {
     * weekly-batch : 100 TB-corpus ratio that is the difference
     * between a purge costing minutes and costing a full dedup rerun.
     * Oracle = dd07 rebuilt from scratch on the purged corpus. */
-  def pp39PatchClusters(s: SparkSession, d: String): DataFrame = {
+  def pp39PatchClusters(s: SparkSession, d: String): DataFrame =
+    pp39Patched(s, d)._2
+
+  /** Both halves of the purge-patched dedup artifact in ONE affected-
+    * clusters computation — `(members, keepers)` with members =
+    * (doc_id, cluster_id) in dd06's shape and keepers in dd07's — so
+    * `publishPurgedIndex` re-points the `clusters` AND `keepers`
+    * artifact lines without running the convergence kernel twice (the
+    * reclustered frame is truncation-materialized once and shared by
+    * both returned plans). */
+  private[graft] def pp39Patched(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     val tomb = PurgeLedger.table(s, d)
     val scores = Text.tx02QualityScore(s, d).select(col("doc_id"), col("score"))
     val clusters = Dedup.dd06DupClusters(s, d)
@@ -1339,6 +1350,11 @@ object Pipelines {
       .select(col("cluster_id")).distinct()
     val passThrough = keepers.join(broadcast(affected), Seq("cluster_id"),
       "left_anti")
+    // an unaffected cluster has NO purged member by construction, so
+    // its member rows pass through whole as well
+    val passMembers = clusters.join(broadcast(affected), Seq("cluster_id"),
+        "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
     // survivors of affected clusters; their surviving edges are the
     // original pair set restricted to those survivors on BOTH ends
     // (pair edges never cross components, so no cross-cluster edge can
@@ -1358,7 +1374,8 @@ object Pipelines {
         "left_semi")
     val reclustered = Dedup.propagateMinLabels(pairs)
       .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
-    passThrough.unionByName(Dedup.keepBestFrom(reclustered, scores))
+    (passMembers.unionByName(reclustered),
+      passThrough.unionByName(Dedup.keepBestFrom(reclustered, scores)))
   }
 
   /** pp41: index UPSERT — the ADD direction of pp37, completing the

@@ -24,6 +24,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `centroids` (cell, cent)        the IVF coarse quantizer
   *  - `cells`     (vec_id, cell)      the IVF assignment
   *  - `knn_edges` (qid, neighbor_id, rk) ss18's graph, ss22's substrate
+  *  - `clusters`  (doc_id, cluster_id) dd06's duplicate components
+  *  - `keepers`   (cluster_id, keeper_id, n_members) dd07's canon table
+  *  - `safe_keepers` (cluster_id, safe_id, keeper_id, n_members) dd28's
+  *    chain-weld-conservative canon table
+  *
+  * The dedup trio is the round-7 verdict's #1: pp39's patch ≡ rebuild
+  * proof existed, but the table it patches was re-derived per session
+  * (the LSH→pairs→min-label chain) instead of LOADED — at 100 TB the
+  * keeper table is the single most-read dedup output (every training
+  * run filters through it), so it must be a published artifact like
+  * any index frame.
   *
   * Long key columns carry manifest min/max stats so purge batches
   * prune versions driver-side. Reader variants (`ss21FromArtifacts`,
@@ -36,7 +47,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object IndexArtifacts {
 
   val names: Seq[String] = Seq("postings", "doclens", "lexicon",
-    "centroids", "cells", "knn_edges")
+    "centroids", "cells", "knn_edges", "clusters", "keepers",
+    "safe_keepers")
 
   private def sub(root: String, name: String): String =
     new File(root, name).getAbsolutePath
@@ -58,7 +70,16 @@ object IndexArtifacts {
         Similarity.cellAssignments(s, d)
           .select("vec_id", "cell"), sub(root, "cells"), Some("vec_id")),
       "knn_edges" -> VersionedCorpus.publish(
-        Similarity.ss18KnnJoin(s, d), sub(root, "knn_edges"), Some("qid")))
+        Similarity.ss18KnnJoin(s, d), sub(root, "knn_edges"), Some("qid")),
+      "clusters" -> VersionedCorpus.publish(
+        graft.ops.Dedup.dd06DupClusters(s, d), sub(root, "clusters"),
+        Some("doc_id")),
+      "keepers" -> VersionedCorpus.publish(
+        graft.ops.Dedup.dd07KeepBest(s, d), sub(root, "keepers"),
+        Some("keeper_id")),
+      "safe_keepers" -> VersionedCorpus.publish(
+        graft.ops.Dedup.dd28SafeKeepBest(s, d), sub(root, "safe_keepers"),
+        Some("keeper_id")))
   }
 
   /** Load an artifact's latest published version — exactly the files
@@ -87,6 +108,59 @@ object IndexArtifacts {
     Similarity.nswWalkTopFrom(s, d, 5,
       read(s, root, "knn_edges"), read(s, root, "cells"))
 
+  /** dd06's cluster table served from the published artifact — no
+    * LSH, no pair join, no convergence loop in the reader session. */
+  def dd06FromArtifacts(s: SparkSession, root: String): DataFrame =
+    read(s, root, "clusters")
+
+  /** dd07's keeper table served from the published artifact — the
+    * frame every training-set builder anti-joins against, loaded
+    * instead of re-derived. */
+  def dd07FromArtifacts(s: SparkSession, root: String): DataFrame =
+    read(s, root, "keepers")
+
+  /** dd28's chain-weld-safe keeper table from the published artifact.
+    * FAILS CLOSED when a purge has invalidated the line and no newer
+    * version has been published since — a GDPR-serving reader must
+    * never silently serve pre-purge conservative keepers. */
+  def dd28FromArtifacts(s: SparkSession, root: String): DataFrame = {
+    invalidatedAt(root, "safe_keepers").foreach { v =>
+      if (VersionedCorpus.latestVersion(sub(root, "safe_keepers"))
+          .forall(_ <= v))
+        throw new IllegalStateException(
+          s"safe_keepers invalidated by a purge at version $v — rebuild " +
+            "and publish a newer version before serving")
+    }
+    read(s, root, "safe_keepers")
+  }
+
+  /** Write an invalidation marker into an artifact line: readers fail
+    * closed until a version NEWER than `as_of_version` is published.
+    * Driver-side metadata (one tiny JSON), the same class as a
+    * manifest commit. */
+  private def invalidate(root: String, name: String, reason: String): Unit = {
+    val line = new File(sub(root, name))
+    line.mkdirs()
+    val v = VersionedCorpus.latestVersion(line.getAbsolutePath).getOrElse(0L)
+    java.nio.file.Files.write(
+      new File(line, "_INVALIDATED.json").toPath,
+      s"""{"as_of_version":$v,"reason":"$reason"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  /** The invalidation horizon for a line, if any. */
+  private[graft] def invalidatedAt(root: String,
+      name: String): Option[Long] = {
+    val f = new File(sub(root, name), "_INVALIDATED.json")
+    if (!f.exists()) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"as_of_version":(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+    }
+  }
+
   /** Purge propagation RE-POINTS the artifact: publish pp37's patched
     * postings as the next version of `root/postings` — readers of the
     * new version see the purged index, time travel to the pre-purge
@@ -110,15 +184,35 @@ object IndexArtifacts {
     * `ss22FromArtifacts` — serve EXACTLY what a rebuild on the purged
     * corpus (under the standing quantizer) would serve
     * (spec-asserted); the round-7 gap where a post-purge walk could
-    * still serve tombstoned doc_ids off a stale graph is closed.
-    * Returns name → new version for the five re-pointed artifacts. */
+    * still serve tombstoned doc_ids off a stale graph is closed. The
+    * dedup pair re-points at pp39's affected-clusters patch: clusters
+    * AND keepers forget the batch, so a reader's training-set
+    * anti-join stops honoring purged keepers immediately.
+    * `safe_keepers` is the one line NOT re-pointed: dd28's safe
+    * sub-clusters depend on dd26's triangle-support evidence, whose
+    * affected-only patch is future work — so this writes an
+    * INVALIDATION marker into that line instead and
+    * `dd28FromArtifacts` FAILS CLOSED until a rebuilt version is
+    * published (serving silently stale conservative keepers would be
+    * the exact bug the round-7 advice flagged for knn_edges). Returns
+    * name → new version for the seven re-pointed artifacts. */
   def publishPurgedIndex(s: SparkSession, d: String,
       root: String): Map[String, Long] = {
     import org.apache.spark.sql.functions.broadcast
     val ops = graft.ops.Pipelines
     val tomb = graft.ops.PurgeLedger.table(s, d)
     val tombVec = tomb.withColumnRenamed("doc_id", "vec_id")
+    // one affected-clusters computation feeds BOTH dedup re-points
+    val (patchedMembers, patchedKeepers) = ops.pp39Patched(s, d)
+    // dd28's line cannot be patched yet (triangle-support evidence):
+    // fail readers closed rather than let them serve pre-purge keepers
+    invalidate(root, "safe_keepers",
+      "purge batch applied; dd26 support evidence requires rebuild")
     Map(
+      "clusters" -> VersionedCorpus.publish(
+        patchedMembers, sub(root, "clusters"), Some("doc_id")),
+      "keepers" -> VersionedCorpus.publish(
+        patchedKeepers, sub(root, "keepers"), Some("keeper_id")),
       "postings" -> VersionedCorpus.publish(
         ops.pp37PatchPostings(s, d), sub(root, "postings"), Some("doc_id")),
       "lexicon" -> VersionedCorpus.publish(

@@ -699,6 +699,17 @@ class SourcesSpec extends SparkTestBase {
       rows(ops.Similarity.ss05IvfTopk(spark, sf)), "ss05 from artifact drifts")
     assert(rows(IndexArtifacts.ss22FromArtifacts(spark, sf, root)) ==
       rows(ops.Similarity.ss22NswTopk(spark, sf)), "ss22 from artifact drifts")
+    // the dedup trio: keepers load bit-identical across sessions with
+    // no recompute, and match the build-side chain exactly
+    val k1 = rows(IndexArtifacts.dd07FromArtifacts(spark, root))
+    assert(k1 == rows(IndexArtifacts.dd07FromArtifacts(spark.newSession(), root))
+      && k1 == rows(ops.Dedup.dd07KeepBest(spark, sf)) && k1.nonEmpty,
+      "keepers artifact drifts across sessions or from the build")
+    assert(rows(IndexArtifacts.dd06FromArtifacts(spark, root)) ==
+      rows(ops.Dedup.dd06DupClusters(spark, sf)), "clusters artifact drifts")
+    assert(rows(IndexArtifacts.dd28FromArtifacts(spark, root)) ==
+      rows(ops.Dedup.dd28SafeKeepBest(spark, sf)),
+      "safe_keepers artifact drifts")
     // purge propagation re-points the postings artifact: v2 = pp37's
     // patched index; v1 stays byte-identical (time travel intact)
     val v2 = IndexArtifacts.publishPatchedPostings(spark, sf, root)
@@ -719,9 +730,21 @@ class SourcesSpec extends SparkTestBase {
     // a purged query doc's queries vanish on both paths)
     val purged = IndexArtifacts.publishPurgedIndex(spark, sf, root)
     assert(purged.keySet ==
-      Set("postings", "lexicon", "doclens", "cells", "knn_edges")
+      Set("postings", "lexicon", "doclens", "cells", "knn_edges",
+        "clusters", "keepers")
       && purged("postings") == 3L && purged("lexicon") == 2L,
       s"unexpected re-point versions: $purged")
+    // the dedup re-point serves pp39's patch; dd28's unpatchable line
+    // FAILS CLOSED until a rebuilt version is published
+    assert(rows(graft.sources.VersionedCorpus
+        .readAt(spark, s"$root/keepers", purged("keepers"))) ==
+      rows(ops.Pipelines.pp39PatchClusters(spark, sf)),
+      "re-pointed keepers drift from pp39's patch")
+    val thrown = intercept[IllegalStateException] {
+      IndexArtifacts.dd28FromArtifacts(spark, root)
+    }
+    assert(thrown.getMessage.contains("invalidated"),
+      s"wrong fail-closed error: ${thrown.getMessage}")
     val keys = ops.PurgeLedger.keys(spark, sf)
     val sdir = java.nio.file.Files
       .createTempDirectory("graft-idx-purged").toString
@@ -755,5 +778,13 @@ class SourcesSpec extends SparkTestBase {
         .filter(!col("vec_id").isin(keys: _*))).collect()
     assert(served.map(_.toSeq).toSet == expectedWalk.map(_.toSeq).toSet,
       "post-purge walk reader drifts from the patched-graph walk")
+    // publishing dd28 REBUILT on the survivors corpus clears the
+    // invalidation and the reader serves the fresh conservative table
+    graft.sources.VersionedCorpus.publish(
+      ops.Dedup.dd28SafeKeepBest(spark, sdir), s"$root/safe_keepers",
+      Some("keeper_id"))
+    assert(rows(IndexArtifacts.dd28FromArtifacts(spark, root)) ==
+      rows(ops.Dedup.dd28SafeKeepBest(spark, sdir)),
+      "a rebuilt safe_keepers version must clear the invalidation")
   }
 }
