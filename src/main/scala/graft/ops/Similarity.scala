@@ -1244,7 +1244,7 @@ object Similarity {
     * Σ 10⁶ div (60 + rank) over a full-outer join of the two bounded
     * per-query lists, final top-5 — shared by ss23 and ss24 so the
     * fusion arithmetic stays hash-identical across hybrids. */
-  private def rrfFuse(vtop: DataFrame, btop: DataFrame): DataFrame = {
+  private[graft] def rrfFuse(vtop: DataFrame, btop: DataFrame): DataFrame = {
     val f = vtop.join(btop, Seq("qid", "neighbor_id"), "full_outer")
       .select(col("qid"), col("neighbor_id"),
         coalesce(col("rank_vec"), lit(0)).cast("long").as("rank_vec"),
@@ -1279,6 +1279,29 @@ object Similarity {
     val vtop = nswWalkTop8(s, d).withColumnRenamed("rk", "rank_vec")
     val btop = topkPairs(
       bm25Scored(s, d).withColumnRenamed("doc_id", "vec_id"),
+      col("bm25_micro").cast("double"), 20)
+      .withColumnRenamed("rk", "rank_bm25")
+    rrfFuse(vtop, btop)
+  }
+
+  /** ss24 over EXPLICIT index frames — the serving twin of the
+    * flagship hybrid: both tiers' index sides (kNN edges + cells for
+    * the walk, postings + lexicon + doclens for BM25) come in as
+    * arguments, computed fresh or loaded from published artifacts
+    * (`IndexArtifacts.ss24FromArtifacts`); query-side work — the 10
+    * query docs' term extraction, the walk's true-cosine re-scoring —
+    * stays request-time, and the fusion is the shared rank-only RRF,
+    * so a reader session serves the identical fused ranking the build
+    * session computes without building either index. */
+  private[graft] def hybridWalkFrom(s: SparkSession, d: String,
+      knnSrc: DataFrame, cellsSrc: DataFrame, postings: DataFrame,
+      lexicon: DataFrame, doclens: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val vtop = nswWalkTopFrom(s, d, 8, knnSrc, cellsSrc)
+      .withColumnRenamed("rk", "rank_vec")
+    val btop = topkPairs(
+      bm25ScoredFrom(s, d, postings, lexicon, doclens)
+        .withColumnRenamed("doc_id", "vec_id"),
       col("bm25_micro").cast("double"), 20)
       .withColumnRenamed("rk", "rank_bm25")
     rrfFuse(vtop, btop)

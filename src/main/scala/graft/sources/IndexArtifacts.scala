@@ -108,6 +108,18 @@ object IndexArtifacts {
     Similarity.nswWalkTopFrom(s, d, 5,
       read(s, root, "knn_edges"), read(s, root, "cells"))
 
+  /** ss24 — the flagship fully-bounded hybrid — served END TO END
+    * from published artifacts: the walk tier reads knn_edges + cells,
+    * the BM25 tier reads postings + lexicon + doclens, fusion is the
+    * shared rank-only RRF. Query-side work (the 10 query docs' term
+    * extraction, the walk's true-cosine re-scoring) stays
+    * request-time; NEITHER index is built in the reader session. */
+  def ss24FromArtifacts(s: SparkSession, d: String, root: String): DataFrame =
+    Similarity.hybridWalkFrom(s, d,
+      read(s, root, "knn_edges"), read(s, root, "cells"),
+      read(s, root, "postings"), read(s, root, "lexicon"),
+      read(s, root, "doclens"))
+
   /** dd06's cluster table served from the published artifact — no
     * LSH, no pair join, no convergence loop in the reader session. */
   def dd06FromArtifacts(s: SparkSession, root: String): DataFrame =

@@ -699,6 +699,13 @@ class SourcesSpec extends SparkTestBase {
       rows(ops.Similarity.ss05IvfTopk(spark, sf)), "ss05 from artifact drifts")
     assert(rows(IndexArtifacts.ss22FromArtifacts(spark, sf, root)) ==
       rows(ops.Similarity.ss22NswTopk(spark, sf)), "ss22 from artifact drifts")
+    // the flagship hybrid serves END TO END from artifacts: a fresh
+    // reader session (no temp state from the build) fuses the walk
+    // tier (knn_edges + cells) with the BM25 tier (postings + lexicon
+    // + doclens) and matches the build-side ss24 query-for-query
+    assert(rows(IndexArtifacts.ss24FromArtifacts(spark.newSession(), sf, root))
+      == rows(ops.Similarity.ss24HybridWalk(spark, sf)),
+      "ss24 from artifacts drifts from the build-side hybrid")
     // the dedup trio: keepers load bit-identical across sessions with
     // no recompute, and match the build-side chain exactly
     val k1 = rows(IndexArtifacts.dd07FromArtifacts(spark, root))
