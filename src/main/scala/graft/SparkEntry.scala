@@ -337,6 +337,8 @@ object SparkEntry {
     "ss25_knn_upsert"       -> Similarity.ss25KnnUpsert _,
     "ss26_knn_purge"        -> Similarity.ss26KnnPurge _,
     "ev56_gated_features"   -> Events.ev56GatedFeatures _,
+    "ev57_gated_rfm"        -> Events.ev57GatedRfm _,
+    "pp42_gated_sessions"   -> Pipelines.pp42GatedSessions _,
     "pp40_patch_lexicon"    -> Pipelines.pp40PatchLexicon _,
     "mm15_purge_chunks"     -> Multimodal.mm15PurgeChunks _,
     "pp41_index_upsert"     -> Pipelines.pp41IndexUpsert _,
@@ -1150,6 +1152,32 @@ object SparkEntry {
         |SELECT count(*) AS n_signup, count(c_user) AS n_converted_7d
         |FROM su LEFT JOIN c ON su.user_id = c.c_user""".stripMargin,
 
+    // ev57: the detection chain replayed, the flagged users' events
+    // removed, then ev17's exact-ntile RFM over the HUMAN population —
+    // horizon and quartile boundaries recompute over gated events.
+    "ev57_gated_rfm" ->
+      s"""WITH b AS ($botDetectSql),
+        |ge AS (SELECT * FROM events
+        |       WHERE user_id NOT IN (SELECT user_id FROM b WHERE is_bot)),
+        |pu AS (SELECT user_id,
+        |    max(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+        |    count(CASE WHEN event_type='purchase' THEN 1 END) AS frequency,
+        |    round(sum(CASE WHEN event_type='purchase' THEN value ELSE 0.0 END), 2)
+        |      AS monetary
+        |  FROM ge GROUP BY 1),
+        |mx AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS corpus_max
+        |       FROM ge)
+        |SELECT user_id,
+        |  CAST(date_diff('day', last_day, corpus_max) AS INTEGER) AS recency_days,
+        |  frequency, monetary,
+        |  CAST(ntile(4) OVER (ORDER BY date_diff('day', last_day, corpus_max),
+        |    user_id) AS INTEGER) AS r_score,
+        |  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER)
+        |    AS f_score,
+        |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER)
+        |    AS m_score
+        |FROM pu CROSS JOIN mx""".stripMargin,
+
     "ev17_rfm_scores" ->
       """WITH pu AS (SELECT user_id,
         |    max(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
@@ -1696,6 +1724,29 @@ object SparkEntry {
          |  CAST(count(l.neighbor_id) * 10000 // count(*) AS BIGINT) AS recall_bp
          |FROM e LEFT JOIN l ON e.qid = l.qid AND e.neighbor_id = l.neighbor_id
          |GROUP BY e.qid""".stripMargin,
+
+    // pp42: pp04's per-user-closed chain with ev54's flags anti-joined
+    // on the OUTPUT (per-user closure makes that exactly the gated
+    // recomputation — the Spark side reuses the verified pp04 plan).
+    "pp42_gated_sessions" ->
+      s"""WITH b AS ($botDetectSql),
+         |s AS ($sessionizeSql),
+         |sess AS (SELECT user_id, count(*) AS n_sessions,
+         |    CAST(sum(n_events) * 10000 // count(*) AS BIGINT)
+         |      AS events_per_session_bp,
+         |    CAST(sum(CAST(floor(epoch(session_end)) AS BIGINT)
+         |      - CAST(floor(epoch(session_start)) AS BIGINT)) AS BIGINT)
+         |      AS total_session_s
+         |  FROM s GROUP BY 1),
+         |f AS (SELECT user_id, count(*) AS n_events,
+         |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+         |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+         |      AS purchase_value
+         |  FROM events GROUP BY user_id)
+         |SELECT f.user_id, f.n_events, f.n_purchases, f.purchase_value,
+         |  sess.n_sessions, sess.events_per_session_bp, sess.total_session_s
+         |FROM f JOIN sess USING (user_id)
+         |WHERE f.user_id NOT IN (SELECT user_id FROM b WHERE is_bot)""".stripMargin,
 
     "pp04_session_features" ->
       s"""WITH s AS ($sessionizeSql),

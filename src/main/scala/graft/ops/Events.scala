@@ -543,8 +543,15 @@ object Events {
     * the exact distributed ntile above (range-bucketed rank, no
     * |users|-sized single-partition sort); descending metrics are
     * ranked on the negated key — an exact order flip. */
-  def ev17RfmScores(s: SparkSession, d: String): DataFrame = {
-    val e = ev(s, d)
+  def ev17RfmScores(s: SparkSession, d: String): DataFrame =
+    rfmFrom(ev(s, d))
+
+  /** ev17 parameterized by its event frame — the RFM scores are
+    * POPULATION-RELATIVE (quartile boundaries and the corpus horizon
+    * both derive from the input), so the bot gate must run BEFORE
+    * this aggregation, not as an output filter (contrast pp42, where
+    * per-user closure makes post-aggregate gating exact). */
+  private def rfmFrom(e: DataFrame): DataFrame = {
     val perUser = e.groupBy(col("user_id")).agg(
       max(date_trunc("day", col("ts")).cast("date")).as("last_day"),
       count(when(col("event_type") === "purchase", 1)).as("frequency"),
@@ -1451,10 +1458,33 @@ object Events {
     * user_id, so the sort-merge fallback is exchange-free); ev12's
     * single-scan shape is otherwise untouched. The batch twin of
     * running st30's gate ahead of st14's feature stream. */
-  def ev56GatedFeatures(s: SparkSession, d: String): DataFrame = {
-    val bots = ev54BotDetect(s, d).filter(col("is_bot"))
-      .select(col("user_id"))
+  def ev56GatedFeatures(s: SparkSession, d: String): DataFrame =
     ev12UserFeatures(s, d)
-      .join(bots, Seq("user_id"), "left_anti")
-  }
+      .join(flaggedBots(s, d), Seq("user_id"), "left_anti")
+
+  /** ev54's flagged user list (∝ bots — broadcastable by nature) —
+    * the shared gate list ev56/ev57/pp42 consume, factored so every
+    * gated consumer applies the IDENTICAL detection rule. */
+  private[graft] def flaggedBots(s: SparkSession, d: String): DataFrame =
+    ev54BotDetect(s, d).filter(col("is_bot")).select(col("user_id"))
+
+  /** The event stream with every flagged bot's traffic removed — the
+    * gate run BEFORE aggregation, for consumers whose statistics are
+    * population-relative (ev57's quartiles, the corpus horizon). The
+    * bot list is ∝ flagged users and broadcasts into one anti-join;
+    * the event scan shape is untouched. */
+  private[graft] def gatedEvents(s: SparkSession, d: String): DataFrame =
+    ev(s, d).join(broadcast(flaggedBots(s, d)), Seq("user_id"), "left_anti")
+
+  /** ev57: BOT-GATED RFM tiers — ev54's detector wired in front of
+    * ev17 (the round-7 verdict's remaining ungated consumer): a
+    * 60 s-metronome scraper in the event stream otherwise lands in
+    * the top frequency quartile AND drags every human's quartile
+    * boundary. RFM is population-relative, so unlike ev56's output
+    * anti-join the gate must remove the bot's events BEFORE the
+    * per-user aggregate — recency's corpus horizon, the quartile
+    * boundaries and every score recompute over the HUMAN population.
+    * Oracle replays the detection chain and the gated ntile in SQL. */
+  def ev57GatedRfm(s: SparkSession, d: String): DataFrame =
+    rfmFrom(gatedEvents(s, d))
 }

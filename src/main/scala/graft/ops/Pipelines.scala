@@ -1452,4 +1452,17 @@ object Pipelines {
           * lit(1000000.0)).cast("long").as("idf_micro"),
         col("a_c_after").as("a_c"))
   }
+
+  /** pp42: BOT-GATED session features — ev54's gate in front of pp04,
+    * closing the last ungated consumer the round-7 verdict named.
+    * Every pp04 statistic is PER-USER-CLOSED (ev02's session windows
+    * partition by user; ev12's features aggregate per user), so a
+    * bot's removal cannot change any human's row — the output
+    * anti-join is therefore EXACTLY the gated recomputation (contrast
+    * ev57, whose population-relative quartiles force the gate before
+    * the aggregate), and the already-verified pp04 plan is reused
+    * untouched with one broadcast anti-join appended. */
+  def pp42GatedSessions(s: SparkSession, d: String): DataFrame =
+    pp04UserSessionFeatures(s, d)
+      .join(broadcast(Events.flaggedBots(s, d)), Seq("user_id"), "left_anti")
 }

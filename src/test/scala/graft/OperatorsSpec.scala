@@ -3415,6 +3415,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(gated.keySet == Set(2L),
       s"gate must drop user 1 and keep user 2: ${gated.keySet}")
     assert(gated(2L) == 25L, s"human's features altered: $gated")
+    // ev57: the metronome vanishes from the RFM tiers while the
+    // human's VALUE columns survive verbatim (purchase-free corpus →
+    // frequency/monetary 0; recency recomputes over the human horizon)
+    val rfmAll = ops.Events.ev17RfmScores(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val rfmGated = ops.Events.ev57GatedRfm(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(rfmGated.keySet == Set(2L),
+      s"ev57 must drop the timer from the tiers: ${rfmGated.keySet}")
+    assert(rfmGated(2L) == rfmAll(2L),
+      "human's recency/frequency altered by the gate")
+    // pp42: session features likewise keep only the human, whose row
+    // equals the ungated pp04 row bit-for-bit (per-user closure)
+    val sessAll = ops.Pipelines.pp04UserSessionFeatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val sessGated = ops.Pipelines.pp42GatedSessions(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(sessGated.keySet == Set(2L) && sessGated(2L) == sessAll(2L),
+      s"pp42 gate wrong: kept ${sessGated.keySet}")
     // consistency at the sf slice: gated = ev12 minus flagged bots
     val bots = ops.Events.ev54BotDetect(spark, sf)
       .filter(col("is_bot")).select("user_id")
