@@ -1078,4 +1078,71 @@ object StreamingJobs {
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** The reserved totals key of st33's state space — space-bearing, so no
+    * whitespace-split token can ever collide with it. */
+  val lexTotalsKey: String = " __TOTALS__"
+
+  case class LexStatRow(tok: String, df: Long, n_docs: Long,
+    t_tokens: Long, retracted: Boolean)
+
+  /** st33: streaming LEXICON maintenance — pp40's sufficient
+    * statistics live, so st28's postings serve BM25 with FRESH idf
+    * between batch reconciliations instead of yesterday's (st32's
+    * documented df drift becomes observable and bounded in one more
+    * place). Input is one stream of (doc_id, text, tombstone) where a
+    * tombstone row CARRIES THE DOC'S TEXT — the CDC retraction-record
+    * convention, and exactly what the purge pipeline holds in hand
+    * (st29's gate reads the ledgered doc row before deletion). That
+    * makes every delta ROW-LOCAL and EXACT: a row contributes ±1 df
+    * per distinct term it contains, ±1 to the doc count and ±|tokens|
+    * to the token total — no per-term doc membership state (which is
+    * the unbounded frame this design exists to avoid; contrast st32,
+    * whose doc_id-only tombstones force the upper-bound df). State =
+    * one (df) long per term plus one (n_docs, t_tokens) pair under
+    * the reserved totals key — ∝ vocabulary, never traffic. Emission
+    * is last-wins per key (the st25 snapshot discipline): per-term
+    * rows carry the refreshed df (df = 0 ⇒ a retraction marker so
+    * consumers forget the term, st32's rk=0 analog); the totals row
+    * carries (N, T); a reader joins the two and computes idf/avgdl
+    * row-locally — the exact bm25Lexicon shape. Deltas are summed
+    * commutatively, so within-batch order is irrelevant and batch
+    * replays are deterministic; a PARTIAL re-delivery double-counts
+    * (at-least-once caveat, st31's precedent — st20/st29 upstream
+    * make deliveries effectively-once, and pp40's batch patch is the
+    * exact reconciliation). Negative drift from a tombstone whose doc
+    * was never folded in (a replay gap) clamps at 0, conservative. */
+  def streamingLexiconMaintenance(events: DataFrame): Dataset[LexStatRow] = {
+    import events.sparkSession.implicits._
+    val signed = events
+      .withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("sign", when(col("tombstone"), -1L).otherwise(1L))
+    val termDeltas = signed
+      .select(explode(array_distinct(col("toks"))).as("tok"),
+        col("sign").as("d_df"), lit(0L).as("d_docs"),
+        lit(0L).as("d_tokens"))
+    val totalDeltas = signed
+      .select(lit(lexTotalsKey).as("tok"), lit(0L).as("d_df"),
+        col("sign").as("d_docs"),
+        (col("sign") * size(col("toks")).cast("long")).as("d_tokens"))
+    termDeltas.unionByName(totalDeltas).as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), LexStatRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tok, rows, state: GroupState[(Long, Long, Long)]) =>
+          val (df0, n0, t0) = state.getOption.getOrElse((0L, 0L, 0L))
+          var df = df0; var n = n0; var t = t0
+          rows.foreach { r => df += r._2; n += r._3; t += r._4 }
+          df = math.max(0L, df); n = math.max(0L, n); t = math.max(0L, t)
+          if ((df, n, t) == ((df0, n0, t0))) Iterator.empty
+          else {
+            state.update((df, n, t))
+            if (tok == lexTotalsKey)
+              Iterator.single(LexStatRow(tok, 0L, n, t, retracted = false))
+            else
+              Iterator.single(LexStatRow(tok, df, -1L, -1L,
+                retracted = df == 0L))
+          }
+      }
+  }
 }

@@ -1013,4 +1013,55 @@ class StreamingSpec extends SparkTestBase {
       assert(rows().size == before, "replay of a ledgered key re-entered")
     } finally q.stop()
   }
+
+  test("st33 streamed lexicon equals build then pp40-patched lexicon exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import StreamingJobs.{LexStatRow, lexTotalsKey}
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val keys = graft.ops.PurgeLedger.keys(spark, sf).toSet
+    val in = MemoryStream[(Long, String, Boolean)]
+    val q = StreamingJobs
+      .streamingLexiconMaintenance(in.toDF().toDF("doc_id", "text", "tombstone"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st33_out").start()
+    try {
+      def snapshot(): (Map[String, Long], Long, Long) = {
+        // last emission wins per key (the st25 snapshot discipline)
+        val rows = spark.sql("SELECT * FROM st33_out").as[LexStatRow]
+          .collect().zipWithIndex
+        val last = rows.groupBy(_._1.tok).map { case (_, g) => g.maxBy(_._2)._1 }
+        val tot = last.find(_.tok == lexTotalsKey).get
+        (last.filter(r => r.tok != lexTotalsKey && !r.retracted)
+          .map(r => r.tok -> r.df).toMap, tot.n_docs, tot.t_tokens)
+      }
+      // batch 1: the whole corpus arrives — state equals the BUILD
+      in.addData(docs.map(d => (d._1, d._2, false)).toSeq: _*)
+      q.processAllAvailable()
+      val (df1, n1, t1) = snapshot()
+      val lexBuild = graft.ops.Similarity.bm25Lexicon(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(df1 == lexBuild, "streamed df after ingest drifts from the build")
+      assert(n1 == docs.length, s"doc total wrong: $n1")
+      // batch 2: the ledgered purge arrives as TEXT-CARRYING
+      // retractions (the CDC convention st33 requires for exactness);
+      // the reconstructed lexicon must equal pp40's batch patch
+      // bit-for-bit — idf/avgdl recompute row-locally from (df, N, T)
+      in.addData(docs.filter(d => keys(d._1)).map(d => (d._1, d._2, true))
+        .toSeq: _*)
+      q.processAllAvailable()
+      val (df2, n2, t2) = snapshot()
+      val aC = 100L * t2 / n2
+      val recon = df2.map { case (tok, df) => (tok, df,
+        math.round(math.log((n2 * 2 + 2).toDouble / (df * 2 + 1).toDouble)
+          * 1000000.0), aC) }.toSet
+      val pp40 = graft.ops.Pipelines.pp40PatchLexicon(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(recon == pp40,
+        s"streamed lexicon drifts from pp40's patch (${recon.size} vs ${pp40.size} terms)")
+      assert(t1 > t2 && n2 == n1 - keys.size, "totals did not forget the batch")
+    } finally q.stop()
+  }
 }
