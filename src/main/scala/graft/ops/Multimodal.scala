@@ -359,17 +359,29 @@ object Multimodal {
     * media items, fill in exact bp. Scale: pp22's exactly — one
     * per-source window (per (source, shard) sub-key at 100 TB), all
     * integer arithmetic. */
-  def mm13InterleavePack(s: SparkSession, d: String): DataFrame = {
+  def mm13InterleavePack(s: SparkSession, d: String): DataFrame =
+    mm13PackSharded(s, d, 1)
+
+  /** mm13 over the per-(source, shard) SUB-KEY (pp22PackingSharded's
+    * twin for the interleaved layout): shard = doc_id mod nShards
+    * (mm13's stream is doc_id-ordered, so the residue sub-key keeps
+    * determinism with no extra hash), combined-cost prefix-sum per
+    * (source, shard), bin ids gain the shard · 2⁴⁰ prefix. nShards = 1
+    * reproduces the graded mm13 bit-for-bit. */
+  private[graft] def mm13PackSharded(s: SparkSession, d: String,
+      nShards: Int): DataFrame = {
     val B = 2048L
     val MT = 64L
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(split(trim(col("text")), " ")).cast("long").as("n_tok"),
         expr("n_chars div 96").as("n_media"))
       .withColumn("cost", col("n_tok") + lit(MT) * col("n_media"))
-      .withColumn("bin_id",
-        ((sum(col("cost")).over(w) - col("cost")) / lit(B)).cast("long"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("bin_id", col("shard") * lit(1L << 40)
+        + ((sum(col("cost")).over(w) - col("cost")) / lit(B)).cast("long"))
       .groupBy(col("source"), col("bin_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("text_tokens"),

@@ -1682,6 +1682,47 @@ class OperatorsSpec extends SparkTestBase {
       s"pp22 window must partition by source: $pp22w")
   }
 
+  test("mega-source packing sub-shards the window; nShards=1 is the graded layout") {
+    import spark.implicits._
+    // a source holding ~all docs: the case where a per-source window
+    // collapses to ONE serial task without the sub-key
+    val docs = (0L until 2000L).map { i =>
+      val srcName = if (i < 1990) "mega" else s"tiny${i % 5}"
+      (i, Seq.fill(8)(s"w${i % 17}").mkString(" "), srcName, 96L * (i % 3))
+    }.toDF("doc_id", "text", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mega").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for ((name, sharded, unsharded) <- Seq(
+      ("pp22", (n: Int) => ops.Pipelines.pp22PackingSharded(spark, dir, n),
+        () => ops.Pipelines.pp22SequencePacking(spark, dir)),
+      ("mm13", (n: Int) => ops.Multimodal.mm13PackSharded(spark, dir, n),
+        () => ops.Multimodal.mm13InterleavePack(spark, dir)))) {
+      val df8 = sharded(8)
+      // the prefix-sum window must carry the shard sub-key — no
+      // single-task window on the dominant source
+      val parts = df8.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.map(_.toString)
+      }
+      assert(parts.nonEmpty && parts.forall(p =>
+        p.exists(_.contains("source")) && p.exists(_.contains("shard"))),
+        s"$name sharded window must partition by (source, shard): $parts")
+      val rows8 = df8.collect()
+      val megaShards = rows8.filter(_.getString(0) == "mega")
+        .map(r => r.getLong(1) >> 40).distinct
+      assert(megaShards.length == 8,
+        s"$name mega source must spread across all 8 sub-shards: " +
+          s"${megaShards.length}")
+      // conservation: every doc packed exactly once, sharded or not
+      val n8 = rows8.map(r => r.getLong(2)).sum
+      assert(n8 == 2000L, s"$name sharded packing lost docs: $n8")
+      // nShards = 1 is bit-identical to the graded unsharded layout
+      assert(sharded(1).collect().map(_.toSeq).toSet ==
+        unsharded().collect().map(_.toSeq).toSet,
+        s"$name nShards=1 drifts from the graded op")
+    }
+  }
+
   test("tx43 fused sweep is one scan with zero exchanges") {
     val df = ops.Text.tx43SignalSweep(spark, sf)
     val plan = df.queryExecution.sparkPlan
