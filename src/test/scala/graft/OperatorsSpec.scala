@@ -496,6 +496,7 @@ class OperatorsSpec extends SparkTestBase {
       "ev14_rolling_7d",       // one row per day
       "ev15_top_gaps",         // top-20 frame
       "ev17_rfm_scores",       // ≤256-bucket histogram (distributed ntile)
+      "ev57_gated_rfm",        // same ntile bucket frame, bot-gated input
       "ev21_funnel_latency",   // value histogram: |distinct latency seconds|
       "ev25_anomaly_days",     // one row per day
       "ev26_watermark_horizon", // value histogram: |distinct lateness seconds|
@@ -1680,6 +1681,47 @@ class OperatorsSpec extends SparkTestBase {
       }
     assert(pp22w.nonEmpty && pp22w.forall(_.exists(_.contains("source"))),
       s"pp22 window must partition by source: $pp22w")
+  }
+
+  test("q73 routes cells by the corrected estimate and proves it in the plan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q73").toString
+    // planted: cell A|F estimates ~8.9M milli-rows (shuffle), N|O ~59k
+    // (broadcast), R|F fails the predicate entirely (absent)
+    val li = ((0 until 9000).map(i => (i.toLong % 500, "A", "F", 30.0)) ++
+      (0 until 60).map(i => (i.toLong % 500, "N", "O", 30.0)) ++
+      (0 until 100).map(i => (i.toLong % 500, "R", "F", 10.0)))
+      .toDF("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+    val ords = (0L until 500L).map(k => (k, k % 37))
+      .toDF("o_orderkey", "o_custkey")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    ords.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val df = ops.Relational.q73StatsRoutedJoin(spark, dir)
+    val out = df.collect().map(r => ((r.getString(0), r.getString(1)),
+      (r.getString(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.keySet == Set(("A", "F"), ("N", "O")),
+      s"unexpected cells: ${out.keySet}")
+    assert(out(("A", "F"))._1 == "shuffle" && out(("N", "O"))._1 == "broadcast",
+      s"routing wrong: $out")
+    // strategy-INVARIANT values: both branches reproduce the plain join
+    val plain = li.filter(col("l_quantity") > 25)
+      .join(ords, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    out.foreach { case (cell, (_, n, c)) =>
+      assert(plain(cell) == ((n, c)), s"$cell drifts from the plain join")
+    }
+    // the DECISION is in the physical plan: one broadcast-hash branch
+    // (the estimated-small slice) and one sort-merge branch
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, s"no broadcast branch in:\n$plan")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.nonEmpty, s"no sort-merge branch in:\n$plan")
   }
 
   test("mega-source packing sub-shards the window; nShards=1 is the graded layout") {
