@@ -1464,9 +1464,13 @@ object Events {
 
   /** ev54's flagged user list (∝ bots — broadcastable by nature) —
     * the shared gate list ev56/ev57/pp42 consume, factored so every
-    * gated consumer applies the IDENTICAL detection rule. */
+    * gated consumer applies the IDENTICAL detection rule. The
+    * detector output (|users| rows) is CacheScope'd: FOUR operators
+    * (ev54 itself via plan identity, ev56, ev57, pp42) read it, so a
+    * session running several pays the per-user gap histogram once. */
   private[graft] def flaggedBots(s: SparkSession, d: String): DataFrame =
-    ev54BotDetect(s, d).filter(col("is_bot")).select(col("user_id"))
+    CacheScope.cached(ev54BotDetect(s, d))
+      .filter(col("is_bot")).select(col("user_id"))
 
   /** The event stream with every flagged bot's traffic removed — the
     * gate run BEFORE aggregation, for consumers whose statistics are
