@@ -340,6 +340,7 @@ object SparkEntry {
     "ev56_gated_features"   -> Events.ev56GatedFeatures _,
     "ev57_gated_rfm"        -> Events.ev57GatedRfm _,
     "pp42_gated_sessions"   -> Pipelines.pp42GatedSessions _,
+    "pp43_cluster_upsert"   -> Pipelines.pp43ClusterUpsert _,
     "pp40_patch_lexicon"    -> Pipelines.pp40PatchLexicon _,
     "mm15_purge_chunks"     -> Multimodal.mm15PurgeChunks _,
     "pp41_index_upsert"     -> Pipelines.pp41IndexUpsert _,
@@ -2409,6 +2410,22 @@ object SparkEntry {
          |  SELECT d1 AS doc FROM j UNION ALL SELECT d2 FROM j)
          |  GROUP BY 1)
          |SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1""".stripMargin,
+
+    // pp43: the oracle is dd07's full-corpus rebuild VERBATIM — Spark
+    // folds the src0 batch into the standing keeper table, so the hash
+    // match is a cross-engine upsert ≡ rebuild proof (welds included).
+    "pp43_cluster_upsert" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |scores AS ($qualityScoreSql),
+         |j AS (SELECT c.cluster_id, c.doc_id, s.score
+         |      FROM clusters c JOIN scores s USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY score DESC, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |      FROM j)
+         |SELECT cluster_id, doc_id AS keeper_id, n_members
+         |FROM r WHERE rk = 1""".stripMargin,
 
     "dd07_keep_best" ->
       s"""WITH clusters AS ($dupClustersSql),

@@ -294,7 +294,7 @@ object Dedup {
     * the triangle-supported edge subset with the identical
     * convergence discipline (pp39 reclusters affected-cluster
     * survivors with it). Returns (doc, lbl). */
-  private[ops] def propagateMinLabels(pairs: DataFrame): DataFrame = {
+  private[graft] def propagateMinLabels(pairs: DataFrame): DataFrame = {
     val edges = CacheScope.cached(pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
     // LAZY localCheckpoint: truncates the per-round lineage (the round
@@ -350,7 +350,7 @@ object Dedup {
   /** keep-best over a PRE-COMPUTED cluster frame — lets pp01 run the
     * iterative clustering once and reuse it for both the keeper list
     * and the removal list instead of re-running the whole chain. */
-  private[ops] def keepBestFrom(clusters: DataFrame, scores: DataFrame): DataFrame = {
+  private[graft] def keepBestFrom(clusters: DataFrame, scores: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
       .orderBy(col("score").desc, col("doc_id"))
     clusters.join(scores, Seq("doc_id"))

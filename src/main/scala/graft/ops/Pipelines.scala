@@ -1473,6 +1473,86 @@ object Pipelines {
         col("a_c_after").as("a_c"))
   }
 
+  /** Cluster/keeper UPSERT over explicit frames — `pairs` the full
+    * near-dup pair set (oriented d1 < d2), `newIds` the arrival
+    * batch, `scores` the keep-best quality signal. Adding documents
+    * only ADDS edges, so a standing cluster no new pair touches keeps
+    * its component, its min-label AND its keeper verbatim (component
+    * membership and keep-best depend only on the cluster's own edges
+    * and members); a cluster containing any endpoint of a new pair is
+    * AFFECTED — including both sides of a WELD, where a new doc
+    * bridges two standing clusters (the dd26 chain risk, now arriving
+    * incrementally) — and re-clusters over its own standing edges ∪
+    * all new pairs. LSH pair generation is pairwise (bucket collision
+    * depends only on the two docs' signatures), so the standing pair
+    * set is exactly the full set with both endpoints standing — the
+    * standing artifact needs no recompute at scale, and only the
+    * batch's shingles hash against the signature index (pp05's
+    * documented ingest shape). */
+  private[graft] def clusterUpsertFrom(pairs: DataFrame, newIds: DataFrame,
+      scores: DataFrame): DataFrame =
+    clusterUpsertBoth(pairs, newIds, scores)._2
+
+  /** Both halves of the upserted dedup artifact — `(members,
+    * keepers)` off ONE affected-clusters computation, mirroring
+    * [[pp39Patched]] so `IndexArtifacts.publishUpsertedDedup`
+    * re-points the clusters AND keepers lines together (publishing
+    * one and leaving the other stale is the silent-staleness bug
+    * class the dd28 invalidation marker exists for). */
+  private[graft] def clusterUpsertBoth(pairs: DataFrame, newIds: DataFrame,
+      scores: DataFrame): (DataFrame, DataFrame) = {
+    val standingPairs = pairs
+      .join(newIds.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_anti")
+      .join(newIds.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_anti")
+    // the standing artifact pair (in production: IndexArtifacts'
+    // clusters/keepers lines, loaded — the pp37 convention)
+    val standingClusters = Dedup.propagateMinLabels(standingPairs)
+      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+    val standingKeepers = Dedup.keepBestFrom(standingClusters, scores)
+    val newPairs = pairs.join(standingPairs, Seq("d1", "d2"), "left_anti")
+    val newEnds = newPairs.select(col("d1").as("doc_id"))
+      .unionByName(newPairs.select(col("d2").as("doc_id"))).distinct()
+    // batch-amplified frames (∝ the batch's pair surface) — AQE's
+    // call, no forced broadcast (the pp37/39/41/ss25 rule)
+    val affected = standingClusters.join(newEnds, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val passThrough = standingKeepers
+      .join(affected, Seq("cluster_id"), "left_anti")
+    val affMembers = standingClusters
+      .join(affected, Seq("cluster_id"), "left_semi").select(col("doc_id"))
+    // both endpoints of a standing pair share a component, so the
+    // d1-side semi-join carries the whole affected edge set
+    val affPairs = standingPairs
+      .join(affMembers.withColumnRenamed("doc_id", "d1"), Seq("d1"),
+        "left_semi")
+    val reclustered = Dedup.propagateMinLabels(
+        affPairs.unionByName(newPairs))
+      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+    val passMembers = standingClusters
+      .join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    (passMembers.unionByName(reclustered),
+      passThrough.unionByName(Dedup.keepBestFrom(reclustered, scores)))
+  }
+
+  /** pp43: dedup-artifact UPSERT — the add direction for the LAST
+    * artifact family without one (lexical has pp41, IVF has
+    * st23/ss17, the graph has ss25): fold the pp05 arrival batch
+    * (source = src0) into the standing keeper table without a dedup
+    * rerun. Work ∝ the batch's pair surface plus the affected
+    * clusters' edges; untouched clusters' keepers pass through
+    * verbatim. Oracle = dd07 rebuilt on the FULL corpus (dd07's own
+    * oracle, verbatim), so the hash is a cross-engine
+    * upsert ≡ rebuild proof — including welds, where one arrival
+    * bridges two standing clusters and the patched keeper table must
+    * retire a previously-correct keeper. */
+  def pp43ClusterUpsert(s: SparkSession, d: String): DataFrame =
+    clusterUpsertFrom(
+      Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2")),
+      Tables.documents(s, d).filter(col("source") === "src0")
+        .select(col("doc_id")),
+      Text.tx02QualityScore(s, d).select(col("doc_id"), col("score")))
+
   /** pp42: BOT-GATED session features — ev54's gate in front of pp04,
     * closing the last ungated consumer the round-7 verdict named.
     * Every pp04 statistic is PER-USER-CLOSED (ev02's session windows

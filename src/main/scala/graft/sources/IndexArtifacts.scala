@@ -248,4 +248,30 @@ object IndexArtifacts {
   def publishUpsertedKnn(s: SparkSession, d: String, root: String): Long =
     VersionedCorpus.publish(Similarity.ss25KnnUpsert(s, d),
       sub(root, "knn_edges"), Some("qid"))
+
+  /** Arrival-batch maintenance for the dedup artifacts: clusters AND
+    * keepers advance together off ONE pp43 affected-clusters
+    * computation (re-pointing one line and leaving the other stale is
+    * the silent-staleness bug class); `safe_keepers` gets the same
+    * fail-closed invalidation a purge writes — an arrival can weld
+    * safe sub-clusters exactly like a purge can split them. Returns
+    * name → new version for the two re-pointed lines. */
+  def publishUpsertedDedup(s: SparkSession, d: String,
+      root: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions.col
+    val ops = graft.ops.Pipelines
+    val (members, keepers) = ops.clusterUpsertBoth(
+      graft.ops.Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2")),
+      graft.Tables.documents(s, d)
+        .filter(col("source") === "src0").select(col("doc_id")),
+      graft.ops.Text.tx02QualityScore(s, d)
+        .select(col("doc_id"), col("score")))
+    invalidate(root, "safe_keepers",
+      "arrival batch applied; dd26 support evidence requires rebuild")
+    Map(
+      "clusters" -> VersionedCorpus.publish(members,
+        sub(root, "clusters"), Some("doc_id")),
+      "keepers" -> VersionedCorpus.publish(keepers,
+        sub(root, "keepers"), Some("keeper_id")))
+  }
 }

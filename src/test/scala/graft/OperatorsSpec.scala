@@ -39,7 +39,10 @@ class OperatorsSpec extends SparkTestBase {
       // patching the keeper table needs near-dup clusters, absent in
       // the tiny slice (patch ≡ rebuild asserted in its own spec and
       // by the cross-engine hash gate at sf0.01)
-      "pp39_patch_clusters")
+      "pp39_patch_clusters",
+      // same dependency for the upsert direction (planted-weld spec
+      // + the sf0.01 hash gate carry the semantics)
+      "pp43_cluster_upsert")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
@@ -1681,6 +1684,38 @@ class OperatorsSpec extends SparkTestBase {
       }
     assert(pp22w.nonEmpty && pp22w.forall(_.exists(_.contains("source"))),
       s"pp22 window must partition by source: $pp22w")
+  }
+
+  test("pp43 upsert welds clusters, passes untouched keepers through verbatim") {
+    import spark.implicits._
+    // standing components {1,2}, {3,4}, {5,6}; arrival 100 WELDS the
+    // first two (pairs to 2 and 3) and leaves {5,6} untouched; arrival
+    // 200 pairs with nothing (absent from the pair frame = absent from
+    // the cluster table, exactly as a rebuild drops singletons)
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 100L), (3L, 100L))
+      .toDF("d1", "d2")
+    val newIds = Seq(100L, 200L).toDF("doc_id")
+    val scores = Seq(1L -> 10L, 2L -> 50L, 3L -> 90L, 4L -> 20L,
+      5L -> 30L, 6L -> 70L, 100L -> 40L)
+      .map { case (d, sc) => (d, sc) }.toDF("doc_id", "score")
+    val out = ops.Pipelines.clusterUpsertFrom(pairs, newIds, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // rebuild truth: {1,2,3,4,100} keeper 3 (score 90), {5,6} keeper 6
+    assert(out == Set((1L, 3L, 5L), (5L, 6L, 2L)), s"weld wrong: $out")
+    // the untouched cluster's keeper row is the STANDING row verbatim
+    val standingPairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("d1", "d2")
+    val standing = ops.Dedup.keepBestFrom(
+      ops.Dedup.propagateMinLabels(standingPairs)
+        .select(col("doc").as("doc_id"), col("lbl").as("cluster_id")),
+      scores).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(standing.contains((5L, 6L, 2L)) && standing.contains((1L, 2L, 2L))
+      && standing.contains((3L, 3L, 2L)),
+      s"standing table unexpected: $standing")
+    // the weld RETIRED standing keeper 2 of cluster {1,2} — the
+    // incremental chain-risk case pp43 must get right
+    assert(!out.exists(e => e._1 == 1L && e._2 == 2L),
+      "retired keeper survived the weld")
   }
 
   test("q73 routes cells by the corrected estimate and proves it in the plan") {

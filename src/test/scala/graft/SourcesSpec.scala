@@ -543,6 +543,31 @@ class SourcesSpec extends SparkTestBase {
       "pre-upsert graph version no longer time-travels")
   }
 
+  test("upserted dedup artifacts advance together and invalidate safe_keepers") {
+    import graft.sources.{IndexArtifacts, VersionedCorpus}
+    val root = s"$tmp/idx_dedup_upsert"
+    VersionedCorpus.publish(ops.Dedup.dd06DupClusters(spark, sf),
+      s"$root/clusters", Some("doc_id"))
+    VersionedCorpus.publish(ops.Dedup.dd07KeepBest(spark, sf),
+      s"$root/keepers", Some("keeper_id"))
+    VersionedCorpus.publish(ops.Dedup.dd28SafeKeepBest(spark, sf),
+      s"$root/safe_keepers", Some("keeper_id"))
+    val vs = IndexArtifacts.publishUpsertedDedup(spark, sf, root)
+    assert(vs == Map("clusters" -> 2L, "keepers" -> 2L),
+      s"unexpected versions: $vs")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(IndexArtifacts.dd07FromArtifacts(spark, root)) ==
+      rows(ops.Pipelines.pp43ClusterUpsert(spark, sf)),
+      "upserted keepers drift from pp43")
+    // an arrival can weld safe sub-clusters like a purge splits them:
+    // the unpatchable line fails closed until a rebuild publishes
+    val thrown = intercept[IllegalStateException] {
+      IndexArtifacts.dd28FromArtifacts(spark, root)
+    }
+    assert(thrown.getMessage.contains("invalidated"))
+  }
+
   test("equi-depth layout survives null keys and full-Long-range spans") {
     import graft.sources.Sources
     // null keys: routed to shard 0 (still listed in _RANGES so the
