@@ -1360,7 +1360,12 @@ object Similarity {
         col("embedding").as("q_emb")), Seq("qid"))
       .select(col("qid"), col("neighbor_id").as("vec_id"),
         col("q_emb"), col("embedding"))
-    val merged = topkPairs(standingCand.unionByName(newCand),
+    // distinct: in a crash-REPLAY fold (st34), an affected node's
+    // standing list may already contain a batch arrival, which then
+    // also arrives via newCand — exact duplicate (score, id) pairs
+    // must not occupy two top-3 slots. A first-time fold has no
+    // overlap, so this is a no-op there.
+    val merged = topkPairs(standingCand.unionByName(newCand).distinct(),
       expr("cosine_sim(q_emb, embedding)"), 3)
     passThrough.unionByName(merged).unionByName(batchEdges)
   }

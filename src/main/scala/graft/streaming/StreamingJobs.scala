@@ -1079,6 +1079,63 @@ object StreamingJobs {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** st34: streaming kNN-GRAPH maintenance — ss25's arrival fold
+    * LIVE, closing the streaming loop for the last index family (IVF
+    * st23, postings st28/st32, lexicon st33 — now the graph): each
+    * arrival micro-batch (vec_id, embedding) folds into the CURRENT
+    * published knn_edges artifact via the exact ss25 patch and
+    * publishes the patched graph AND the extended cell assignment as
+    * the next versions, so `ss22FromArtifacts` readers see every
+    * arrival one publish later. `foreachBatch`, not a state store:
+    * the graph state IS the published artifact (the st17 MV
+    * discipline) — per-batch work ∝ batch fan-in exactly as ss25,
+    * and the quantizer stays the published `centroids` line
+    * (immutable under upsert; retraining is ss17's periodic job).
+    * EXACTNESS COMPOUNDS: the fold is exact for ANY standing set
+    * under a fixed quantizer, and each publish extends the standing
+    * set, so after N batches the served graph ≡ the one-shot ss25
+    * rebuild on the union (spec-asserted on a two-batch split — no
+    * st28-style drift). Crash-replay is IDEMPOTENT by construction:
+    * batch members are stripped from the standing frames before the
+    * fold (and the merge candidate set dedupes), so re-delivering an
+    * acknowledged batch republishes bit-identical content — a
+    * duplicate version, never a duplicate fold. Arrivals must land
+    * in the corpus table too (`corpusDir` is where standing
+    * embeddings are read — production ingests the same stream into
+    * the table ahead of this job). */
+  def streamingKnnMaintenance(arrivals: DataFrame, corpusDir: String,
+      root: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val s = batch0.sparkSession
+        if (!batch0.isEmpty) {
+          val batch = batch0.select(col("vec_id"), col("embedding"))
+          val batchIds = batch.select(col("vec_id"))
+          val cells = graft.sources.IndexArtifacts.read(s, root, "cells")
+          val cent = graft.sources.IndexArtifacts.read(s, root, "centroids")
+          val standing = graft.Tables.embeddings(s, corpusDir)
+            .join(cells.select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .join(batchIds, Seq("vec_id"), "left_anti")
+          val standingEdges = graft.sources.IndexArtifacts
+            .read(s, root, "knn_edges")
+            .join(batchIds.withColumnRenamed("vec_id", "qid"),
+              Seq("qid"), "left_anti")
+          val patched = graft.ops.Similarity
+            .knnUpsertFrom(standing, batch, cent, standingEdges)
+          graft.sources.VersionedCorpus.publish(patched,
+            s"$root/knn_edges", Some("qid")): Unit
+          graft.sources.VersionedCorpus.publish(
+            cells.join(batchIds, Seq("vec_id"), "left_anti")
+              .unionByName(graft.ops.Similarity.knnAssigned(batch, cent)
+                .select(col("vec_id"), col("cell"))),
+            s"$root/cells", Some("vec_id")): Unit
+        }
+      }
+      .start()
+
   /** The reserved totals key of st33's state space — space-bearing, so no
     * whitespace-split token can ever collide with it. */
   val lexTotalsKey: String = " __TOTALS__"

@@ -1014,6 +1014,61 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st34 streamed graph folds compound exactly to the one-shot ss25") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-st34").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st34ck").toString
+    val emb = graft.Tables.embeddings(spark, sf)
+    val arrIds = graft.Tables.documents(spark, sf)
+      .filter(col("source") === "src0").select(col("doc_id").as("vec_id"))
+    val standing = emb.join(arrIds, Seq("vec_id"), "left_anti")
+    val cent = graft.ops.Similarity.centroidsOf(standing)
+    // the standing index state the stream folds into: one publish per line
+    graft.sources.VersionedCorpus.publish(
+      graft.ops.Similarity.knnJoinFrom(standing, cent),
+      s"$root/knn_edges", Some("qid"))
+    graft.sources.VersionedCorpus.publish(
+      graft.ops.Similarity.knnAssigned(standing, cent)
+        .select("vec_id", "cell"), s"$root/cells", Some("vec_id"))
+    graft.sources.VersionedCorpus.publish(cent, s"$root/centroids",
+      Some("cell"))
+    val arr = emb.join(arrIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(arr.length >= 2, "need a splittable arrival batch")
+    val (b1, b2) = arr.splitAt(arr.length / 2)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingJobs.streamingKnnMaintenance(
+      in.toDF().toDF("vec_id", "embedding"), sf, root, ckpt)
+    try {
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toLong))
+        .toSet
+      // exactness COMPOUNDS: two sequential folds ≡ ss25's one-shot
+      // fold of the whole batch (same standing quantizer)
+      val served = rows(graft.sources.VersionedCorpus
+        .readLatest(spark, s"$root/knn_edges"))
+      assert(served == rows(graft.ops.Similarity.ss25KnnUpsert(spark, sf)),
+        "two streamed folds drift from the one-shot ss25")
+      // one version per micro-batch; the pre-stream graph time-travels
+      assert(graft.sources.VersionedCorpus
+        .latestVersion(s"$root/knn_edges").contains(3L))
+      assert(rows(graft.sources.VersionedCorpus
+          .readAt(spark, s"$root/knn_edges", 1L)) ==
+        rows(graft.ops.Similarity.knnJoinFrom(standing, cent)),
+        "pre-stream graph version no longer time-travels")
+      // the cells line advanced with the graph: every arrival assigned
+      val cellsNow = graft.sources.VersionedCorpus
+        .readLatest(spark, s"$root/cells")
+      assert(cellsNow.count() == standing.count() + arr.length,
+        "cells line must cover standing plus every arrival")
+    } finally q.stop()
+  }
+
   test("st33 streamed lexicon equals build then pp40-patched lexicon exactly") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
