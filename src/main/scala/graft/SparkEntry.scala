@@ -341,6 +341,7 @@ object SparkEntry {
     "ev57_gated_rfm"        -> Events.ev57GatedRfm _,
     "pp42_gated_sessions"   -> Pipelines.pp42GatedSessions _,
     "pp43_cluster_upsert"   -> Pipelines.pp43ClusterUpsert _,
+    "pp44_upsert_lexicon"   -> Pipelines.pp44UpsertLexicon _,
     "pp40_patch_lexicon"    -> Pipelines.pp40PatchLexicon _,
     "mm15_purge_chunks"     -> Multimodal.mm15PurgeChunks _,
     "pp41_index_upsert"     -> Pipelines.pp41IndexUpsert _,
@@ -5669,6 +5670,26 @@ object SparkEntry {
         |  CAST(sum(n_refs) AS BIGINT) AS n_refs,
         |  CAST(sum(chunk_bytes) AS BIGINT) AS n_bytes
         |FROM cls GROUP BY 1""".stripMargin,
+
+    // pp44: the oracle rebuilds the lexicon on the FULL corpus; Spark
+    // ADDS the arrival batch's sufficient statistics to the standing
+    // lexicon — hash match proves upsert ≡ rebuild (pp40's twin).
+    "pp44_upsert_lexicon" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
+        |             AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(100 * CAST(sum(dl) AS BIGINT) // count(*) AS BIGINT) AS a_c
+        |  FROM dl)
+        |SELECT tok, CAST(df AS BIGINT) AS df,
+        |  CAST(round(ln(CAST(n_docs * 2 + 2 AS DOUBLE)
+        |    / CAST(df * 2 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS idf_micro,
+        |  a_c
+        |FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) x
+        |CROSS JOIN tot""".stripMargin,
 
     // pp40: the oracle rebuilds the lexicon (df, idf, avgdl) from
     // scratch on the purged corpus; Spark patches by subtracting the

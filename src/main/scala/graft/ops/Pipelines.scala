@@ -1553,6 +1553,56 @@ object Pipelines {
         .select(col("doc_id")),
       Text.tx02QualityScore(s, d).select(col("doc_id"), col("score")))
 
+  /** pp44: lexicon UPSERT — the add direction of pp40, completing the
+    * lexical statistics' lifecycle symmetry (pp41 upserts the
+    * postings; without this, a reader scoring freshly-upserted
+    * postings against the standing lexicon uses yesterday's idf in
+    * the OTHER direction — new rare terms over-scored as df-0-ish,
+    * N/avgdl stale). Pure sufficient-statistic ADDITION, every delta
+    * frame ∝ the arrival batch: per-term Δdf from the batch's tf
+    * (terms the standing lexicon never saw APPEAR via a full-outer
+    * join — a rebuild would list them too), (Δdocs, Δtokens) adjust
+    * the avgdl scalar, idf recomputes row-locally from the patched
+    * integers — bit-identical to a from-scratch rebuild, which is
+    * what the DuckDB oracle computes (upsert ≡ rebuild,
+    * cross-engine; st33 is the streaming twin and this op is its
+    * batch reconciliation partner alongside pp40). */
+  def pp44UpsertLexicon(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val standingDocs = docs.filter(col("source") =!= "src0")
+    val arrivals = docs.filter(col("source") === "src0")
+    // the standing artifact (per-term df + the (N, T) scalars),
+    // rebuilt in-query — pp37's standing-artifact convention
+    val standingDf = Similarity.termFreqsOf(standingDocs)
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val standingTot = standingDocs
+      .select(size(split(trim(col("text")), " ")).cast("long").as("dl"))
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("t_tokens"),
+        count(lit(1)).as("n_docs"))
+    val dfDelta = Similarity.termFreqsOf(arrivals)
+      .groupBy(col("tok")).agg(count(lit(1)).as("df_delta"))
+    val arrTot = arrivals
+      .select(size(split(trim(col("text")), " ")).cast("long").as("dl"))
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("t_delta"),
+        count(lit(1)).as("n_delta"))
+    val tot = standingTot.crossJoin(arrTot)
+      .select((col("t_tokens") + col("t_delta")).as("t_after"),
+        (col("n_docs") + col("n_delta")).as("n_after"))
+      .withColumn("a_c_after", expr("100 * t_after div n_after"))
+    // dfDelta is batch-amplified (∝ the batch's term surface) — AQE's
+    // call, the pp37/39/41 rule; only the 1-row totals keep hints
+    standingDf.join(dfDelta, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("df_delta"), lit(0L)))
+          .as("df"))
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), col("df"),
+        round(log((col("n_after") * 2 + lit(2)).cast("double")
+          / (col("df") * 2 + lit(1)).cast("double"))
+          * lit(1000000.0)).cast("long").as("idf_micro"),
+        col("a_c_after").as("a_c"))
+  }
+
   /** pp42: BOT-GATED session features — ev54's gate in front of pp04,
     * closing the last ungated consumer the round-7 verdict named.
     * Every pp04 statistic is PER-USER-CLOSED (ev02's session windows

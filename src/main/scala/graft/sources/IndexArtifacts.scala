@@ -249,6 +249,27 @@ object IndexArtifacts {
     VersionedCorpus.publish(Similarity.ss25KnnUpsert(s, d),
       sub(root, "knn_edges"), Some("qid"))
 
+  /** Arrival-batch maintenance for the LEXICAL serving index —
+    * publishUpsertedKnn/publishUpsertedDedup's sibling, completing
+    * both directions for every family: postings advance at pp41's
+    * fold, the lexicon at pp44's sufficient-statistic addition
+    * (without it a reader scores fresh postings against yesterday's
+    * idf — the upsert-side mirror of the pp40 staleness bug), and
+    * doclens at the full-corpus lengths. Readers of the new versions
+    * serve EXACTLY what a full-corpus rebuild serves (spec-asserted
+    * through ss21FromArtifacts). Returns name → new version. */
+  def publishUpsertedIndex(s: SparkSession, d: String,
+      root: String): Map[String, Long] = {
+    val ops = graft.ops.Pipelines
+    Map(
+      "postings" -> VersionedCorpus.publish(
+        ops.pp41IndexUpsert(s, d), sub(root, "postings"), Some("doc_id")),
+      "lexicon" -> VersionedCorpus.publish(
+        ops.pp44UpsertLexicon(s, d), sub(root, "lexicon")),
+      "doclens" -> VersionedCorpus.publish(
+        Similarity.docLens(s, d), sub(root, "doclens"), Some("doc_id")))
+  }
+
   /** Arrival-batch maintenance for the dedup artifacts: clusters AND
     * keepers advance together off ONE pp43 affected-clusters
     * computation (re-pointing one line and leaving the other stale is

@@ -543,6 +543,40 @@ class SourcesSpec extends SparkTestBase {
       "pre-upsert graph version no longer time-travels")
   }
 
+  test("upserted lexical index serves the full corpus exactly") {
+    import graft.sources.{IndexArtifacts, VersionedCorpus}
+    val root = s"$tmp/idx_lex_upsert"
+    // v1 = the STANDING index (built without the src0 arrivals)
+    val standingDocs = Tables.documents(spark, sf)
+      .filter(col("source") =!= "src0")
+    VersionedCorpus.publish(
+      ops.Similarity.bm25Postings(ops.Similarity.termFreqsOf(standingDocs)),
+      s"$root/postings", Some("doc_id"))
+    VersionedCorpus.publish(
+      standingDocs.select(col("doc_id"),
+          explode(split(trim(col("text")), " ")).as("tok"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dl")),
+      s"$root/doclens", Some("doc_id"))
+    VersionedCorpus.publish(
+      spark.range(0).selectExpr("'' AS tok", "id AS df", "id AS idf_micro",
+        "id AS a_c"),
+      s"$root/lexicon")
+    // the arrival re-point: all three lines advance together
+    val vs = IndexArtifacts.publishUpsertedIndex(spark, sf, root)
+    assert(vs == Map("postings" -> 2L, "lexicon" -> 2L, "doclens" -> 2L),
+      s"unexpected versions: $vs")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // a reader of the upserted index serves EXACTLY the full-corpus
+    // build — the upsert-side twin of the publishPurgedIndex proof
+    assert(rows(IndexArtifacts.ss21FromArtifacts(spark, sf, root)) ==
+      rows(ops.Similarity.ss21Bm25Topk(spark, sf)),
+      "post-upsert reader drifts from the full-corpus rebuild")
+    assert(rows(IndexArtifacts.read(spark, root, "lexicon")) ==
+      rows(ops.Similarity.bm25Lexicon(spark, sf)),
+      "upserted lexicon drifts from the full-corpus lexicon")
+  }
+
   test("upserted dedup artifacts advance together and invalidate safe_keepers") {
     import graft.sources.{IndexArtifacts, VersionedCorpus}
     val root = s"$tmp/idx_dedup_upsert"
