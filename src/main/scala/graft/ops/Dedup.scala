@@ -281,12 +281,42 @@ object Dedup {
     * graphs have tiny diameters, so this converges in a handful of
     * rounds; `localCheckpoint` truncates the growing lineage.
     */
+  private val dd06Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** A memoized frame stays servable only while its truncation
+    * blocks live: the convergence result is localCheckpoint-backed
+    * (lineage CUT — blocks lost means unrecoverable, not slow), and a
+    * drain (`CacheScope.unpersistAll`, Verify's per-query hygiene)
+    * unpersists them. Serve the memo only while the checkpointed RDD
+    * still holds a storage level; rebuild otherwise. */
+  private def memoLive(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.forall(_.getStorageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    // (a reliable-checkpoint frame — opt-in spark.graft.checkpointDir —
+    // reports level NONE and conservatively rebuilds; the local
+    // default keeps MEMORY_AND_DISK until a drain unpersists it)
+
   def dd06DupClusters(s: SparkSession, d: String): DataFrame = {
     // pair source is the MinHash path: identical verified pair set as
     // dd04 (so the oracle is unchanged) at a fraction of the cost —
     // at scale you never run the exact all-pairs join just to cluster.
-    propagateMinLabels(dd02MinhashLsh(s, d).select(col("d1"), col("d2")))
-      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+    // MEMOIZED per (session, dir): propagateMinLabels runs its
+    // convergence loop EAGERLY at call time and returns an
+    // already-materialized (localCheckpoint-truncated) frame, so
+    // CacheScope's plan-identity registration can never dedupe two
+    // calls — five consumers (dd06, dd07, pp01, pp39, pp43) would
+    // each re-pay rounds × jobs without this memo. Session-keyed so
+    // reader-session specs still derive their own; liveness-checked
+    // so a cache drain between queries rebuilds instead of serving
+    // dead checkpoint blocks.
+    dd06Memo.compute((s, d), (_, v) =>
+      if (v != null && memoLive(v)) v
+      else propagateMinLabels(dd02MinhashLsh(s, d)
+          .select(col("d1"), col("d2")))
+        .select(col("doc").as("doc_id"), col("lbl").as("cluster_id")))
   }
 
   /** Min-label propagation to convergence over an oriented (d1, d2)
