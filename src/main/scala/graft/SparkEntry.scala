@@ -342,6 +342,7 @@ object SparkEntry {
     "pp42_gated_sessions"   -> Pipelines.pp42GatedSessions _,
     "pp43_cluster_upsert"   -> Pipelines.pp43ClusterUpsert _,
     "pp44_upsert_lexicon"   -> Pipelines.pp44UpsertLexicon _,
+    "pp45_patch_safe"       -> Pipelines.pp45PatchSafe _,
     "pp40_patch_lexicon"    -> Pipelines.pp40PatchLexicon _,
     "mm15_purge_chunks"     -> Multimodal.mm15PurgeChunks _,
     "pp41_index_upsert"     -> Pipelines.pp41IndexUpsert _,
@@ -3654,6 +3655,47 @@ object SparkEntry {
 
     // dd28: one keeper per SAFE sub-cluster (dd27's partition), dd07's
     // quality rule; |keepers per original cluster| = n_safe_clusters.
+    // pp45: the oracle rebuilds dd28's whole chain (support, bridges,
+    // safe components, keep-best) on the SURVIVOR corpus; Spark
+    // patches only the affected clusters' subgraphs — hash match =
+    // patch ≡ rebuild for the chain-weld-conservative keeper table,
+    // retiring the fail-closed purge marker.
+    "pp45_patch_safe" ->
+      s"""WITH j AS (SELECT * FROM ($ngramJaccardSql) z
+         |           WHERE z.d1 % 97 <> 0 AND z.d2 % 97 <> 0),
+         |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
+         |deg AS (SELECT m, count(*) AS deg FROM bi GROUP BY 1),
+         |safe AS (SELECT bi.m, bi.n FROM bi JOIN deg USING (m)
+         |         WHERE deg.deg <= 64),
+         |cn AS (SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS common
+         |       FROM safe x JOIN safe y ON x.m = y.m AND x.n < y.n
+         |       GROUP BY 1, 2),
+         |es AS (SELECT j.d1, j.d2, coalesce(cn.common, 0) AS support
+         |       FROM j LEFT JOIN cn ON cn.a = j.d1 AND cn.b = j.d2),
+         |sup AS (SELECT d1, d2 FROM es WHERE support > 0),
+         |sbi AS (SELECT d1 AS a, d2 AS b FROM sup
+         |        UNION ALL SELECT d2, d1 FROM sup),
+         |sreach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM sbi
+         |    UNION
+         |    SELECT r.a, sbi.b FROM r JOIN sbi ON r.b = sbi.a)
+         |  SELECT * FROM r),
+         |sc AS (SELECT a AS doc_id, least(a, min(b)) AS safe_id
+         |       FROM sreach GROUP BY a),
+         |clusters AS (${dupClustersSqlFrom(" AND doc_id % 97 <> 0")}),
+         |mem AS (SELECT c.doc_id, c.cluster_id,
+         |          coalesce(sc.safe_id, c.doc_id) AS safe_id
+         |        FROM clusters c LEFT JOIN sc ON sc.doc_id = c.doc_id),
+         |scores AS ($qualityScoreSql),
+         |r AS (SELECT mem.cluster_id, mem.safe_id, mem.doc_id,
+         |        row_number() OVER (PARTITION BY mem.safe_id
+         |          ORDER BY s.score DESC, mem.doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY mem.safe_id) AS n_members
+         |      FROM mem JOIN scores s USING (doc_id))
+         |SELECT cluster_id, safe_id, doc_id AS keeper_id, n_members
+         |FROM r WHERE rk = 1""".stripMargin,
+
     "dd28_safe_keep_best" ->
       s"""WITH j AS ($ngramJaccardSql),
          |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),

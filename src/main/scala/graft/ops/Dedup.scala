@@ -928,9 +928,16 @@ object Dedup {
   /** Every verified near-dup edge with its triangle support through
     * the wedge-safe kernel — shared base of dd26 (risk report) and
     * dd27 (conservative reclustering). */
-  private def edgeSupport(s: SparkSession, d: String): DataFrame = {
-    val pairs = CacheScope.cached(
-      dd02MinhashLsh(s, d).select(col("d1"), col("d2")))
+  private def edgeSupport(s: SparkSession, d: String): DataFrame =
+    edgeSupportOf(CacheScope.cached(
+      dd02MinhashLsh(s, d).select(col("d1"), col("d2"))))
+
+  /** Triangle support over an EXPLICIT pair frame — factored so
+    * pp45's purge patch can run the identical wedge-safe kernel on
+    * the affected-clusters subgraph (pair edges never cross
+    * components, so degrees and wedge counts there equal the
+    * survivor-graph values exactly). */
+  private[graft] def edgeSupportOf(pairs: DataFrame): DataFrame = {
     val support = Graph.commonNeighborPairs(pairs, Graph.wedgeMaxDeg)
     pairs
       .join(support,

@@ -1569,6 +1569,79 @@ object Pipelines {
         .select(col("doc_id")),
       Text.tx02QualityScore(s, d).select(col("doc_id"), col("score")))
 
+  /** pp45: safe-keeper PURGE patch — retires the one remaining
+    * rebuild-class caveat: dd28's chain-weld-conservative keeper
+    * table used to FAIL CLOSED after a purge (its safe sub-clusters
+    * depend on dd26's triangle-support evidence); this patches it
+    * with work ∝ the affected clusters' neighborhoods. The key
+    * locality fact: near-dup pair edges never cross dd06 components,
+    * so triangle support, the deg ≤ 64 hub guard, bridged-ness and
+    * the safe decomposition of a cluster depend ONLY on that
+    * cluster's own edges — a purge in one cluster cannot move any
+    * other cluster's support counts, and every standing dd28 row of
+    * an unaffected cluster passes through VERBATIM. Affected
+    * clusters' survivors re-run the EXACT dd26→dd27→dd28 chain on
+    * their self-contained subgraph (same wedge-safe kernel, same
+    * bridged rule, same coalesce-to-self fallback for edge-less
+    * docs). Oracle = dd28 rebuilt from scratch on the purged corpus,
+    * so the hash is a cross-engine patch ≡ rebuild proof —
+    * `publishPurgedIndex` now re-points safe_keepers here instead of
+    * writing the fail-closed invalidation marker. */
+  def pp45PatchSafe(s: SparkSession, d: String): DataFrame = {
+    val tomb = PurgeLedger.table(s, d)
+    val scores = Text.tx02QualityScore(s, d)
+      .select(col("doc_id"), col("score"))
+    val standing = Dedup.dd28SafeKeepBest(s, d) // the standing artifact
+    val clusters = Dedup.dd06DupClusters(s, d)
+    val affected = clusters.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val passThrough = standing.join(affected, Seq("cluster_id"), "left_anti")
+    // affected clusters' surviving members and their edges — the
+    // SELF-CONTAINED subgraph the whole safe chain re-derives on.
+    // Batch-amplified frames (survivors, bridged, the propagations)
+    // carry no forced broadcast — AQE's call, the pp37/39 rule.
+    val survivors = clusters
+      .join(affected, Seq("cluster_id"), "left_semi")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val pairs = CacheScope.cached(
+      Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2"))
+        .join(survivors.withColumnRenamed("doc_id", "d1"), Seq("d1"),
+          "left_semi")
+        .join(survivors.withColumnRenamed("doc_id", "d2"), Seq("d2"),
+          "left_semi"))
+    val esup = Dedup.edgeSupportOf(pairs)
+    // patched cluster ids for the affected survivors (pp39's
+    // reclustering — splits and dropouts fall out exactly as there)
+    val recl = Dedup.propagateMinLabels(pairs)
+      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+    val eLbl = esup.join(recl.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+    val bridged = eLbl.groupBy(col("cluster_id"))
+      .agg(sum(when(col("support") === 0, 1L).otherwise(0L)).as("nb"))
+      .filter(col("nb") > 0).select(col("cluster_id"))
+    val supE = eLbl.filter(col("support") > 0)
+      .join(bridged, Seq("cluster_id"), "left_semi")
+      .select(col("d1"), col("d2"))
+    val safe = Dedup.propagateMinLabels(supE)
+    val memBridged = recl.join(bridged, Seq("cluster_id"), "left_semi")
+      .join(safe.withColumnRenamed("doc", "doc_id"), Seq("doc_id"),
+        "left_outer")
+      .withColumn("safe_id", coalesce(col("lbl"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"), col("safe_id"))
+    val memClean = recl.join(bridged, Seq("cluster_id"), "left_anti")
+      .withColumn("safe_id", col("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("safe_id"))
+    val mem = CacheScope.cached(memBridged.unionByName(memClean))
+    val kept = Dedup.keepBestFrom(
+      mem.select(col("doc_id"), col("safe_id").as("cluster_id")), scores)
+    val lineage = mem.select(col("safe_id"), col("cluster_id")).distinct()
+    passThrough.unionByName(
+      kept.withColumnRenamed("cluster_id", "safe_id")
+        .join(lineage, Seq("safe_id"))
+        .select(col("cluster_id"), col("safe_id"), col("keeper_id"),
+          col("n_members")))
+  }
+
   /** pp44: lexicon UPSERT — the add direction of pp40, completing the
     * lexical statistics' lifecycle symmetry (pp41 upserts the
     * postings; without this, a reader scoring freshly-upserted

@@ -132,9 +132,10 @@ object IndexArtifacts {
     read(s, root, "keepers")
 
   /** dd28's chain-weld-safe keeper table from the published artifact.
-    * FAILS CLOSED when a purge has invalidated the line and no newer
-    * version has been published since — a GDPR-serving reader must
-    * never silently serve pre-purge conservative keepers. */
+    * FAILS CLOSED while an UPSERT has invalidated the line and no
+    * newer version has been published since (a purge re-points it at
+    * pp45's patch instead) — a reader must never silently serve a
+    * stale conservative table. */
   def dd28FromArtifacts(s: SparkSession, root: String): DataFrame = {
     invalidatedAt(root, "safe_keepers").foreach { v =>
       if (VersionedCorpus.latestVersion(sub(root, "safe_keepers"))
@@ -197,17 +198,16 @@ object IndexArtifacts {
     * corpus (under the standing quantizer) would serve
     * (spec-asserted); the round-7 gap where a post-purge walk could
     * still serve tombstoned doc_ids off a stale graph is closed. The
-    * dedup pair re-points at pp39's affected-clusters patch: clusters
-    * AND keepers forget the batch, so a reader's training-set
-    * anti-join stops honoring purged keepers immediately.
-    * `safe_keepers` is the one line NOT re-pointed: dd28's safe
-    * sub-clusters depend on dd26's triangle-support evidence, whose
-    * affected-only patch is future work — so this writes an
-    * INVALIDATION marker into that line instead and
-    * `dd28FromArtifacts` FAILS CLOSED until a rebuilt version is
-    * published (serving silently stale conservative keepers would be
-    * the exact bug the round-7 advice flagged for knn_edges). Returns
-    * name → new version for the seven re-pointed artifacts. */
+    * dedup trio re-points at pp39's affected-clusters patch
+    * (clusters + keepers) and pp45's safe-keeper patch
+    * (safe_keepers — triangle support, bridges and safe components
+    * re-derive only inside affected clusters, since pair edges never
+    * cross components): EVERY artifact line forgets the batch, no
+    * fail-closed marker needed on the purge path anymore (the
+    * invalidation machinery remains in use for the UPSERT direction,
+    * where an arrival can weld safe sub-clusters and pp45's purge
+    * locality argument does not apply). Returns name → new version
+    * for the eight re-pointed artifacts. */
   def publishPurgedIndex(s: SparkSession, d: String,
       root: String): Map[String, Long] = {
     import org.apache.spark.sql.functions.broadcast
@@ -216,11 +216,10 @@ object IndexArtifacts {
     val tombVec = tomb.withColumnRenamed("doc_id", "vec_id")
     // one affected-clusters computation feeds BOTH dedup re-points
     val (patchedMembers, patchedKeepers) = ops.pp39Patched(s, d)
-    // dd28's line cannot be patched yet (triangle-support evidence):
-    // fail readers closed rather than let them serve pre-purge keepers
-    invalidate(root, "safe_keepers",
-      "purge batch applied; dd26 support evidence requires rebuild")
     Map(
+      "safe_keepers" -> VersionedCorpus.publish(
+        ops.pp45PatchSafe(s, d), sub(root, "safe_keepers"),
+        Some("keeper_id")),
       "clusters" -> VersionedCorpus.publish(
         patchedMembers, sub(root, "clusters"), Some("doc_id")),
       "keepers" -> VersionedCorpus.publish(

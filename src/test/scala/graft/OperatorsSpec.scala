@@ -1718,6 +1718,35 @@ class OperatorsSpec extends SparkTestBase {
       "retired keeper survived the weld")
   }
 
+  test("pp45 safe-keeper patch equals the survivors-only dd28 rebuild") {
+    val keys = ops.PurgeLedger.keys(spark, sf)
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft-pp45").toString
+    Tables.documents(spark, sf).filter(!col("doc_id").isin(keys: _*))
+      .write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val patched = rows(ops.Pipelines.pp45PatchSafe(spark, sf))
+    assert(patched == rows(ops.Dedup.dd28SafeKeepBest(spark, sdir)),
+      "pp45 drifts from the survivors-only dd28 rebuild")
+    // pass-through literality: every standing row of a cluster with no
+    // purged member survives verbatim (support/bridges/safe sets are
+    // component-local, so other clusters' purges cannot move them)
+    val tombSet = keys.toSet
+    val clusterOf = ops.Dedup.dd06DupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val affected = clusterOf.collect {
+      case (doc, c) if tombSet.contains(doc) => c
+    }.toSet
+    val standing = rows(ops.Dedup.dd28SafeKeepBest(spark, sf))
+    val untouched = standing.filter(r => !affected.contains(r._1))
+    assert(untouched.subsetOf(patched),
+      "pp45 must pass untouched clusters' safe keepers through verbatim")
+    assert(patched.forall(r => !tombSet.contains(r._3)),
+      "a tombstoned doc survived as a safe keeper")
+  }
+
   test("q73 routes cells by the corrected estimate and proves it in the plan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-q73").toString

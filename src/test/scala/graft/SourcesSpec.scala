@@ -797,20 +797,18 @@ class SourcesSpec extends SparkTestBase {
     val purged = IndexArtifacts.publishPurgedIndex(spark, sf, root)
     assert(purged.keySet ==
       Set("postings", "lexicon", "doclens", "cells", "knn_edges",
-        "clusters", "keepers")
+        "clusters", "keepers", "safe_keepers")
       && purged("postings") == 3L && purged("lexicon") == 2L,
       s"unexpected re-point versions: $purged")
-    // the dedup re-point serves pp39's patch; dd28's unpatchable line
-    // FAILS CLOSED until a rebuilt version is published
+    // the dedup re-points serve pp39's patch (keepers) and pp45's
+    // (safe_keepers — the purge path no longer fail-closes)
     assert(rows(graft.sources.VersionedCorpus
         .readAt(spark, s"$root/keepers", purged("keepers"))) ==
       rows(ops.Pipelines.pp39PatchClusters(spark, sf)),
       "re-pointed keepers drift from pp39's patch")
-    val thrown = intercept[IllegalStateException] {
-      IndexArtifacts.dd28FromArtifacts(spark, root)
-    }
-    assert(thrown.getMessage.contains("invalidated"),
-      s"wrong fail-closed error: ${thrown.getMessage}")
+    assert(rows(IndexArtifacts.dd28FromArtifacts(spark, root)) ==
+      rows(ops.Pipelines.pp45PatchSafe(spark, sf)),
+      "re-pointed safe_keepers drift from pp45's patch")
     val keys = ops.PurgeLedger.keys(spark, sf)
     val sdir = java.nio.file.Files
       .createTempDirectory("graft-idx-purged").toString
@@ -844,13 +842,10 @@ class SourcesSpec extends SparkTestBase {
         .filter(!col("vec_id").isin(keys: _*))).collect()
     assert(served.map(_.toSeq).toSet == expectedWalk.map(_.toSeq).toSet,
       "post-purge walk reader drifts from the patched-graph walk")
-    // publishing dd28 REBUILT on the survivors corpus clears the
-    // invalidation and the reader serves the fresh conservative table
-    graft.sources.VersionedCorpus.publish(
-      ops.Dedup.dd28SafeKeepBest(spark, sdir), s"$root/safe_keepers",
-      Some("keeper_id"))
+    // the re-pointed safe_keepers equal dd28 REBUILT on the survivors
+    // corpus — pp45's patch ≡ rebuild, observed at the serving layer
     assert(rows(IndexArtifacts.dd28FromArtifacts(spark, root)) ==
       rows(ops.Dedup.dd28SafeKeepBest(spark, sdir)),
-      "a rebuilt safe_keepers version must clear the invalidation")
+      "post-purge safe_keepers drift from the survivors-only rebuild")
   }
 }
