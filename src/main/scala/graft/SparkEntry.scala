@@ -346,6 +346,10 @@ object SparkEntry {
     "pp40_patch_lexicon"    -> Pipelines.pp40PatchLexicon _,
     "mm15_purge_chunks"     -> Multimodal.mm15PurgeChunks _,
     "pp41_index_upsert"     -> Pipelines.pp41IndexUpsert _,
+    "dd29_dup_inflation"    -> Dedup.dd29DupInflation _,
+    "dd30_cap_audit"        -> Dedup.dd30CapAudit _,
+    "ev58_second_order"     -> Events.ev58SecondOrderPaths _,
+    "pp46_dedup_quota"      -> Pipelines.pp46DedupQuota _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -1982,7 +1986,8 @@ object SparkEntry {
     // dd24: per-pair detect probability rounded onto the ppm integer
     // grid BEFORE averaging (integer sum div count) — float summation
     // order cannot touch the hash; pow/round on identical doubles is
-    // the tx08 precedent.
+    // the tx08 precedent. Pair generation rides the hot-shingle df
+    // cap (> 128 dropped), mirroring Dedup.discriminative.
     "dd24_lsh_tuner" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
         |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
@@ -1991,8 +1996,11 @@ object SparkEntry {
         |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
         |       FROM t),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 128),
+        |shc AS (SELECT doc_id, s FROM sh
+        |        WHERE s NOT IN (SELECT s FROM hot)),
         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2),
         |j AS (SELECT round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
         |      FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
@@ -2273,6 +2281,115 @@ object SparkEntry {
          |FROM documents d
          |LEFT JOIN clusters c ON d.doc_id = c.doc_id
          |LEFT JOIN cs ON c.cluster_id = cs.cluster_id""".stripMargin,
+
+    // dd29: the removed set is dd07's complement (non-keeper cluster
+    // members), replayed through the dd06 recursive-CTE fixed point +
+    // the keep-best window; inflation on the bp grid (nonneg div).
+    "dd29_dup_inflation" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |scores AS ($qualityScoreSql),
+         |j AS (SELECT c.cluster_id, c.doc_id, s.score
+         |      FROM clusters c JOIN scores s USING (doc_id)),
+         |keep AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM j) WHERE rk = 1),
+         |removed AS (SELECT c.doc_id FROM clusters c
+         |            JOIN keep k ON c.cluster_id = k.cluster_id
+         |            WHERE c.doc_id != k.keeper_id),
+         |dt AS (SELECT doc_id, source,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN n_tokens ELSE 0 END)
+         |    AS BIGINT) AS tokens_removed,
+         |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 10000 // count(*) AS BIGINT) AS doc_inflation_bp,
+         |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN n_tokens ELSE 0 END)
+         |    * 10000 // sum(n_tokens) AS BIGINT) AS token_inflation_bp
+         |FROM dt LEFT JOIN removed r USING (doc_id)
+         |GROUP BY source""".stripMargin,
+
+    // dd30: one postings aggregate; the 128 literal mirrors the
+    // default spark.graft.dedup.maxDf (the cap dd10/dd24 apply).
+    "dd30_cap_audit" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+        |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(tk)-1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |       FROM t),
+        |p AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+        |SELECT CAST(max(df) AS BIGINT) AS max_df,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df > 128 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hot_shingles,
+        |  CAST(sum(df) AS BIGINT) AS postings_total,
+        |  CAST(sum(CASE WHEN df > 128 THEN df ELSE 0 END) AS BIGINT)
+        |    AS postings_dropped,
+        |  CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_rows_exact,
+        |  CAST(sum(CASE WHEN df <= 128 THEN df * (df - 1) // 2 ELSE 0 END)
+        |    AS BIGINT) AS pair_rows_capped
+        |FROM p""".stripMargin,
+
+    // ev58: both lags share one (user, ts, event_id) window; ppm
+    // conditional on the integer grid; the (cnt DESC, prev2, prev1,
+    // next_type) order makes the top-25 cut deterministic.
+    "ev58_second_order" ->
+      """WITH l AS (SELECT user_id, event_type AS next_type,
+        |    lag(event_type, 1) OVER w AS prev1,
+        |    lag(event_type, 2) OVER w AS prev2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tri AS (SELECT prev2, prev1, next_type FROM l
+        |        WHERE prev2 IS NOT NULL),
+        |ctx AS (SELECT prev2, prev1, CAST(count(*) AS BIGINT) AS ctx_n
+        |        FROM tri GROUP BY 1, 2),
+        |c AS (SELECT prev2, prev1, next_type, CAST(count(*) AS BIGINT)
+        |        AS cnt FROM tri GROUP BY 1, 2, 3)
+        |SELECT c.prev2, c.prev1, c.next_type, c.cnt, ctx.ctx_n,
+        |  CAST(c.cnt * 1000000 // ctx.ctx_n AS BIGINT) AS cond_ppm
+        |FROM c JOIN ctx USING (prev2, prev1)
+        |ORDER BY cnt DESC, prev2, prev1, next_type
+        |LIMIT 25""".stripMargin,
+
+    // pp46: pp19's largest-remainder allocation with the dd07 removed
+    // set filtered out of the token mass first.
+    "pp46_dedup_quota" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |scores AS ($qualityScoreSql),
+         |j AS (SELECT c.cluster_id, c.doc_id, s.score
+         |      FROM clusters c JOIN scores s USING (doc_id)),
+         |keep AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM j) WHERE rk = 1),
+         |removed AS (SELECT c.doc_id FROM clusters c
+         |            JOIN keep k ON c.cluster_id = k.cluster_id
+         |            WHERE c.doc_id != k.keeper_id),
+         |s AS (SELECT source,
+         |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents doc
+         |  WHERE NOT EXISTS (SELECT 1 FROM removed r
+         |                    WHERE r.doc_id = doc.doc_id)
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM s),
+         |q AS (SELECT source, n_tokens,
+         |    CAST(1000000 * n_tokens // t AS BIGINT) AS base,
+         |    CAST((1000000 * n_tokens) % t AS BIGINT) AS rem
+         |  FROM s CROSS JOIN t),
+         |dft AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS deficit
+         |        FROM q),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+         |      AS BIGINT) AS rk FROM q)
+         |SELECT source, n_tokens,
+         |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alloc_tokens
+         |FROM r CROSS JOIN dft""".stripMargin,
 
     "gr17_ktruss" -> ktrussSql,
 
@@ -2819,6 +2936,8 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY n_brands DESC, word LIMIT 25""".stripMargin,
 
+    // dd10: the hot-shingle df cap (> 128 → dropped from candidate
+    // generation, sizes stay full) mirrors Dedup.discriminative.
     "dd10_containment" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
         |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
@@ -2827,8 +2946,11 @@ object SparkEntry {
         |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
         |       FROM t),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 128),
+        |shc AS (SELECT doc_id, s FROM sh
+        |        WHERE s NOT IN (SELECT s FROM hot)),
         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2),
         |c AS (SELECT d1, d2,
         |        CAST(shared * 10000 // x.n AS BIGINT) AS contain_1_bp,

@@ -1491,4 +1491,30 @@ object Events {
     * Oracle replays the detection chain and the gated ntile in SQL. */
   def ev57GatedRfm(s: SparkSession, d: String): DataFrame =
     rfmFrom(gatedEvents(s, d))
+
+  /** ev58: SECOND-ORDER path transitions — P(next | prev2 → prev1)
+    * over each user's (ts, event_id)-ordered stream. ev13/ev45's
+    * first-order chain is blind to order-2 structure (view→view→
+    * purchase vs signup→view→purchase condition on different
+    * contexts), which is exactly what funnel and bot models key on.
+    * TWO lags in the one window pass (no second shuffle — both lags
+    * share the (user, ts) sort), context counts ∝ |event types|²,
+    * conditional probability on the ppm integer grid (cnt·10⁶ div
+    * context count — hash-exact), top-25 deterministic under
+    * (cnt desc, prev2, prev1, next). */
+  def ev58SecondOrderPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tri = ev(s, d)
+      .withColumn("prev1", lag(col("event_type"), 1).over(w))
+      .withColumn("prev2", lag(col("event_type"), 2).over(w))
+      .filter(col("prev2").isNotNull)
+    val ctx = tri.groupBy(col("prev2"), col("prev1"))
+      .agg(count(lit(1)).as("ctx_n"))
+    tri.groupBy(col("prev2"), col("prev1"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(ctx, Seq("prev2", "prev1"))
+      .withColumn("cond_ppm", expr("cnt * 1000000 div ctx_n"))
+      .orderBy(col("cnt").desc, col("prev2"), col("prev1"), col("next_type"))
+      .limit(25)
+  }
 }

@@ -145,6 +145,54 @@ object Multimodal {
     docs.mapPartitions(_.flatMap(decodeFrames)).toDF()
   }
 
+  /** Pluggable DECODER REGISTRY (VERDICT r8 #8) — the production
+    * wiring the stubs lacked: codecs register per magic-byte prefix
+    * (mm07's dispatch key, the upper-hex first byte pair) and
+    * [[mm02DecodeRouted]] routes each payload to its codec inside the
+    * same one-pass mapPartitions shape. The routing map is
+    * SNAPSHOTTED at plan-build time and ships inside the task closure
+    * (decoders must therefore be Serializable — a real codec wrapper
+    * holds config, not the model; the model loads lazily per
+    * executor, the mm04 load-once discipline). Unregistered magics
+    * fall back to the deterministic stub, so an empty registry leaves
+    * every existing hash untouched. */
+  object DecoderRegistry {
+    /** One media row in, zero or more frames out. */
+    type Decoder = MediaDoc => Iterator[Frame]
+    private val table =
+      new java.util.concurrent.ConcurrentHashMap[String, Decoder]()
+    def register(magicHex: String, dec: Decoder): Unit = {
+      table.put(magicHex.toUpperCase, dec): Unit
+    }
+    def unregister(magicHex: String): Unit = {
+      table.remove(magicHex.toUpperCase): Unit
+    }
+    private[ops] def snapshot: Map[String, Decoder] = {
+      import scala.jdk.CollectionConverters._
+      table.asScala.toMap
+    }
+  }
+
+  /** mm02's PRODUCTION twin: decode → frame fan-out with the codec
+    * chosen PER ROW by magic-byte dispatch against
+    * [[DecoderRegistry]]. Swapping in real image/audio codecs is a
+    * registry call at deploy time; the Spark-side contract (schema,
+    * one mapPartitions pass, closure-serialized routing, streamed
+    * fan-out) is byte-identical to mm02's. */
+  def mm02DecodeRouted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val routes = DecoderRegistry.snapshot // plan-time snapshot
+    val docs = Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("magic", upper(hex(expr("substring(payload, 1, 2)"))))
+      .select(col("doc_id"), col("text"), col("n_chars"), col("magic"))
+      .as[(Long, String, Long, String)]
+    docs.mapPartitions(_.flatMap { case (id, text, nChars, magic) =>
+      routes.getOrElse(magic,
+        (m: MediaDoc) => decodeFrames(m))(MediaDoc(id, text, nChars))
+    }).toDF()
+  }
+
   /** mm08: perceptual-hash-STYLE near-dup detection on opaque binary
     * payloads — the structural-similarity primitive for media dedup:
     * 16 bytes sampled on an even grid across the payload, thresholded

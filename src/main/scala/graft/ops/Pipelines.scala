@@ -573,13 +573,18 @@ object Pipelines {
     * ±|sources|; this is the exact-quota primitive under pp06/pp10's
     * ratio-based mixes. One per-source rollup (the only input-sized
     * scan), then a bounded |sources|-row ranking window. */
-  def pp19TokenBudget(s: SparkSession, d: String): DataFrame = {
-    val budget = 1000000L
-    val perSrc = Tables.documents(s, d)
+  def pp19TokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenQuota(Tables.documents(s, d)
       .select(col("source"), size(split(trim(col("text")), " "))
         .cast("long").as("n_tokens"))
       .groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("n_tokens"))
+      .agg(sum(col("n_tokens")).as("n_tokens")))
+
+  /** Largest-remainder allocation of the 1M-token budget over a
+    * (source, n_tokens) frame — pp19's kernel, factored so pp46 can
+    * run the identical arithmetic over the post-dedup token mass. */
+  private def tokenQuota(perSrc: DataFrame): DataFrame = {
+    val budget = 1000000L
     val tot = perSrc.agg(sum(col("n_tokens")).as("t"),
       count(lit(1)).as("n_sources"))
     val quotas = perSrc.crossJoin(broadcast(tot))
@@ -595,6 +600,29 @@ object Pipelines {
       .select(col("source"), col("n_tokens"),
         (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
           .as("alloc_tokens"))
+  }
+
+  /** pp46: token budget AFTER dedup — pp19's largest-remainder
+    * allocation computed over the keeper-only token mass (dd07
+    * keepers + unclustered docs; non-keeper cluster members drop).
+    * Allocating on raw token counts over-funds duplicated sources by
+    * exactly their inflation (dd29's number): a source whose mass is
+    * 40% near-dup copies gets a 40%-oversized quota that dedup then
+    * hollows out mid-epoch. Same arithmetic kernel as pp19, so the
+    * two quotas differ ONLY by the dedup filter — the before/after
+    * pair a mix composer actually compares. */
+  def pp46DedupQuota(s: SparkSession, d: String): DataFrame = {
+    val clusters = Dedup.dd06DupClusters(s, d)
+    val keepers = Dedup.dd07KeepBest(s, d).select(col("keeper_id"))
+    val removed = clusters
+      .join(keepers, clusters("doc_id") === keepers("keeper_id"), "left_anti")
+      .select(col("doc_id"))
+    tokenQuota(Tables.documents(s, d)
+      .join(removed, Seq("doc_id"), "left_anti")
+      .select(col("source"), size(split(trim(col("text")), " "))
+        .cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_tokens")))
   }
 
   /** pp20: incremental-refresh capstone — the pipeline a corpus
@@ -1549,6 +1577,85 @@ object Pipelines {
       .select(col("doc_id"), col("cluster_id"))
     (passMembers.unionByName(reclustered),
       passThrough.unionByName(Dedup.keepBestFrom(reclustered, scores)))
+  }
+
+  /** Batch pairs with endpoints mapped onto standing CLUSTER ids —
+    * the quotient graph pp43FromArtifacts componentizes: nodes are
+    * touched standing clusters plus joining docs (batch docs and
+    * standing singletons a pair pulls in), so the frame is ∝ the
+    * batch's pair surface, never the corpus. Exposed for the spec. */
+  private[graft] def quotientPairs(standingClusters: DataFrame,
+      newPairs: DataFrame): DataFrame =
+    newPairs
+      .join(standingClusters.select(col("doc_id").as("d1"),
+        col("cluster_id").as("c1")), Seq("d1"), "left_outer")
+      .join(standingClusters.select(col("doc_id").as("d2"),
+        col("cluster_id").as("c2")), Seq("d2"), "left_outer")
+      .select(coalesce(col("c1"), col("d1")).as("d1"),
+        coalesce(col("c2"), col("d2")).as("d2"))
+
+  /** pp43's PRODUCTION-SHAPE kernel (VERDICT r8 #6): fold an arrival
+    * batch into the dedup keeper artifact by LOADING the standing
+    * clusters/keepers lines — zero standing-side LSH, zero
+    * standing-side convergence (the in-query pp43 derives the
+    * standing frames only because the sf convention hands it no
+    * published artifact; its own docstring names this twin as the
+    * production path at weekly-batch : 100 TB ratios).
+    *
+    * Exactness argument (the reason loading suffices):
+    *  - Components only MERGE under edge additions, so the patched
+    *    clustering is the standing one quotiented by the batch's pair
+    *    graph: min-label propagation over [[quotientPairs]] — and
+    *    because every standing cluster id IS its min member id, the
+    *    quotient's min label equals the true min doc_id over the
+    *    merged membership. One convergence loop, ∝ batch surface.
+    *  - Keeper retirement is artifact-local: a member that is not its
+    *    own cluster's keeper loses to that keeper under
+    *    (score desc, doc_id asc), so the merged cluster's keeper is
+    *    the best of (involved clusters' keepers ∪ joining docs) — an
+    *    argmax over a keeper-sized frame, scored request-time (tx02
+    *    is row-local, so artifact-time and request-time scores agree).
+    *  - n_members adds the involved standing counts to the joining
+    *    docs (each weighs 1; a joining doc is never already a member
+    *    since the artifact was published on the pre-batch corpus).
+    * Untouched clusters' keeper rows pass through verbatim. The spec
+    * asserts bit-equality with the in-query pp43 (whose hash is
+    * already a cross-engine upsert ≡ rebuild proof). */
+  private[graft] def clusterUpsertFromStanding(standingClusters: DataFrame,
+      standingKeepers: DataFrame, newPairs0: DataFrame,
+      scores: DataFrame): DataFrame = {
+    val newPairs = CacheScope.cached(newPairs0)
+    val qlabels = Dedup.propagateMinLabels(
+      quotientPairs(standingClusters, newPairs))
+    val touched = qlabels.select(col("doc").as("cluster_id"))
+      .join(standingClusters.select(col("cluster_id")).distinct(),
+        Seq("cluster_id"), "left_semi")
+    val passThrough = standingKeepers
+      .join(touched, Seq("cluster_id"), "left_anti")
+    // per-node weight: a standing-cluster node carries its published
+    // member count, a joining doc weighs 1 (cluster ids are standing
+    // doc ids of CLUSTERED docs, so the two node kinds cannot collide)
+    val nodeCounts = qlabels
+      .join(standingKeepers.select(col("cluster_id").as("doc"),
+        col("n_members")), Seq("doc"), "left_outer")
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(sum(coalesce(col("n_members"), lit(1L))).as("n_members"))
+    // keeper candidates: involved keepers stand in for their whole
+    // membership; joining docs stand for themselves
+    val cands = qlabels
+      .join(standingKeepers.select(col("cluster_id").as("doc"),
+        col("keeper_id")), Seq("doc"), "left_outer")
+      .select(col("lbl"), coalesce(col("keeper_id"), col("doc")).as("cand_id"))
+      .join(scores.withColumnRenamed("doc_id", "cand_id"), Seq("cand_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lbl"))
+      .orderBy(col("score").desc, col("cand_id"))
+    val merged = cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("lbl").as("cluster_id"), col("cand_id").as("keeper_id"))
+      .join(nodeCounts, Seq("cluster_id"))
+      .select(col("cluster_id"), col("keeper_id"), col("n_members"))
+    passThrough.unionByName(merged)
   }
 
   /** pp43: dedup-artifact UPSERT — the add direction for the LAST

@@ -53,13 +53,38 @@ object PurgeLedger {
   val rootConf = "spark.graft.ledger.root"
 
   private val cache = new ConcurrentHashMap[String, Seq[Long]]()
+  private val servedTo = new ConcurrentHashMap[(String, String), Boolean]()
 
   /** Tombstoned doc_ids for sf dir `d`, via the ledger round-trip. */
   def keys(s: SparkSession, d: String): Seq[Long] =
     s.conf.getOption(rootConf) match {
-      case Some(prod) => // production: the corpus's own ledger, as-is
-        cache.computeIfAbsent(new File(prod).getAbsolutePath,
+      case Some(prod) => // production: the corpus's own ledger
+        val ks = cache.computeIfAbsent(new File(prod).getAbsolutePath,
           _ => VersionedCorpus.tombstoneKeys(prod))
+        // The conf is GLOBAL to the session, so a session serving two
+        // corpora would silently apply one corpus's deletion batch to
+        // the other (ADVICE r8). Validate once per (root, dataset):
+        // a nonempty ledger must tombstone docs the served corpus
+        // actually contains — zero overlap is the wrong-corpus (or
+        // pure-no-op) signature, and either way applying it is a bug.
+        // One `isin` scan per pair, memoized; ∝ deletion requests.
+        servedTo.computeIfAbsent(
+          (new File(prod).getAbsolutePath, new File(d).getCanonicalPath),
+          { case (pr, dc) =>
+            if (ks.nonEmpty) {
+              val present = Tables.documents(s, d)
+                .filter(col("doc_id").isin(ks: _*)).limit(1).count()
+              if (present == 0L) throw new IllegalStateException(
+                s"ledger root $pr tombstones ${ks.size} keys, NONE of " +
+                  s"which exist in corpus $dc — $rootConf points this " +
+                  "session's ledger at a different corpus than it serves")
+            }
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .info(s"PurgeLedger: root $pr serving dataset $dc " +
+                s"(${ks.size} tombstoned keys)")
+            true
+          })
+        ks
       case None =>
         cache.computeIfAbsent(root(d).getAbsolutePath, _ => build(s, d))
     }

@@ -583,46 +583,89 @@ object Similarity {
     * inertia sum safe past 10⁹ vectors. */
   def ss15Kmeans(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val emb = CacheScope.cached(Tables.embeddings(s, d)
+    val emb = sq12Grid(Tables.embeddings(s, d))
+    var cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("x").as("cent"))
+    val iterStats = (1 to 3).map { it =>
+      val (stats, next) = lloydRound(emb, cents, it)
+      cents = next
+      stats
+    }
+    iterStats.reduce(_ unionByName _)
+  }
+
+  /** The corpus on the SQ12 fixed-point grid (x = floor(v·4096),
+    * |x|² precomputed) — the Lloyd kernel's input, cached because
+    * every round scans it. */
+  private def sq12Grid(emb0: DataFrame): DataFrame =
+    CacheScope.cached(emb0
       .select(col("vec_id"), expr(
         "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 4096.0) AS BIGINT))")
         .as("x"))
       .withColumn("xn2", expr("long_dot(x, x)")))
-    var cents = emb.filter(col("vec_id") < 8)
+
+  /** One Lloyd round on the SQ12 grid — ss15's kernel factored so the
+    * k-configurable artifact trainer (kmeansCentroids) runs the
+    * IDENTICAL assignment/update arithmetic: (1) assignment —
+    * centroids broadcast, per-vector argmin-L2 via d² = |x|² − 2x·c +
+    * |c|² in the codegen'd long_dot, lexicographic struct-min for
+    * deterministic ties; (2) update — one partial-aggregated
+    * LongVecSumAgg per cell, int division truncated toward zero.
+    * Returns (iteration stats, new centroid frame). */
+  private def lloydRound(emb: DataFrame, cents: DataFrame,
+      it: Int): (DataFrame, DataFrame) = {
+    val withC = cents
+      .withColumn("cn2", expr("long_dot(cent, cent)"))
+    val assigned = emb.crossJoin(broadcast(withC))
+      .withColumn("d2",
+        col("xn2") - lit(2L) * expr("long_dot(x, cent)") + col("cn2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("d2"))
+    val stats = assigned
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("cell_inertia"))
+      .agg(lit(it.toLong).as("iter"),
+        count(lit(1)).as("n_cells"),
+        sum(col("cell_inertia")).as("total_inertia"),
+        max(col("n_vecs")).as("largest_cell"),
+        min(col("n_vecs")).as("smallest_cell"))
+    // update step: new centroids from the fresh assignment; `div`
+    // truncates toward zero (the oracle spells the same truncation
+    // sign-explicitly so DuckDB's // semantics can't drift)
+    val joined = assigned.join(emb, Seq("vec_id"))
+    val xAttr = joined.queryExecution.analyzed.output
+      .find(_.name == "x").get
+    val vecSum = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.LongVecSumAgg(xAttr, dim).toAggregateExpression())
+    val next = CacheScope.cached(joined.groupBy(col("cell"))
+      .agg(vecSum.as("vsum"), count(lit(1)).as("cnt"))
+      .select(col("cell"), expr(
+        "transform(vsum, v -> CASE WHEN v >= 0 THEN v div cnt ELSE -((-v) div cnt) END)")
+        .as("cent")))
+    (stats, next)
+  }
+
+  /** k-CONFIGURABLE coarse-quantizer trainer for the artifact path
+    * (VERDICT r8 #2): Lloyd's algorithm (the ss15 kernel — identical
+    * SQ12-grid arithmetic) returning the quantizer in the
+    * (cell, cent: array<double>) shape every IVF/graph consumer
+    * (nearestCellsFrom, knnAssigned, ss05FromIndex) takes. Seeds are
+    * the k smallest vec_ids (deterministic; cell id = seed vec_id, so
+    * no global sort rank is needed); empty cells drop out of the
+    * update exactly as in ss15. Final centroids rescale from the grid
+    * to doubles (÷4096). At 100 TB this is what makes the published
+    * index expressible at k ≈ √N — the 10 label centroids mean every
+    * probe scans ~N/10 candidates, a linear scan in disguise. */
+  private[graft] def kmeansCentroids(s: SparkSession, emb0: DataFrame,
+      k: Int, iters: Int = 3): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = sq12Grid(emb0)
+    var cents = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cell"), col("x").as("cent"))
-    val iterStats = (1 to 3).map { it =>
-      val withC = cents
-        .withColumn("cn2", expr("long_dot(cent, cent)"))
-      val assigned = emb.crossJoin(broadcast(withC))
-        .withColumn("d2",
-          col("xn2") - lit(2L) * expr("long_dot(x, cent)") + col("cn2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cell"))).as("m"))
-        .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("d2"))
-      val stats = assigned
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("cell_inertia"))
-        .agg(lit(it.toLong).as("iter"),
-          count(lit(1)).as("n_cells"),
-          sum(col("cell_inertia")).as("total_inertia"),
-          max(col("n_vecs")).as("largest_cell"),
-          min(col("n_vecs")).as("smallest_cell"))
-      // update step: new centroids from the fresh assignment; `div`
-      // truncates toward zero (the oracle spells the same truncation
-      // sign-explicitly so DuckDB's // semantics can't drift)
-      val joined = assigned.join(emb, Seq("vec_id"))
-      val xAttr = joined.queryExecution.analyzed.output
-        .find(_.name == "x").get
-      val vecSum = org.apache.spark.sql.graft.GraftDataset.column(
-        graft.functions.LongVecSumAgg(xAttr, dim).toAggregateExpression())
-      cents = CacheScope.cached(joined.groupBy(col("cell"))
-        .agg(vecSum.as("vsum"), count(lit(1)).as("cnt"))
-        .select(col("cell"), expr(
-          "transform(vsum, v -> CASE WHEN v >= 0 THEN v div cnt ELSE -((-v) div cnt) END)")
-          .as("cent")))
-      stats
-    }
-    iterStats.reduce(_ unionByName _)
+    for (it <- 1 to iters) cents = lloydRound(emb, cents, it)._2
+    cents.select(col("cell"),
+      expr("transform(cent, v -> CAST(v AS DOUBLE) / 4096.0)").as("cent"))
   }
 
   /** ss11: embedding-quality audit — the QA gate run BEFORE building
@@ -1133,10 +1176,25 @@ object Similarity {
     * the cache holds ≤ 8·|queries| rows (an output-sized cache, not
     * the edge frame — caching the edges inside the hop joins measured
     * SLOWER, see nswWalkTopFrom). Identical walk either way (entries,
-    * 3 hops, beam 8): the two cuts are prefixes of one ranking. */
+    * 3 hops, beam 8): the two cuts are prefixes of one ranking.
+    * SESSION-MEMOIZED (round 9): the walk's plan embeds truncated
+    * LogicalRDDs from ss18's index build, so two nswWalkTop8 CALLS
+    * build plans the cache manager cannot canonicalize to equality —
+    * whether ss24 hit ss22's cache depended on which upstream frames
+    * happened to still be registered, swinging both queries 2×
+    * between sweeps (r8 verdict: ss24 6.7 → 9.9 s on cache-payment
+    * ordering alone). Returning the SAME DataFrame object makes the
+    * hit structural: payment lands on the first caller
+    * (alphabetically ss22 in Bench's sorted sweep), every round.
+    * Liveness = still-persisted (a Verify-style drain unpersists the
+    * cache; rebuild then, don't serve a cold frame to N consumers). */
+  private val walkMemo = new graft.ops.SessionMemo[DataFrame]
   private def nswWalkTop8(s: SparkSession, d: String): DataFrame =
-    CacheScope.cached(nswWalkTopFrom(s, d, 8, ss18KnnJoin(s, d),
-      cellAssignments(s, d).select(col("vec_id"), col("cell"))))
+    walkMemo.getOrCompute(s, d)(
+      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      CacheScope.cached(nswWalkTopFrom(s, d, 8, ss18KnnJoin(s, d),
+        cellAssignments(s, d).select(col("vec_id"), col("cell"))))
+    }
 
   /** The walk over EXPLICIT index frames — `knnSrc` with (qid,
     * neighbor_id) edges and `cellsSrc` with (vec_id, cell) — computed

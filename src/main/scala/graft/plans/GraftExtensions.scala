@@ -1,9 +1,11 @@
 package graft.plans
 
 import graft.functions.{CdcBoundaries, CosineSim, DotProduct}
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * available to plain-SQL users without touching the registry manually:
@@ -13,9 +15,42 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * spark.sql("SELECT cosine_sim(a.embedding, b.embedding) ...")
   * }}}
   *
-  * (Programmatic callers can instead use `GraftFunctions.register`.)
+  * and (round 9, VERDICT r8 #7) the top operators as TABLE-VALUED
+  * functions, so a pure-SQL user can run the library without a line
+  * of Scala:
+  *
+  * {{{
+  * spark.sql("SELECT * FROM graft_keepers('/data/corpus')")
+  * spark.sql("SELECT * FROM graft_hybrid_topk('/data/corpus') WHERE rk_fused = 1")
+  * }}}
+  *
+  * Each TVF takes the corpus directory as one string literal and
+  * resolves to the operator's full logical plan — Catalyst sees the
+  * same tree the Scala API builds (filters above the TVF still prune
+  * into it). (Programmatic callers can instead use
+  * `GraftFunctions.register`.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def dirArg(fn: String, exprs: Seq[Expression]): String =
+    exprs match {
+      case Seq(one) if one.foldable && one.dataType == StringType =>
+        String.valueOf(one.eval())
+      case _ => throw new IllegalArgumentException(
+        s"$fn(dir) takes exactly one string-literal corpus directory")
+    }
+
+  private def tvf(e: SparkSessionExtensions, name: String,
+      build: (SparkSession, String) => DataFrame): Unit =
+    e.injectTableFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, name),
+      (exprs: Seq[Expression]) => {
+        val s = SparkSession.active
+        build(s, dirArg(name, exprs)).queryExecution.analyzed
+          : LogicalPlan
+      }))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
@@ -29,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cdc_boundaries"),
       new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
       (exprs: Seq[Expression]) => CdcBoundaries(exprs(0))))
+    // TVF surface for the op library's flagships: dedup keepers +
+    // clusters, lexical/hybrid serving, the training pipeline
+    tvf(e, "graft_keepers", graft.ops.Dedup.dd07KeepBest)
+    tvf(e, "graft_clusters", graft.ops.Dedup.dd06DupClusters)
+    tvf(e, "graft_bm25_topk", graft.ops.Similarity.ss21Bm25Topk)
+    tvf(e, "graft_hybrid_topk", graft.ops.Similarity.ss24HybridWalk)
+    tvf(e, "graft_training_set", graft.ops.Pipelines.pp01TrainingPipeline)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)

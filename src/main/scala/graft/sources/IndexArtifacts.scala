@@ -53,10 +53,34 @@ object IndexArtifacts {
   private def sub(root: String, name: String): String =
     new File(root, name).getAbsolutePath
 
+  /** Conf key selecting the published coarse quantizer's k: unset →
+    * label centroids (k = |labels|, the default every sf hash gate
+    * grades); set → ss15's Lloyd trainer at that k (VERDICT r8 #2 —
+    * at 100 TB you need k ≈ √N cells; a 10-cell quantizer makes every
+    * probe scan N/10 candidates). The choice is made ONCE at publish
+    * time; the quantizer stays immutable under every patch/upsert as
+    * always (pp38's convention — retraining is a republish). */
+  val ivfKConf = "spark.graft.ivf.k"
+
   /** Build all six index artifacts from the corpus at `d` and publish
     * each as the next version under `root/<name>`. Returns
     * name → published version. */
   def publishAll(s: SparkSession, d: String, root: String): Map[String, Long] = {
+    // quantizer + everything derived from it (cells, knn graph) must
+    // come from the SAME trainer or the index is self-inconsistent
+    val (cent, cells, knn) = s.conf.getOption(ivfKConf) match {
+      case Some(k) =>
+        val emb = graft.Tables.embeddings(s, d)
+        val c = graft.ops.CacheScope.cached(
+          Similarity.kmeansCentroids(s, emb, k.toInt))
+        (c,
+          Similarity.knnAssigned(emb, c).select("vec_id", "cell"),
+          Similarity.knnJoinFrom(emb, c))
+      case None =>
+        (Similarity.centroids(s, d),
+          Similarity.cellAssignments(s, d).select("vec_id", "cell"),
+          Similarity.ss18KnnJoin(s, d))
+    }
     Map(
       "postings" -> VersionedCorpus.publish(
         Similarity.postingsCached(s, d), sub(root, "postings"), Some("doc_id")),
@@ -65,12 +89,11 @@ object IndexArtifacts {
       "lexicon" -> VersionedCorpus.publish(
         Similarity.bm25Lexicon(s, d), sub(root, "lexicon")),
       "centroids" -> VersionedCorpus.publish(
-        Similarity.centroids(s, d), sub(root, "centroids"), Some("cell")),
+        cent, sub(root, "centroids"), Some("cell")),
       "cells" -> VersionedCorpus.publish(
-        Similarity.cellAssignments(s, d)
-          .select("vec_id", "cell"), sub(root, "cells"), Some("vec_id")),
+        cells, sub(root, "cells"), Some("vec_id")),
       "knn_edges" -> VersionedCorpus.publish(
-        Similarity.ss18KnnJoin(s, d), sub(root, "knn_edges"), Some("qid")),
+        knn, sub(root, "knn_edges"), Some("qid")),
       "clusters" -> VersionedCorpus.publish(
         graft.ops.Dedup.dd06DupClusters(s, d), sub(root, "clusters"),
         Some("doc_id")),
@@ -131,6 +154,20 @@ object IndexArtifacts {
   def dd07FromArtifacts(s: SparkSession, root: String): DataFrame =
     read(s, root, "keepers")
 
+  /** pp43 served PRODUCTION-SHAPE: the arrival batch (source = src0
+    * in the corpus at `d`) folds into the keeper table by LOADING the
+    * standing clusters/keepers lines — no standing-side LSH, no
+    * standing-side convergence loop (see
+    * Pipelines.clusterUpsertFromStanding for the exactness argument).
+    * Batch pairs ride dd23's bucket-restricted candidate join. */
+  def pp43FromArtifacts(s: SparkSession, d: String, root: String): DataFrame =
+    graft.ops.Pipelines.clusterUpsertFromStanding(
+      read(s, root, "clusters"), read(s, root, "keepers"),
+      graft.ops.Dedup.batchPairs(s, d),
+      graft.ops.Text.tx02QualityScore(s, d)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("score")))
+
   /** dd28's chain-weld-safe keeper table from the published artifact.
     * FAILS CLOSED while an UPSERT has invalidated the line and no
     * newer version has been published since (a purge re-points it at
@@ -147,21 +184,85 @@ object IndexArtifacts {
     read(s, root, "safe_keepers")
   }
 
+  /** Conf key: tombstone-count drift above which [[reconcileLexicon]]
+    * republishes the exact lexicon. Default 0 — at weekly purge
+    * cadence any tombstone justifies one exact patch publish. */
+  val maxDriftConf = "spark.graft.reconcile.maxDrift"
+
+  /** Reconciliation WATCHER for the documented streaming drift
+    * (VERDICT r8 #2/#3 follow-up): st32 serves df as an UPPER bound
+    * between reconciliations and st33 rides at-least-once replays —
+    * both docstrings name "pp40's batch patch is the exact
+    * reconciliation", but nothing watched the bound. This is the
+    * trigger: compare the corpus ledger's tombstone count with the
+    * count recorded at the last reconcile (`_RECONCILED.json` on the
+    * lexicon line; absent = never reconciled, count 0). Drift >
+    * `spark.graft.reconcile.maxDrift` → publish pp40's patched
+    * lexicon (hash-proven ≡ a rebuild on the purged corpus) as the
+    * next `lexicon` version and advance the marker; otherwise run NO
+    * job and return None — readers keep serving the bounded-drift
+    * lexicon. Marker reads/writes are driver-side metadata (the
+    * ledger is ∝ deletion requests, the same sanctioned class as
+    * `_RANGES.json`). */
+  def reconcileLexicon(s: SparkSession, d: String,
+      root: String): Option[Long] = {
+    val maxDrift = s.conf.get(maxDriftConf, "0").toLong
+    val seen = reconciledCount(root)
+    val total = graft.ops.PurgeLedger.keys(s, d).size.toLong
+    if (total - seen <= maxDrift) None
+    else {
+      val v = VersionedCorpus.publish(
+        graft.ops.Pipelines.pp40PatchLexicon(s, d), sub(root, "lexicon"))
+      java.nio.file.Files.write(
+        new File(sub(root, "lexicon"), "_RECONCILED.json").toPath,
+        s"""{"tombstones_seen":$total,"version":$v}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      Some(v)
+    }
+  }
+
+  /** Tombstone count at the last lexicon reconcile (0 = never). */
+  private[graft] def reconciledCount(root: String): Long = {
+    val f = new File(sub(root, "lexicon"), "_RECONCILED.json")
+    if (!f.exists()) 0L
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"tombstones_seen":(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(throw new IllegalStateException(
+          s"unparsable reconcile marker ${f.getAbsolutePath}"))
+    }
+  }
+
   /** Write an invalidation marker into an artifact line: readers fail
     * closed until a version NEWER than `as_of_version` is published.
     * Driver-side metadata (one tiny JSON), the same class as a
     * manifest commit. */
+  /** Minimal JSON string escape for the marker's free-text reason —
+    * current callers pass fixed strings, but an interpolated quote or
+    * backslash would otherwise corrupt the marker (ADVICE r8). */
+  private def jsonEscape(raw: String): String =
+    raw.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   private def invalidate(root: String, name: String, reason: String): Unit = {
     val line = new File(sub(root, name))
     line.mkdirs()
     val v = VersionedCorpus.latestVersion(line.getAbsolutePath).getOrElse(0L)
     java.nio.file.Files.write(
       new File(line, "_INVALIDATED.json").toPath,
-      s"""{"as_of_version":$v,"reason":"$reason"}"""
+      s"""{"as_of_version":$v,"reason":"${jsonEscape(reason)}"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
-  /** The invalidation horizon for a line, if any. */
+  /** The invalidation horizon for a line, if any. A marker file that
+    * EXISTS but cannot be parsed is a hard error, not None — the
+    * fail-closed contract must not be silently defeated by a
+    * corrupted marker (ADVICE r8). */
   private[graft] def invalidatedAt(root: String,
       name: String): Option[Long] = {
     val f = new File(sub(root, name), "_INVALIDATED.json")
@@ -169,8 +270,12 @@ object IndexArtifacts {
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
-      """"as_of_version":(\d+)""".r.findFirstMatchIn(txt)
+      val parsed = """"as_of_version":(\d+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toLong)
+      if (parsed.isEmpty) throw new IllegalStateException(
+        s"unparsable invalidation marker ${f.getAbsolutePath}: " +
+          s"refusing to serve a line whose fail-closed horizon is unreadable")
+      parsed
     }
   }
 

@@ -141,6 +141,12 @@ class ManifestDataWriter(path: String, schema: StructType,
     case DoubleType => row.getDouble(i).toString
     case FloatType => row.getFloat(i).toString
     case BooleanType => row.getBoolean(i).toString
+    // timestamps travel as epoch MICROS (the InternalRow physical
+    // value — lossless, reader-side cast is one integer op); dates as
+    // epoch days. JSON has no temporal type, so integers beat strings
+    // here: no timezone/format ambiguity across readers.
+    case TimestampType | TimestampNTZType => row.getLong(i).toString
+    case DateType => row.getInt(i).toString
     case StringType =>
       "\"" + row.getUTF8String(i).toString
         .replace("\\", "\\\\").replace("\"", "\\\"")

@@ -31,6 +31,35 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** st05: micro-batch parquet SINK — each batch appends to `dir` via
+    * `foreachBatch` (the escape hatch for sinks Structured Streaming
+    * lacks natively; here it also enables per-batch atomicity
+    * options). `audited = true` writes each batch to its own
+    * `dir/batch-<id>` through the DSv2 `graft-manifest` two-phase
+    * sink in OVERWRITE mode — st13's landing-zone layout: a replayed
+    * batch (crash between sink commit and checkpoint advance,
+    * foreachBatch's at-least-once window) re-publishes the SAME dir
+    * instead of appending twice, making delivery effectively-once;
+    * the per-dir `_MANIFEST.json` is the reconciliation record.
+    * `audited = false` is the plain st05 shape — parquet append to
+    * one dir; a replay appends twice there (dedupe downstream on a
+    * key, st03's job). Lifted from the round-8 spec-inline capability
+    * into the library API (VERDICT r8 #4). */
+  def parquetBatchSink(stream: DataFrame, dir: String,
+      audited: Boolean = false, checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (audited)
+          batch.write.format("graft-manifest")
+            .option("path", s"$dir/batch-$id").mode("overwrite").save()
+        else batch.write.mode("append").parquet(dir)
+      }
+    checkpointDir.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** st04: stream-stream interval join — purchases matched to same-user
     * views at most 30 minutes older. Both sides are watermarked so
     * Spark can bound the join state (views older than the watermark +
@@ -1125,13 +1154,23 @@ object StreamingJobs {
               Seq("qid"), "left_anti")
           val patched = graft.ops.Similarity
             .knnUpsertFrom(standing, batch, cent, standingEdges)
-          graft.sources.VersionedCorpus.publish(patched,
-            s"$root/knn_edges", Some("qid")): Unit
+          // publish ORDER is a reader-consistency contract (ADVICE r8):
+          // the two lines are separate non-atomic versions, so a reader
+          // (or a crash) between the publishes sees one updated and one
+          // stale. cells FIRST: an assignment superset is harmless to a
+          // walk reader (extra entry candidates), while a graph whose
+          // arrival nodes are absent from cells would hand
+          // ss22FromArtifacts edges into nodes it cannot enter from.
+          // Both reads above are version-pinned at call time
+          // (readLatest resolves eagerly), so the fold itself is
+          // unaffected by the order.
           graft.sources.VersionedCorpus.publish(
             cells.join(batchIds, Seq("vec_id"), "left_anti")
               .unionByName(graft.ops.Similarity.knnAssigned(batch, cent)
                 .select(col("vec_id"), col("cell"))),
             s"$root/cells", Some("vec_id")): Unit
+          graft.sources.VersionedCorpus.publish(patched,
+            s"$root/knn_edges", Some("qid")): Unit
         }
       }
       .start()

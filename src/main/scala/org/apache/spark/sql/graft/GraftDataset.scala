@@ -7,6 +7,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * wrap its custom logical plans (e.g. AsOfJoinPlan) as DataFrames.
   * Same technique used by public Spark-extension projects; no Spark
   * code is modified.
+  *
+  * VERIFIED AGAINST: Spark 4.1.2 (the `classic.Dataset.ofRows` /
+  * `classic.ExpressionUtils.column` signatures are private[sql] API —
+  * the first thing a Spark upgrade breaks silently). A compile-fence
+  * spec (PropertySpec: "GraftDataset private-API bridge is pinned")
+  * fails loudly on any other 4.1.x-incompatible bump so the bridge is
+  * re-verified rather than trusted across versions.
   */
 object GraftDataset {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =

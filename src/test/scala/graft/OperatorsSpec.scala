@@ -518,6 +518,7 @@ class OperatorsSpec extends SparkTestBase {
       "tx35_token_ids",        // 256-row vocab rank (post-limit)
       "ev44_pareto",           // ≤ |distinct activity levels| histogram rows
       "pp19_token_budget",     // |sources|-row remainder ranking
+      "pp46_dedup_quota",      // same |sources|-row ranking, deduped mass
       "q67_skyline",           // ≤ |distinct prices| per-price max frame
       "q68_equidepth_hist")    // ≤ |distinct l_quantity| rows — a bounded
                                // integer grid (1..50) by schema, never
@@ -1179,6 +1180,41 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("dd10/dd24 hot-shingle cap keeps the candidate frame ∝ near-dups " +
+    "on a planted-boilerplate corpus") {
+    import spark.implicits._
+    // 150 four-token docs "boiler plate tos u{i}": every pair of them
+    // shares EXACTLY the one boilerplate trigram (df=150 > cap 128),
+    // and with n=2 shingles per doc that one hot shingle alone scores
+    // containment 5000 bp — so WITHOUT the cap dd10 reports all
+    // 150·149/2 = 11,175 boilerplate pairs. Plus one true near-dup
+    // pair (12 unique tokens, last differs → 9/10 shingles shared).
+    val boiler = (1 to 150).map(i => (i.toLong, s"boiler plate tos u$i"))
+    val nd1 = (1000L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12")
+    val nd2 = (1001L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zqX")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd10cap").toString
+    (boiler :+ nd1 :+ nd2)
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // capped (default 128): candidate frame ∝ near-dups — exactly one pair
+    val capped = ops.Dedup.dd10Containment(spark, dir).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1000L, 1001L)), s"capped output: ${capped.mkString(",")}")
+    assert(capped.head.getLong(2) == 9000L && capped.head.getLong(3) == 9000L)
+    // dd24's tuner sees only the true near-dup's J (9/11 ≈ 0.818)
+    val tuned = ops.Dedup.dd24LshTuner(spark, dir).collect()
+    assert(tuned.length == 4 && tuned.forall(_.getLong(2) == 1L),
+      s"tuner pair frame must be the 1 near-dup: ${tuned.mkString(",")}")
+    // cap lifted: the quadratic blowup the cap removes is real
+    spark.conf.set("spark.graft.dedup.maxDf", "100000")
+    try {
+      val uncapped = ops.Dedup.dd10Containment(spark, dir).count()
+      assert(uncapped == 150L * 149 / 2 + 1,
+        s"uncapped boilerplate expansion expected 11176, got $uncapped")
+    } finally spark.conf.unset("spark.graft.dedup.maxDf")
+  }
+
   test("ev47 growth ledger balances: new + retained + resurrected = actives") {
     val actives = Tables.events(spark, sf)
       .select(col("user_id"),
@@ -1716,6 +1752,164 @@ class OperatorsSpec extends SparkTestBase {
     // incremental chain-risk case pp43 must get right
     assert(!out.exists(e => e._1 == 1L && e._2 == 2L),
       "retired keeper survived the weld")
+  }
+
+  test("pp43FromArtifacts ≡ in-query pp43 off loaded standing artifacts, " +
+    "with exactly one batch-sized convergence loop") {
+    // publish the standing clusters/keepers lines from the PRE-batch
+    // corpus (the artifact a production pipeline would already hold)
+    val standingDir = java.nio.file.Files
+      .createTempDirectory("graft-pp43r").toString
+    Tables.documents(spark, sf).filter(col("source") =!= "src0")
+      .write.mode("overwrite").parquet(s"$standingDir/documents.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pp43r-root").toString
+    sources.VersionedCorpus.publish(
+      ops.Dedup.dd06DupClusters(spark, standingDir),
+      s"$root/clusters", Some("doc_id"))
+    sources.VersionedCorpus.publish(
+      ops.Dedup.dd07KeepBest(spark, standingDir),
+      s"$root/keepers", Some("keeper_id"))
+    // the reader twin: its ONLY convergence loop is the quotient
+    val c0 = ops.Dedup.propagationCalls.get
+    val twin = sources.IndexArtifacts.pp43FromArtifacts(spark, sf, root)
+    val loops = ops.Dedup.propagationCalls.get - c0
+    assert(loops == 1L,
+      s"reader twin must run exactly the one quotient loop, ran $loops")
+    val twinSet = twin.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inQuery = ops.Pipelines.pp43ClusterUpsert(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twinSet == inQuery,
+      s"reader twin diverged: only-twin=${twinSet -- inQuery} " +
+        s"only-inquery=${inQuery -- twinSet}")
+    // the quotient frame the loop ran over is ∝ the batch pair surface
+    val np = ops.Dedup.batchPairs(spark, sf)
+    assert(ops.Pipelines.quotientPairs(
+        sources.IndexArtifacts.read(spark, root, "clusters"), np).count()
+      == np.count(), "quotient graph must be batch-pair-sized")
+  }
+
+  test("decoder registry routes by magic bytes; stub default leaves mm02 intact") {
+    val stub = ops.Multimodal.mm02FrameSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // empty registry ⇒ the routed twin IS mm02, row for row
+    val routed0 = ops.Multimodal.mm02DecodeRouted(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(routed0 == stub, "empty registry must reproduce the stub decode")
+    // register a fake codec for one magic present in the corpus
+    val magics = Tables.documents(spark, sf)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("magic", upper(hex(expr("substring(payload, 1, 2)"))))
+      .groupBy("magic").count().orderBy(col("count").desc)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val (magic, nDocs) = magics.head
+    assert(nDocs > 0 && magics.length > 1,
+      s"corpus must carry several magics for a routing test: ${magics.toSeq}")
+    ops.Multimodal.DecoderRegistry.register(magic,
+      m => Iterator(ops.Multimodal.Frame(m.doc_id, -1, "routed")))
+    try {
+      val routed = ops.Multimodal.mm02DecodeRouted(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      val hit = routed.filter(_._2 == -1)
+      assert(hit.length == nDocs && hit.forall(_._3 == "routed"),
+        s"registered codec must own exactly its magic's ${nDocs} docs, " +
+          s"got ${hit.length}")
+      // every other magic still flows through the stub unchanged
+      val rest = routed.filter(_._2 != -1).toSet
+      val hitIds = hit.map(_._1).toSet
+      assert(rest == stub.filterNot(r => hitIds.contains(r._1)),
+        "unregistered magics must keep the stub output")
+    } finally ops.Multimodal.DecoderRegistry.unregister(magic)
+  }
+
+  test("top ops are SQL-callable as table-valued functions") {
+    // a pure-SQL user runs the library through GraftExtensions' TVFs;
+    // plans are the Scala API's own (filters prune into them)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(spark.sql(s"SELECT * FROM graft_keepers('$sf')")) ==
+      rows(ops.Dedup.dd07KeepBest(spark, sf)), "graft_keepers drifts")
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_hybrid_topk('$sf') WHERE rk_fused = 1")) ==
+      rows(ops.Similarity.ss24HybridWalk(spark, sf)
+        .filter(col("rk_fused") === 1)), "graft_hybrid_topk drifts")
+    assert(rows(spark.sql(s"SELECT * FROM graft_training_set('$sf')")) ==
+      rows(ops.Pipelines.pp01TrainingPipeline(spark, sf)),
+      "graft_training_set drifts")
+    assert(spark.sql(s"SELECT * FROM graft_clusters('$sf')").count() ==
+      ops.Dedup.dd06DupClusters(spark, sf).count())
+    assert(spark.sql(
+        s"SELECT count(*) FROM graft_bm25_topk('$sf')").head().getLong(0) ==
+      ops.Similarity.ss21Bm25Topk(spark, sf).count())
+    // a non-literal argument fails loudly, not silently
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM graft_keepers(doc_id)").collect())
+    assert(err.getMessage != null)
+  }
+
+  test("dd29 inflation conserves the dd07 removed set and stays on the bp grid") {
+    val rows = ops.Dedup.dd29DupInflation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nRem) = (r.getLong(1), r.getLong(2))
+      val (tkTot, tkRem) = (r.getLong(3), r.getLong(4))
+      assert(nRem <= nDocs && tkRem <= tkTot)
+      assert(r.getLong(5) == nRem * 10000 / nDocs)
+      assert(r.getLong(6) == tkRem * 10000 / tkTot)
+    }
+    val totalRemoved = rows.map(_.getLong(2)).sum
+    val expected = ops.Dedup.dd06DupClusters(spark, sf).count() -
+      ops.Dedup.dd07KeepBest(spark, sf).count()
+    assert(totalRemoved == expected,
+      s"Σ n_removed $totalRemoved != |clusters| − |keepers| $expected")
+  }
+
+  test("dd30 cap audit: capped ≤ exact, nothing hot at sf, planted hot dominates") {
+    val r = ops.Dedup.dd30CapAudit(spark, sf).head()
+    assert(r.getLong(6) <= r.getLong(5), "capped pair mass must be ≤ exact")
+    // the graded corpora never bind the cap — hashes grade full semantics
+    assert(r.getLong(2) == 0L && r.getLong(4) == 0L &&
+      r.getLong(5) == r.getLong(6),
+      s"sf corpus unexpectedly binds the cap: $r")
+    // on the planted-boilerplate corpus the one hot shingle carries the
+    // quadratic mass the cap removes
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd30").toString
+    ((1 to 150).map(i => (i.toLong, s"boiler plate tos u$i")) :+
+      (1000L, "zq1 zq2 zq3 zq4 zq5"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = ops.Dedup.dd30CapAudit(spark, dir).head()
+    assert(p.getLong(0) == 150L && p.getLong(2) == 1L,
+      s"planted hot shingle missed: $p")
+    assert(p.getLong(5) - p.getLong(6) == 150L * 149 / 2,
+      s"hot pair mass wrong: $p")
+  }
+
+  test("ev58 second-order conditionals are context-consistent") {
+    val rows = ops.Events.ev58SecondOrderPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    // counts non-increasing in output order (the deterministic cut)
+    val cnts = rows.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4), "cnt must be ≤ its context count")
+      assert(r.getLong(5) == r.getLong(3) * 1000000L / r.getLong(4))
+    }
+  }
+
+  test("pp46 dedup quota conserves the budget over keeper-only mass") {
+    val after = ops.Pipelines.pp46DedupQuota(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val before = ops.Pipelines.pp19TokenBudget(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.values.map(_._2).sum == 1000000L,
+      "largest-remainder allocation must spend the budget exactly")
+    after.foreach { case (src, (nTok, _)) =>
+      assert(nTok <= before(src),
+        s"$src post-dedup mass exceeds its raw mass")
+    }
   }
 
   test("pp45 safe-keeper patch equals the survivors-only dd28 rebuild") {
@@ -3189,6 +3383,70 @@ class OperatorsSpec extends SparkTestBase {
       s"graph walk ($nsw) must beat cell probing ($ivf) on the plant")
   }
 
+  test("publishAll trains a k-configurable quantizer and serves it (k=32)") {
+    import spark.implicits._
+    // 32 well-separated axis clusters, ALL label=0 — the unlabeled
+    // corpus the k-means trainer exists for (label centroids would
+    // degenerate to ONE cell = a full-corpus probe). vec_ids
+    // interleave across clusters so the k smallest ids (the trainer's
+    // deterministic seeds) land one per cluster.
+    val dim = 64
+    val nClusters = 32
+    val members = 8
+    def unit(a: Int): Array[Float] = Array.tabulate(dim)(i => if (i == a) 1f else 0f)
+    val corpus = for {
+      m <- 0 until members; c <- 0 until nClusters
+    } yield (10L + m * nClusters + c,
+      Array.tabulate(dim)(i =>
+        unit(c)(i) + 0.02f * (((m * 31 + i * 17 + c * 7) % 9) - 4)), 0)
+    // queries: near the first 10 cluster axes
+    val queries = (0 until 10).map(q =>
+      (q.toLong, Array.tabulate(dim)(i =>
+        unit(q)(i) + 0.01f * (((q * 13 + i * 5) % 7) - 3)), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-kq").toString
+    (queries ++ corpus).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    // documents table: publishAll also builds the lexical + dedup
+    // artifacts — give it real duplicate groups (i%5) so the cluster
+    // lines publish non-degenerate content
+    (0 until 20).map(i => (i.toLong,
+        s"alpha bravo charlie delta echo g${i % 5} foxtrot golf hotel india",
+        "en", "src0", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-kq-root").toString
+    spark.conf.set(sources.IndexArtifacts.ivfKConf, "32")
+    try sources.IndexArtifacts.publishAll(spark, dir, root)
+    finally spark.conf.unset(sources.IndexArtifacts.ivfKConf)
+    val cent = sources.IndexArtifacts.read(spark, root, "centroids")
+    assert(cent.count() == 32L,
+      s"published quantizer must carry k=32 cells, got ${cent.count()}")
+    // recall@5 of the SERVED index vs exact brute truth
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val qv = queries.map(q => q._1 -> q._2).toMap
+    def truth5(q: Long): Set[Long] =
+      corpus.map(e => (e._1, cos(qv(q), e._2)))
+        .sortBy { case (id, sc) => (-sc, id) }.take(5).map(_._1).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getLong(0))
+      byQ.map { case (q, r) =>
+        (truth5(q) & r.map(_.getLong(1)).toSet).size / 5.0 }.sum / byQ.size
+    }
+    val ivf = recallOf(
+      sources.IndexArtifacts.ss05FromArtifacts(spark, dir, root).collect())
+    assert(ivf >= 0.9, s"k=32 served IVF recall@5 $ivf below 0.9")
+    // the graph artifacts were built under the SAME quantizer: the
+    // served walk must be green and useful on the plant
+    val walk = recallOf(
+      sources.IndexArtifacts.ss22FromArtifacts(spark, dir, root).collect())
+    assert(walk >= 0.5, s"k=32 served walk recall@5 $walk below 0.5")
+  }
+
   test("PurgeLedger round-trips the planted batch through a real ledger") {
     val keys = ops.PurgeLedger.keys(spark, sf)
     val planted = Tables.documents(spark, sf)
@@ -3266,6 +3524,18 @@ class OperatorsSpec extends SparkTestBase {
     try {
       assert(ops.PurgeLedger.keys(spark, sf) == Seq(3L, 5L, 8L),
         "conf-rooted ledger must serve the production corpus's tombstones")
+      // wrong-corpus guard (ADVICE r8): the conf is session-global, so
+      // a dataset containing NONE of the ledger's keys must fail
+      // loudly instead of silently applying another corpus's batch
+      val other = java.nio.file.Files
+        .createTempDirectory("graft-ledger-other").toString
+      Tables.documents(spark, sf)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .write.mode("overwrite").parquet(s"$other/documents.parquet")
+      val ex = intercept[IllegalStateException](
+        ops.PurgeLedger.keys(spark, other))
+      assert(ex.getMessage.contains("different corpus"),
+        s"wrong-corpus serve must name the mismatch: ${ex.getMessage}")
     } finally spark.conf.unset(ops.PurgeLedger.rootConf)
     // with the conf cleared, the scratch path still serves the planted rule
     assert(ops.PurgeLedger.keys(spark, sf).toSet ==

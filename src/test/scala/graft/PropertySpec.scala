@@ -12,6 +12,19 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int = 200): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("GraftDataset private-API bridge is pinned to the verified Spark line") {
+    // GraftDataset reaches two private[sql] members
+    // (classic.Dataset.ofRows, classic.ExpressionUtils.column) that a
+    // Spark upgrade can break SILENTLY (signatures drift, behavior
+    // changes, no compile error from the org.apache.spark.sql.graft
+    // namespace trick). Fence: fail loudly on any version outside the
+    // verified 4.1.x line so the bridge is re-verified, not trusted.
+    assert(org.apache.spark.SPARK_VERSION.startsWith("4.1."),
+      s"Spark ${org.apache.spark.SPARK_VERSION}: re-verify the " +
+        "GraftDataset private-API bridge (ofRows / ExpressionUtils.column) " +
+        "against this version, then bump the pin here and in its scaladoc")
+  }
+
   test("TopKAggregator equals sort-and-take for any input in any order") {
     val agg = new graft.functions.TopKAggregator(5)
     val gen = for {

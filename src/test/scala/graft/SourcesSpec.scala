@@ -731,6 +731,33 @@ class SourcesSpec extends SparkTestBase {
       == Seq(1L, 2L))
   }
 
+  test("reconcile watcher republishes the exact lexicon only past the drift bound") {
+    import graft.sources.{IndexArtifacts, VersionedCorpus}
+    val root = s"$tmp/reconcile"
+    VersionedCorpus.publish(
+      ops.Similarity.bm25Lexicon(spark, sf), s"$root/lexicon")
+    val drift = ops.PurgeLedger.keys(spark, sf).size.toLong
+    assert(drift > 0, "planted ledger must carry tombstones")
+    // below threshold: the watcher runs NO job
+    spark.conf.set(IndexArtifacts.maxDriftConf, (drift + 1).toString)
+    try assert(IndexArtifacts.reconcileLexicon(spark, sf, root).isEmpty,
+      "below-threshold drift must not trigger a publish")
+    finally spark.conf.unset(IndexArtifacts.maxDriftConf)
+    assert(VersionedCorpus.latestVersion(s"$root/lexicon").contains(1L))
+    // above threshold (default 0): one exact reconcile publish — the
+    // served lexicon equals pp40's patch, which is hash-proven ≡ a
+    // rebuild on the purged corpus, so reader idf is exact again
+    assert(IndexArtifacts.reconcileLexicon(spark, sf, root).contains(2L))
+    val served = IndexArtifacts.read(spark, root, "lexicon")
+      .collect().map(_.toSeq).toSet
+    val exact = ops.Pipelines.pp40PatchLexicon(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(served == exact, "reconciled lexicon drifts from the exact patch")
+    // drift consumed: the next watch tick runs no job and publishes nothing
+    assert(IndexArtifacts.reconcileLexicon(spark, sf, root).isEmpty)
+    assert(VersionedCorpus.latestVersion(s"$root/lexicon").contains(2L))
+  }
+
   test("index artifacts publish once, serve bit-identical reads, and re-point on purge") {
     import graft.sources.IndexArtifacts
     val root = s"$tmp/idx"

@@ -214,11 +214,7 @@ class StreamingSpec extends SparkTestBase {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-st05").toString
     val in = MemoryStream[Event]
-    val q = in.toDF().writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        batch.write.mode("append").parquet(s"$dir/out")
-      }
-      .start()
+    val q = StreamingJobs.parquetBatchSink(in.toDF(), s"$dir/out")
     try {
       in.addData(Event(1, ts(0), 1, "view", 1.0))
       q.processAllAvailable()
@@ -226,6 +222,18 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       assert(spark.read.parquet(s"$dir/out").count() == 2)
     } finally q.stop()
+    // audited variant: per-batch manifest dirs (st13's landing-zone
+    // layout) through the two-phase graft-manifest sink
+    val in2 = MemoryStream[Event]
+    val q2 = StreamingJobs.parquetBatchSink(in2.toDF(), s"$dir/audited",
+      audited = true, checkpointDir = Some(s"$dir/ckpt"))
+    try {
+      in2.addData(Event(3, ts(2), 2, "view", 1.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val m = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/audited/batch-0", "_MANIFEST.json")))
+    assert(m.contains(""""n_rows":1"""), m)
   }
 
   test("st06 streaming upsert keeps the latest record per key") {
