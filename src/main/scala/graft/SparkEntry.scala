@@ -350,6 +350,10 @@ object SparkEntry {
     "dd30_cap_audit"        -> Dedup.dd30CapAudit _,
     "ev58_second_order"     -> Events.ev58SecondOrderPaths _,
     "pp46_dedup_quota"      -> Pipelines.pp46DedupQuota _,
+    "dd31_lsh_recall"       -> Dedup.dd31LshRecall _,
+    "ev59_mad_anomaly"      -> Events.ev59MadAnomaly _,
+    "pp47_cluster_split"    -> Pipelines.pp47ClusterSplit _,
+    "pp48_dataset_card"     -> Pipelines.pp48DatasetCard _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -2390,6 +2394,106 @@ object SparkEntry {
          |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
          |    AS alloc_tokens
          |FROM r CROSS JOIN dft""".stripMargin,
+
+    // dd31: the truth side is dd04's pair pipeline verbatim (rounded
+    // jaccard >= 0.6) with the band label re-derived as the INTEGER
+    // floor shared*10 // union; the candidate test is dd09's portable
+    // K–M slot-pair band equality.
+    "dd31_lsh_recall" -> {
+      val slots = (0 until 32).map(j =>
+        if (j == 0) "min(h1) AS m0" else s"min(h1 + $j * h2) AS m$j")
+        .mkString(", ")
+      val bandEq = (0 until 16).map(b =>
+        s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
+        .mkString(" OR ")
+      s"""WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+         |           FROM documents
+         |           WHERE len(string_split(trim(text),' ')) >= 3),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         range(1, len(tk)-1),
+         |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |       FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT d1, d2,
+         |    least(shared * 10 // (x.n + y.n - shared), 9) AS j_band
+         |  FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |  WHERE round(shared * 1.0 / (x.n + y.n - shared), 4) >= 0.6),
+         |hs AS (SELECT doc_id,
+         |         ('0x' || substring(md5(s), 1, 8))::BIGINT AS h1,
+         |         ('0x' || substring(md5(s), 9, 8))::BIGINT AS h2 FROM sh),
+         |sig AS (SELECT doc_id, $slots FROM hs GROUP BY doc_id),
+         |probe AS (SELECT t.j_band,
+         |    CASE WHEN $bandEq THEN 1 ELSE 0 END AS caught
+         |  FROM truth t JOIN sig a ON t.d1 = a.doc_id
+         |  JOIN sig b ON t.d2 = b.doc_id)
+         |SELECT CAST(j_band AS BIGINT) AS j_band,
+         |  CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(caught) AS BIGINT) AS n_caught,
+         |  CAST(sum(caught) * 10000 // count(*) AS BIGINT) AS recall_bp
+         |FROM probe GROUP BY 1""".stripMargin
+    },
+
+    // ev59: exact order statistics (percentile_disc) over the daily
+    // count frame — med, MAD and deviations all integer.
+    "ev59_mad_anomaly" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |m AS (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n)
+        |        AS BIGINT) AS med FROM daily),
+        |dv AS (SELECT day, CAST(n AS BIGINT) AS n, med,
+        |         abs(n - med) AS adev FROM daily CROSS JOIN m),
+        |md AS (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+        |         AS BIGINT) AS mad FROM dv)
+        |SELECT day, n, med, mad, CAST(adev AS BIGINT) AS deviation,
+        |  adev > mad * 3 AS is_anomaly
+        |FROM dv CROSS JOIN md""".stripMargin,
+
+    // pp47: split hash over the dup-cluster representative (dd06's
+    // recursive-CTE fixed point; singletons are their own rep) — the
+    // same md5 first-hex-digit rule as pp16/pp08.
+    "pp47_cluster_split" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |r AS (SELECT d.doc_id, d.source,
+         |    CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_tokens,
+         |    coalesce(c.cluster_id, d.doc_id) AS rep_id
+         |  FROM documents d LEFT JOIN clusters c USING (doc_id)),
+         |sp AS (SELECT *,
+         |    CASE substr(md5(CAST(rep_id AS VARCHAR)), 1, 1)
+         |      WHEN 'f' THEN 'test' WHEN 'e' THEN 'val' ELSE 'train'
+         |    END AS split
+         |  FROM r)
+         |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT rep_id) AS BIGINT) AS n_groups,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens
+         |FROM sp GROUP BY 1, 2""".stripMargin,
+
+    // pp48: the dataset card — volume (exact median doc length), dup
+    // membership, langid and quality gates, all integer.
+    "pp48_dataset_card" ->
+      s"""WITH clusters AS ($dupClustersSql),
+         |scores AS ($qualityScoreSql),
+         |j AS (SELECT d.source, s.n_tokens, s.stop_cnt, s.score,
+         |    CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+         |  FROM documents d JOIN scores s USING (doc_id)
+         |  LEFT JOIN clusters c USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)
+         |    AS BIGINT) AS p50_tokens,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(CASE WHEN stop_cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_en,
+         |  CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality,
+         |  CAST(sum(is_dup) * 10000 // count(*) AS BIGINT) AS dup_bp,
+         |  CAST(sum(CASE WHEN stop_cnt >= 2 THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS en_bp,
+         |  CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS quality_bp
+         |FROM j GROUP BY 1""".stripMargin,
 
     "gr17_ktruss" -> ktrussSql,
 

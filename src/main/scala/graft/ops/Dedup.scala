@@ -1163,4 +1163,57 @@ object Dedup {
       .select(col("cluster_id"), col("safe_id"), col("keeper_id"),
         col("n_members"))
   }
+
+  /** dd31: MEASURED LSH recall curve — the observability row dd13
+    * (threshold curve) and dd24 (expected banding probability) both
+    * stop short of: for every exact near-dup pair (dd04 truth, J ≥
+    * 0.6), was it actually CAUGHT by the portable Kirsch–Mitzenmacher
+    * band-bucket candidate stage? Grouped by Jaccard decile band so
+    * the answer is the empirical recall curve the tuner's theoretical
+    * 1-(1-J²)¹⁶ predicts — the gap between the two IS the K–M slot
+    * correlation cost dd09's scaladoc prices. At 100 TB this runs on
+    * a SAMPLE (the exact tier is the expensive side); here the corpus
+    * is the sample. All-integer output (counts + bp floor), so the
+    * oracle replays bit-exactly: the candidate test is slot-pair
+    * equality, same as dd09's oracle. Scale: the exact side is the
+    * priced dd04 join; the candidate probe is a left join of the
+    * (∝ near-dups) truth frame against banded signatures. */
+  def dd31LshRecall(s: SparkSession, d: String): DataFrame = {
+    val sh = CacheScope.cached(shingles(s, d))
+    // dd04's truth pipeline inlined so shared/union stay visible: the
+    // pair filter is dd04's rounded-jaccard >= 0.6 verbatim (identical
+    // truth set), but the decile band label is the INTEGER floor
+    // shared*10 div union — no double-multiply-then-floor at a band
+    // edge for the engines to disagree on.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pa = sh.select(col("doc_id").as("d1"), col("s"))
+    val pb = sh.select(col("doc_id").as("d2"), col("s"))
+    val truth = pa.join(pb, Seq("s")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n", "n2"), Seq("d2"))
+      .filter(round(col("shared") * 1.0 / (col("n1") + col("n2") - col("shared")), 4)
+        >= 0.6)
+      .withColumn("j_band",
+        least(expr("shared * 10 div (n1 + n2 - shared)"), lit(9L)))
+      .select(col("d1"), col("d2"), col("j_band"))
+    val sigs = portableSigs(sh)
+    val a = sigs.select(col("doc_id").as("d1") +:
+      (0 until minhashK).map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = sigs.select(col("doc_id").as("d2") +:
+      (0 until minhashK).map(j => col(s"m$j").as(s"b$j")): _*)
+    val bandHit = (0 until 16)
+      .map(bb => col(s"a${2 * bb}") === col(s"b${2 * bb}") &&
+        col(s"a${2 * bb + 1}") === col(s"b${2 * bb + 1}"))
+      .reduce(_ || _)
+    truth.join(a, Seq("d1")).join(b, Seq("d2"))
+      .withColumn("caught", when(bandHit, 1L).otherwise(0L))
+      .groupBy(col("j_band"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(col("caught")).as("n_caught"))
+      .withColumn("recall_bp",
+        expr("n_caught * 10000 div n_true"))
+  }
 }

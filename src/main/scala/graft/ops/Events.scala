@@ -1517,4 +1517,35 @@ object Events {
       .orderBy(col("cnt").desc, col("prev2"), col("prev1"), col("next_type"))
       .limit(25)
   }
+
+  /** ev59: ROBUST anomaly days — median/MAD instead of ev25's trailing
+    * mean: a launch-week traffic step or a single 100× spike day
+    * poisons a mean-based detector's own baseline (the spike inflates
+    * the mean that judges the next week), while the median and the
+    * median-absolute-deviation ignore up to half the days being wild.
+    * Flag = |n − median| > 3·MAD, compared as integers scaled ×1
+    * (daily counts are integers, percentile_disc is an exact order
+    * statistic, so med/MAD/deviation are all integer-exact — no float
+    * in the hash). Degenerate corpus guard: MAD = 0 (over half the
+    * days identical) flags any deviation, which is the strictest
+    * consistent reading of the rule. Scale: two aggregates over the
+    * day-count frame (one row per day — tiny at any corpus size); the
+    * global median is a 1-row broadcast. */
+  def ev59MadAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = CacheScope.cached(ev(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n")))
+    val med = daily.agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT)")
+        .as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("n") - col("med")))
+    val mad = dev.agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS BIGINT)")
+        .as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("n"), col("med"), col("mad"),
+        col("adev").as("deviation"),
+        (col("adev") > col("mad") * 3).as("is_anomaly"))
+  }
 }

@@ -1811,4 +1811,67 @@ object Pipelines {
   def pp42GatedSessions(s: SparkSession, d: String): DataFrame =
     pp04UserSessionFeatures(s, d)
       .join(broadcast(Events.flaggedBots(s, d)), Seq("user_id"), "left_anti")
+
+  /** pp47: LEAKAGE-FREE splits — the constructive counterpart of
+    * pp16's leakage audit. pp16 measures how many near-dup pairs a
+    * per-document hash split tears across train/test; pp47 makes that
+    * count zero BY CONSTRUCTION: the split hash is taken over the
+    * document's dup-cluster representative (dd06's cluster id;
+    * singletons are their own representative), so every member of a
+    * duplication family lands in the same split and a test document
+    * can never have a near-verbatim twin in train. This is the split
+    * discipline an eval-honest 100 TB training corpus actually needs —
+    * pp16's audit on THIS assignment returns zero rows
+    * (spec-asserted). Per (split, source) rollup: docs, distinct
+    * split groups, whitespace tokens. Scale: one left join of the
+    * corpus against the (∝ dup docs) cluster frame + one aggregate;
+    * the md5 split is the same engine-portable rule pp16/pp08 use. */
+  def pp47ClusterSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+    val clusters = Dedup.dd06DupClusters(s, d)
+    val rep = docs.join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
+    val h = substring(md5(col("rep_id").cast("string")), 1, 1)
+    rep.withColumn("split",
+        when(h === "f", "test").when(h === "e", "val").otherwise("train"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep_id")).as("n_groups"),
+        sum(col("n_tokens")).as("tokens"))
+  }
+
+  /** pp48: the DATASET CARD — one row per source uniting every signal
+    * a mix designer reads before weighting it: volume (docs, tokens,
+    * median doc length — an exact order statistic, robust to the
+    * long-document tail that poisons tx25's mean), duplication (docs
+    * in dd06 families + bp), language (tx03's stopword rule) and
+    * quality (tx02's gate at 0.5, tx25's predicate verbatim). This is
+    * the "data statement" artifact a 100 TB corpus publishes next to
+    * the data: every number is derived from already-verified
+    * operators, all-integer (counts, bp floors, percentile_disc), so
+    * the card itself is hash-provable. Scale: one pass over documents
+    * with the (∝ dup docs) cluster frame left-joined in; four
+    * aggregates per source, no window over the corpus. */
+  def pp48DatasetCard(s: SparkSession, d: String): DataFrame = {
+    val scored = Text.tx02QualityScore(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("stop_cnt"), col("score"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val dup = Dedup.dd06DupClusters(s, d).select(col("doc_id"),
+      lit(1L).as("is_dup"))
+    docs.join(scored, Seq("doc_id"))
+      .join(dup, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("bigint")).as("tokens_total"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP " +
+          "(ORDER BY CAST(n_tokens AS BIGINT)) AS BIGINT)").as("p50_tokens"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"),
+        sum(when(col("stop_cnt") >= 2, 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_quality"))
+      .withColumn("dup_bp", expr("n_dup_docs * 10000 div n_docs"))
+      .withColumn("en_bp", expr("n_en * 10000 div n_docs"))
+      .withColumn("quality_bp", expr("n_quality * 10000 div n_docs"))
+  }
 }

@@ -1208,6 +1208,49 @@ object StreamingJobs {
     * make deliveries effectively-once, and pp40's batch patch is the
     * exact reconciliation). Negative drift from a tombstone whose doc
     * was never folded in (a replay gap) clamps at 0, conservative. */
+  /** st35: the DATASET CARD live — pp48's streaming twin, so a mix
+    * designer watches a source's volume/language/quality drift DURING
+    * a crawl instead of at the nightly batch card. Every signal is
+    * row-local (tx02/tx03's token, stopword and score rules verbatim),
+    * so the card is one Complete-mode aggregate: state per source =
+    * four counters + one KLL sketch of doc lengths (k=200 — the p50
+    * column is the sketch's deterministic estimate, exact until a
+    * source exceeds the compaction threshold, ±ε·n rank error after;
+    * pp48's percentile_disc is the exact batch reconciliation).
+    * The card's duplication column is deliberately ABSENT here: dup
+    * membership needs cross-document pair evidence (dd06), which is
+    * exactly the unbounded-state shape the streaming plane avoids —
+    * the batch card carries it (the st28/st31 Kappa split). State
+    * bounded by |sources| × sketch size, never traffic. */
+  def streamingDatasetCard(docs: DataFrame): DataFrame = {
+    val stopArr = array(graft.ops.Text.stopwords.map(lit): _*)
+    val enriched = docs.select(col("source"),
+      size(split(trim(col("text")), " ")).cast("long").as("n_tokens"),
+      // KllQuantileAgg's input contract is double (st08's shape)
+      size(split(trim(col("text")), " ")).cast("double").as("n_tokens_d"),
+      size(filter(split(trim(col("text")), " "),
+        t => array_contains(stopArr, t))).cast("long").as("stop_cnt"))
+      .withColumn("score",
+        round(col("stop_cnt") * 0.5 / col("n_tokens") +
+          when(col("n_tokens").between(5, 200), 0.5).otherwise(0.0), 4))
+    val tokAttr = enriched.queryExecution.analyzed.output
+      .find(_.name == "n_tokens_d").get
+    val kll = org.apache.spark.sql.graft.GraftDataset.column(
+      graft.functions.KllQuantileAgg(tokAttr, Seq(0.5))
+        .toAggregateExpression())
+    enriched.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_total"),
+        kll.as("qs"),
+        sum(when(col("stop_cnt") >= 2, 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_quality"))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        col("qs").getItem(0).cast("long").as("p50_tokens"),
+        col("n_en"), col("n_quality"),
+        expr("n_en * 10000 div n_docs").as("en_bp"),
+        expr("n_quality * 10000 div n_docs").as("quality_bp"))
+  }
+
   def streamingLexiconMaintenance(events: DataFrame): Dataset[LexStatRow] = {
     import events.sparkSession.implicits._
     val signed = events

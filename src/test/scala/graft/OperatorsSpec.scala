@@ -42,7 +42,9 @@ class OperatorsSpec extends SparkTestBase {
       "pp39_patch_clusters",
       // same dependency for the upsert direction (planted-weld spec
       // + the sf0.01 hash gate carry the semantics)
-      "pp43_cluster_upsert")
+      "pp43_cluster_upsert",
+      // recall curve needs dd04 truth pairs, absent in the tiny slice
+      "dd31_lsh_recall")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.toSet -- allowedEmpty}")
   }
@@ -1909,6 +1911,84 @@ class OperatorsSpec extends SparkTestBase {
     after.foreach { case (src, (nTok, _)) =>
       assert(nTok <= before(src),
         s"$src post-dedup mass exceeds its raw mass")
+    }
+  }
+
+  test("dd31 recall curve: truth mass = dd04, caught ≤ true, high-J bands near-exhaustive") {
+    val rows = ops.Dedup.dd31LshRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nTrue = rows.map(_.getLong(1)).sum
+    assert(nTrue == ops.Dedup.dd04NgramJaccard(spark, sf).count(),
+      "dd31's truth mass must be exactly dd04's verified pair set")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"caught > true: $r")
+      assert(r.getLong(3) == r.getLong(2) * 10000L / r.getLong(1))
+    }
+    // the planted near-dups sit at J≈0.97: the top band must exist and
+    // the K–M family must catch essentially all of it (1-(1-J²)¹⁶ ≈ 1)
+    val top = rows.filter(_.getLong(0) == 9L)
+    assert(top.nonEmpty && top.head.getLong(3) >= 9000L,
+      s"top-band recall collapsed: ${top.toSeq}")
+  }
+
+  test("ev59 MAD anomalies match a driver-side recompute") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    def discMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.size - 1) / 2) // percentile_disc(0.5): first value with cdf >= 0.5
+    }
+    val med = discMedian(daily.values.toSeq)
+    val mad = discMedian(daily.values.map(n => math.abs(n - med)).toSeq)
+    val got = ops.Events.ev59MadAnomaly(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(got.keySet == daily.keySet, "one row per day")
+    got.foreach { case (day, (n, m, md2, dev, flag)) =>
+      assert(m == med && md2 == mad && n == daily(day) &&
+        dev == math.abs(n - med) && flag == (dev > 3 * mad))
+    }
+  }
+
+  test("pp47 cluster split: zero leakage by construction, corpus conserved") {
+    val split = ops.Pipelines.pp47ClusterSplit(spark, sf).collect()
+    assert(split.map(_.getLong(2)).sum ==
+      Tables.documents(spark, sf).count(),
+      "split must partition the corpus")
+    // rebuild the per-doc assignment and assert every verified near-dup
+    // pair lands in ONE split (pp16's audit on this assignment is empty)
+    val cl = ops.Dedup.dd06DupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def splitOf(doc: Long): String = {
+      val rep = cl.getOrElse(doc, doc)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(rep.toString.getBytes("UTF-8"))
+      "%02x".format(h(0)).charAt(0) match {
+        case 'f' => "test"; case 'e' => "val"; case _ => "train"
+      }
+    }
+    val leaky = ops.Dedup.dd02MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => splitOf(a) != splitOf(b) }
+    assert(leaky.isEmpty, s"near-dup pairs torn across splits: $leaky")
+  }
+
+  test("pp48 dataset card: conservation + gate formulas") {
+    val card = ops.Pipelines.pp48DatasetCard(spark, sf).collect()
+    assert(card.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+    assert(card.map(_.getLong(4)).sum ==
+      ops.Dedup.dd06DupClusters(spark, sf).count(),
+      "Σ n_dup_docs must equal the clustered-doc count")
+    card.foreach { r =>
+      val (nDocs, dup, en, q) =
+        (r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(r.getLong(7) == dup * 10000L / nDocs)
+      assert(r.getLong(8) == en * 10000L / nDocs)
+      assert(r.getLong(9) == q * 10000L / nDocs)
+      assert(r.getLong(3) >= 1L, "median doc length must be positive")
     }
   }
 

@@ -1127,4 +1127,52 @@ class StreamingSpec extends SparkTestBase {
       assert(t1 > t2 && n2 == n1 - keys.size, "totals did not forget the batch")
     } finally q.stop()
   }
+
+  test("st35 streaming dataset card tracks the batch pp48 counters") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[(Long, String, String)]
+    val stream = in.toDF().toDF("doc_id", "text", "source")
+    val q = StreamingJobs.streamingDatasetCard(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st35_out").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM st35_out").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val batch = ops.Pipelines.pp48DatasetCard(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(5), r.getLong(6)))).toMap
+      assert(got.keySet == batch.keySet, "per-source cards")
+      // counters are exact across the plane split; the KLL p50 is the
+      // sketch's estimate — assert its RANK sits within ±5% of the
+      // median (k=200 is exact below compaction; the bound covers both)
+      val lens: Map[String, Array[Long]] =
+        graft.Tables.documents(spark, "/root/testdata/sf0.001")
+          .selectExpr("source",
+            "CAST(size(split(trim(text), ' ')) AS BIGINT) AS len")
+          .collect().groupBy(_.getString(0))
+          .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
+      got.foreach { case (src, (nDocs, tok, p50, nEn, nQ)) =>
+        val (bDocs, bTok, bP50, bEn, bQ) = batch(src)
+        assert(nDocs == bDocs && tok == bTok && nEn == bEn && nQ == bQ,
+          s"$src counters drift: got ${got(src)}, batch ${batch(src)}")
+        // tie-safe rank band: strictly-below mass ≤ 55%, at-or-below
+        // mass ≥ 45% (duplicated lengths make count(≤v)/n overshoot)
+        val xs = lens(src)
+        val below = xs.count(_ < p50).toDouble / xs.length
+        val atOrBelow = xs.count(_ <= p50).toDouble / xs.length
+        assert(below <= 0.55 && atOrBelow >= 0.45,
+          s"$src p50 rank band ($below, $atOrBelow) off the median " +
+            s"(est $p50, exact $bP50)")
+      }
+    } finally q.stop()
+  }
 }
