@@ -221,9 +221,45 @@ object IndexArtifacts {
     }
   }
 
+  /** Full-FAMILY drift watcher — [[reconcileLexicon]] generalized to
+    * every purge-patchable line at once: the lexicon watcher closed
+    * st33's drift, but st32 (postings df upper bound) and the
+    * graph/cell lines carry the same documented bounded staleness and
+    * were still trigger-less. Same rule (ledger tombstones since the
+    * last reconcile vs `maxDriftConf`), but crossing it runs ONE
+    * [[publishPurgedIndex]] — all eight lines advance together off
+    * the shared pp39 computation, so a reader composing postings +
+    * lexicon + doclens never spans a reconcile boundary where one
+    * line is exact and its partner still drifted. Marker lives at the
+    * index ROOT (`_RECONCILED.json`), independent of the per-line
+    * lexicon marker so the cheap lexicon-only cadence and the full
+    * sweep can run on different schedules. */
+  def reconcileIndex(s: SparkSession, d: String,
+      root: String): Option[Map[String, Long]] = {
+    val maxDrift = s.conf.get(maxDriftConf, "0").toLong
+    val seen = markerCount(new File(root, "_RECONCILED.json"))
+    val total = graft.ops.PurgeLedger.keys(s, d).size.toLong
+    if (total - seen <= maxDrift) None
+    else {
+      val vs = publishPurgedIndex(s, d, root)
+      val vJson = vs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        new File(root, "_RECONCILED.json").toPath,
+        s"""{"tombstones_seen":$total,"versions":$vJson}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      Some(vs)
+    }
+  }
+
   /** Tombstone count at the last lexicon reconcile (0 = never). */
-  private[graft] def reconciledCount(root: String): Long = {
-    val f = new File(sub(root, "lexicon"), "_RECONCILED.json")
+  private[graft] def reconciledCount(root: String): Long =
+    markerCount(new File(sub(root, "lexicon"), "_RECONCILED.json"))
+
+  /** Tombstone count recorded in a reconcile marker (0 = absent);
+    * fails loudly on an unparsable marker rather than silently
+    * re-reconciling forever. */
+  private def markerCount(f: File): Long = {
     if (!f.exists()) 0L
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),

@@ -758,6 +758,35 @@ class SourcesSpec extends SparkTestBase {
     assert(VersionedCorpus.latestVersion(s"$root/lexicon").contains(2L))
   }
 
+  test("full-family reconcile watcher advances all lines together past the bound") {
+    import graft.sources.{IndexArtifacts, VersionedCorpus}
+    val root = s"$tmp/reconcile_all"
+    IndexArtifacts.publishAll(spark, sf, root)
+    val drift = ops.PurgeLedger.keys(spark, sf).size.toLong
+    assert(drift > 0, "planted ledger must carry tombstones")
+    // below threshold: no line moves
+    spark.conf.set(IndexArtifacts.maxDriftConf, (drift + 1).toString)
+    try assert(IndexArtifacts.reconcileIndex(spark, sf, root).isEmpty,
+      "below-threshold drift must not trigger a publish")
+    finally spark.conf.unset(IndexArtifacts.maxDriftConf)
+    // above threshold: ONE publishPurgedIndex — every line advances to
+    // v2 in the same reconcile, so composed readers never straddle an
+    // exact/drifted boundary
+    val vs = IndexArtifacts.reconcileIndex(spark, sf, root)
+    assert(vs.nonEmpty && vs.get.values.forall(_ == 2L),
+      s"lines did not advance together: $vs")
+    // sampled exactness: the served lexicon is pp40's patch bit-for-bit
+    val served = IndexArtifacts.read(spark, root, "lexicon")
+      .collect().map(_.toSeq).toSet
+    val exact = ops.Pipelines.pp40PatchLexicon(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(served == exact, "reconciled lexicon drifts from the exact patch")
+    // drift consumed at the root marker: next tick is a no-op and the
+    // per-line lexicon marker's cadence is independent (still absent)
+    assert(IndexArtifacts.reconcileIndex(spark, sf, root).isEmpty)
+    assert(VersionedCorpus.latestVersion(s"$root/lexicon").contains(2L))
+  }
+
   test("index artifacts publish once, serve bit-identical reads, and re-point on purge") {
     import graft.sources.IndexArtifacts
     val root = s"$tmp/idx"
