@@ -354,6 +354,7 @@ object SparkEntry {
     "ev59_mad_anomaly"      -> Events.ev59MadAnomaly _,
     "pp47_cluster_split"    -> Pipelines.pp47ClusterSplit _,
     "pp48_dataset_card"     -> Pipelines.pp48DatasetCard _,
+    "sk13_ams_f2"           -> Sketches.sk13AmsF2 _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -2494,6 +2495,31 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 10000
          |    // count(*) AS BIGINT) AS quality_bp
          |FROM j GROUP BY 1""".stripMargin,
+
+    // sk13: the AMS signs, group means and median replay exactly — the
+    // ±1 signs are md5 bits, everything else integer arithmetic.
+    "sk13_ams_f2" -> {
+      val xs = (0 until 40).map(i =>
+        s"CAST(sum(('0x' || substring(md5('e$i#' || CAST(user_id AS VARCHAR)), 1, 1))::BIGINT % 2 * 2 - 1) AS BIGINT) AS x$i")
+        .mkString(",\n|    ")
+      val gs = (0 until 5).map(j =>
+        "(" + (8 * j until 8 * j + 8).map(i => s"x$i * x$i")
+          .mkString(" + ") + s") // 8 AS g$j").mkString(",\n|    ")
+      s"""WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         |x AS (SELECT
+         |    $xs
+         |  FROM e),
+         |g AS (SELECT
+         |    $gs
+         |  FROM x),
+         |m AS (SELECT list_sort([g0, g1, g2, g3, g4])[3] AS ams_est FROM g),
+         |f AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM
+         |  (SELECT count(*) AS c FROM e GROUP BY user_id))
+         |SELECT f2_exact, CAST(ams_est AS BIGINT) AS ams_est,
+         |  CAST(abs(ams_est - f2_exact) * 10000 // f2_exact AS BIGINT)
+         |    AS err_bp
+         |FROM f CROSS JOIN m""".stripMargin
+    },
 
     "gr17_ktruss" -> ktrussSql,
 

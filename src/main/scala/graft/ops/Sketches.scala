@@ -299,4 +299,44 @@ object Sketches {
       .select(col("event_type"), col("n"), col("point_sum"),
         col("rep_min"), col("rep_max"), col("spread"))
   }
+
+  /** sk13: AMS (Alon–Matias–Szegedy) F2 / SELF-JOIN-SIZE estimation —
+    * the sketch a query planner consults before committing to a
+    * shuffle: Σ f(u)² over the join key is EXACTLY the row count a
+    * self-join (or the per-key amplification of any equi-join) will
+    * produce, the number q43/q64's skew machinery reacts to after the
+    * fact. The AMS estimator gets it in ONE pass with 40 longs of
+    * state: estimator i keeps X_i = Σ ±1·f(u) (the sign a
+    * deterministic md5 bit of (i, u) — engine-portable, so unlike
+    * HLL/KLL this sketch is fully hash-checked), E[X_i²] = F2;
+    * variance is tamed the textbook way — means of 8 estimators,
+    * median of 5 group means. All integer (±1 sums, squares, floor
+    * divs), so estimate AND exact twin replay bit-for-bit in the
+    * oracle. State is 40 longs per task regardless of stream length —
+    * the mergeable-sketch contract at 100 TB, where the exact twin's
+    * groupBy materializes one row per distinct key. */
+  def sk13AmsF2(s: SparkSession, d: String): DataFrame = {
+    val e = CacheScope.cached(Tables.events(s, d)
+      .filter(col("user_id").isNotNull).select(col("user_id")))
+    val signs = (0 until 40).map { i =>
+      sum(expr("CAST(conv(substring(md5(concat('e" + i +
+        "#', CAST(user_id AS STRING))), 1, 1), 16, 10) AS BIGINT)" +
+        " % 2 * 2 - 1")).as(s"x$i")
+    }
+    val x = e.agg(signs.head, signs.tail: _*)
+    // integer floor div (`div`), never `/` — Spark's `/` is double
+    // division and the oracle's `// 8` is the integer floor
+    val groupMeans = (0 until 5).map { j =>
+      expr("(" + (8 * j until 8 * j + 8)
+        .map(i => s"x$i * x$i").mkString(" + ") + ") div 8").as(s"g$j")
+    }
+    val est = x.select(groupMeans: _*)
+      .select(element_at(array_sort(array(
+        (0 until 5).map(j => col(s"g$j")): _*)), 3).as("ams_est"))
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("f2_exact"))
+    exact.crossJoin(broadcast(est))
+      .withColumn("err_bp",
+        expr("abs(ams_est - f2_exact) * 10000 div f2_exact"))
+  }
 }

@@ -1992,6 +1992,18 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("sk13 AMS estimate brackets the exact F2 within the design bound") {
+    val r = ops.Sketches.sk13AmsF2(spark, sf).head()
+    val (exact, est, errBp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(exact > 0 && est > 0)
+    assert(errBp == math.abs(est - exact) * 10000L / exact)
+    // median-of-5-means of 8 estimators: relative std ≈ √(2/8) ≈ 0.5
+    // before the median; a 4× bracket is ~always inside (and the
+    // estimate is DETERMINISTIC per corpus, so this cannot flake)
+    assert(est >= exact / 4 && est <= exact * 4,
+      s"AMS estimate $est outside 4x bracket of exact $exact")
+  }
+
   test("pp45 safe-keeper patch equals the survivors-only dd28 rebuild") {
     val keys = ops.PurgeLedger.keys(spark, sf)
     val sdir = java.nio.file.Files
