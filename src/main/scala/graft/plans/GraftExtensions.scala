@@ -71,6 +71,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tvf(e, "graft_bm25_topk", graft.ops.Similarity.ss21Bm25Topk)
     tvf(e, "graft_hybrid_topk", graft.ops.Similarity.ss24HybridWalk)
     tvf(e, "graft_training_set", graft.ops.Pipelines.pp01TrainingPipeline)
+    tvf(e, "graft_dataset_card", graft.ops.Pipelines.pp48DatasetCard)
+    tvf(e, "graft_cluster_split", graft.ops.Pipelines.pp47ClusterSplit)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)

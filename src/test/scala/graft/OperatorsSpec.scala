@@ -1843,6 +1843,12 @@ class OperatorsSpec extends SparkTestBase {
     assert(spark.sql(
         s"SELECT count(*) FROM graft_bm25_topk('$sf')").head().getLong(0) ==
       ops.Similarity.ss21Bm25Topk(spark, sf).count())
+    assert(rows(spark.sql(s"SELECT * FROM graft_dataset_card('$sf')")) ==
+      rows(ops.Pipelines.pp48DatasetCard(spark, sf)),
+      "graft_dataset_card drifts")
+    assert(rows(spark.sql(s"SELECT * FROM graft_cluster_split('$sf')")) ==
+      rows(ops.Pipelines.pp47ClusterSplit(spark, sf)),
+      "graft_cluster_split drifts")
     // a non-literal argument fails loudly, not silently
     val err = intercept[Exception](
       spark.sql("SELECT * FROM graft_keepers(doc_id)").collect())
