@@ -355,6 +355,9 @@ object SparkEntry {
     "pp47_cluster_split"    -> Pipelines.pp47ClusterSplit _,
     "pp48_dataset_card"     -> Pipelines.pp48DatasetCard _,
     "sk13_ams_f2"           -> Sketches.sk13AmsF2 _,
+    "dd32_cross_source"     -> Dedup.dd32CrossSourceDups _,
+    "gr19_two_hop"          -> Graph.gr19TwoHopReach _,
+    "mm16_tier_plan"        -> Multimodal.mm16TierPlan _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -2520,6 +2523,73 @@ object SparkEntry {
          |    AS err_bp
          |FROM f CROSS JOIN m""".stripMargin
     },
+
+    // dd32: the verified pair set keyed by unordered source pair; the
+    // docs_a/docs_b sides follow the src_a/src_b orientation.
+    "dd32_cross_source" ->
+      s"""WITH nd AS ($ngramJaccardSql),
+         |j AS (SELECT nd.d1, nd.d2, a.source AS s1, b.source AS s2
+         |      FROM nd JOIN documents a ON nd.d1 = a.doc_id
+         |      JOIN documents b ON nd.d2 = b.doc_id)
+         |SELECT least(s1, s2) AS src_a, greatest(s1, s2) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT CASE WHEN s1 <= s2 THEN d1 ELSE d2 END)
+         |    AS BIGINT) AS n_docs_a,
+         |  CAST(count(DISTINCT CASE WHEN s1 <= s2 THEN d2 ELSE d1 END)
+         |    AS BIGINT) AS n_docs_b
+         |FROM j GROUP BY 1, 2""".stripMargin,
+
+    // gr19: identical hub rule as the Spark kernel — middles enumerated
+    // only where deg <= 64; one row per node with the new-at-2 count
+    // (0 on clique families) and the ≤2-hop radius.
+    "gr19_two_hop" ->
+      s"""WITH e AS ($ngramJaccardSql),
+         |bi AS (SELECT d1, d2 FROM e UNION ALL SELECT d2, d1 FROM e),
+         |deg AS (SELECT d1, count(*) AS deg FROM bi GROUP BY 1),
+         |safe AS (SELECT bi.d1, bi.d2 FROM bi
+         |         JOIN deg ON bi.d1 = deg.d1 WHERE deg.deg <= 64),
+         |th AS (SELECT a.d1 AS x, s.d2 AS y
+         |       FROM bi a JOIN safe s ON a.d2 = s.d1
+         |       WHERE a.d1 != s.d2),
+         |reach AS (SELECT x, count(DISTINCT y) AS n_reach FROM
+         |  (SELECT x, y FROM th
+         |   UNION ALL SELECT d1 AS x, d2 AS y FROM bi) u GROUP BY 1),
+         |new2 AS (SELECT x, count(DISTINCT y) AS n_2hop_new FROM th
+         |  WHERE NOT EXISTS (SELECT 1 FROM bi n
+         |                    WHERE n.d1 = th.x AND n.d2 = th.y)
+         |  GROUP BY 1)
+         |SELECT r.x AS doc_id, CAST(deg.deg AS BIGINT) AS degree,
+         |  CAST(coalesce(new2.n_2hop_new, 0) AS BIGINT) AS n_2hop_new,
+         |  CAST(r.n_reach AS BIGINT) AS n_reach
+         |FROM reach r JOIN deg ON r.x = deg.d1
+         |LEFT JOIN new2 ON r.x = new2.x""".stripMargin,
+
+    // mm16: the mm03 chunk stream rolled to per-tier footprint.
+    "mm16_tier_plan" ->
+      """WITH c AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)))
+        |      AS chunk_idx
+        |  FROM documents),
+        |ch AS (SELECT
+        |    md5(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64)) AS chunk_md5,
+        |    CAST(length(substr(hx, CAST(chunk_idx*64 + 1 AS BIGINT), 64)) // 2
+        |      AS BIGINT) AS chunk_bytes
+        |  FROM c),
+        |r AS (SELECT chunk_md5, count(*) AS refs, max(chunk_bytes) AS bytes
+        |      FROM ch GROUP BY 1),
+        |t AS (SELECT CASE WHEN refs >= 4 THEN 'hot'
+        |             WHEN refs >= 2 THEN 'warm' ELSE 'cold' END AS tier,
+        |        refs, bytes FROM r),
+        |p AS (SELECT tier, CAST(count(*) AS BIGINT) AS n_chunks,
+        |        CAST(sum(bytes) AS BIGINT) AS physical_bytes,
+        |        CAST(sum(refs) AS BIGINT) AS n_refs
+        |      FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(physical_bytes) AS BIGINT) AS total_bytes
+        |        FROM p)
+        |SELECT tier, n_chunks, physical_bytes, n_refs,
+        |  CAST(physical_bytes * 10000 // total_bytes AS BIGINT) AS bytes_bp
+        |FROM p CROSS JOIN tot""".stripMargin,
 
     "gr17_ktruss" -> ktrussSql,
 

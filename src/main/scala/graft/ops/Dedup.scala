@@ -1216,4 +1216,31 @@ object Dedup {
       .withColumn("recall_bp",
         expr("n_caught * 10000 div n_true"))
   }
+
+  /** dd32: cross-source DUPLICATION MATRIX — where dd29 prices how
+    * much duplicated mass each source carries, dd32 answers the next
+    * operational question: duplicated WITH WHOM. Near-dup pairs keyed
+    * by unordered source pair: a heavy off-diagonal cell is a mirror
+    * or syndication feed (two crawlers fetching the same site — drop
+    * one INGEST, not post-hoc pairs); a heavy diagonal cell is a
+    * source that re-crawls itself. The distinct-doc columns bound the
+    * blast radius (1000 pairs from 3 docs ≠ 1000 docs). Scale:
+    * the verified pair frame (∝ true near-dups) joins the 2-column
+    * doc→source dim twice — both map-side after AQE sees the dim. */
+  def dd32CrossSourceDups(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    dd02MinhashLsh(s, d)
+      .join(src.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("source", "s1"), Seq("d1"))
+      .join(src.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("source", "s2"), Seq("d2"))
+      .withColumn("src_a", least(col("s1"), col("s2")))
+      .withColumn("src_b", greatest(col("s1"), col("s2")))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(when(col("s1") <= col("s2"), col("d1"))
+          .otherwise(col("d2"))).as("n_docs_a"),
+        countDistinct(when(col("s1") <= col("s2"), col("d2"))
+          .otherwise(col("d1"))).as("n_docs_b"))
+  }
 }

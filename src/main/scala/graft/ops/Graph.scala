@@ -752,4 +752,49 @@ object Graph {
     labels.join(sizes, Seq("community_id"))
       .select(col("part_id"), col("community_id"), col("community_size"))
   }
+
+  /** gr19: 2-HOP REACH — each document's dedup blast radius: how many
+    * docs sit within two near-dup hops (gr04 scores PAIRS by shared
+    * neighborhood; this is the per-NODE audience a purge or keeper
+    * flip can touch transitively-soon, ranked before dd06's full
+    * component view where everything in a family looks alike).
+    * Expansion rides the same hub rule as every wedge op here:
+    * middles with deg ≤ wedgeMaxDeg are enumerated exactly, hub
+    * middles are skipped (their fan-out is the quadratic blow-up; the
+    * oracle replays the identical rule so the outputs hash-match on
+    * any corpus). One row per GRAPH NODE: degree, n_2hop_new (nodes
+    * reached only via a middle, self and direct neighbors excluded —
+    * 0 everywhere on a clean clique-shaped dup graph, which is itself
+    * the audit: a nonzero says chain welds exist) and n_reach
+    * (distinct nodes within ≤2 hops, the radius itself). Scale: two
+    * self-joins of the (∝ near-dups) edge frame, the second bounded
+    * by cap·deg per node. */
+  def gr19TwoHopReach(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val bi = CacheScope.cached(e.unionByName(
+      e.select(col("d2").as("d1"), col("d1").as("d2"))))
+    val deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
+    val safeMid = bi.join(
+      deg.filter(col("deg") <= wedgeMaxDeg).select(col("d1")),
+      Seq("d1"), "left_semi")
+    val twoHop = bi.select(col("d1").as("x"), col("d2").as("m"))
+      .join(safeMid.select(col("d1").as("m"), col("d2").as("y")), Seq("m"))
+      .filter(col("x") =!= col("y"))
+      .select(col("x"), col("y"))
+    val oneHop = bi.select(col("d1").as("x"), col("d2").as("y"))
+    val reach = twoHop.unionByName(oneHop)
+      .groupBy(col("x").as("doc_id"))
+      .agg(countDistinct(col("y")).as("n_reach"))
+    val newAt2 = twoHop
+      .join(oneHop, Seq("x", "y"), "left_anti")
+      .groupBy(col("x").as("doc_id"))
+      .agg(countDistinct(col("y")).as("n_2hop_new"))
+    reach
+      .join(newAt2, Seq("doc_id"), "left_outer")
+      .join(deg.select(col("d1").as("doc_id"), col("deg").as("degree")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_2hop_new"), lit(0L)).as("n_2hop_new"),
+        col("n_reach"))
+  }
 }

@@ -480,4 +480,34 @@ object Multimodal {
       .agg(count(lit(1)).as("n_chunks"), sum(col("n_refs")).as("n_refs"),
         sum(col("chunk_bytes")).as("n_bytes"))
   }
+
+  /** mm16: storage TIER PLAN — the CAS's popularity-driven placement
+    * policy: a chunk referenced by many documents serves many reads
+    * (hot: NVMe/page-cache tier), a singleton chunk is written once
+    * and read on its one doc's epoch schedule (cold: object storage).
+    * Thresholds are the plan's POLICY KNOBS (≥4 hot, 2–3 warm, 1
+    * cold) — deterministic rules, not a knapsack, so the plan is
+    * declarative, hash-provable, and a 100 TB run prices each tier
+    * before buying it. Per tier: distinct chunks, physical bytes
+    * (unique chunk = one copy), logical references, and the physical
+    * footprint share in bp. Scale: one groupBy over the chunk stream
+    * + a 3-row rollup; the total is a 1-row broadcast. */
+  def mm16TierPlan(s: SparkSession, d: String): DataFrame = {
+    val ref = mm03Chunking(s, d)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("refs"),
+        max(col("chunk_bytes")).cast("long").as("bytes"))
+    val tiered = ref.withColumn("tier",
+      when(col("refs") >= 4, "hot")
+        .when(col("refs") >= 2, "warm").otherwise("cold"))
+    val perTier = tiered.groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("bytes")).as("physical_bytes"),
+        sum(col("refs")).as("n_refs"))
+    val total = perTier.agg(sum(col("physical_bytes")).as("total_bytes"))
+    perTier.crossJoin(broadcast(total))
+      .select(col("tier"), col("n_chunks"), col("physical_bytes"),
+        col("n_refs"),
+        expr("physical_bytes * 10000 div total_bytes").as("bytes_bp"))
+  }
 }
