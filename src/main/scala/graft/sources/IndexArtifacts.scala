@@ -221,6 +221,17 @@ object IndexArtifacts {
     }
   }
 
+  /** Publish the per-source DATASET CARD (pp48) as its own versioned
+    * line — the data statement travels WITH the corpus under the same
+    * versioning discipline as the serving indexes: a training run
+    * records which card version it read, a purge or re-crawl
+    * republishes, and time travel answers "what did the mix designer
+    * see when they weighted this source". The card is a ~|sources|-row
+    * frame, so publish cost is one aggregate + one tiny write. */
+  def publishDatasetCard(s: SparkSession, d: String, root: String): Long =
+    VersionedCorpus.publish(
+      graft.ops.Pipelines.pp48DatasetCard(s, d), sub(root, "dataset_card"))
+
   /** Full-FAMILY drift watcher — [[reconcileLexicon]] generalized to
     * every purge-patchable line at once: the lexicon watcher closed
     * st33's drift, but st32 (postings df upper bound) and the

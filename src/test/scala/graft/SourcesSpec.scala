@@ -758,6 +758,22 @@ class SourcesSpec extends SparkTestBase {
     assert(VersionedCorpus.latestVersion(s"$root/lexicon").contains(2L))
   }
 
+  test("dataset card publishes as a versioned line and time-travels") {
+    import graft.sources.{IndexArtifacts, VersionedCorpus}
+    val root = s"$tmp/card"
+    assert(IndexArtifacts.publishDatasetCard(spark, sf, root) == 1L)
+    val served = IndexArtifacts.read(spark, root, "dataset_card")
+      .collect().map(_.toSeq).toSet
+    val fresh = ops.Pipelines.pp48DatasetCard(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(served == fresh, "served card drifts from the batch op")
+    // a republish advances the line; v1 stays readable (time travel)
+    assert(IndexArtifacts.publishDatasetCard(spark, sf, root) == 2L)
+    val v1 = VersionedCorpus.readAt(spark, s"$root/dataset_card", 1L)
+      .collect().map(_.toSeq).toSet
+    assert(v1 == served, "v1 must stay bit-identical after a republish")
+  }
+
   test("full-family reconcile watcher advances all lines together past the bound") {
     import graft.sources.{IndexArtifacts, VersionedCorpus}
     val root = s"$tmp/reconcile_all"
