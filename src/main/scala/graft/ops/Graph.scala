@@ -777,10 +777,13 @@ object Graph {
     val safeMid = bi.join(
       deg.filter(col("deg") <= wedgeMaxDeg).select(col("d1")),
       Seq("d1"), "left_semi")
-    val twoHop = bi.select(col("d1").as("x"), col("d2").as("m"))
-      .join(safeMid.select(col("d1").as("m"), col("d2").as("y")), Seq("m"))
-      .filter(col("x") =!= col("y"))
-      .select(col("x"), col("y"))
+    // both consumers (reach union, new-at-2 anti-join) read this frame —
+    // one cut spares the wedge join a second run
+    val twoHop = CacheScope.cached(
+      bi.select(col("d1").as("x"), col("d2").as("m"))
+        .join(safeMid.select(col("d1").as("m"), col("d2").as("y")), Seq("m"))
+        .filter(col("x") =!= col("y"))
+        .select(col("x"), col("y")))
     val oneHop = bi.select(col("d1").as("x"), col("d2").as("y"))
     val reach = twoHop.unionByName(oneHop)
       .groupBy(col("x").as("doc_id"))
