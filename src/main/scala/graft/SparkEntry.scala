@@ -356,6 +356,7 @@ object SparkEntry {
     "pp48_dataset_card"     -> Pipelines.pp48DatasetCard _,
     "sk13_ams_f2"           -> Sketches.sk13AmsF2 _,
     "dd32_cross_source"     -> Dedup.dd32CrossSourceDups _,
+    "dd33_banding_advisor"  -> Dedup.dd33BandingAdvisor _,
     "gr19_two_hop"          -> Graph.gr19TwoHopReach _,
     "mm16_tier_plan"        -> Multimodal.mm16TierPlan _,
   )
@@ -2538,6 +2539,24 @@ object SparkEntry {
          |  CAST(count(DISTINCT CASE WHEN s1 <= s2 THEN d2 ELSE d1 END)
          |    AS BIGINT) AS n_docs_b
          |FROM j GROUP BY 1, 2""".stripMargin,
+
+    // dd33: the same squaring chains (floor after every step) emitted
+    // for DuckDB — pure grid arithmetic, no corpus read.
+    "dd33_banding_advisor" -> {
+      val blocks = (0 to 4).map { a =>
+        val r = 1 << a
+        val b = 32 / r
+        val jr = graft.ops.Dedup.sqChainPpm("j_ppm", a, "//")
+        val miss = graft.ops.Dedup.sqChainPpm(s"(1000000 - $jr)", 5 - a, "//")
+        s"""SELECT CAST(j_ppm // 100 AS BIGINT) AS j_bp,
+           |  CAST($r AS BIGINT) AS r, CAST($b AS BIGINT) AS b,
+           |  CAST($jr AS BIGINT) AS band_hit_ppm,
+           |  CAST(1000000 - $miss AS BIGINT) AS recall_ppm
+           |FROM (SELECT 500000 + unnest(range(10)) * 50000 AS j_ppm)"""
+          .stripMargin
+      }
+      blocks.mkString("\nUNION ALL\n")
+    },
 
     // gr19: identical hub rule as the Spark kernel — middles enumerated
     // only where deg <= 64; one row per node with the new-at-2 count

@@ -1227,6 +1227,46 @@ object Dedup {
     * blast radius (1000 pairs from 3 docs ≠ 1000 docs). Scale:
     * the verified pair frame (∝ true near-dups) joins the 2-column
     * doc→source dim twice — both map-side after AQE sees the dim. */
+  /** Integer fixed-point squaring chain on the ppm grid: k successive
+    * x ← (x·x) div 10⁶ steps. Emitted as ONE expression string shared
+    * (modulo the div spelling) with the DuckDB oracle, so both engines
+    * run the IDENTICAL floor sequence — the advisor's probabilities
+    * are exact grid arithmetic, not float luck. */
+  private[graft] def sqChainPpm(e: String, k: Int, div: String): String =
+    (0 until k).foldLeft(e)((g, _) => s"(($g * $g) $div 1000000)")
+
+  /** dd33: LSH BANDING ADVISOR — the closing panel of the tuning
+    * trilogy: dd24 prices ONE banding on the corpus, dd31 measures
+    * what the shipped banding caught; dd33 is the a-priori table a
+    * 100 TB run reads FIRST — for every (rows r, bands b) split of
+    * the 32-slot signature and a Jaccard grid, the textbook
+    * candidate probability 1−(1−J^r)^b. Both exponents are powers of
+    * two, so the whole computation is two squaring chains on the ppm
+    * integer grid (floor after every step, identical in both
+    * engines) — no pow(), no floats, hash-exact. Reading the table:
+    * r=1 catches everything including garbage (b=32 unions every
+    * slot), r=16 only near-identical pairs; the knee you want sits
+    * where recall at your dup threshold stays ≳99% while recall at
+    * sub-threshold J collapses. Scale: 50 rows of pure arithmetic —
+    * zero corpus I/O; the corpus-dependent companion is dd24. */
+  def dd33BandingAdvisor(s: SparkSession, d: String): DataFrame = {
+    val js = s.range(10).select(
+      (col("id") * 50000L + 500000L).as("j_ppm"))
+    val blocks = (0 to 4).map { a =>
+      val r = 1 << a
+      val b = 32 / r
+      val jr = sqChainPpm("j_ppm", a, "div")
+      val miss = sqChainPpm(s"(1000000 - $jr)", 5 - a, "div")
+      js.select(
+        expr("j_ppm div 100").as("j_bp"),
+        lit(r.toLong).as("r"),
+        lit(b.toLong).as("b"),
+        expr(jr).as("band_hit_ppm"),
+        expr(s"1000000 - $miss").as("recall_ppm"))
+    }
+    blocks.reduce(_ unionByName _)
+  }
+
   def dd32CrossSourceDups(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
     dd02MinhashLsh(s, d)

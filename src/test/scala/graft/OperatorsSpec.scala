@@ -2059,6 +2059,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("dd33 banding table matches the float formula and its monotonicities") {
+    val rows = ops.Dedup.dd33BandingAdvisor(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.size == 50)
+    rows.foreach { case ((jBp, r, b), (hit, recall)) =>
+      assert(r * b == 32)
+      val j = jBp / 10000.0
+      val fHit = math.pow(j, r.toDouble)
+      val fRecall = 1.0 - math.pow(1.0 - fHit, b.toDouble)
+      // floor-per-step drift vs the float formula stays tiny on this grid
+      assert(math.abs(hit / 1e6 - fHit) < 1e-3, s"($jBp,$r,$b) hit $hit")
+      assert(math.abs(recall / 1e6 - fRecall) < 1e-3,
+        s"($jBp,$r,$b) recall $recall vs $fRecall")
+    }
+    // recall monotone in J for each banding; r=1 dominates r=16 pointwise
+    for (r <- Seq(1L, 2L, 4L, 8L, 16L)) {
+      val curve = (5000L to 9500L by 500L)
+        .map(j => rows((j, r, 32 / r))._2)
+      assert(curve.zip(curve.tail).forall { case (x, y) => x <= y },
+        s"recall not monotone for r=$r")
+    }
+    (5000L to 9500L by 500L).foreach { j =>
+      assert(rows((j, 1L, 32L))._2 >= rows((j, 16L, 2L))._2)
+    }
+  }
+
   test("sk13 AMS estimate brackets the exact F2 within the design bound") {
     val r = ops.Sketches.sk13AmsF2(spark, sf).head()
     val (exact, est, errBp) = (r.getLong(0), r.getLong(1), r.getLong(2))
