@@ -1188,18 +1188,27 @@ object Dedup {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pa = sh.select(col("doc_id").as("d1"), col("s"))
     val pb = sh.select(col("doc_id").as("d2"), col("s"))
-    val truth = pa.join(pb, Seq("s")).filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("n", "n1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("n", "n2"), Seq("d2"))
-      .filter(round(col("shared") * 1.0 / (col("n1") + col("n2") - col("shared")), 4)
-        >= 0.6)
-      .withColumn("j_band",
-        least(expr("shared * 10 div (n1 + n2 - shared)"), lit(9L)))
-      .select(col("d1"), col("d2"), col("j_band"))
-    val sigs = portableSigs(sh)
+    // cached: three consumers (the two truth-doc projections feeding
+    // the signature semi-join, and the final band probe)
+    val truth = CacheScope.cached(
+      pa.join(pb, Seq("s")).filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+        .join(sizes.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("n", "n1"), Seq("d1"))
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+          .withColumnRenamed("n", "n2"), Seq("d2"))
+        .filter(round(col("shared") * 1.0 / (col("n1") + col("n2") - col("shared")), 4)
+          >= 0.6)
+        .withColumn("j_band",
+          least(expr("shared * 10 div (n1 + n2 - shared)"), lit(9L)))
+        .select(col("d1"), col("d2"), col("j_band")))
+    // semi-join the 32-column signature table down to docs that appear
+    // in a truth pair BEFORE the wide join (the verifiedJaccard sizes
+    // precedent): the probe then shuffles ∝ dup docs, not the corpus —
+    // at 100 TB the full signature table never moves
+    val truthDocs = truth.select(col("d1").as("doc_id"))
+      .union(truth.select(col("d2").as("doc_id"))).distinct()
+    val sigs = portableSigs(sh).join(truthDocs, Seq("doc_id"), "left_semi")
     val a = sigs.select(col("doc_id").as("d1") +:
       (0 until minhashK).map(j => col(s"m$j").as(s"a$j")): _*)
     val b = sigs.select(col("doc_id").as("d2") +:
