@@ -1277,8 +1277,16 @@ object Dedup {
   }
 
   def dd32CrossSourceDups(s: SparkSession, d: String): DataFrame = {
-    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    dd02MinhashLsh(s, d)
+    val pairs = CacheScope.cached(dd02MinhashLsh(s, d))
+    // the doc→source dim is CORPUS-sized at 100 TB: cut it down to the
+    // (∝ dup docs) pair participants with ONE semi-join, then both
+    // source lookups ride the small cached frame (AQE broadcasts it)
+    val pairDocs = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+    val src = CacheScope.cached(
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(pairDocs, Seq("doc_id"), "left_semi"))
+    pairs
       .join(src.withColumnRenamed("doc_id", "d1")
         .withColumnRenamed("source", "s1"), Seq("d1"))
       .join(src.withColumnRenamed("doc_id", "d2")

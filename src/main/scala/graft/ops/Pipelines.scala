@@ -1855,12 +1855,24 @@ object Pipelines {
     * with the (∝ dup docs) cluster frame left-joined in; four
     * aggregates per source, no window over the corpus. */
   def pp48DatasetCard(s: SparkSession, d: String): DataFrame = {
-    val scored = Text.tx02QualityScore(s, d)
-      .select(col("doc_id"), col("n_tokens"), col("stop_cnt"), col("score"))
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // tx02's formulas VERBATIM, computed inline next to `source` so the
+    // card is ONE corpus scan — joining tx02's output back to documents
+    // for the source column would scan the same parquet twice and
+    // shuffle-join the two corpus-sized frames on doc_id
+    val stopArr = array(Text.stopwords.map(lit): _*)
+    val scored = Tables.documents(s, d)
+      .withColumn("tk", split(trim(col("text")), " "))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("stop_cnt",
+        size(filter(col("tk"), t => array_contains(stopArr, t))))
+      .withColumn("score",
+        round(col("stop_cnt") * 0.5 / col("n_tokens") +
+          when(col("n_tokens").between(5, 200), 0.5).otherwise(0.0), 4))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("stop_cnt"), col("score"))
     val dup = Dedup.dd06DupClusters(s, d).select(col("doc_id"),
       lit(1L).as("is_dup"))
-    docs.join(scored, Seq("doc_id"))
+    scored
       .join(dup, Seq("doc_id"), "left_outer")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
