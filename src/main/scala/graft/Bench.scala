@@ -164,6 +164,12 @@ object Bench {
     // contract line so it is the last thing on stdout
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    // sibling archive line (VERDICT r9 #8): the FULL per-query wall map
+    // under a "metric" key so a consumer that archives metric lines
+    // gets round-over-round diffs without depending on how much stdout
+    // tail survives; printed right before the contract line, after the
+    // session's shutdown chatter is silenced
+    println(s"""{"metric":"all","unit":"sec","queries":${qmap(timed)},"sf":"$sfName"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total":${fmt(cpuTotal)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"load_peak":${fmt(loadPeak)},"max_heap_mb":$maxHeapMb,"storage_peak_mb":$storagePeakMb,"evict_total":$evictTotal,"demote_total":$demoteTotal,"queries":${qmap(head)},"slowest":${qmap(slowest)},"cpu":${qmap(cpuSlow)},"cache":${smap(cacheSlow)},"evict":${smap(evictSlow)},"cache_hits":$hTot,"cache_misses":$mTot,"n_queries":${timed.size},"n_failed":${failed.size},"errors":$errs,"sf":"$sfName"}""")
   }
 }

@@ -359,6 +359,7 @@ object SparkEntry {
     "dd33_banding_advisor"  -> Dedup.dd33BandingAdvisor _,
     "gr19_two_hop"          -> Graph.gr19TwoHopReach _,
     "mm16_tier_plan"        -> Multimodal.mm16TierPlan _,
+    "sk14_ams_route"        -> Sketches.sk14AmsRoute _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -2523,6 +2524,42 @@ object SparkEntry {
          |  CAST(abs(ams_est - f2_exact) * 10000 // f2_exact AS BIGINT)
          |    AS err_bp
          |FROM f CROSS JOIN m""".stripMargin
+    },
+
+    // sk14: per candidate key column, the same AMS estimator replayed
+    // (signs, means of 8, median of 5, all integer), the eff = n²//F̂2
+    // threshold rule, and the strategy-invariant exact (n_keys,
+    // max_freq) — the route column proves the router decided
+    // identically cross-engine.
+    "sk14_ams_route" -> {
+      val xs = (0 until 40).map(i =>
+        s"CAST(sum(('0x' || substring(md5('e$i#' || k), 1, 1))::BIGINT % 2 * 2 - 1) AS BIGINT) AS x$i")
+        .mkString(", ")
+      val gs = (0 until 5).map(j =>
+        "(" + (8 * j until 8 * j + 8).map(i => s"x$i * x$i")
+          .mkString(" + ") + s") // 8 AS g$j").mkString(", ")
+      val cols = Seq("event_type" -> 1, "user_id" -> 2, "event_id" -> 3)
+      val ctes = cols.map { case (c, i) =>
+        s"""e$i AS (SELECT CAST($c AS VARCHAR) AS k FROM events
+           |        WHERE user_id IS NOT NULL),
+           |x$i AS (SELECT CAST(count(*) AS BIGINT) AS n, $xs FROM e$i),
+           |g$i AS (SELECT n, $gs FROM x$i),
+           |m$i AS (SELECT n, CAST(greatest(1, list_sort([g0, g1, g2, g3, g4])[3])
+           |          AS BIGINT) AS ams_est FROM g$i),
+           |r$i AS (SELECT n, ams_est,
+           |          CAST(n * n // ams_est AS BIGINT) AS eff_keys FROM m$i),
+           |k$i AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           |          CAST(max(c) AS BIGINT) AS max_freq
+           |        FROM (SELECT count(*) AS c FROM e$i GROUP BY k) _t$i),
+           |b$i AS (SELECT '$c' AS key_col, n AS n_rows, ams_est, eff_keys,
+           |          CASE WHEN eff_keys <= 1000 THEN 'salted'
+           |               ELSE 'plain' END AS route, n_keys, max_freq
+           |        FROM r$i CROSS JOIN k$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ctes}
+         |SELECT * FROM b1
+         |UNION ALL SELECT * FROM b2
+         |UNION ALL SELECT * FROM b3""".stripMargin
     },
 
     // dd32: the verified pair set keyed by unordered source pair; the

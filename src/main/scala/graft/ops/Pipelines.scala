@@ -1623,15 +1623,46 @@ object Pipelines {
     * already a cross-engine upsert ≡ rebuild proof). */
   private[graft] def clusterUpsertFromStanding(standingClusters: DataFrame,
       standingKeepers: DataFrame, newPairs0: DataFrame,
-      scores: DataFrame): DataFrame = {
+      scores: DataFrame): DataFrame =
+    clusterUpsertFromStandingBoth(standingClusters, standingKeepers,
+      newPairs0, scores)._2
+
+  /** [[clusterUpsertFromStanding]] returning BOTH patched artifact
+    * lines (members, keepers) off the one quotient-graph computation —
+    * what [[graft.sources.IndexArtifacts.publishFoldedDedup]] publishes
+    * so clusters and keepers advance together (re-pointing one line
+    * and leaving the other stale is the silent-staleness bug class).
+    * Member patch: untouched standing rows pass through verbatim;
+    * members of a touched cluster re-map through their cluster node's
+    * new quotient label; joining nodes (batch docs and standing
+    * singletons — never standing CLUSTERED docs, those were mapped to
+    * their cluster ids) label themselves. Same exactness argument as
+    * the keeper side: the quotient min-label IS the true min doc_id
+    * over the merged membership. */
+  private[graft] def clusterUpsertFromStandingBoth(
+      standingClusters: DataFrame, standingKeepers: DataFrame,
+      newPairs0: DataFrame, scores: DataFrame): (DataFrame, DataFrame) = {
     val newPairs = CacheScope.cached(newPairs0)
-    val qlabels = Dedup.propagateMinLabels(
-      quotientPairs(standingClusters, newPairs))
+    val qlabels = CacheScope.cached(Dedup.propagateMinLabels(
+      quotientPairs(standingClusters, newPairs)))
     val touched = qlabels.select(col("doc").as("cluster_id"))
       .join(standingClusters.select(col("cluster_id")).distinct(),
         Seq("cluster_id"), "left_semi")
     val passThrough = standingKeepers
       .join(touched, Seq("cluster_id"), "left_anti")
+    val membersPass = standingClusters
+      .join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    val remapped = standingClusters
+      .join(touched, Seq("cluster_id"), "left_semi")
+      .join(qlabels.select(col("doc").as("cluster_id"), col("lbl")),
+        Seq("cluster_id"))
+      .select(col("doc_id"), col("lbl").as("cluster_id"))
+    val joining = qlabels
+      .join(touched.withColumnRenamed("cluster_id", "doc"),
+        Seq("doc"), "left_anti")
+      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+    val members = membersPass.unionByName(remapped).unionByName(joining)
     // per-node weight: a standing-cluster node carries its published
     // member count, a joining doc weighs 1 (cluster ids are standing
     // doc ids of CLUSTERED docs, so the two node kinds cannot collide)
@@ -1655,7 +1686,7 @@ object Pipelines {
       .select(col("lbl").as("cluster_id"), col("cand_id").as("keeper_id"))
       .join(nodeCounts, Seq("cluster_id"))
       .select(col("cluster_id"), col("keeper_id"), col("n_members"))
-    passThrough.unionByName(merged)
+    (members, passThrough.unionByName(merged))
   }
 
   /** pp43: dedup-artifact UPSERT — the add direction for the LAST

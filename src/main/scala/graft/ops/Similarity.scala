@@ -597,7 +597,7 @@ object Similarity {
   /** The corpus on the SQ12 fixed-point grid (x = floor(v·4096),
     * |x|² precomputed) — the Lloyd kernel's input, cached because
     * every round scans it. */
-  private def sq12Grid(emb0: DataFrame): DataFrame =
+  private[graft] def sq12Grid(emb0: DataFrame): DataFrame =
     CacheScope.cached(emb0
       .select(col("vec_id"), expr(
         "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 4096.0) AS BIGINT))")
@@ -613,15 +613,10 @@ object Similarity {
     * LongVecSumAgg per cell, int division truncated toward zero.
     * Returns (iteration stats, new centroid frame). */
   private def lloydRound(emb: DataFrame, cents: DataFrame,
-      it: Int): (DataFrame, DataFrame) = {
-    val withC = cents
-      .withColumn("cn2", expr("long_dot(cent, cent)"))
-    val assigned = emb.crossJoin(broadcast(withC))
-      .withColumn("d2",
-        col("xn2") - lit(2L) * expr("long_dot(x, cent)") + col("cn2"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cell"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("d2"))
+      it: Int, twoLevel: Boolean = false): (DataFrame, DataFrame) = {
+    val assigned =
+      if (twoLevel) assignTwoLevel(emb, cents)
+      else assignExhaustive(emb, cents)
     val stats = assigned
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("cell_inertia"))
@@ -646,6 +641,74 @@ object Similarity {
     (stats, next)
   }
 
+  /** Exhaustive argmin-L2 assignment on the SQ12 grid: every vector
+    * against every broadcast centroid — k distance evals per row, the
+    * right shape for small k (ss15's k=8, the label quantizer). */
+  private[graft] def assignExhaustive(emb: DataFrame, cents: DataFrame): DataFrame =
+    argminCell(emb.crossJoin(broadcast(
+      cents.withColumn("cn2", expr("long_dot(cent, cent)")))))
+
+  /** The shared argmin kernel: d² = |x|² − 2x·c + |c|² in the
+    * codegen'd long_dot, lexicographic struct-min for deterministic
+    * ties — identical arithmetic whichever candidate generator fed it. */
+  private def argminCell(cand: DataFrame): DataFrame = cand
+    .withColumn("d2",
+      col("xn2") - lit(2L) * expr("long_dot(x, cent)") + col("cn2"))
+    .groupBy(col("vec_id"))
+    .agg(min(struct(col("d2"), col("cell"))).as("m"))
+    .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("d2"))
+
+  /** Candidate generation for the TWO-LEVEL assignment (VERDICT r9
+    * #5): at the k ≈ √N the k-configurable quantizer exists to serve,
+    * exhaustive assignment is 10⁵ distance evals per row per Lloyd
+    * iteration. Group the centroids under √k super-cells (seeds =
+    * every √k-th centroid in cell-id order — deterministic; each
+    * centroid assigns to its nearest super by the same argmin
+    * arithmetic), then a row probes its nearest super-cell's member
+    * centroids only: ~√k super evals + ~√k member evals per row
+    * instead of k. Every centroid-side frame is ∝ k (never corpus);
+    * the corpus touches only the √k-row broadcast supers and the
+    * k-row broadcast member table. Pruned assignment can differ from
+    * exhaustive when a vector's true centroid hides in a non-nearest
+    * super-cell — on separated clusters (the planted spec) they are
+    * identical, and inside Lloyd descent the occasional coarser
+    * assignment is a standard approximate-k-means trade. */
+  private[graft] def twoLevelCandidates(emb: DataFrame,
+      cents0: DataFrame): DataFrame = {
+    val cents = CacheScope.cached(
+      cents0.withColumn("cn2", expr("long_dot(cent, cent)")))
+    val k = cents.count()
+    val g = math.max(1L, math.round(math.sqrt(k.toDouble)))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cell"))
+    val ranked = CacheScope.cached(
+      cents.withColumn("rk", row_number().over(w).cast("long") - 1L))
+    val supers = ranked.filter(col("rk") % g === 0L)
+      .select(expr(s"rk div $g").as("sc"), col("cent").as("scent"),
+        col("cn2").as("scn2"))
+    // centroid → super: k×√k distance evals, all on k-row frames
+    val cSuper = ranked.crossJoin(broadcast(supers))
+      .withColumn("ds", col("cn2") - lit(2L) *
+        expr("long_dot(cent, scent)") + col("scn2"))
+      .groupBy(col("cell")).agg(min(struct(col("ds"), col("sc"))).as("m"))
+      .select(col("cell"), col("m.sc").as("sc"))
+    val centBySuper = cents.join(cSuper, Seq("cell"))
+    // row → super: √k evals per row, then ONLY that super's members
+    val rowSuper = emb.crossJoin(broadcast(supers))
+      .withColumn("ds", col("xn2") - lit(2L) *
+        expr("long_dot(x, scent)") + col("scn2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("ds"), col("sc"))).as("m"))
+      .select(col("vec_id"), col("m.sc").as("sc"))
+    emb.join(rowSuper, Seq("vec_id"))
+      .join(broadcast(centBySuper), Seq("sc"))
+  }
+
+  /** Two-level pruned assignment — [[twoLevelCandidates]] through the
+    * shared argmin kernel. */
+  private[graft] def assignTwoLevel(emb: DataFrame,
+      cents: DataFrame): DataFrame =
+    argminCell(twoLevelCandidates(emb, cents))
+
   /** k-CONFIGURABLE coarse-quantizer trainer for the artifact path
     * (VERDICT r8 #2): Lloyd's algorithm (the ss15 kernel — identical
     * SQ12-grid arithmetic) returning the quantizer in the
@@ -663,7 +726,11 @@ object Similarity {
     val emb = sq12Grid(emb0)
     var cents = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cell"), col("x").as("cent"))
-    for (it <- 1 to iters) cents = lloydRound(emb, cents, it)._2
+    // large k routes through the two-level pruned assignment — the
+    // knob's honesty at its k ≈ √N target (VERDICT r9 #5); small k
+    // keeps the exhaustive argmin (identical results, fewer stages)
+    val twoLevel = k >= 64
+    for (it <- 1 to iters) cents = lloydRound(emb, cents, it, twoLevel)._2
     cents.select(col("cell"),
       expr("transform(cent, v -> CAST(v AS DOUBLE) / 4096.0)").as("cent"))
   }

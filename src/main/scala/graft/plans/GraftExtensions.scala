@@ -32,13 +32,14 @@ import org.apache.spark.sql.types.StringType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def dirArg(fn: String, exprs: Seq[Expression]): String =
-    exprs match {
-      case Seq(one) if one.foldable && one.dataType == StringType =>
-        String.valueOf(one.eval())
-      case _ => throw new IllegalArgumentException(
-        s"$fn(dir) takes exactly one string-literal corpus directory")
-    }
+  private def strArgs(fn: String, exprs: Seq[Expression],
+      n: Int, usage: String): Seq[String] = {
+    if (exprs.length != n ||
+        !exprs.forall(e => e.foldable && e.dataType == StringType))
+      throw new IllegalArgumentException(
+        s"$fn($usage) takes exactly $n string literal(s)")
+    exprs.map(e => String.valueOf(e.eval()))
+  }
 
   private def tvf(e: SparkSessionExtensions, name: String,
       build: (SparkSession, String) => DataFrame): Unit =
@@ -47,8 +48,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(getClass.getName, name),
       (exprs: Seq[Expression]) => {
         val s = SparkSession.active
-        build(s, dirArg(name, exprs)).queryExecution.analyzed
-          : LogicalPlan
+        build(s, strArgs(name, exprs, 1, "dir").head)
+          .queryExecution.analyzed: LogicalPlan
+      }))
+
+  /** Two-string-literal TVF — the artifact-serving surface's shape:
+    * (corpus dir, index root). */
+  private def tvf2(e: SparkSessionExtensions, name: String,
+      build: (SparkSession, String, String) => DataFrame): Unit =
+    e.injectTableFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, name),
+      (exprs: Seq[Expression]) => {
+        val s = SparkSession.active
+        val Seq(d, root) = strArgs(name, exprs, 2, "corpus_dir, index_root")
+        build(s, d, root).queryExecution.analyzed: LogicalPlan
       }))
 
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -73,6 +87,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tvf(e, "graft_training_set", graft.ops.Pipelines.pp01TrainingPipeline)
     tvf(e, "graft_dataset_card", graft.ops.Pipelines.pp48DatasetCard)
     tvf(e, "graft_cluster_split", graft.ops.Pipelines.pp47ClusterSplit)
+    // artifact-root TVFs (VERDICT r9 #6): SQL users SERVE published
+    // index artifacts instead of recomputing from the corpus — the
+    // `*_from` family loads exactly the bytes the build published
+    // (keepers/clusters/safe_keepers take the index root;
+    // safe_keepers inherits dd28FromArtifacts' fail-closed contract
+    // on an invalidated line). The two-arg serving TVFs split work
+    // the production way: index from artifact, query from request.
+    tvf(e, "graft_keepers_from",
+      (s, root) => graft.sources.IndexArtifacts.dd07FromArtifacts(s, root))
+    tvf(e, "graft_clusters_from",
+      (s, root) => graft.sources.IndexArtifacts.dd06FromArtifacts(s, root))
+    tvf(e, "graft_safe_keepers_from",
+      (s, root) => graft.sources.IndexArtifacts.dd28FromArtifacts(s, root))
+    tvf2(e, "graft_bm25_topk_from",
+      graft.sources.IndexArtifacts.ss21FromArtifacts)
+    tvf2(e, "graft_hybrid_topk_from",
+      graft.sources.IndexArtifacts.ss24FromArtifacts)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)

@@ -53,6 +53,21 @@ object IndexArtifacts {
   private def sub(root: String, name: String): String =
     new File(root, name).getAbsolutePath
 
+  /** Marker writes go through temp-file + ATOMIC_MOVE (the publish
+    * path's manifest re-point discipline, ADVICE r9): a crash
+    * mid-write must never leave a truncated `_RECONCILED.json` /
+    * `_INVALIDATED.json` that makes every later reconcile (or
+    * fail-closed read) throw until manually repaired. */
+  private def atomicWrite(f: File, content: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      f.getParentFile.toPath, f.getName, ".tmp")
+    java.nio.file.Files.write(tmp,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    java.nio.file.Files.move(tmp, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
   /** Conf key selecting the published coarse quantizer's k: unset →
     * label centroids (k = |labels|, the default every sf hash gate
     * grades); set → ss15's Lloyd trainer at that k (VERDICT r8 #2 —
@@ -213,10 +228,8 @@ object IndexArtifacts {
     else {
       val v = VersionedCorpus.publish(
         graft.ops.Pipelines.pp40PatchLexicon(s, d), sub(root, "lexicon"))
-      java.nio.file.Files.write(
-        new File(sub(root, "lexicon"), "_RECONCILED.json").toPath,
-        s"""{"tombstones_seen":$total,"version":$v}"""
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      atomicWrite(new File(sub(root, "lexicon"), "_RECONCILED.json"),
+        s"""{"tombstones_seen":$total,"version":$v}""")
       Some(v)
     }
   }
@@ -255,10 +268,15 @@ object IndexArtifacts {
       val vs = publishPurgedIndex(s, d, root)
       val vJson = vs.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-      java.nio.file.Files.write(
-        new File(root, "_RECONCILED.json").toPath,
-        s"""{"tombstones_seen":$total,"versions":$vJson}"""
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      atomicWrite(new File(root, "_RECONCILED.json"),
+        s"""{"tombstones_seen":$total,"versions":$vJson}""")
+      // the full sweep just published pp40's exact lexicon patch as
+      // part of publishPurgedIndex — advance the per-line lexicon
+      // marker too, so the next reconcileLexicon cadence tick doesn't
+      // see the whole ledger as un-reconciled and republish an
+      // identical version redundantly (ADVICE r9)
+      atomicWrite(new File(sub(root, "lexicon"), "_RECONCILED.json"),
+        s"""{"tombstones_seen":$total,"version":${vs("lexicon")}}""")
       Some(vs)
     }
   }
@@ -300,10 +318,8 @@ object IndexArtifacts {
     val line = new File(sub(root, name))
     line.mkdirs()
     val v = VersionedCorpus.latestVersion(line.getAbsolutePath).getOrElse(0L)
-    java.nio.file.Files.write(
-      new File(line, "_INVALIDATED.json").toPath,
-      s"""{"as_of_version":$v,"reason":"${jsonEscape(reason)}"}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    atomicWrite(new File(line, "_INVALIDATED.json"),
+      s"""{"as_of_version":$v,"reason":"${jsonEscape(reason)}"}""")
   }
 
   /** The invalidation horizon for a line, if any. A marker file that
@@ -440,6 +456,30 @@ object IndexArtifacts {
         .select(col("doc_id"), col("score")))
     invalidate(root, "safe_keepers",
       "arrival batch applied; dd26 support evidence requires rebuild")
+    Map(
+      "clusters" -> VersionedCorpus.publish(members,
+        sub(root, "clusters"), Some("doc_id")),
+      "keepers" -> VersionedCorpus.publish(keepers,
+        sub(root, "keepers"), Some("keeper_id")))
+  }
+
+  /** [[publishUpsertedDedup]]'s PRODUCTION-SHAPE twin: the standing
+    * side is LOADED from the published clusters/keepers lines
+    * (pp43FromArtifacts' kernel — zero standing-side LSH, exactly one
+    * convergence loop over the quotient graph) and both lines advance
+    * together off that one computation. Same safe_keepers fail-closed
+    * invalidation — an arrival can weld safe sub-clusters. This is
+    * the fold step [[MaintenanceRunner.tick]] sequences. */
+  def publishFoldedDedup(s: SparkSession, d: String,
+      root: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions.col
+    val (members, keepers) = graft.ops.Pipelines.clusterUpsertFromStandingBoth(
+      read(s, root, "clusters"), read(s, root, "keepers"),
+      graft.ops.Dedup.batchPairs(s, d),
+      graft.ops.Text.tx02QualityScore(s, d)
+        .select(col("doc_id"), col("score")))
+    invalidate(root, "safe_keepers",
+      "arrival batch folded; dd26 support evidence requires rebuild")
     Map(
       "clusters" -> VersionedCorpus.publish(members,
         sub(root, "clusters"), Some("doc_id")),

@@ -1208,6 +1208,40 @@ object StreamingJobs {
     * make deliveries effectively-once, and pp40's batch patch is the
     * exact reconciliation). Negative drift from a tombstone whose doc
     * was never folded in (a replay gap) clamps at 0, conservative. */
+  def streamingLexiconMaintenance(events: DataFrame): Dataset[LexStatRow] = {
+    import events.sparkSession.implicits._
+    val signed = events
+      .withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("sign", when(col("tombstone"), -1L).otherwise(1L))
+    val termDeltas = signed
+      .select(explode(array_distinct(col("toks"))).as("tok"),
+        col("sign").as("d_df"), lit(0L).as("d_docs"),
+        lit(0L).as("d_tokens"))
+    val totalDeltas = signed
+      .select(lit(lexTotalsKey).as("tok"), lit(0L).as("d_df"),
+        col("sign").as("d_docs"),
+        (col("sign") * size(col("toks")).cast("long")).as("d_tokens"))
+    termDeltas.unionByName(totalDeltas).as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), LexStatRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tok, rows, state: GroupState[(Long, Long, Long)]) =>
+          val (df0, n0, t0) = state.getOption.getOrElse((0L, 0L, 0L))
+          var df = df0; var n = n0; var t = t0
+          rows.foreach { r => df += r._2; n += r._3; t += r._4 }
+          df = math.max(0L, df); n = math.max(0L, n); t = math.max(0L, t)
+          if ((df, n, t) == ((df0, n0, t0))) Iterator.empty
+          else {
+            state.update((df, n, t))
+            if (tok == lexTotalsKey)
+              Iterator.single(LexStatRow(tok, 0L, n, t, retracted = false))
+            else
+              Iterator.single(LexStatRow(tok, df, -1L, -1L,
+                retracted = df == 0L))
+          }
+      }
+  }
+
   /** st35: the DATASET CARD live — pp48's streaming twin, so a mix
     * designer watches a source's volume/language/quality drift DURING
     * a crawl instead of at the nightly batch card. Every signal is
@@ -1249,39 +1283,5 @@ object StreamingJobs {
         col("n_en"), col("n_quality"),
         expr("n_en * 10000 div n_docs").as("en_bp"),
         expr("n_quality * 10000 div n_docs").as("quality_bp"))
-  }
-
-  def streamingLexiconMaintenance(events: DataFrame): Dataset[LexStatRow] = {
-    import events.sparkSession.implicits._
-    val signed = events
-      .withColumn("toks", split(trim(col("text")), " "))
-      .withColumn("sign", when(col("tombstone"), -1L).otherwise(1L))
-    val termDeltas = signed
-      .select(explode(array_distinct(col("toks"))).as("tok"),
-        col("sign").as("d_df"), lit(0L).as("d_docs"),
-        lit(0L).as("d_tokens"))
-    val totalDeltas = signed
-      .select(lit(lexTotalsKey).as("tok"), lit(0L).as("d_df"),
-        col("sign").as("d_docs"),
-        (col("sign") * size(col("toks")).cast("long")).as("d_tokens"))
-    termDeltas.unionByName(totalDeltas).as[(String, Long, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), LexStatRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (tok, rows, state: GroupState[(Long, Long, Long)]) =>
-          val (df0, n0, t0) = state.getOption.getOrElse((0L, 0L, 0L))
-          var df = df0; var n = n0; var t = t0
-          rows.foreach { r => df += r._2; n += r._3; t += r._4 }
-          df = math.max(0L, df); n = math.max(0L, n); t = math.max(0L, t)
-          if ((df, n, t) == ((df0, n0, t0))) Iterator.empty
-          else {
-            state.update((df, n, t))
-            if (tok == lexTotalsKey)
-              Iterator.single(LexStatRow(tok, 0L, n, t, retracted = false))
-            else
-              Iterator.single(LexStatRow(tok, df, -1L, -1L,
-                retracted = df == 0L))
-          }
-      }
   }
 }

@@ -1792,6 +1792,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(ops.Pipelines.quotientPairs(
         sources.IndexArtifacts.read(spark, root, "clusters"), np).count()
       == np.count(), "quotient graph must be batch-pair-sized")
+    // the MEMBERS side of the same fold (what publishFoldedDedup
+    // publishes alongside): patched clusters ≡ a full-corpus rebuild
+    val (members, _) = ops.Pipelines.clusterUpsertFromStandingBoth(
+      sources.IndexArtifacts.read(spark, root, "clusters"),
+      sources.IndexArtifacts.read(spark, root, "keepers"),
+      np, ops.Text.tx02QualityScore(spark, sf)
+        .select(col("doc_id"), col("score")))
+    val memberSet = members.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuild = ops.Dedup.dd06DupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(memberSet == rebuild,
+      s"folded members diverge from rebuild: only-fold=" +
+        s"${memberSet -- rebuild} only-rebuild=${rebuild -- memberSet}")
   }
 
   test("decoder registry routes by magic bytes; stub default leaves mm02 intact") {
@@ -4046,5 +4060,182 @@ class OperatorsSpec extends SparkTestBase {
     val kept = ops.Events.ev56GatedFeatures(spark, sf)
       .select("user_id").collect().map(_.getLong(0)).toSet
     assert(kept == all -- bots, "sf gate disagrees with ev12 ∖ ev54")
+  }
+
+  test("dd31 sampled truth tier equals a full run on the exact md5-rule subset") {
+    // the documented sample rule replicated INDEPENDENTLY (Java MD5):
+    // keep doc iff md5(doc_id)'s leading 16 bits scale below bp
+    def inSample(id: Long, bp: Int): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) * 10000L / 65536L < bp
+    }
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val keep = ids.filter(inSample(_, 5000)).toSet
+    assert(keep.nonEmpty && keep.size < ids.length,
+      "bp=5000 must bind on the sf corpus")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd31s").toString
+    docs.filter(col("doc_id").isin(keep.toSeq: _*))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expected = ops.Dedup.dd31LshRecall(spark, dir).collect()
+      .map(_.toSeq).toSet
+    spark.conf.set(ops.Dedup.recallSampleBpConf, "5000")
+    try {
+      val sampled = ops.Dedup.dd31LshRecall(spark, sf).collect()
+        .map(_.toSeq).toSet
+      assert(sampled == expected,
+        "sampled dd31 must equal the full run on the md5-rule doc subset")
+    } finally spark.conf.unset(ops.Dedup.recallSampleBpConf)
+    // the default (10000 bp) stays the identity: truth mass = dd04's
+    val full = ops.Dedup.dd31LshRecall(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(full == ops.Dedup.dd04NgramJaccard(spark, sf).count())
+  }
+
+  test("bandRows conf closes the dd33 → dd02/dd31 decision loop at r=4") {
+    import spark.implicits._
+    // 300 planted pairs, each sharing a 42-token core with an 8-token
+    // unique suffix per side: 48 shingles per doc, 40 shared →
+    // J = 40/56 ≈ 0.714, decile band 7 — the region where r=4 banding
+    // recall is meaningfully below 1 (dd33 predicts ≈0.89 at J=0.70)
+    // while r=2 is still exhaustive (≈0.9999)
+    val n = 300
+    val docs = (0 until n).flatMap { i =>
+      val core = (1 to 42).map(j => s"p${i}c$j")
+      val a = (core ++ (1 to 8).map(j => s"p${i}a$j")).mkString(" ")
+      val b = (core ++ (1 to 8).map(j => s"p${i}b$j")).mkString(" ")
+      Seq((2L * i, a), (2L * i + 1, b))
+    }.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-band").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val truth = ops.Dedup.dd04NgramJaccard(spark, dir).collect()
+    assert(truth.length == n &&
+      truth.forall(r => math.abs(r.getDouble(2) - 0.7143) < 1e-3),
+      s"planted truth wrong: ${truth.length} pairs")
+    val p2 = ops.Dedup.dd02MinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(ops.Dedup.bandRowsConf, "4")
+    try {
+      // a 4-slot band is two aligned 2-slot bands, so an r=4 hit
+      // implies an r=2 hit: the coarser banding can only lose pairs
+      val p4 = ops.Dedup.dd02MinhashLsh(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p4.subsetOf(p2), "r=4 candidates must be ⊆ r=2's")
+      // dd31 measures the recall of exactly the banding the conf
+      // selected; the planted band-7 mass must sit between dd33's
+      // predictions at the bracketing grid points (J=0.70 / 0.75),
+      // modulo K–M slot correlation + binomial noise
+      val band7 = ops.Dedup.dd31LshRecall(spark, dir).collect()
+        .find(_.getLong(0) == 7L).get
+      assert(band7.getLong(1) == n.toLong, s"band-7 truth mass: $band7")
+      val measured = band7.getLong(3)
+      val adv = ops.Dedup.dd33BandingAdvisor(spark, dir).collect()
+      def predBp(jbp: Long): Long = adv.find(r =>
+        r.getLong(0) == jbp && r.getLong(1) == 4L).get.getLong(4) / 100
+      assert(measured >= predBp(7000) - 2000 &&
+        measured <= predBp(7500) + 2000,
+        s"measured $measured bp outside advisor bracket " +
+          s"[${predBp(7000)}, ${predBp(7500)}] for r=4")
+    } finally spark.conf.unset(ops.Dedup.bandRowsConf)
+  }
+
+  test("sk14 routes on the AMS estimate and a planted skew flips the route") {
+    val out = ops.Sketches.sk14AmsRoute(spark, sf).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      // graded values are strategy-invariant: both physical shapes
+      // must equal this plain recompute
+      val plain = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+        .groupBy(col(r.getString(0)).cast("string")).count()
+        .agg(count(lit(1)), max("count")).head()
+      assert(r.getLong(5) == plain.getLong(0) &&
+        r.getLong(6) == plain.getLong(1), s"values not invariant: $r")
+      // the route column is exactly the threshold rule's verdict
+      assert((r.getString(4) == "salted") == (r.getLong(3) <= 1000L), s"$r")
+    }
+    // planted flip on the user_id column: 3000 unique users → eff ≈ n
+    // > 1000 → plain; one hot user → eff ≈ 1 → salted
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def evDf(uid: Long => Long) = (0 until 3000).map { i =>
+      (i.toLong, new java.sql.Timestamp(t0.getTime + i * 1000L),
+        uid(i.toLong), "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def routeOf(dir: String): String =
+      ops.Sketches.sk14AmsRoute(spark, dir).collect()
+        .find(_.getString(0) == "user_id").get.getString(4)
+    val dU = java.nio.file.Files.createTempDirectory("graft-sk14u").toString
+    evDf(identity).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dU/events.parquet")
+    val dH = java.nio.file.Files.createTempDirectory("graft-sk14h").toString
+    evDf(_ => 7L).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dH/events.parquet")
+    assert(routeOf(dU) == "plain", "unique keys must route plain")
+    assert(routeOf(dH) == "salted", "a hot key must route salted")
+  }
+
+  test("two-level Lloyd: exact on separated clusters, bounded candidates at k=1024") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 64
+    // 32 clusters on a LINE: center c sits at 10c + ((c·37)%31)/10 on
+    // dim0 — the jitter keeps every center ≥3.1 away from any
+    // super-boundary midpoint under the every-6th-seed grouping
+    // (verified exhaustively), so no assignment decision is within
+    // noise of a tie. vec_id c is cluster c's first member, making the
+    // first-32 seeds the (near-)true centers.
+    val corpus = for { c <- 0 until 32; m <- 0 until 8 } yield (
+      if (m == 0) c.toLong else 32L + (m - 1) * 32 + c,
+      Array.tabulate(dim)(i =>
+        if (i == 0) (10f * c + ((c * 37) % 31) * 0.1f) / 100f
+        else 0.0001f * (((m * 31 + i * 17 + c * 7) % 9) - 4)),
+      0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-2lvl").toString
+    corpus.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = ops.Similarity.sq12Grid(Tables.embeddings(spark, dir))
+    val cents = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").cast("int").as("cell"), col("x").as("cent"))
+    val ex = ops.Similarity.assignExhaustive(emb, cents).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val two = ops.Similarity.assignTwoLevel(emb, cents).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(two == ex, "pruned assignment must equal exhaustive argmin")
+    // the knob's target scale: k=1024 over a 5000-vector corpus (the
+    // sf parquet tops out at 500 embeddings) — the per-row candidate
+    // count stays ≤ 2·√k on average (√k super evals + the chosen
+    // super's members) and the trainer completes
+    val big = for (id <- 0 until 5000) yield (id.toLong,
+      Array.tabulate(dim)(i =>
+        (((id * 31 + i * 17) % 97) - 48) / 50f +
+          (((id * 13 + i * 7) % 11) - 5) / 500f), 0)
+    val bigDir = java.nio.file.Files.createTempDirectory("graft-2lvl-big")
+      .toString
+    big.toDF("vec_id", "embedding", "label").coalesce(2)
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    val embBig = ops.Similarity.sq12Grid(Tables.embeddings(spark, bigDir))
+    val seeds = embBig.orderBy(col("vec_id")).limit(1024)
+      .select(col("vec_id").cast("int").as("cell"), col("x").as("cent"))
+    val n = embBig.count()
+    val cand = ops.Similarity.twoLevelCandidates(embBig, seeds).count()
+    assert(cand <= 2L * 32L * n,
+      s"avg ${cand / n} candidates per row exceeds 2·√k = 64")
+    val trained = ops.Similarity.kmeansCentroids(spark,
+      Tables.embeddings(spark, bigDir), 1024, iters = 1)
+    val kOut = trained.count()
+    assert(kOut > 256L && kOut <= 1024L,
+      s"k=1024 trainer returned $kOut cells")
+  }
+
+  test("sk13 estimate-only switch runs zero per-key aggregation") {
+    val estOnly = ops.Sketches.sk13AmsF2(spark, sf, exact = false)
+    val plan = estOnly.queryExecution.executedPlan.toString
+    assert(!plan.contains("keys=[user_id"),
+      s"estimate-only plan still groups by the key:\n$plan")
+    // the estimate is the SAME number the graded calibration row carries
+    val graded = ops.Sketches.sk13AmsF2(spark, sf).head()
+    assert(estOnly.head().getLong(0) == graded.getLong(1))
   }
 }

@@ -803,6 +803,93 @@ class SourcesSpec extends SparkTestBase {
     assert(VersionedCorpus.latestVersion(s"$root/lexicon").contains(2L))
   }
 
+  test("MaintenanceRunner.tick: zero jobs below drift, every line + card above") {
+    import graft.sources.{IndexArtifacts, MaintenanceRunner}
+    val root = s"$tmp/tick"
+    IndexArtifacts.publishAll(spark, sf, root)
+    val drift = ops.PurgeLedger.keys(spark, sf).size.toLong
+    assert(drift > 0, "planted ledger must carry tombstones")
+    // below drift: the whole tick is driver-side marker/ledger reads —
+    // ZERO Spark jobs, nothing published
+    spark.conf.set(IndexArtifacts.maxDriftConf, (drift + 1).toString)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val quiet = MaintenanceRunner.tick(spark, sf, root)
+      Thread.sleep(1500) // let trailing listener events drain
+      assert(quiet == MaintenanceRunner.Tick(None, None, None, None),
+        s"quiet tick did work: $quiet")
+      assert(jobs.get == 0, s"quiet tick launched ${jobs.get} jobs")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset(IndexArtifacts.maxDriftConf)
+    }
+    // above drift (default 0): one tick advances every purge-patchable
+    // line together, the lexicon cadence no-ops (the full sweep
+    // advanced its marker too), and the card publishes LAST
+    val t1 = MaintenanceRunner.tick(spark, sf, root)
+    assert(t1.reconciled.nonEmpty &&
+      t1.reconciled.get.values.forall(_ == 2L),
+      s"lines did not advance together: ${t1.reconciled}")
+    assert(t1.lexicon.isEmpty,
+      "lexicon cadence must no-op right after the full sweep")
+    assert(t1.card.contains(1L), s"card not published: ${t1.card}")
+    // served reader ≡ rebuild bit-for-bit (postings = pp37's patch,
+    // the hash-proven rebuild twin)
+    val served = IndexArtifacts.read(spark, root, "postings")
+      .collect().map(_.toSeq).toSet
+    val rebuilt = ops.Pipelines.pp37PatchPostings(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(served == rebuilt, "tick-served postings drift from rebuild")
+    // drift consumed: the next tick is quiet again
+    assert(MaintenanceRunner.tick(spark, sf, root) ==
+      MaintenanceRunner.Tick(None, None, None, None))
+    // fold tick: clusters+keepers advance together off the LOADED
+    // standing side, and the card re-describes the folded corpus
+    val t3 = MaintenanceRunner.tick(spark, sf, root, foldArrival = true)
+    assert(t3.folded.nonEmpty &&
+      t3.folded.get.keySet == Set("clusters", "keepers"),
+      s"fold did not advance both dedup lines: ${t3.folded}")
+    assert(t3.card.contains(2L), s"fold tick must republish the card: $t3")
+  }
+
+  test("artifact-root TVFs serve published lines and fail closed") {
+    import graft.sources.IndexArtifacts
+    val root = s"$tmp/tvf_root"
+    IndexArtifacts.publishAll(spark, sf, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(spark.sql(s"SELECT * FROM graft_keepers_from('$root')")) ==
+      rows(IndexArtifacts.dd07FromArtifacts(spark, root)))
+    assert(rows(spark.sql(s"SELECT * FROM graft_clusters_from('$root')")) ==
+      rows(IndexArtifacts.dd06FromArtifacts(spark, root)))
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_bm25_topk_from('$sf', '$root')")) ==
+      rows(IndexArtifacts.ss21FromArtifacts(spark, sf, root)))
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_hybrid_topk_from('$sf', '$root')")) ==
+      rows(IndexArtifacts.ss24FromArtifacts(spark, sf, root)))
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_safe_keepers_from('$root')")) ==
+      rows(IndexArtifacts.read(spark, root, "safe_keepers")))
+    // fail-closed: after an upsert invalidates safe_keepers, the TVF
+    // inherits dd28FromArtifacts' refusal to serve the stale line
+    IndexArtifacts.publishUpsertedDedup(spark, sf, root)
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_safe_keepers_from('$root')").collect()
+    }
+    assert(chain(ex).exists(_.isInstanceOf[IllegalStateException]),
+      s"expected the fail-closed IllegalStateException, got $ex")
+  }
+
   test("index artifacts publish once, serve bit-identical reads, and re-point on purge") {
     import graft.sources.IndexArtifacts
     val root = s"$tmp/idx"
