@@ -360,6 +360,7 @@ object SparkEntry {
     "gr19_two_hop"          -> Graph.gr19TwoHopReach _,
     "mm16_tier_plan"        -> Multimodal.mm16TierPlan _,
     "sk14_ams_route"        -> Sketches.sk14AmsRoute _,
+    "dd34_prod_recall"      -> Dedup.dd34ProdRecall _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -2526,21 +2527,23 @@ object SparkEntry {
          |FROM f CROSS JOIN m""".stripMargin
     },
 
-    // sk14: per candidate key column, the same AMS estimator replayed
-    // (signs, means of 8, median of 5, all integer), the eff = n²//F̂2
-    // threshold rule, and the strategy-invariant exact (n_keys,
-    // max_freq) — the route column proves the router decided
-    // identically cross-engine.
+    // sk14: the AMS estimator replayed per candidate key column —
+    // ONE md5 per row per column, estimator i's ±1 sign = bit (i%4)
+    // of hex char (1 + i//4) of that digest; means of 8, median of 5,
+    // the eff = n²//F̂2 threshold rule, and the strategy-invariant
+    // exact (n_keys, max_freq) — the route column proves the router
+    // decided identically cross-engine.
     "sk14_ams_route" -> {
       val xs = (0 until 40).map(i =>
-        s"CAST(sum(('0x' || substring(md5('e$i#' || k), 1, 1))::BIGINT % 2 * 2 - 1) AS BIGINT) AS x$i")
+        s"CAST(sum(('0x' || substring(hh, ${1 + i / 4}, 1))::BIGINT // ${1 << (i % 4)} % 2 * 2 - 1) AS BIGINT) AS x$i")
         .mkString(", ")
       val gs = (0 until 5).map(j =>
         "(" + (8 * j until 8 * j + 8).map(i => s"x$i * x$i")
           .mkString(" + ") + s") // 8 AS g$j").mkString(", ")
       val cols = Seq("event_type" -> 1, "user_id" -> 2, "event_id" -> 3)
       val ctes = cols.map { case (c, i) =>
-        s"""e$i AS (SELECT CAST($c AS VARCHAR) AS k FROM events
+        s"""e$i AS (SELECT md5('s14#' || CAST($c AS VARCHAR)) AS hh,
+           |          CAST($c AS VARCHAR) AS k FROM events
            |        WHERE user_id IS NOT NULL),
            |x$i AS (SELECT CAST(count(*) AS BIGINT) AS n, $xs FROM e$i),
            |g$i AS (SELECT n, $gs FROM x$i),

@@ -1240,17 +1240,42 @@ object Dedup {
   def dd31LshRecall(s: SparkSession, d: String): DataFrame = {
     val bp = s.conf.get(recallSampleBpConf, "10000").toInt
     val sh = CacheScope.cached(recallSample(shingles(s, d), bp))
-    // dd04's truth pipeline inlined so shared/union stay visible: the
-    // pair filter is dd04's rounded-jaccard >= 0.6 verbatim (identical
-    // truth set), but the decile band label is the INTEGER floor
-    // shared*10 div union — no double-multiply-then-floor at a band
-    // edge for the engines to disagree on.
+    recallProbe(s, truthBands(sh), portableSigs(sh))
+  }
+
+  /** dd34: the PRODUCTION family's measured recall — dd31 probes the
+    * portable Kirsch–Mitzenmacher family (dd09's; the one the oracle
+    * can replay), which is CONSERVATIVE w.r.t. dd02's k
+    * independent-xxhash64 signatures: the K–M slot correlation costs
+    * recall that slot independence doesn't pay. dd34 measures the
+    * banding dd02 actually ships — same truth tier, same sampling
+    * knob, same conf-selected geometry, signatures swapped for
+    * minhashSigs. xxhash64 has no DuckDB twin, so this is a declared
+    * rows+spec entry (the 8-sketch precedent); the spec asserts truth
+    * mass ≡ dd04, caught ≤ true, and on the planted mid-J corpus the
+    * production recall is not below the portable family's beyond
+    * noise — the measured form of the README's "strictly better"
+    * framing. */
+  def dd34ProdRecall(s: SparkSession, d: String): DataFrame = {
+    val bp = s.conf.get(recallSampleBpConf, "10000").toInt
+    val sh = CacheScope.cached(recallSample(shingles(s, d), bp))
+    recallProbe(s, truthBands(sh), minhashSigs(sh))
+  }
+
+  /** dd04's truth pipeline with the integer decile band label —
+    * dd31/dd34's shared exact tier. Inlined (not a dd04 call) so
+    * shared/union stay visible: the pair filter is dd04's
+    * rounded-jaccard >= 0.6 verbatim (identical truth set), but the
+    * band label is the INTEGER floor shared*10 div union — no
+    * double-multiply-then-floor at a band edge for the engines to
+    * disagree on. */
+  private def truthBands(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pa = sh.select(col("doc_id").as("d1"), col("s"))
     val pb = sh.select(col("doc_id").as("d2"), col("s"))
     // cached: three consumers (the two truth-doc projections feeding
     // the signature semi-join, and the final band probe)
-    val truth = CacheScope.cached(
+    CacheScope.cached(
       pa.join(pb, Seq("s")).filter(col("d1") < col("d2"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
         .join(sizes.withColumnRenamed("doc_id", "d1")
@@ -1262,13 +1287,19 @@ object Dedup {
         .withColumn("j_band",
           least(expr("shared * 10 div (n1 + n2 - shared)"), lit(9L)))
         .select(col("d1"), col("d2"), col("j_band")))
+  }
+
+  /** Per-band recall of a 32-slot signature family under the
+    * conf-selected banding — dd31/dd34's shared probe. */
+  private def recallProbe(s: SparkSession, truth: DataFrame,
+      sigs0: DataFrame): DataFrame = {
     // semi-join the 32-column signature table down to docs that appear
     // in a truth pair BEFORE the wide join (the verifiedJaccard sizes
     // precedent): the probe then shuffles ∝ dup docs, not the corpus —
     // at 100 TB the full signature table never moves
     val truthDocs = truth.select(col("d1").as("doc_id"))
       .union(truth.select(col("d2").as("doc_id"))).distinct()
-    val sigs = portableSigs(sh).join(truthDocs, Seq("doc_id"), "left_semi")
+    val sigs = sigs0.join(truthDocs, Seq("doc_id"), "left_semi")
     val a = sigs.select(col("doc_id").as("d1") +:
       (0 until minhashK).map(j => col(s"m$j").as(s"a$j")): _*)
     val b = sigs.select(col("doc_id").as("d2") +:

@@ -390,15 +390,40 @@ object Sketches {
       .filter(col("user_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("event_type")))
     val keyCols = Seq("event_type", "user_id", "event_id")
-    val routed = keyCols.map { kc =>
+    // ONE corpus pass for all three estimators, and ONE md5 per row
+    // per column: estimator i's ±1 sign is BIT (i mod 4) of hex char
+    // (1 + i div 4) of that single digest — 3 hashes per row instead
+    // of sk13's 120 fresh ones (sk13 keeps its textbook per-estimator
+    // hash: it reads one column once; here the hash bill is ×3 and
+    // measured dominant). n is shared: all three columns aggregate
+    // the same filtered frame.
+    val hashed = ev.select(keyCols.map(kc =>
+      expr(s"md5(concat('s14#', CAST($kc AS STRING)))").as(s"h_$kc")): _*)
+    def sign(h: String, i: Int): String =
+      s"CAST(conv(substring($h, ${1 + i / 4}, 1), 16, 10) AS BIGINT)" +
+        s" div ${1 << (i % 4)} % 2 * 2 - 1"
+    val aggs = count(lit(1)).as("n") +: keyCols.flatMap(kc =>
+      (0 until 40).map(i => sum(expr(sign(s"h_$kc", i))).as(s"x_${kc}_$i")))
+    val x = hashed.agg(aggs.head, aggs.tail: _*)
+    val gSel = col("n") +: keyCols.flatMap(kc => (0 until 5).map { j =>
+      expr("(" + (8 * j until 8 * j + 8)
+        .map(i => s"x_${kc}_$i * x_${kc}_$i").mkString(" + ") + ") div 8")
+        .as(s"g_${kc}_$j")
+    })
+    val ests = x.select(gSel: _*)
+      .select(col("n") +: keyCols.map(kc =>
+        element_at(array_sort(array(
+          (0 until 5).map(j => col(s"g_${kc}_$j")): _*)), 3)
+          .as(s"est_$kc")): _*)
+      .head()
+    val n = ests.getLong(0)
+    val routed = keyCols.zipWithIndex.map { case (kc, ix) =>
       val e = ev.select(col(kc).cast("string").as("k"),
         col("event_id").cast("string").as("rid"))
-      val r = amsEstimate(e, "k").head()
-      val n = r.getLong(0)
       // the estimator is a sum of squares, so ≥ 0; the floor-to-1
       // guard (mirrored as greatest(1, …) in the oracle) only binds
       // on degenerate near-empty inputs
-      val est = math.max(1L, r.getLong(1))
+      val est = math.max(1L, ests.getLong(1 + ix))
       val eff = n * n / est
       val salted = eff <= 1000L
       val grouped =

@@ -70,10 +70,12 @@ class OperatorsSpec extends SparkTestBase {
       "sk04_kll_quantiles", "sk05_bloom_prejoin",
       "sk07_hll_rollup",
       // SURVEY.md §2 (dd09/sk06/ss08/ss10/ss14 promoted round 5): only
-      // sketches over engine-internal hashes (HLL/GK/KLL/CMS/bloom) and
-      // deflate remain unoracled
+      // sketches over engine-internal hashes (HLL/GK/KLL/CMS/bloom),
+      // deflate, and dd34's xxhash64 production-banding probe remain
+      // unoracled
       "sk12_sliding_hll",
-      "tx41_compressibility")
+      "tx41_compressibility",
+      "dd34_prod_recall")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -4138,7 +4140,32 @@ class OperatorsSpec extends SparkTestBase {
         measured <= predBp(7500) + 2000,
         s"measured $measured bp outside advisor bracket " +
           s"[${predBp(7000)}, ${predBp(7500)}] for r=4")
+      // the production (independent-xxhash) family measured on the
+      // same plant must not sit below the portable K–M family beyond
+      // binomial noise — the README's "slot independence is strictly
+      // better" claim, in measured form
+      val prod7 = ops.Dedup.dd34ProdRecall(spark, dir).collect()
+        .find(_.getLong(0) == 7L).get
+      assert(prod7.getLong(1) == n.toLong, s"dd34 truth mass: $prod7")
+      assert(prod7.getLong(3) >= measured - 700,
+        s"production recall ${prod7.getLong(3)} below portable " +
+          s"$measured beyond noise")
     } finally spark.conf.unset(ops.Dedup.bandRowsConf)
+  }
+
+  test("dd34 production recall: truth mass ≡ dd04, caught ≤ true, top band exhaustive") {
+    val rows = ops.Dedup.dd34ProdRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum ==
+      ops.Dedup.dd04NgramJaccard(spark, sf).count(),
+      "dd34's truth mass must be exactly dd04's verified pair set")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"caught > true: $r")
+      assert(r.getLong(3) == r.getLong(2) * 10000L / r.getLong(1))
+    }
+    val top = rows.filter(_.getLong(0) == 9L)
+    assert(top.nonEmpty && top.head.getLong(3) >= 9000L,
+      s"top-band production recall collapsed: ${top.toSeq}")
   }
 
   test("sk14 routes on the AMS estimate and a planted skew flips the route") {
