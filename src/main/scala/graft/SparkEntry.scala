@@ -361,6 +361,8 @@ object SparkEntry {
     "mm16_tier_plan"        -> Multimodal.mm16TierPlan _,
     "sk14_ams_route"        -> Sketches.sk14AmsRoute _,
     "dd34_prod_recall"      -> Dedup.dd34ProdRecall _,
+    "ss27_filtered_route"   -> Similarity.ss27FilteredRoute _,
+    "dd35_cluster_cohesion" -> Dedup.dd35ClusterCohesion _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -2565,6 +2567,28 @@ object SparkEntry {
          |UNION ALL SELECT * FROM b3""".stripMargin
     },
 
+    // dd35: every verified pair lies inside one component, so intra =
+    // pairs joined to the cluster table on both endpoints; means and
+    // density are integer floors on the shared 4-dp Jaccard grid.
+    "dd35_cluster_cohesion" ->
+      s"""WITH nd AS ($ngramJaccardSql),
+         |cl AS ($dupClustersSql),
+         |intra AS (SELECT a.cluster_id,
+         |    CAST(count(*) AS BIGINT) AS n_intra_pairs,
+         |    CAST(CAST(sum(CAST(round(nd.jaccard * 10000, 0) AS BIGINT))
+         |      AS BIGINT) // count(*) AS BIGINT) AS mean_j_bp
+         |  FROM nd JOIN cl a ON nd.d1 = a.doc_id
+         |  JOIN cl b ON nd.d2 = b.doc_id
+         |  WHERE a.cluster_id = b.cluster_id GROUP BY 1),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM cl GROUP BY 1)
+         |SELECT sz.cluster_id, n_members,
+         |  coalesce(n_intra_pairs, 0) AS n_intra_pairs,
+         |  coalesce(mean_j_bp, 0) AS mean_j_bp,
+         |  CAST(coalesce(n_intra_pairs, 0) * 10000
+         |    // (n_members * (n_members - 1) // 2) AS BIGINT) AS density_bp
+         |FROM sz LEFT JOIN intra USING (cluster_id)""".stripMargin,
+
     // dd32: the verified pair set keyed by unordered source pair; the
     // docs_a/docs_b sides follow the src_a/src_b orientation.
     "dd32_cross_source" ->
@@ -2921,6 +2945,32 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin,
 
     "ss01_brute_topk" -> bruteTopkSql,
+
+    // ss27: the exact filtered top-5 is route-invariant; the oracle
+    // replays the integer selectivity rule so the route column proves
+    // both engines picked the same physical branch.
+    "ss27_filtered_route" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS t
+        |            FROM embeddings WHERE vec_id >= 10),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS nf FROM embeddings
+        |      WHERE vec_id >= 10 AND label = 1),
+        |sel AS (SELECT CAST(nf * 10000 // t AS BIGINT) AS sel_bp,
+        |          CASE WHEN nf * 10000 // t <= 2000
+        |               THEN 'broadcast_corpus'
+        |               ELSE 'scan_in_place' END AS route
+        |        FROM tot, f),
+        |q AS (SELECT vec_id AS qid, embedding AS qe
+        |      FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT qid, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(qe, e.embedding) AS cos
+        |      FROM q, embeddings e
+        |      WHERE e.vec_id >= 10 AND e.label = 1 AND e.vec_id != qid),
+        |r AS (SELECT qid, neighbor_id,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos DESC, neighbor_id) AS rk
+        |      FROM c)
+        |SELECT qid, neighbor_id, rk, route, sel_bp
+        |FROM r CROSS JOIN sel WHERE rk <= 5""".stripMargin,
     "ss12_mmr_topk" -> mmrTopkSql,
     "ss15_kmeans" -> kmeansSql,
     "ss17_index_refresh" -> indexRefreshSql,

@@ -1361,6 +1361,43 @@ object Dedup {
     blocks.reduce(_ unionByName _)
   }
 
+  /** dd35: cluster COHESION audit — dd26 prices the RISK of chain
+    * welds (triangle-unsupported merges); dd35 measures the realized
+    * cohesion of each shipped cluster: dd06's components are the
+    * transitive closure of the verified pair graph, so a large
+    * cluster glued by a few chain edges shows a LOW pair density
+    * (n_intra_pairs ∕ C(n,2)) and its mean pair Jaccard tells whether
+    * the glue is borderline (≈6000 bp, the threshold floor) or
+    * near-identical mass. The keep-best policy (dd07) discards
+    * n−1 docs per cluster — density is the audit that says whether
+    * those discards were each other's near-dups or a closure
+    * artifact. Every verified pair lies inside exactly one component
+    * (spec-conserved), so the frame is pairs ⋈ clusters twice — both
+    * ∝ near-dups, never corpus². All-integer output (bp floors on
+    * the 4-dp Jaccard grid both engines already hash-agree on). */
+  def dd35ClusterCohesion(s: SparkSession, d: String): DataFrame = {
+    val pairs = CacheScope.cached(dd02MinhashLsh(s, d))
+    val clusters = CacheScope.cached(dd06DupClusters(s, d))
+    val intra = pairs
+      .join(clusters.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("cluster_id", "c1"), Seq("d1"))
+      .join(clusters.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("cluster_id", "c2"), Seq("d2"))
+      .filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("cluster_id"))
+      .agg(count(lit(1)).as("n_intra_pairs"),
+        expr("sum(CAST(round(jaccard * 10000, 0) AS BIGINT)) div count(1)")
+          .as("mean_j_bp"))
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(intra, Seq("cluster_id"), "left_outer")
+      .select(col("cluster_id"), col("n_members"),
+        coalesce(col("n_intra_pairs"), lit(0L)).as("n_intra_pairs"),
+        coalesce(col("mean_j_bp"), lit(0L)).as("mean_j_bp"))
+      .withColumn("density_bp",
+        expr("n_intra_pairs * 10000 div (n_members * (n_members - 1) div 2)"))
+  }
+
   /** dd32: cross-source DUPLICATION MATRIX — where dd29 prices how
     * much duplicated mass each source carries, dd32 answers the next
     * operational question: duplicated WITH WHOM. Near-dup pairs keyed

@@ -264,6 +264,44 @@ object Similarity {
       expr("cosine_sim(q_emb, embedding)"), 5)
   }
 
+  /** ss27: SELECTIVITY-ROUTED filtered search — q73's
+    * statistic→decision shape on the vector side. ss13 always
+    * pre-filters into the scan, but WHICH SIDE MOVES is a physical
+    * decision the filter's measured selectivity should make: a
+    * selective predicate (sel ≤ 2000 bp) proves the surviving corpus
+    * slice small, so it BROADCASTS to the query side — at 100 TB the
+    * difference between shipping a few survivors and scanning the
+    * corpus in place; a non-selective predicate keeps ss01's shape
+    * (corpus scanned in place, 10-row query side broadcast). Both
+    * branches compute the IDENTICAL exact top-5 (strategy-invariant
+    * graded values) with the route and the integer sel_bp as columns,
+    * so the oracle replays the threshold rule and the hash proves
+    * both engines decided identically. The two counts are driver-side
+    * scalars — the q73-sanctioned CBO-statistic class (a production
+    * caller reads them from table stats or q68's histogram instead of
+    * a count pass). */
+  def ss27FilteredRoute(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = CacheScope.cached(Tables.embeddings(s, d))
+    val corpusF = emb.filter(col("label") === 1 && col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding"))
+    val total = emb.filter(col("vec_id") >= 10).count()
+    val nf = corpusF.count()
+    val selBp = if (total == 0) 0L else nf * 10000L / total
+    val selective = selBp <= 2000L
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val joined =
+      if (selective)
+        queries.join(broadcast(corpusF), col("vec_id") =!= col("qid"))
+      else
+        corpusF.join(broadcast(queries), col("vec_id") =!= col("qid"))
+    topkPairs(joined, expr("cosine_sim(q_emb, embedding)"), 5)
+      .withColumn("route",
+        lit(if (selective) "broadcast_corpus" else "scan_in_place"))
+      .withColumn("sel_bp", lit(selBp))
+  }
+
   /** Multi-probe list for a bucket column: the exact bucket plus every
     * 1-bit flip — 5 probes per 4-bit table. */
   private def probesExpr(bucketCol: String): Column = expr(

@@ -4256,6 +4256,60 @@ class OperatorsSpec extends SparkTestBase {
       s"k=1024 trainer returned $kOut cells")
   }
 
+  test("ss27 routes on measured selectivity; both branches exact and invariant") {
+    val rows = ops.Similarity.ss27FilteredRoute(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length % 5 == 0)
+    rows.foreach { r =>
+      assert((r.getString(3) == "broadcast_corpus") == (r.getLong(4) <= 2000L),
+        s"route disagrees with the sel rule: $r")
+    }
+    // plant the OTHER branch: every corpus vector labeled 1 → sel =
+    // 10000 bp → scan_in_place; neighbors must equal a driver-side
+    // exact recompute (strategy-invariance of the graded values)
+    import spark.implicits._
+    val dim = 8
+    val all = (0 until 30).map(i => (i.toLong,
+      Array.tabulate(dim)(j => ((i * 7 + j * 13) % 19 - 9) / 10f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss27").toString
+    all.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = ops.Similarity.ss27FilteredRoute(spark, dir).collect()
+    assert(planted.forall(_.getString(3) == "scan_in_place") &&
+      planted.forall(_.getLong(4) == 10000L),
+      "all-eligible corpus must route scan_in_place")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d0 = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d0 / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val vecs = all.map(e => e._1 -> e._2).toMap
+    val byQ = planted.groupBy(_.getLong(0))
+    (0L until 10L).foreach { q =>
+      val expect = (10 until 30).map(i =>
+          (i.toLong, cos(vecs(q), vecs(i.toLong))))
+        .sortBy { case (id, sc) => (-sc, id) }.take(5).map(_._1)
+      val got = byQ(q).sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+      assert(got == expect, s"q$q: got $got expected $expect")
+    }
+  }
+
+  test("dd35 cohesion conserves the pair mass and bounds density/mean") {
+    val rows = ops.Dedup.dd35ClusterCohesion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every verified pair lies inside exactly one component
+    assert(rows.map(_.getLong(2)).sum ==
+      ops.Dedup.dd02MinhashLsh(spark, sf).count(),
+      "intra-pair mass must equal the full verified pair set")
+    rows.foreach { r =>
+      val (n, intra, meanJ, dens) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= 2, s"singleton in the cluster table: $r")
+      assert(intra <= n * (n - 1) / 2 && dens <= 10000L, s"density: $r")
+      assert(intra == 0 || (meanJ >= 6000L && meanJ <= 10000L),
+        s"mean pair Jaccard outside the verified band: $r")
+    }
+  }
+
   test("sk13 estimate-only switch runs zero per-key aggregation") {
     val estOnly = ops.Sketches.sk13AmsF2(spark, sf, exact = false)
     val plan = estOnly.queryExecution.executedPlan.toString

@@ -878,6 +878,13 @@ class SourcesSpec extends SparkTestBase {
     assert(rows(spark.sql(
         s"SELECT * FROM graft_safe_keepers_from('$root')")) ==
       rows(IndexArtifacts.read(spark, root, "safe_keepers")))
+    // the two-arg family validates its arity/literal contract loudly
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bm25_topk_from('$root')").collect()
+    }
+    assert(bad.getMessage.contains("graft_bm25_topk_from") ||
+      Option(bad.getCause).exists(_.getMessage
+        .contains("graft_bm25_topk_from")), s"wrong arity error: $bad")
     // fail-closed: after an upsert invalidates safe_keepers, the TVF
     // inherits dd28FromArtifacts' refusal to serve the stale line
     IndexArtifacts.publishUpsertedDedup(spark, sf, root)
