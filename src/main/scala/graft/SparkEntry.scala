@@ -363,6 +363,7 @@ object SparkEntry {
     "dd34_prod_recall"      -> Dedup.dd34ProdRecall _,
     "ss27_filtered_route"   -> Similarity.ss27FilteredRoute _,
     "dd35_cluster_cohesion" -> Dedup.dd35ClusterCohesion _,
+    "sk15_theta_diff"       -> Sketches.sk15ThetaDiff _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -1917,6 +1918,39 @@ object SparkEntry {
         |    + max(CASE WHEN s = 'b' THEN est END)
         |    - max(CASE WHEN s = 'u' THEN est END) AS est_overlap
         |FROM est""".stripMargin,
+    // sk15: sk06's KMV replay over the 60-bit normalized-text doc
+    // identity, segmented batch/standing/union; difference and
+    // overlap are integer arithmetic on the three estimates.
+    "sk15_theta_diff" ->
+      """WITH h AS (SELECT DISTINCT source,
+        |    ('0x' || substring(md5(lower(trim(text))), 1, 15))::BIGINT AS key
+        |  FROM documents),
+        |hv AS (SELECT source,
+        |    ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM h),
+        |seg AS (SELECT 'a' AS s, hv FROM hv WHERE source = 'src0'
+        |        UNION SELECT 'b', hv FROM hv WHERE source != 'src0'
+        |        UNION SELECT 'u', hv FROM hv),
+        |r AS (SELECT s, hv, row_number() OVER (PARTITION BY s ORDER BY hv)
+        |        AS rn FROM seg),
+        |est AS (SELECT s,
+        |         CASE WHEN count(*) < 128 THEN CAST(count(*) AS BIGINT)
+        |              ELSE CAST((127::HUGEINT * 1152921504606846976::HUGEINT)
+        |                // max(CASE WHEN rn = 128 THEN hv END)::HUGEINT
+        |                AS BIGINT)
+        |         END AS est
+        |       FROM r GROUP BY s)
+        |SELECT
+        |  max(CASE WHEN s = 'a' THEN est END) AS est_batch,
+        |  max(CASE WHEN s = 'b' THEN est END) AS est_standing,
+        |  max(CASE WHEN s = 'u' THEN est END) AS est_union,
+        |  max(CASE WHEN s = 'a' THEN est END)
+        |    + max(CASE WHEN s = 'b' THEN est END)
+        |    - max(CASE WHEN s = 'u' THEN est END) AS est_overlap,
+        |  max(CASE WHEN s = 'u' THEN est END)
+        |    - max(CASE WHEN s = 'b' THEN est END) AS est_new
+        |FROM est""".stripMargin,
+
     // dd20 is dd04 with prefix filtering — provably the same output,
     // so it shares dd04's oracle verbatim
     "dd20_ppjoin" -> ngramJaccardSql,

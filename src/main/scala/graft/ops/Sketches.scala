@@ -94,6 +94,44 @@ object Sketches {
         (col("est_a") + col("est_b") - col("est_u")).as("est_overlap"))
   }
 
+  /** sk15: KMV set DIFFERENCE — dd23 answers "which batch docs are
+    * new" EXACTLY with its bucket-restricted pair join; sk15 is the
+    * sketch answer to the planning question one step earlier: HOW
+    * MANY of the arriving batch's distinct documents are genuinely
+    * new vs already standing — the number that sizes the ingest
+    * (dedup work, storage growth, index-upsert cost) BEFORE any join
+    * runs. Three KMV sketches in ONE pass (batch = src0 / standing =
+    * rest / union = all, sk06's null-skipping conditional-child
+    * shape) over a portable 60-bit doc identity (md5 of the
+    * normalized text — dd01's key on the integer grid); overlap by
+    * inclusion–exclusion, est_new = union − standing (an estimate
+    * difference: it can undershoot or even go negative within
+    * sketch noise — the spec bounds it against the exact twin).
+    * Fixed O(k)=128 state per sketch, map-side partials, fully
+    * hash-checked like sk06. */
+  def sk15ThetaDiff(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo, Literal, Not}
+    val docs = Tables.documents(s, d).select(col("source"),
+      expr("CAST(conv(substring(md5(lower(trim(text))), 1, 15), 16, 10) AS BIGINT)")
+        .as("key"))
+    val out = docs.queryExecution.analyzed.output
+    val src = out.find(_.name == "source").get
+    val key = out.find(_.name == "key").get
+    def kmv(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.graft.GraftDataset.column(
+        graft.functions.KmvSketchAgg(e, k = 128).toAggregateExpression())
+    val isBatch = EqualTo(src, Literal("src0"))
+    docs.agg(
+        kmv(CaseWhen(Seq((isBatch, key)), None)).as("est_batch"),
+        kmv(CaseWhen(Seq((Not(isBatch): org.apache.spark.sql.catalyst.expressions.Expression, key)), None))
+          .as("est_standing"),
+        kmv(key).as("est_union"))
+      .select(col("est_batch"), col("est_standing"), col("est_union"),
+        (col("est_batch") + col("est_standing") - col("est_union"))
+          .as("est_overlap"),
+        (col("est_union") - col("est_standing")).as("est_new"))
+  }
+
   /** sk05: Bloom-filter semi-join pre-filter — the membership sketch:
     * high-value order custkeys fold into one bloom (BloomFilterAgg),
     * which broadcasts and probes every customer (BloomMightContain).

@@ -4310,6 +4310,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("sk15 theta difference brackets the exact new/overlap counts") {
+    val r = ops.Sketches.sk15ThetaDiff(spark, sf).head()
+    val keys = Tables.documents(spark, sf)
+      .select(col("source"), lower(trim(col("text"))).as("k"))
+    val batch = keys.filter(col("source") === "src0")
+      .select("k").distinct().count()
+    val standing = keys.filter(col("source") =!= "src0")
+      .select("k").distinct().count()
+    val union = keys.select("k").distinct().count()
+    // direct sketches within the KMV design bound (SE ≈ 1/√128 ≈ 9%;
+    // 3σ + small-set slack)
+    def close(est: Long, exact: Long, label: String): Unit =
+      assert(math.abs(est - exact) <= math.max(0.3 * exact, 10.0),
+        s"$label: est $est vs exact $exact")
+    close(r.getLong(0), batch, "batch")
+    close(r.getLong(1), standing, "standing")
+    close(r.getLong(2), union, "union")
+    // derived quantities are exact arithmetic on the estimates, and
+    // the difference's error is bounded by its components' errors
+    assert(r.getLong(3) == r.getLong(0) + r.getLong(1) - r.getLong(2))
+    assert(r.getLong(4) == r.getLong(2) - r.getLong(1))
+    val exactNew = union - standing
+    assert(math.abs(r.getLong(4) - exactNew) <=
+      math.max(0.3 * union, 10.0),
+      s"est_new ${r.getLong(4)} vs exact $exactNew (union $union)")
+  }
+
   test("sk13 estimate-only switch runs zero per-key aggregation") {
     val estOnly = ops.Sketches.sk13AmsF2(spark, sf, exact = false)
     val plan = estOnly.queryExecution.executedPlan.toString
