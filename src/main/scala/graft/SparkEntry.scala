@@ -364,6 +364,9 @@ object SparkEntry {
     "ss27_filtered_route"   -> Similarity.ss27FilteredRoute _,
     "dd35_cluster_cohesion" -> Dedup.dd35ClusterCohesion _,
     "sk15_theta_diff"       -> Sketches.sk15ThetaDiff _,
+    "ss28_keep_curve"       -> Similarity.ss28KeepCurve _,
+    "dd36_keeper_policy"    -> Dedup.dd36KeeperPolicy _,
+    "pp49_upsert_safe"      -> Pipelines.pp49UpsertSafe _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -1073,6 +1076,38 @@ object SparkEntry {
          |          ORDER BY list_cosine_similarity(qe, emb) DESC, neighbor_id) AS rk
          |      FROM c)
          |SELECT qid, neighbor_id, rk FROM r WHERE rk <= 5""".stripMargin
+
+  /** The safe-keeper chain's shared CTE list (verified pairs →
+    * triangle support → supported-core reachability → safe members +
+    * clusters + quality scores) — shared by the dd28 entry and dd36's
+    * routed-policy replay. */
+  private val safeChainCtes: String =
+    s"""j AS ($ngramJaccardSql),
+       |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
+       |deg AS (SELECT m, count(*) AS deg FROM bi GROUP BY 1),
+       |safe AS (SELECT bi.m, bi.n FROM bi JOIN deg USING (m)
+       |         WHERE deg.deg <= 64),
+       |cn AS (SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS common
+       |       FROM safe x JOIN safe y ON x.m = y.m AND x.n < y.n
+       |       GROUP BY 1, 2),
+       |es AS (SELECT j.d1, j.d2, coalesce(cn.common, 0) AS support
+       |       FROM j LEFT JOIN cn ON cn.a = j.d1 AND cn.b = j.d2),
+       |sup AS (SELECT d1, d2 FROM es WHERE support > 0),
+       |sbi AS (SELECT d1 AS a, d2 AS b FROM sup
+       |        UNION ALL SELECT d2, d1 FROM sup),
+       |sreach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT a, b FROM sbi
+       |    UNION
+       |    SELECT r.a, sbi.b FROM r JOIN sbi ON r.b = sbi.a)
+       |  SELECT * FROM r),
+       |sc AS (SELECT a AS doc_id, least(a, min(b)) AS safe_id
+       |       FROM sreach GROUP BY a),
+       |clusters AS ($dupClustersSql),
+       |mem AS (SELECT c.doc_id, c.cluster_id,
+       |          coalesce(sc.safe_id, c.doc_id) AS safe_id
+       |        FROM clusters c LEFT JOIN sc ON sc.doc_id = c.doc_id),
+       |scores AS ($qualityScoreSql)""".stripMargin
 
   /** ev54's detector chain — shared by the ev54 entry and the
     * ev56 bot-gate consumer. */
@@ -2620,7 +2655,8 @@ object SparkEntry {
          |  coalesce(n_intra_pairs, 0) AS n_intra_pairs,
          |  coalesce(mean_j_bp, 0) AS mean_j_bp,
          |  CAST(coalesce(n_intra_pairs, 0) * 10000
-         |    // (n_members * (n_members - 1) // 2) AS BIGINT) AS density_bp
+         |    // greatest(1, n_members * (n_members - 1) // 2)
+         |    AS BIGINT) AS density_bp
          |FROM sz LEFT JOIN intra USING (cluster_id)""".stripMargin,
 
     // dd32: the verified pair set keyed by unordered source pair; the
@@ -2988,8 +3024,8 @@ object SparkEntry {
         |            FROM embeddings WHERE vec_id >= 10),
         |f AS (SELECT CAST(count(*) AS BIGINT) AS nf FROM embeddings
         |      WHERE vec_id >= 10 AND label = 1),
-        |sel AS (SELECT CAST(nf * 10000 // t AS BIGINT) AS sel_bp,
-        |          CASE WHEN nf * 10000 // t <= 2000
+        |sel AS (SELECT CAST(nf * 10000 // greatest(1, t) AS BIGINT) AS sel_bp,
+        |          CASE WHEN nf * 10000 // greatest(1, t) <= 2000
         |               THEN 'broadcast_corpus'
         |               ELSE 'scan_in_place' END AS route
         |        FROM tot, f),
@@ -4162,32 +4198,7 @@ object SparkEntry {
          |FROM r WHERE rk = 1""".stripMargin,
 
     "dd28_safe_keep_best" ->
-      s"""WITH j AS ($ngramJaccardSql),
-         |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
-         |deg AS (SELECT m, count(*) AS deg FROM bi GROUP BY 1),
-         |safe AS (SELECT bi.m, bi.n FROM bi JOIN deg USING (m)
-         |         WHERE deg.deg <= 64),
-         |cn AS (SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS common
-         |       FROM safe x JOIN safe y ON x.m = y.m AND x.n < y.n
-         |       GROUP BY 1, 2),
-         |es AS (SELECT j.d1, j.d2, coalesce(cn.common, 0) AS support
-         |       FROM j LEFT JOIN cn ON cn.a = j.d1 AND cn.b = j.d2),
-         |sup AS (SELECT d1, d2 FROM es WHERE support > 0),
-         |sbi AS (SELECT d1 AS a, d2 AS b FROM sup
-         |        UNION ALL SELECT d2, d1 FROM sup),
-         |sreach AS (
-         |  WITH RECURSIVE r(a, b) AS (
-         |    SELECT a, b FROM sbi
-         |    UNION
-         |    SELECT r.a, sbi.b FROM r JOIN sbi ON r.b = sbi.a)
-         |  SELECT * FROM r),
-         |sc AS (SELECT a AS doc_id, least(a, min(b)) AS safe_id
-         |       FROM sreach GROUP BY a),
-         |clusters AS ($dupClustersSql),
-         |mem AS (SELECT c.doc_id, c.cluster_id,
-         |          coalesce(sc.safe_id, c.doc_id) AS safe_id
-         |        FROM clusters c LEFT JOIN sc ON sc.doc_id = c.doc_id),
-         |scores AS ($qualityScoreSql),
+      s"""WITH $safeChainCtes,
          |r AS (SELECT mem.cluster_id, mem.safe_id, mem.doc_id,
          |        row_number() OVER (PARTITION BY mem.safe_id
          |          ORDER BY s.score DESC, mem.doc_id) AS rk,
@@ -4195,6 +4206,69 @@ object SparkEntry {
          |      FROM mem JOIN scores s USING (doc_id))
          |SELECT cluster_id, safe_id, doc_id AS keeper_id, n_members
          |FROM r WHERE rk = 1""".stripMargin,
+
+    // pp49: the safe-keeper UPSERT patch is hash-proven ≡ dd28
+    // rebuilt from scratch on the FULL corpus (standing ∪ src0 batch)
+    // — dd28's own oracle, verbatim; the patch ≡ rebuild discipline
+    // (pp43/pp45's proof shape, arrival direction).
+    "pp49_upsert_safe" ->
+      s"""WITH $safeChainCtes,
+         |r AS (SELECT mem.cluster_id, mem.safe_id, mem.doc_id,
+         |        row_number() OVER (PARTITION BY mem.safe_id
+         |          ORDER BY s.score DESC, mem.doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY mem.safe_id) AS n_members
+         |      FROM mem JOIN scores s USING (doc_id))
+         |SELECT cluster_id, safe_id, doc_id AS keeper_id, n_members
+         |FROM r WHERE rk = 1""".stripMargin,
+
+    // dd36: the routed keeper terminal replayed — dd35's density on
+    // the shared verified-pair set, the 5000 bp floor, dd07's rule on
+    // dense clusters, dd28's safe rule on the rest; the route column
+    // proves both engines decided every cluster identically.
+    "dd36_keeper_policy" ->
+      s"""WITH $safeChainCtes,
+         |r28 AS (SELECT mem.cluster_id, mem.safe_id, mem.doc_id,
+         |        row_number() OVER (PARTITION BY mem.safe_id
+         |          ORDER BY s.score DESC, mem.doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY mem.safe_id) AS n_members
+         |      FROM mem JOIN scores s USING (doc_id)),
+         |k28 AS (SELECT cluster_id, safe_id, doc_id AS keeper_id,
+         |          CAST(n_members AS BIGINT) AS n_members
+         |        FROM r28 WHERE rk = 1),
+         |r07 AS (SELECT c.cluster_id, c.doc_id,
+         |        row_number() OVER (PARTITION BY c.cluster_id
+         |          ORDER BY s.score DESC, c.doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |      FROM clusters c JOIN scores s USING (doc_id)),
+         |k07 AS (SELECT cluster_id, cluster_id AS safe_id,
+         |          doc_id AS keeper_id, CAST(n_members AS BIGINT)
+         |            AS n_members
+         |        FROM r07 WHERE rk = 1),
+         |intra AS (SELECT a.cluster_id,
+         |    CAST(count(*) AS BIGINT) AS n_intra_pairs
+         |  FROM j JOIN clusters a ON j.d1 = a.doc_id
+         |  JOIN clusters b ON j.d2 = b.doc_id
+         |  WHERE a.cluster_id = b.cluster_id GROUP BY 1),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_m
+         |       FROM clusters GROUP BY 1),
+         |dens AS (SELECT sz.cluster_id,
+         |    CAST(coalesce(n_intra_pairs, 0) * 10000
+         |      // greatest(1, n_m * (n_m - 1) // 2) AS BIGINT)
+         |      AS density_bp
+         |  FROM sz LEFT JOIN intra USING (cluster_id)),
+         |rt AS (SELECT cluster_id, density_bp,
+         |         CASE WHEN density_bp >= 5000 THEN 'aggressive'
+         |              ELSE 'conservative' END AS route
+         |       FROM dens)
+         |SELECT rt.cluster_id, k.n_members, rt.density_bp, rt.route,
+         |  k.safe_id, k.keeper_id
+         |FROM rt JOIN k07 k USING (cluster_id)
+         |WHERE rt.route = 'aggressive'
+         |UNION ALL
+         |SELECT rt.cluster_id, k.n_members, rt.density_bp, rt.route,
+         |  k.safe_id, k.keeper_id
+         |FROM rt JOIN k28 k USING (cluster_id)
+         |WHERE rt.route = 'conservative'""".stripMargin,
 
     // pp34: the cap sweep re-ranks only the ≤160-row/source top list;
     // saturated = sources whose doc count exceeds the cap.
@@ -4363,6 +4437,68 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY bm25_micro DESC, doc_id) AS rk FROM sc) z
         |WHERE rk <= 10""".stripMargin,
+
+    // ss28: the posting-truncation curve replayed end-to-end — posting
+    // rank via row_number per term, per-keep scores as rank-filtered
+    // re-sums, the truth tier over the FULL posting lists, recall@10
+    // per (keep, qid) on the exact bp grid.
+    "ss28_keep_curve" -> {
+      val keepTiers = Seq(16, 32, 64).map { k =>
+        s"""s$k AS (SELECT qt.qid, rp.doc_id,
+           |    CAST(sum(qt.idf_micro * 22 * rp.tf * qt.a_c
+           |      // (10 * qt.a_c * rp.tf + 3 * qt.a_c + 900 * dl.dl))
+           |      AS BIGINT) AS bm25_micro
+           |  FROM qt JOIN rp ON rp.tok = qt.tok AND rp.doc_id != qt.qid
+           |    AND rp.pr <= $k
+           |  JOIN dl ON dl.doc_id = rp.doc_id
+           |  GROUP BY 1, 2),
+           |a$k AS (SELECT qid, doc_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY bm25_micro DESC, doc_id) AS rk FROM s$k) z
+           |  WHERE rk <= 10),
+           |r$k AS (SELECT CAST($k AS BIGINT) AS keep, f.qid,
+           |    CAST(count(a$k.doc_id) AS BIGINT) AS n_hit,
+           |    CAST(count(a$k.doc_id) * 10000 // count(*) AS BIGINT)
+           |      AS recall_bp
+           |  FROM f10 f LEFT JOIN a$k
+           |    ON a$k.qid = f.qid AND a$k.doc_id = f.doc_id
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' '))
+         |             AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(100 * CAST(sum(dl) AS BIGINT) // count(*) AS BIGINT) AS a_c
+         |  FROM dl),
+         |idf AS (SELECT tok,
+         |    CAST(round(ln(CAST(n_docs * 2 + 2 AS DOUBLE)
+         |      / CAST(df * 2 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS idf_micro,
+         |    a_c
+         |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) x
+         |  CROSS JOIN tot),
+         |qt AS (SELECT tf.doc_id AS qid, tf.tok, idf.idf_micro, idf.a_c
+         |       FROM tf JOIN idf ON idf.tok = tf.tok WHERE tf.doc_id < 10),
+         |rp AS (SELECT tok, doc_id, tf, row_number() OVER (PARTITION BY tok
+         |         ORDER BY tf DESC, doc_id) AS pr FROM tf),
+         |scf AS (SELECT qt.qid, tf.doc_id,
+         |    CAST(sum(qt.idf_micro * 22 * tf.tf * qt.a_c
+         |      // (10 * qt.a_c * tf.tf + 3 * qt.a_c + 900 * dl.dl))
+         |      AS BIGINT) AS bm25_micro
+         |  FROM qt JOIN tf ON tf.tok = qt.tok AND tf.doc_id != qt.qid
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  GROUP BY 1, 2),
+         |f10 AS (SELECT qid, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY bm25_micro DESC, doc_id) AS rk FROM scf) z
+         |  WHERE rk <= 10),
+         |$keepTiers
+         |SELECT * FROM r16
+         |UNION ALL SELECT * FROM r32
+         |UNION ALL SELECT * FROM r64""".stripMargin
+    },
 
     // ss20: per-(query, source) top-2 then global top-10 — rank-only
     // output, float cosine only orders (ss01's contract).

@@ -191,6 +191,20 @@ object Dedup {
     verifiedJaccard(sh, lshCandidates(minhashSigs(sh)))
   }
 
+  /** dd02's verified pair set RESTRICTED to an explicit doc subset —
+    * identical to the full run filtered to pairs with both endpoints
+    * in `docs` (banding is pairwise and per-doc shingle sets stay
+    * complete), at cost ∝ the subset's shingle mass instead of the
+    * corpus. The artifact fold's affected-surface pair derivation
+    * (publishFoldedDedup): the standing corpus never re-hashes. */
+  private[graft] def pairsAmong(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame = {
+    val sh = CacheScope.cached(
+      shingles(s, d).join(docs, Seq("doc_id"), "left_semi"))
+    verifiedJaccard(sh, lshCandidates(minhashSigs(sh)))
+      .select(col("d1"), col("d2"))
+  }
+
   /** dd09: MinHash similarity ESTIMATE for the LSH candidate pairs —
     * the sketch-only score (fraction of agreeing signature slots),
     * which at 100 TB replaces the exact-verify join when a calibrated
@@ -337,7 +351,7 @@ object Dedup {
     * unpersists them. Serve the memo only while the checkpointed RDD
     * still holds a storage level; rebuild otherwise. */
   private def memoLive(df: DataFrame): Boolean =
-    df.queryExecution.analyzed.collectFirst {
+    df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.forall(_.getStorageLevel !=
       org.apache.spark.storage.StorageLevel.NONE)
@@ -1149,29 +1163,76 @@ object Dedup {
     * clusters that actually carry a bridge — on a clean corpus that
     * is almost nothing, while the naive form re-propagates every
     * clique for no reason. */
-  private def safeMembers(s: SparkSession, d: String): DataFrame = {
-    val esup = CacheScope.cached(edgeSupport(s, d))
-    val labels = CacheScope.cached(dd06DupClusters(s, d))
+  /** MEMOIZED per (session, dir), dd06Memo's discipline (VERDICT r10
+    * #6): the safe chain runs TWO eager convergence loops (dd06's and
+    * the supported-core re-propagation) plus the wedge-support join,
+    * and it now has four same-session consumers (dd27, dd28, dd36,
+    * pp45's standing read) — without the memo each re-pays the whole
+    * chain. memoLive checks EVERY checkpoint block in the plan (both
+    * loops' truncations), so a drained cache rebuilds instead of
+    * serving dead blocks. */
+  private val safeMemo = new SessionMemo[DataFrame]
+
+  private def safeMembers(s: SparkSession, d: String): DataFrame =
+    safeMemo.getOrCompute(s, d)(memoLive)(safeMembersNow(s, d))
+
+  private def safeMembersNow(s: SparkSession, d: String): DataFrame =
+    safeMembersOf(
+      CacheScope.cached(dd02MinhashLsh(s, d).select(col("d1"), col("d2"))),
+      CacheScope.cached(dd06DupClusters(s, d)))
+
+  /** The dd26→dd27 safe-member chain over EXPLICIT (pairs, labels)
+    * frames — ONE kernel for the full-corpus run (dd27/dd28/dd36 via
+    * the session memo) and the lifecycle patches' affected-subgraph
+    * runs (pp45's purge direction, pp49's arrival direction), so the
+    * wedge-support rule, the bridged test and the coalesce-to-self
+    * fallback can never drift between the terminal and its patches.
+    * `pairs` must be the self-contained near-dup edge set of the
+    * `labels` components (pairs never cross components — the locality
+    * fact both patches rest on). Bridged/cluster frames carry no
+    * forced broadcast: ∝ clusters on the full run but batch-amplified
+    * in the patches — AQE's call (the pp37/39/41 rule). */
+  private[graft] def safeMembersOf(pairs: DataFrame,
+      labels: DataFrame): DataFrame = {
+    // the wedge-support join is the chain's priciest stage and its
+    // result is referenced by both the bridged test and the supported
+    // core — cache it once (∝ near-dup edges, never corpus)
+    val esup = CacheScope.cached(edgeSupportOf(pairs))
     val eLbl = esup
       .join(labels.withColumnRenamed("doc_id", "d1"), Seq("d1"))
     val bridged = eLbl.groupBy(col("cluster_id"))
       .agg(sum(when(col("support") === 0, 1L).otherwise(0L)).as("nb"))
       .filter(col("nb") > 0).select(col("cluster_id"))
     val supE = eLbl.filter(col("support") > 0)
-      .join(broadcast(bridged), Seq("cluster_id"), "left_semi")
+      .join(bridged, Seq("cluster_id"), "left_semi")
       .select(col("d1"), col("d2"))
     val safe = propagateMinLabels(supE)
     val memBridged = labels
-      .join(broadcast(bridged), Seq("cluster_id"), "left_semi")
+      .join(bridged, Seq("cluster_id"), "left_semi")
       .join(safe.withColumnRenamed("doc", "doc_id"), Seq("doc_id"),
         "left_outer")
       .withColumn("safe_id", coalesce(col("lbl"), col("doc_id")))
       .select(col("doc_id"), col("cluster_id"), col("safe_id"))
     val memClean = labels
-      .join(broadcast(bridged), Seq("cluster_id"), "left_anti")
+      .join(bridged, Seq("cluster_id"), "left_anti")
       .withColumn("safe_id", col("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("safe_id"))
     memBridged.unionByName(memClean)
+  }
+
+  /** dd28's keep-best + lineage tail over a safe-member frame —
+    * factored so the lifecycle patches emit the identical output
+    * shape (cluster_id, safe_id, keeper_id, n_members). */
+  private[graft] def safeKeepBestFrom(mem0: DataFrame,
+      scores: DataFrame): DataFrame = {
+    val mem = CacheScope.cached(mem0)
+    val kept = keepBestFrom(
+      mem.select(col("doc_id"), col("safe_id").as("cluster_id")), scores)
+    val lineage = mem.select(col("safe_id"), col("cluster_id")).distinct()
+    kept.withColumnRenamed("cluster_id", "safe_id")
+      .join(lineage, Seq("safe_id"))
+      .select(col("cluster_id"), col("safe_id"), col("keeper_id"),
+        col("n_members"))
   }
 
   def dd27SafeClusters(s: SparkSession, d: String): DataFrame =
@@ -1395,7 +1456,51 @@ object Dedup {
         coalesce(col("n_intra_pairs"), lit(0L)).as("n_intra_pairs"),
         coalesce(col("mean_j_bp"), lit(0L)).as("mean_j_bp"))
       .withColumn("density_bp",
-        expr("n_intra_pairs * 10000 div (n_members * (n_members - 1) div 2)"))
+        // dd06 never emits singleton clusters, but a future artifact
+        // producer might: greatest(1, …) makes both engines degrade
+        // to density 0 instead of NULL (Spark) vs a hard error (DuckDB)
+        expr("n_intra_pairs * 10000" +
+          " div greatest(1L, n_members * (n_members - 1) div 2)"))
+  }
+
+  /** Conf key: realized-density floor (bp) above which dd36 trusts a
+    * cluster enough for the aggressive dd07 keeper. Default 5000 =
+    * at least half of all member pairs independently verified
+    * near-dups — a clique-ish cluster whose n−1 discards are each
+    * other's near-dups, not a closure artifact. */
+  val keeperDensityBpConf = "spark.graft.dedup.keeperDensityBp"
+
+  /** dd36: density-ROUTED keeper policy — dd35's realized-cohesion
+    * statistic DECIDING (VERDICT r10 #3, the q73/sk14/ss27 discipline
+    * applied to the dedup terminal): per dd06 cluster, density ≥ the
+    * conf'd floor routes the AGGRESSIVE dd07 rule (dense clique — one
+    * keeper for the whole cluster; the n−1 discards are pairwise
+    * verified near-dups), below it the CONSERVATIVE dd28 rule (sparse
+    * chain — one keeper per triangle-supported safe sub-cluster, so a
+    * probable weld never silently discards half a family). This
+    * closes the dd26→dd27→dd35 triangle into a routed terminal: dd26
+    * prices the a-priori weld risk, dd35 measures what the closure
+    * actually realized, dd36 acts on it. The route is a COLUMN and
+    * the oracle replays density + threshold + both keeper rules, so
+    * the hash proves both engines routed every cluster identically.
+    * Scale: density/route frames ∝ clusters; both keeper rules are
+    * the existing bounded-window terminals, and the safe chain is
+    * computed once via the session memo (never per-route). */
+  def dd36KeeperPolicy(s: SparkSession, d: String): DataFrame = {
+    val thr = s.conf.get(keeperDensityBpConf, "5000").toLong
+    val routed = dd35ClusterCohesion(s, d)
+      .select(col("cluster_id"), col("density_bp"),
+        when(col("density_bp") >= thr, "aggressive")
+          .otherwise("conservative").as("route"))
+    val aggK = dd07KeepBest(s, d)
+      .select(col("cluster_id"), col("cluster_id").as("safe_id"),
+        col("keeper_id"), col("n_members"))
+      .join(routed.filter(col("route") === "aggressive"), Seq("cluster_id"))
+    val conK = dd28SafeKeepBest(s, d)
+      .join(routed.filter(col("route") === "conservative"), Seq("cluster_id"))
+    aggK.unionByName(conK)
+      .select(col("cluster_id"), col("n_members"), col("density_bp"),
+        col("route"), col("safe_id"), col("keeper_id"))
   }
 
   /** dd32: cross-source DUPLICATION MATRIX — where dd29 prices how

@@ -207,6 +207,20 @@ object Similarity {
       cellAssignments(s, d).select(col("vec_id"), col("cell")))
   }
 
+  /** Conf key selecting how many coarse cells an IVF query probes —
+    * the recall-vs-cost knob ss16's tuning curve measures, now CLOSING
+    * that advisor loop the way `spark.graft.dedup.bandRows` closed
+    * dd33's: the probe count ss16 recommends is the probe count the
+    * serving tier (ss05/ss14/ss18, and through them ss25/ss26/st34)
+    * actually runs. Default 2 = the shipped geometry every sf hash
+    * gate grades; candidate sets grow monotonically in nprobe
+    * (spec-asserted), quantizer conventions unchanged. */
+  val nprobeConf = "spark.graft.ivf.nprobe"
+
+  /** The conf'd probe count (≥ 1; default 2). */
+  private[graft] def ivfNprobe(s: SparkSession): Int =
+    math.max(1, s.conf.get(nprobeConf, "2").toInt)
+
   /** IVF probing over EXPLICIT index frames — `cent` (cell, cent) and
     * `cells` (vec_id, cell) — computed fresh (ss05) or loaded from
     * published artifacts. Query probing is request-time work against
@@ -219,7 +233,7 @@ object Similarity {
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding"))
-      .transform(nearestCellsFrom(cent, _, 2, "probe_cell"))
+      .transform(nearestCellsFrom(cent, _, ivfNprobe(s), "probe_cell"))
       .join(emb.select(col("vec_id"), col("embedding").as("q_emb")), Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("probe_cell"), col("q_emb"))
     topkPairs(
@@ -582,12 +596,13 @@ object Similarity {
       .crossJoin(broadcast(pqCodebookFlat(cbArr)))
       .withColumn("codes", expr("pq_encode(embedding, cbflat)"))
       .select(col("vec_id"), col("cell"), col("codes"))
-    // queries: 3 probe cells + the ADC lookup tables (3 of ~10 cells
-    // rather than ss05's 2 — the PQ ranking below is lossy too, so the
-    // cell stage gets the larger recall budget)
+    // queries: nprobe+1 probe cells + the ADC lookup tables (one MORE
+    // cell than ss05's conf'd count — the PQ ranking below is lossy
+    // too, so the cell stage gets the larger recall budget; default
+    // conf 2 keeps this at the shipped 3-of-~10 geometry)
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding"))
-      .transform(nearestCellsFrom(cent, _, 3, "probe_cell"))
+      .transform(nearestCellsFrom(cent, _, ivfNprobe(s) + 1, "probe_cell"))
       .select(col("vec_id").as("qid"), col("probe_cell"))
       .join(pqAdcQueries(s, d, cbArr), Seq("qid"))
     val candIds = topkPairs(
@@ -651,9 +666,9 @@ object Similarity {
     * LongVecSumAgg per cell, int division truncated toward zero.
     * Returns (iteration stats, new centroid frame). */
   private def lloydRound(emb: DataFrame, cents: DataFrame,
-      it: Int, twoLevel: Boolean = false): (DataFrame, DataFrame) = {
+      it: Int, twoLevelK: Long = 0L): (DataFrame, DataFrame) = {
     val assigned =
-      if (twoLevel) assignTwoLevel(emb, cents)
+      if (twoLevelK > 0L) assignTwoLevel(emb, cents, twoLevelK)
       else assignExhaustive(emb, cents)
     val stats = assigned
       .groupBy(col("cell"))
@@ -712,10 +727,13 @@ object Similarity {
     * identical, and inside Lloyd descent the occasional coarser
     * assignment is a standard approximate-k-means trade. */
   private[graft] def twoLevelCandidates(emb: DataFrame,
-      cents0: DataFrame): DataFrame = {
+      cents0: DataFrame, knownK: Long = -1L): DataFrame = {
     val cents = CacheScope.cached(
       cents0.withColumn("cn2", expr("long_dot(cent, cent)")))
-    val k = cents.count()
+    // the trainer already knows k — a per-Lloyd-round count() action
+    // here is an avoidable driver-blocking job (ADVICE r10); the
+    // count fallback stays for direct callers without it
+    val k = if (knownK > 0L) knownK else cents.count()
     val g = math.max(1L, math.round(math.sqrt(k.toDouble)))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("cell"))
     val ranked = CacheScope.cached(
@@ -744,8 +762,8 @@ object Similarity {
   /** Two-level pruned assignment — [[twoLevelCandidates]] through the
     * shared argmin kernel. */
   private[graft] def assignTwoLevel(emb: DataFrame,
-      cents: DataFrame): DataFrame =
-    argminCell(twoLevelCandidates(emb, cents))
+      cents: DataFrame, knownK: Long = -1L): DataFrame =
+    argminCell(twoLevelCandidates(emb, cents, knownK))
 
   /** k-CONFIGURABLE coarse-quantizer trainer for the artifact path
     * (VERDICT r8 #2): Lloyd's algorithm (the ss15 kernel — identical
@@ -767,8 +785,8 @@ object Similarity {
     // large k routes through the two-level pruned assignment — the
     // knob's honesty at its k ≈ √N target (VERDICT r9 #5); small k
     // keeps the exhaustive argmin (identical results, fewer stages)
-    val twoLevel = k >= 64
-    for (it <- 1 to iters) cents = lloydRound(emb, cents, it, twoLevel)._2
+    val twoLevelK = if (k >= 64) k.toLong else 0L
+    for (it <- 1 to iters) cents = lloydRound(emb, cents, it, twoLevelK)._2
     cents.select(col("cell"),
       expr("transform(cent, v -> CAST(v AS DOUBLE) / 4096.0)").as("cent"))
   }
@@ -992,11 +1010,13 @@ object Similarity {
       .transform(nearestCellsFrom(cent, _, 1, "cell"))
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
 
-  /** Every vector of `emb` fanned to its 2 probe cells under `cent`
-    * (qid, cell, q_emb) — the query side of the kNN join. */
+  /** Every vector of `emb` fanned to its conf'd probe cells under
+    * `cent` (qid, cell, q_emb) — the query side of the kNN join
+    * (default nprobe 2, the shipped geometry). */
   private[graft] def knnProbes(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"))
-      .transform(nearestCellsFrom(cent, _, 2, "probe_cell"))
+      .transform(nearestCellsFrom(cent, _, ivfNprobe(emb.sparkSession),
+        "probe_cell"))
       .join(emb.select(col("vec_id"), col("embedding").as("q_emb")), Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("probe_cell").as("cell"),
         col("q_emb"))
@@ -1162,12 +1182,28 @@ object Similarity {
   private[graft] def termFreqs(s: SparkSession, d: String): DataFrame =
     termFreqsOf(Tables.documents(s, d))
 
+  /** Conf key selecting the lexical index's static posting truncation
+    * — top-`keep` docs per term by (tf DESC, doc_id). Default 64 = the
+    * shipped geometry every sf hash gate grades. ss28's keep-curve is
+    * the advisor that prices this knob (recall@10 vs the untruncated
+    * index), closing the loop the way `spark.graft.ivf.nprobe` closes
+    * ss16's: the truncation ss28 measures is the truncation
+    * bm25Postings (and through it ss21/ss23/ss24, the published
+    * postings artifact, st28, pp37, pp41) actually serves. */
+  val bm25KeepConf = "spark.graft.bm25.keep"
+
+  /** The conf'd per-term posting depth (≥ 1; default 64). */
+  private[graft] def bm25Keep(s: SparkSession): Int =
+    math.max(1, s.conf.get(bm25KeepConf, "64").toInt)
+
   /** ss21's statically truncated impact-ordered postings
-    * (tok, doc_id, tf): top-64 per term by (tf DESC, doc_id) via the
-    * partial-aggregable TopKPairAggregator — exposed for pp32's
-    * purge-impact audit and the persisted index artifact. */
+    * (tok, doc_id, tf): top-`keep` (conf'd, default 64) per term by
+    * (tf DESC, doc_id) via the partial-aggregable TopKPairAggregator —
+    * exposed for pp32's purge-impact audit and the persisted index
+    * artifact. */
   private[graft] def bm25Postings(tf: DataFrame): DataFrame = {
-    val topPost = udaf(new graft.functions.TopKPairAggregator(64))
+    val topPost = udaf(new graft.functions.TopKPairAggregator(
+      bm25Keep(tf.sparkSession)))
     tf.groupBy(col("tok"))
       .agg(topPost(col("tf").cast("double"), col("doc_id")).as("top"))
       .select(col("tok"), explode(col("top")).as("p"))
@@ -1252,6 +1288,61 @@ object Similarity {
 
   def ss21Bm25Topk(s: SparkSession, d: String): DataFrame =
     bm25TopkFrom(bm25Scored(s, d))
+
+  /** ss28: posting-TRUNCATION tuning curve — the advisor for the one
+    * static-pruning knob in the lexical serving stack (VERDICT r10
+    * #5): per-query recall@10 of the truncated impact-ordered index at
+    * keep ∈ {16, 32, 64} against the UNTRUNCATED index, in exact basis
+    * points — ss16's nprobe-curve pattern on the lexical tier, with
+    * `spark.graft.bm25.keep` as the conf the measurement prices.
+    * One shared pipeline: per-term posting ranks are computed ONCE at
+    * the largest keep (partial-aggregable top-64, never a df-sized
+    * window) and each tier is only a rank filter + re-sum — the curve
+    * costs barely more than one ss21 run plus the truth tier. The
+    * truth tier scores the FULL posting lists (the measurement op's
+    * deliberate cost, dd31's precedent — at 100 TB it runs on the
+    * sampled query set, never the corpus×corpus); everything is int64
+    * on the proven micro-nat grid, so the whole curve replays
+    * hash-exact in the oracle. */
+  def ss28KeepCurve(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val tf = termFreqsCached(s, d)
+    val idf = CacheScope.cached(bm25Lexicon(s, d))
+    val dl = CacheScope.cached(docLens(s, d))
+    val qTerms = tf.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("tok"))
+      .join(idf, Seq("tok"))
+    // posting rank once at keep=64; every tier below is a filter
+    val topPost = udaf(new graft.functions.TopKPairAggregator(64))
+    val ranked = tf.groupBy(col("tok"))
+      .agg(topPost(col("tf").cast("double"), col("doc_id")).as("top"))
+      .select(col("tok"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("tok"), col("p._2").as("doc_id"),
+        col("p._1").cast("long").as("tf"), (col("pos") + lit(1)).as("pr"))
+    val cand = CacheScope.cached(ranked.join(broadcast(qTerms), Seq("tok"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("contrib", expr(
+        "idf_micro * 22 * tf * a_c div (10 * a_c * tf + 3 * a_c + 900 * dl)"))
+      .select(col("qid"), col("doc_id"), col("pr"), col("contrib")))
+    val full = CacheScope.cached(bm25TopkFrom(bm25ScoredFrom(s, d,
+        tf.select(col("tok"), col("doc_id"), col("tf")), idf, dl))
+      .select(col("qid"), col("neighbor_id")))
+    Seq(16, 32, 64).map { keep =>
+      val scored = cand.filter(col("pr") <= keep)
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("contrib")).as("bm25_micro"))
+      val approx = bm25TopkFrom(scored)
+        .select(col("qid").as("aqid"), col("neighbor_id").as("an"))
+      full.join(approx,
+          col("qid") === col("aqid") && col("neighbor_id") === col("an"),
+          "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"), count(col("an")).as("n_hit"))
+        .select(lit(keep.toLong).as("keep"), col("qid"), col("n_hit"),
+          expr("n_hit * 10000 div k").as("recall_bp"))
+    }.reduce(_ unionByName _)
+  }
 
   /** ss22: NSW-style GRAPH ANN — the index family that dominates
     * production vector search (HNSW's single-layer ancestor), on the

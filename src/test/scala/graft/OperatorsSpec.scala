@@ -1499,6 +1499,85 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("ivf.nprobe conf closes ss16's advisor loop on the serving tier") {
+    val exact = ops.Similarity.ss01BruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    // the exact-top-5 hits the SERVED tier (ss05 under the conf)
+    // returns per query — the quantity ss16's recall_bp measures
+    def servedHits(np: Int): Map[Long, Set[Long]] = {
+      spark.conf.set(ops.Similarity.nprobeConf, np.toString)
+      try {
+        val got = ops.Similarity.ss05IvfTopk(spark, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+        exact.map { case (q, ex) => q -> (ex & got.getOrElse(q, Set.empty)) }
+      } finally spark.conf.unset(ops.Similarity.nprobeConf)
+    }
+    val h2 = servedHits(2)
+    val h3 = servedHits(3)
+    // widening the probe list can only ADD exact-top-5 hits: any new
+    // candidate outranking a held hit is itself exact-top-5
+    exact.keys.foreach { q =>
+      assert(h2(q).subsetOf(h3(q)),
+        s"qid $q: nprobe=3 lost hits ${h2(q) -- h3(q)} held at nprobe=2")
+    }
+    // ss16's curve row AT the conf'd probe count IS the served tier's
+    // measured recall — the advisor measures what the conf ships
+    val curve = ops.Similarity.ss16NprobeCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    exact.foreach { case (q, ex) =>
+      Seq(2 -> h2, 3 -> h3).foreach { case (np, h) =>
+        val served = h(q).size.toLong * 10000L / ex.size
+        assert(curve((np.toLong, q)) == served,
+          s"qid $q nprobe=$np: ss16 says ${curve((np.toLong, q))} bp, " +
+            s"served tier measures $served bp")
+      }
+    }
+  }
+
+  test("bm25.keep conf truncates the served index; ss28 prices it") {
+    // independent truth tier: the UNTRUNCATED postings scored through
+    // the same machinery
+    val tfAll = ops.Similarity.termFreqs(spark, sf)
+      .select(col("tok"), col("doc_id"), col("tf"))
+    val full = ops.Similarity.bm25TopkFrom(ops.Similarity.bm25ScoredFrom(
+        spark, sf, tfAll,
+        ops.Similarity.bm25Lexicon(spark, sf),
+        ops.Similarity.docLens(spark, sf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    def servedRecallBp(keep: Option[Int]): Map[Long, Long] = {
+      keep.foreach(k =>
+        spark.conf.set(ops.Similarity.bm25KeepConf, k.toString))
+      try {
+        val got = ops.Similarity.ss21Bm25Topk(spark, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+        full.map { case (q, f) =>
+          q -> (f & got.getOrElse(q, Set.empty)).size.toLong * 10000L / f.size
+        }
+      } finally keep.foreach(_ =>
+        spark.conf.unset(ops.Similarity.bm25KeepConf))
+    }
+    val curve = ops.Similarity.ss28KeepCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val qids = full.keySet
+    assert(curve.keys.map(_._2).toSet == qids &&
+      curve.keys.map(_._1).toSet == Set(16L, 32L, 64L),
+      s"curve shape wrong: ${curve.keys}")
+    // the keep=64 tier IS the shipped default index, and the keep=16
+    // tier IS what the conf serves at 16 — the curve prices the knob
+    val at64 = servedRecallBp(None)
+    val at16 = servedRecallBp(Some(16))
+    qids.foreach { q =>
+      assert(curve((64L, q)) == at64(q),
+        s"qid $q: curve@64 ${curve((64L, q))} != served default ${at64(q)}")
+      assert(curve((16L, q)) == at16(q),
+        s"qid $q: curve@16 ${curve((16L, q))} != served conf=16 ${at16(q)}")
+    }
+  }
+
   test("pp26 rebalance factors invert the share imbalance exactly") {
     val rows = ops.Pipelines.pp26MixRebalance(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -2143,6 +2222,63 @@ class OperatorsSpec extends SparkTestBase {
       "a tombstoned doc survived as a safe keeper")
   }
 
+  test("pp49 safe upsert equals the full dd28 rebuild on the graded corpus") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows(ops.Pipelines.pp49UpsertSafe(spark, sf)) ==
+      rows(ops.Dedup.dd28SafeKeepBest(spark, sf)),
+      "pp49 drifts from the full-corpus dd28 rebuild")
+  }
+
+  test("pp49 kernel: clique growth retires a keeper, weld splits, untouched verbatim") {
+    import spark.implicits._
+    // standing cliques A={1,2,3}, B={4,5,6}, C={7,8,9}, D={10,11,12};
+    // arrival 100 JOINS A fully (all three new edges triangle-
+    // supported → A stays one safe cluster and 100's top score RETIRES
+    // standing keeper 3), arrival 200 WELDS B and C through two
+    // support-0 bridge edges (the conservative rule splits them back
+    // apart and 200 singles out), D untouched (row passes verbatim)
+    val standingPairs = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L),
+      (7L, 8L), (7L, 9L), (8L, 9L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("d1", "d2")
+    val newPairs = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L),
+      (6L, 200L), (7L, 200L)).toDF("d1", "d2")
+    val pairs = standingPairs.unionByName(newPairs)
+    val scores = Seq(1L -> 10L, 2L -> 50L, 3L -> 90L, 4L -> 20L,
+      5L -> 30L, 6L -> 70L, 7L -> 40L, 8L -> 60L, 9L -> 25L,
+      10L -> 80L, 11L -> 15L, 12L -> 35L, 100L -> 95L, 200L -> 45L)
+      .toDF("doc_id", "score")
+    val standingClusters = ops.Dedup.propagateMinLabels(standingPairs)
+      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+    val standingSafe = ops.Dedup.safeKeepBestFrom(
+      ops.Dedup.safeMembersOf(standingPairs, standingClusters), scores)
+    val got = ops.Pipelines.safeUpsertFrom(
+        standingClusters, standingSafe, newPairs, scores)(affDocs =>
+        pairs.join(affDocs.withColumnRenamed("doc_id", "d1"), Seq("d1"),
+          "left_semi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val expect = Set(
+      (1L, 1L, 100L, 4L),      // A+100: one safe clique, keeper retired to 100
+      (4L, 4L, 6L, 3L),        // weld side B: split back, keeper kept
+      (4L, 7L, 8L, 3L),        // weld side C: split back, keeper kept
+      (4L, 200L, 200L, 1L),    // the welding doc: every edge a bridge
+      (10L, 10L, 10L, 3L))     // D untouched, verbatim
+    assert(got == expect, s"pp49 kernel wrong:\n$got\nvs\n$expect")
+    // and the patch IS the from-scratch rebuild on standing ∪ batch
+    val rebuilt = ops.Dedup.safeKeepBestFrom(
+      ops.Dedup.safeMembersOf(pairs,
+        ops.Dedup.propagateMinLabels(pairs)
+          .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))),
+      scores).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == rebuilt, "pp49 kernel drifts from the rebuild")
+  }
+
   test("q73 routes cells by the corrected estimate and proves it in the plan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-q73").toString
@@ -2782,6 +2918,51 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3), r.getBoolean(4)))).toMap
     assert(got == expect, s"safe reclustering diverges:\n$got\nvs\n$expect")
+  }
+
+  test("dd36 routes dense cliques to dd07 and sparse chains to dd28") {
+    import spark.implicits._
+    // a 5-doc token-window CHAIN (consecutive J = 32/48 ≈ 0.667 ≥ 0.6,
+    // skip-one J = 24/56 ≈ 0.43 < 0.6 → 4 verified pairs of C(5,2)=10,
+    // density 4000 bp < 5000 → conservative; no triangles, so every
+    // edge is a bridge and dd28 keeps one per singleton) and a 3-doc
+    // CLIQUE (shared 40-token core, pairwise J = 38/46 ≈ 0.826 → all
+    // 3 pairs verified, density 10000 ≥ 5000 → aggressive, one keeper)
+    val chainDocs = (0 until 5).map { i =>
+      (i.toLong, (0 until 42).map(j => s"ch${8 * i + j}").mkString(" "))
+    }
+    val core = (0 until 40).map(j => s"cq$j")
+    val cliqueDocs = (0 until 3).map { i =>
+      (10L + i, (core ++ (0 until 4).map(j => s"u${i}x$j")).mkString(" "))
+    }
+    val docs = (chainDocs ++ cliqueDocs)
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd36").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = ops.Dedup.dd02MinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 4).map(i => (i.toLong, i + 1L)).toSet ++
+      Set((10L, 11L), (10L, 12L), (11L, 12L))
+    assert(pairs == want, s"planted pair set wrong: $pairs")
+    val rows = ops.Dedup.dd36KeeperPolicy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    val chain = rows.filter(_._1 == 0L)
+    assert(chain.length == 5 && chain.forall(_._4 == "conservative"),
+      s"chain must route conservative with one keeper per singleton: " +
+        s"${chain.toSeq}")
+    assert(chain.forall(r => r._3 == 4000L && r._2 == 1L),
+      s"chain density/member counts off: ${chain.toSeq}")
+    assert(chain.map(_._5).toSet == (0L to 4L).toSet &&
+      chain.forall(r => r._5 == r._6),
+      s"chain keepers must be the five singletons: ${chain.toSeq}")
+    val clique = rows.filter(_._1 == 10L)
+    assert(clique.length == 1, s"clique must keep exactly one: ${clique.toSeq}")
+    val c = clique.head
+    assert(c._4 == "aggressive" && c._3 == 10000L && c._2 == 3L &&
+      c._5 == 10L, s"clique route/density wrong: $c")
+    assert(rows.length == 6, s"unexpected extra rows: ${rows.toSeq}")
   }
 
   test("tx51 hapax profile matches an exact per-source recompute") {

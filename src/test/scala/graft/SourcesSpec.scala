@@ -850,13 +850,84 @@ class SourcesSpec extends SparkTestBase {
     // drift consumed: the next tick is quiet again
     assert(MaintenanceRunner.tick(spark, sf, root) ==
       MaintenanceRunner.Tick(None, None, None, None))
-    // fold tick: clusters+keepers advance together off the LOADED
-    // standing side, and the card re-describes the folded corpus
+    // fold tick: ALL THREE dedup lines advance together off the LOADED
+    // standing side (safe_keepers via pp49's affected-surface patch —
+    // the round-11 retirement of the fail-closed asymmetry), and the
+    // card re-describes the folded corpus
     val t3 = MaintenanceRunner.tick(spark, sf, root, foldArrival = true)
     assert(t3.folded.nonEmpty &&
-      t3.folded.get.keySet == Set("clusters", "keepers"),
-      s"fold did not advance both dedup lines: ${t3.folded}")
+      t3.folded.get.keySet == Set("clusters", "keepers", "safe_keepers"),
+      s"fold did not advance all three dedup lines: ${t3.folded}")
+    assert(!t3.rebuildAdvised, s"default ceiling must never advise: $t3")
     assert(t3.card.contains(2L), s"fold tick must republish the card: $t3")
+    // the folded safe line serves EXACTLY the full-corpus dd28 rebuild
+    // (pp49's patch ≡ rebuild proof, read back through the fail-closed
+    // reader — the marker story must not block a freshly-patched line)
+    val servedSafe = IndexArtifacts.dd28FromArtifacts(spark, root)
+      .collect().map(_.toSeq).toSet
+    val rebuiltSafe = ops.Dedup.dd28SafeKeepBest(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(servedSafe == rebuiltSafe,
+      "fold-served safe_keepers drift from the full dd28 rebuild")
+  }
+
+  test("fold gate: all-dup batch skips, fresh batch folds, ceiling advises rebuild") {
+    import spark.implicits._
+    import graft.sources.{IndexArtifacts, MaintenanceRunner}
+    // standing corpus (src1) + an ARRIVAL (src0) that duplicates it
+    // verbatim: the doc KEY (md5 of normalized text) sets coincide, so
+    // sk15's KMV sketches are bit-identical and est_new = 0 exactly
+    val standing = (0 until 40).map { i =>
+      (i.toLong, (0 until 30).map(j => s"g${i}t$j").mkString(" "))
+    }
+    val dupBatch = standing.map { case (id, t) => (1000L + id, t) }
+    def writeCorpus(dir: String, batch: Seq[(Long, String)]): Unit = {
+      (standing.map { case (id, t) => (id, t, "en", "src1", t.length.toLong) }
+        ++ batch.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) })
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // publishAll's vector lines need SOME embeddings table; the gate
+      // under test only reads documents, so the sf one serves as-is
+      Tables.embeddings(spark, sf)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    // keep the purge-reconcile cadence quiet (its own test covers it)
+    // so the only moving part here is the fold gate
+    spark.conf.set(IndexArtifacts.maxDriftConf, "1000000")
+    try {
+      val dupDir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+      writeCorpus(dupDir, dupBatch)
+      val root1 = s"$tmp/fold_gate_dup"
+      IndexArtifacts.publishAll(spark, dupDir, root1)
+      val calls0 = ops.Dedup.propagationCalls.get
+      val quiet = MaintenanceRunner.tick(spark, dupDir, root1,
+        foldArrival = true)
+      assert(quiet.folded.isEmpty && !quiet.rebuildAdvised,
+        s"all-dup batch must not fold: $quiet")
+      assert(ops.Dedup.propagationCalls.get == calls0,
+        "the skipped fold still ran a convergence loop")
+      // fresh batch: genuinely new docs → the fold runs
+      val freshBatch = (0 until 40).map { i =>
+        (1000L + i, (0 until 30).map(j => s"f${i}t$j").mkString(" "))
+      }
+      val freshDir =
+        java.nio.file.Files.createTempDirectory("graft-fresh").toString
+      writeCorpus(freshDir, freshBatch)
+      val root2 = s"$tmp/fold_gate_fresh"
+      IndexArtifacts.publishAll(spark, freshDir, root2)
+      val t = MaintenanceRunner.tick(spark, freshDir, root2,
+        foldArrival = true)
+      assert(t.folded.nonEmpty, s"fresh batch must fold: $t")
+      // ceiling: the same fresh batch under a 1-doc rebuild threshold
+      // is too new to patch — no fold, rebuild advised
+      spark.conf.set(MaintenanceRunner.foldRebuildNewDocsConf, "1")
+      try {
+        val adv = MaintenanceRunner.tick(spark, freshDir, root2,
+          foldArrival = true)
+        assert(adv.folded.isEmpty && adv.rebuildAdvised,
+          s"ceiling must advise rebuild instead of folding: $adv")
+      } finally spark.conf.unset(MaintenanceRunner.foldRebuildNewDocsConf)
+    } finally spark.conf.unset(IndexArtifacts.maxDriftConf)
   }
 
   test("artifact-root TVFs serve published lines and fail closed") {
