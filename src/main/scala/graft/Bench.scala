@@ -81,13 +81,20 @@ object Bench {
     val maxHeapMb = Runtime.getRuntime.maxMemory >> 20
     var storagePeakMb = 0L
     // sorted name order + session-memoized cross-query shared frames
-    // (Similarity.nswWalkTop8, Dedup's dd06 clusters) pin WHICH query
-    // pays each shared cache build: the alphabetically-first consumer,
-    // every sweep. Round 8's ss22/ss24 2× swing was exactly this
-    // payment landing nondeterministically (the walk plan embeds
-    // truncated LogicalRDDs the cache manager can't canonicalize, so
-    // a second BUILD call missed the cache whenever upstream frames
-    // had been reclaimed); the memo makes the reuse structural.
+    // (Similarity.nswWalkTop8, Dedup's dd06 clusters and safe chain)
+    // pin WHICH query pays each shared cache build: the
+    // alphabetically-first consumer, every sweep. Round 8's ss22/ss24
+    // 2× swing was exactly this payment landing nondeterministically
+    // (the walk plan embeds truncated LogicalRDDs the cache manager
+    // can't canonicalize, so a second BUILD call missed the cache
+    // whenever upstream frames had been reclaimed); the memo makes
+    // the reuse structural. Known residual (r9/r10 driver logs): the
+    // graph family's slowest-slot can still migrate across
+    // gr03/gr07 UNDER CO-TENANT LOAD ONLY — each PageRank query owns
+    // its 10-join unroll (nothing shareable: the teleport vector
+    // differs), the shared dd02 edge cache is paid at dd02 itself in
+    // sorted order, and calm re-times show both ≤ ~4 s; adjudicate
+    // such swings by the cpu/cache columns, not wall.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

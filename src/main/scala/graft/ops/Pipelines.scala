@@ -1839,9 +1839,38 @@ object Pipelines {
     val standingClusters = CacheScope.cached(
       Dedup.propagateMinLabels(standingPairs)
         .select(col("doc").as("doc_id"), col("lbl").as("cluster_id")))
+    // CACHE the batch-side frame: the kernel and the untouched
+    // derivation below reference it repeatedly, and every propagation-
+    // round job would otherwise re-run the anti-join
+    val newPairs = CacheScope.cached(
+      pairs.join(standingPairs, Seq("d1", "d2"), "left_anti"))
+    // the kernel consumes the standing safe table ONLY for its
+    // untouched rows (touched clusters' rows are discarded and
+    // recomputed), and untouched clusters' safe rows depend only on
+    // their own edges — so the in-query derivation runs the standing
+    // chain on the UNTOUCHED subgraph alone, exactly what those rows
+    // are, at a fraction of the full standing chain's cost (at the sf
+    // batch ratio most clusters are touched; the wedge + supported-
+    // propagation bill concentrates in the affected recompute, which
+    // is the patch's genuine work either way). Both subgraph frames
+    // are TRUNCATED: the chain's convergence jobs must not re-run the
+    // touched/anti-join lineage every round.
+    import graft.ops.Checkpoints.TruncateOps
+    val newEnds = newPairs.select(col("d1").as("doc_id"))
+      .unionByName(newPairs.select(col("d2").as("doc_id"))).distinct()
+    val touched = standingClusters.join(newEnds, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val untouchedClusters = standingClusters
+      .join(touched, Seq("cluster_id"), "left_anti")
+      .truncated
+    val untouchedPairs = standingPairs
+      .join(standingClusters.select(col("doc_id").as("d1"),
+        col("cluster_id")), Seq("d1"))
+      .join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("d1"), col("d2"))
+      .truncated
     val standingSafe = Dedup.safeKeepBestFrom(
-      Dedup.safeMembersOf(standingPairs, standingClusters), scores)
-    val newPairs = pairs.join(standingPairs, Seq("d1", "d2"), "left_anti")
+      Dedup.safeMembersOf(untouchedPairs, untouchedClusters), scores)
     safeUpsertFrom(standingClusters, standingSafe, newPairs, scores)(
       affDocs => pairs.join(affDocs.withColumnRenamed("doc_id", "d1"),
         Seq("d1"), "left_semi"))

@@ -449,10 +449,14 @@ object IndexArtifacts {
   /** Arrival-batch maintenance for the dedup artifacts: clusters AND
     * keepers advance together off ONE pp43 affected-clusters
     * computation (re-pointing one line and leaving the other stale is
-    * the silent-staleness bug class); `safe_keepers` gets the same
-    * fail-closed invalidation a purge writes — an arrival can weld
-    * safe sub-clusters exactly like a purge can split them. Returns
-    * name → new version for the two re-pointed lines. */
+    * the silent-staleness bug class); `safe_keepers` keeps the
+    * fail-closed invalidation here — this in-query twin exists for
+    * the proof/spec path (it re-derives the standing side, so there
+    * is no loaded safe line to patch against); the PRODUCTION fold
+    * ([[publishFoldedDedup]]) advances safe_keepers too via pp49's
+    * kernel, and the marker machinery this writes remains the guard
+    * every reader honors. Returns name → new version for the two
+    * re-pointed lines. */
   def publishUpsertedDedup(s: SparkSession, d: String,
       root: String): Map[String, Long] = {
     import org.apache.spark.sql.functions.col
