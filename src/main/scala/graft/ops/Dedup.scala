@@ -942,14 +942,23 @@ object Dedup {
     * never self-joins; candidates ∝ the LSH buckets the batch
     * occupies. dd23's own spec asserts this equals the full dd02 pair
     * frame filtered to batch-touching pairs. */
-  private[graft] def batchPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def batchPairs(s: SparkSession, d: String): DataFrame =
+    batchPairsOf(s, d, Tables.documents(s, d)
+      .filter(col("source") === "src0").select(col("doc_id")))
+
+  /** [[batchPairs]] for an EXPLICIT arrival-id frame instead of the
+    * source = src0 convention — the streaming fold's shape (st36),
+    * where "the batch" is a micro-batch, not a source label. Same
+    * bucket-restricted candidate generation: the standing corpus
+    * never self-joins. */
+  private[graft] def batchPairsOf(s: SparkSession, d: String,
+      batchIds: DataFrame): DataFrame = {
     val sh = CacheScope.cached(shingles(s, d))
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val isNew = col("source") === "src0"
     val bands = bandArray(bandRows(s))
     val buckets = minhashSigs(sh)
-      .join(docs, Seq("doc_id"))
-      .select(col("doc_id"), isNew.as("is_new"),
+      .join(batchIds.select(col("doc_id")).withColumn("is_new", lit(true)),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("is_new"), lit(false)).as("is_new"),
         posexplode(bands).as(Seq("band_idx", "bucket")))
     val newBuckets = buckets.filter(col("is_new"))
       .select(col("band_idx"), col("bucket")).distinct()

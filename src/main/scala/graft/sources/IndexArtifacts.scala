@@ -492,12 +492,19 @@ object IndexArtifacts {
     * newer version) does the fold refresh the fail-closed marker
     * instead — a patch on a stale base would launder the staleness. */
   def publishFoldedDedup(s: SparkSession, d: String,
-      root: String): Map[String, Long] = {
+      root: String): Map[String, Long] =
+    foldDedupLines(s, d, root, graft.ops.Dedup.batchPairs(s, d))
+
+  /** The fold body over an EXPLICIT arrival pair-batch — shared by
+    * [[publishFoldedDedup]] (src0 convention) and the streaming twin
+    * (st36, micro-batch ids via `Dedup.batchPairsOf`). */
+  private[graft] def foldDedupLines(s: SparkSession, d: String,
+      root: String, newPairs0: org.apache.spark.sql.DataFrame)
+      : Map[String, Long] = {
     import org.apache.spark.sql.functions.col
     val scores = graft.ops.Text.tx02QualityScore(s, d)
       .select(col("doc_id"), col("score"))
-    val newPairs = graft.ops.CacheScope.cached(
-      graft.ops.Dedup.batchPairs(s, d))
+    val newPairs = graft.ops.CacheScope.cached(newPairs0)
     val standingClusters = read(s, root, "clusters")
     val (members, keepers) = graft.ops.Pipelines.clusterUpsertFromStandingBoth(
       standingClusters, read(s, root, "keepers"), newPairs, scores)

@@ -1175,6 +1175,46 @@ object StreamingJobs {
       }
       .start()
 
+  /** st36: streaming DEDUP-ARTIFACT maintenance — the fold tick's
+    * three dedup lines LIVE (clusters, keepers, and — since pp49 —
+    * safe_keepers), completing the Kappa picture for the dedup family
+    * the way st34 completed it for the graph: each arrival micro-batch
+    * of doc ids folds into the CURRENT published lines via the exact
+    * pp43 quotient kernel + pp49 safe kernel and publishes all three
+    * as next versions (safe_keepers FIRST — the fold's
+    * reader-consistency order: the conservative line must never be
+    * staler than the keeper line a reader composes it with).
+    * `foreachBatch`, not a state store: the dedup state IS the
+    * published artifact (st34's discipline). Batch pairs ride dd23's
+    * bucket-restricted candidate generation keyed on the micro-batch
+    * ids (`batchPairsOf`) — the standing corpus never self-joins, and
+    * per-batch work is ∝ the batch's pair surface plus touched
+    * neighborhoods. EXACTNESS COMPOUNDS: both kernels are exact for
+    * ANY standing artifact, and each publish extends it, so after N
+    * batches the served lines ≡ the one-shot dd06/dd07/dd28 rebuild
+    * on standing ∪ all arrivals (spec-asserted on a two-batch split).
+    * Crash-replay is idempotent: a re-delivered batch's docs are
+    * already clustered, so its pairs quotient onto existing cluster
+    * nodes and every publish is bit-identical content — a duplicate
+    * version, never a duplicate fold. Arrivals must land in the
+    * corpus table ahead of this job (st34's convention — `corpusDir`
+    * is where shingles and quality scores are read). */
+  def streamingDedupMaintenance(arrivals: DataFrame, corpusDir: String,
+      root: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val s = batch0.sparkSession
+        if (!batch0.isEmpty) {
+          graft.sources.IndexArtifacts.foldDedupLines(s, corpusDir, root,
+            graft.ops.Dedup.batchPairsOf(s, corpusDir,
+              batch0.select(col("doc_id")))): Unit
+        }
+      }
+      .start()
+
   /** The reserved totals key of st33's state space — space-bearing, so no
     * whitespace-split token can ever collide with it. */
   val lexTotalsKey: String = " __TOTALS__"

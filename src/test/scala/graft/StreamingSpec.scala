@@ -1077,6 +1077,73 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("st36 streamed dedup folds compound exactly to the one-shot rebuilds") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-st36").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st36ck").toString
+    val cdir = java.nio.file.Files.createTempDirectory("graft-st36c").toString
+    val docs = graft.Tables.documents(spark, sf)
+    docs.filter(col("source") =!= "src0")
+      .write.mode("overwrite").parquet(s"$cdir/documents.parquet")
+    // the standing dedup artifact the stream folds into: one publish
+    // per line, built on the standing-only corpus
+    graft.sources.VersionedCorpus.publish(
+      ops.Dedup.dd06DupClusters(spark, cdir), s"$root/clusters",
+      Some("doc_id"))
+    graft.sources.VersionedCorpus.publish(
+      ops.Dedup.dd07KeepBest(spark, cdir), s"$root/keepers",
+      Some("keeper_id"))
+    graft.sources.VersionedCorpus.publish(
+      ops.Dedup.dd28SafeKeepBest(spark, cdir), s"$root/safe_keepers",
+      Some("keeper_id"))
+    val arrIds = docs.filter(col("source") === "src0")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(arrIds.length >= 2, "need a splittable arrival batch")
+    val (b1, b2) = arrIds.splitAt(arrIds.length / 2)
+    // arrivals land in the corpus table AHEAD of the fold (the job's
+    // documented convention); the corpus grew on disk, so drop every
+    // plan-keyed cache/memo built on the previous snapshot (the
+    // Verify drain discipline) before the next fold reads it
+    def land(ids: Array[Long]): Unit = {
+      docs.filter(col("source") === "src0")
+        .filter(col("doc_id").isin(ids: _*))
+        .write.mode("append").parquet(s"$cdir/documents.parquet")
+      graft.ops.CacheScope.unpersistAll()
+      spark.catalog.refreshByPath(s"$cdir/documents.parquet")
+    }
+    val in = MemoryStream[Long]
+    val q = StreamingJobs.streamingDedupMaintenance(
+      in.toDF().toDF("doc_id"), cdir, root, ckpt)
+    try {
+      land(b1); in.addData(b1.toSeq: _*); q.processAllAvailable()
+      land(b2); in.addData(b2.toSeq: _*); q.processAllAvailable()
+      graft.ops.CacheScope.unpersistAll()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      // exactness COMPOUNDS: two sequential folds ≡ the one-shot
+      // rebuilds on standing ∪ both batches, for all THREE lines
+      assert(rows(graft.sources.VersionedCorpus
+          .readLatest(spark, s"$root/clusters")) ==
+        rows(ops.Dedup.dd06DupClusters(spark, cdir)),
+        "streamed clusters drift from the dd06 rebuild")
+      assert(rows(graft.sources.VersionedCorpus
+          .readLatest(spark, s"$root/keepers")) ==
+        rows(ops.Dedup.dd07KeepBest(spark, cdir)),
+        "streamed keepers drift from the dd07 rebuild")
+      assert(rows(graft.sources.VersionedCorpus
+          .readLatest(spark, s"$root/safe_keepers")) ==
+        rows(ops.Dedup.dd28SafeKeepBest(spark, cdir)),
+        "streamed safe keepers drift from the dd28 rebuild")
+      // one version per micro-batch; the standing lines time-travel
+      Seq("clusters", "keepers", "safe_keepers").foreach { line =>
+        assert(graft.sources.VersionedCorpus
+          .latestVersion(s"$root/$line").contains(3L),
+          s"$line must have advanced once per micro-batch")
+      }
+    } finally q.stop()
+  }
+
   test("st33 streamed lexicon equals build then pp40-patched lexicon exactly") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
