@@ -350,7 +350,7 @@ object Dedup {
     * drain (`CacheScope.unpersistAll`, Verify's per-query hygiene)
     * unpersists them. Serve the memo only while the checkpointed RDD
     * still holds a storage level; rebuild otherwise. */
-  private def memoLive(df: DataFrame): Boolean =
+  private[graft] def memoLive(df: DataFrame): Boolean =
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.forall(_.getStorageLevel !=

@@ -1537,21 +1537,55 @@ object Pipelines {
     * whenever the batch's cluster surface is large, and at a true
     * weekly-batch : 100 TB ratio the production path loads the
     * standing artifact and runs NO standing-side loop at all.) */
+  /** Standing-side (source ≠ src0) pair + cluster frames for corpus
+    * `d`, MEMOIZED per (session, dir) — pp43's and pp49's in-query
+    * proofs (and publishUpsertedDedup) all derive the IDENTICAL
+    * standing clustering, and a warm session must pay its convergence
+    * loop once (the dd06/safe-chain memo discipline; liveness = the
+    * propagation checkpoint's blocks, the pair cache recomputes from
+    * lineage). */
+  private val standingMemo = new SessionMemo[(DataFrame, DataFrame)]
+
+  private[graft] def corpusStanding(s: SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    standingMemo.getOrCompute(s, d)(p => Dedup.memoLive(p._2)) {
+      val newIds = Tables.documents(s, d)
+        .filter(col("source") === "src0").select(col("doc_id"))
+      val pairs = CacheScope.cached(
+        Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2")))
+      val standingPairs = CacheScope.cached(pairs
+        .join(newIds.withColumnRenamed("doc_id", "d1"), Seq("d1"),
+          "left_anti")
+        .join(newIds.withColumnRenamed("doc_id", "d2"), Seq("d2"),
+          "left_anti"))
+      (standingPairs,
+        CacheScope.cached(Dedup.propagateMinLabels(standingPairs)
+          .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))))
+    }
+
   private[graft] def clusterUpsertBoth(pairs0: DataFrame, newIds: DataFrame,
-      scores: DataFrame): (DataFrame, DataFrame) = {
+      scores: DataFrame,
+      standing: Option[(DataFrame, DataFrame)] = None)
+      : (DataFrame, DataFrame) = {
     // CACHE the pair frame once: the composed output plan references
     // the pair subtree ~10× (standing/new/affected derivations, both
     // keep-best sides), and without the cache each reference re-runs
     // the whole LSH chain — measured 92 s vs ~14 s at sf0.01. The
     // frame is ∝ near-dup pairs, never corpus-sized.
     val pairs = CacheScope.cached(pairs0)
-    val standingPairs = pairs
-      .join(newIds.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_anti")
-      .join(newIds.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_anti")
     // the standing artifact pair (in production: IndexArtifacts'
-    // clusters/keepers lines, loaded — the pp37 convention)
-    val standingClusters = Dedup.propagateMinLabels(standingPairs)
-      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+    // clusters/keepers lines, loaded — the pp37 convention; corpus
+    // callers pass the memoized corpusStanding so a warm session runs
+    // the standing convergence loop once across pp43/pp49)
+    val (standingPairs, standingClusters) = standing.getOrElse {
+      val sp = pairs
+        .join(newIds.withColumnRenamed("doc_id", "d1"), Seq("d1"),
+          "left_anti")
+        .join(newIds.withColumnRenamed("doc_id", "d2"), Seq("d2"),
+          "left_anti")
+      (sp, Dedup.propagateMinLabels(sp)
+        .select(col("doc").as("doc_id"), col("lbl").as("cluster_id")))
+    }
     val standingKeepers = Dedup.keepBestFrom(standingClusters, scores)
     val newPairs = pairs.join(standingPairs, Seq("d1", "d2"), "left_anti")
     val newEnds = newPairs.select(col("d1").as("doc_id"))
@@ -1701,11 +1735,12 @@ object Pipelines {
     * bridges two standing clusters and the patched keeper table must
     * retire a previously-correct keeper. */
   def pp43ClusterUpsert(s: SparkSession, d: String): DataFrame =
-    clusterUpsertFrom(
+    clusterUpsertBoth(
       Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2")),
       Tables.documents(s, d).filter(col("source") === "src0")
         .select(col("doc_id")),
-      Text.tx02QualityScore(s, d).select(col("doc_id"), col("score")))
+      Text.tx02QualityScore(s, d).select(col("doc_id"), col("score")),
+      Some(corpusStanding(s, d)))._2
 
   /** pp45: safe-keeper PURGE patch — retires the one remaining
     * rebuild-class caveat: dd28's chain-weld-conservative keeper
@@ -1829,16 +1864,12 @@ object Pipelines {
   def pp49UpsertSafe(s: SparkSession, d: String): DataFrame = {
     val scores = Text.tx02QualityScore(s, d)
       .select(col("doc_id"), col("score"))
-    val newIds = Tables.documents(s, d).filter(col("source") === "src0")
-      .select(col("doc_id"))
     val pairs = CacheScope.cached(
       Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2")))
-    val standingPairs = CacheScope.cached(pairs
-      .join(newIds.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_anti")
-      .join(newIds.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_anti"))
-    val standingClusters = CacheScope.cached(
-      Dedup.propagateMinLabels(standingPairs)
-        .select(col("doc").as("doc_id"), col("lbl").as("cluster_id")))
+    // the standing pair/cluster frames are the session-memoized pair
+    // pp43's in-query proof also derives — one convergence loop
+    // across both proofs in a warm session
+    val (standingPairs, standingClusters) = corpusStanding(s, d)
     // CACHE the batch-side frame: the kernel and the untouched
     // derivation below reference it repeatedly, and every propagation-
     // round job would otherwise re-run the anti-join

@@ -466,7 +466,8 @@ object IndexArtifacts {
       graft.Tables.documents(s, d)
         .filter(col("source") === "src0").select(col("doc_id")),
       graft.ops.Text.tx02QualityScore(s, d)
-        .select(col("doc_id"), col("score")))
+        .select(col("doc_id"), col("score")),
+      Some(ops.corpusStanding(s, d)))
     invalidate(root, "safe_keepers",
       "arrival batch applied; dd26 support evidence requires rebuild")
     Map(

@@ -1141,6 +1141,21 @@ class StreamingSpec extends SparkTestBase {
           .latestVersion(s"$root/$line").contains(3L),
           s"$line must have advanced once per micro-batch")
       }
+      // crash-replay idempotence: re-delivering an acknowledged batch
+      // (its docs already clustered) must republish bit-identical
+      // content — a duplicate version, never a duplicate fold
+      val before = Seq("clusters", "keepers", "safe_keepers").map(l =>
+        l -> rows(graft.sources.VersionedCorpus
+          .readLatest(spark, s"$root/$l"))).toMap
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      Seq("clusters", "keepers", "safe_keepers").foreach { line =>
+        assert(graft.sources.VersionedCorpus
+          .latestVersion(s"$root/$line").contains(4L),
+          s"replayed batch must publish a new $line version")
+        assert(rows(graft.sources.VersionedCorpus
+            .readLatest(spark, s"$root/$line")) == before(line),
+          s"replayed batch changed $line content — fold not idempotent")
+      }
     } finally q.stop()
   }
 
