@@ -367,6 +367,7 @@ object SparkEntry {
     "ss28_keep_curve"       -> Similarity.ss28KeepCurve _,
     "dd36_keeper_policy"    -> Dedup.dd36KeeperPolicy _,
     "pp49_upsert_safe"      -> Pipelines.pp49UpsertSafe _,
+    "pp50_policy_training_set" -> Pipelines.pp50PolicyTrainingSet _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -1108,6 +1109,45 @@ object SparkEntry {
        |          coalesce(sc.safe_id, c.doc_id) AS safe_id
        |        FROM clusters c LEFT JOIN sc ON sc.doc_id = c.doc_id),
        |scores AS ($qualityScoreSql)""".stripMargin
+
+  /** dd36's routed-keeper CTE block (appended after [[safeChainCtes]]):
+    * dd07's rule (k07), dd28's rule (k28), realized density and the
+    * 5000 bp route (rt) — shared by the dd36 entry and pp50's
+    * policy-routed training set. */
+  private val keeperPolicyCtes: String =
+    """r28 AS (SELECT mem.cluster_id, mem.safe_id, mem.doc_id,
+      |        row_number() OVER (PARTITION BY mem.safe_id
+      |          ORDER BY s.score DESC, mem.doc_id) AS rk,
+      |        count(*) OVER (PARTITION BY mem.safe_id) AS n_members
+      |      FROM mem JOIN scores s USING (doc_id)),
+      |k28 AS (SELECT cluster_id, safe_id, doc_id AS keeper_id,
+      |          CAST(n_members AS BIGINT) AS n_members
+      |        FROM r28 WHERE rk = 1),
+      |r07 AS (SELECT c.cluster_id, c.doc_id,
+      |        row_number() OVER (PARTITION BY c.cluster_id
+      |          ORDER BY s.score DESC, c.doc_id) AS rk,
+      |        count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      |      FROM clusters c JOIN scores s USING (doc_id)),
+      |k07 AS (SELECT cluster_id, cluster_id AS safe_id,
+      |          doc_id AS keeper_id, CAST(n_members AS BIGINT)
+      |            AS n_members
+      |        FROM r07 WHERE rk = 1),
+      |intra AS (SELECT a.cluster_id,
+      |    CAST(count(*) AS BIGINT) AS n_intra_pairs
+      |  FROM j JOIN clusters a ON j.d1 = a.doc_id
+      |  JOIN clusters b ON j.d2 = b.doc_id
+      |  WHERE a.cluster_id = b.cluster_id GROUP BY 1),
+      |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_m
+      |       FROM clusters GROUP BY 1),
+      |dens AS (SELECT sz.cluster_id,
+      |    CAST(coalesce(n_intra_pairs, 0) * 10000
+      |      // greatest(1, n_m * (n_m - 1) // 2) AS BIGINT)
+      |      AS density_bp
+      |  FROM sz LEFT JOIN intra USING (cluster_id)),
+      |rt AS (SELECT cluster_id, density_bp,
+      |         CASE WHEN density_bp >= 5000 THEN 'aggressive'
+      |              ELSE 'conservative' END AS route
+      |       FROM dens)""".stripMargin
 
   /** ev54's detector chain — shared by the ev54 entry and the
     * ev56 bot-gate consumer. */
@@ -4227,39 +4267,7 @@ object SparkEntry {
     // proves both engines decided every cluster identically.
     "dd36_keeper_policy" ->
       s"""WITH $safeChainCtes,
-         |r28 AS (SELECT mem.cluster_id, mem.safe_id, mem.doc_id,
-         |        row_number() OVER (PARTITION BY mem.safe_id
-         |          ORDER BY s.score DESC, mem.doc_id) AS rk,
-         |        count(*) OVER (PARTITION BY mem.safe_id) AS n_members
-         |      FROM mem JOIN scores s USING (doc_id)),
-         |k28 AS (SELECT cluster_id, safe_id, doc_id AS keeper_id,
-         |          CAST(n_members AS BIGINT) AS n_members
-         |        FROM r28 WHERE rk = 1),
-         |r07 AS (SELECT c.cluster_id, c.doc_id,
-         |        row_number() OVER (PARTITION BY c.cluster_id
-         |          ORDER BY s.score DESC, c.doc_id) AS rk,
-         |        count(*) OVER (PARTITION BY c.cluster_id) AS n_members
-         |      FROM clusters c JOIN scores s USING (doc_id)),
-         |k07 AS (SELECT cluster_id, cluster_id AS safe_id,
-         |          doc_id AS keeper_id, CAST(n_members AS BIGINT)
-         |            AS n_members
-         |        FROM r07 WHERE rk = 1),
-         |intra AS (SELECT a.cluster_id,
-         |    CAST(count(*) AS BIGINT) AS n_intra_pairs
-         |  FROM j JOIN clusters a ON j.d1 = a.doc_id
-         |  JOIN clusters b ON j.d2 = b.doc_id
-         |  WHERE a.cluster_id = b.cluster_id GROUP BY 1),
-         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_m
-         |       FROM clusters GROUP BY 1),
-         |dens AS (SELECT sz.cluster_id,
-         |    CAST(coalesce(n_intra_pairs, 0) * 10000
-         |      // greatest(1, n_m * (n_m - 1) // 2) AS BIGINT)
-         |      AS density_bp
-         |  FROM sz LEFT JOIN intra USING (cluster_id)),
-         |rt AS (SELECT cluster_id, density_bp,
-         |         CASE WHEN density_bp >= 5000 THEN 'aggressive'
-         |              ELSE 'conservative' END AS route
-         |       FROM dens)
+         |$keeperPolicyCtes
          |SELECT rt.cluster_id, k.n_members, rt.density_bp, rt.route,
          |  k.safe_id, k.keeper_id
          |FROM rt JOIN k07 k USING (cluster_id)
@@ -4269,6 +4277,34 @@ object SparkEntry {
          |  k.safe_id, k.keeper_id
          |FROM rt JOIN k28 k USING (cluster_id)
          |WHERE rt.route = 'conservative'""".stripMargin,
+
+    // pp50: the routed terminal consumed — pp01's quality gate and
+    // split hash verbatim, removals from dd36's policy keepers, the
+    // surviving route as an audit column.
+    "pp50_policy_training_set" ->
+      s"""WITH $safeChainCtes,
+         |$keeperPolicyCtes,
+         |pk AS (SELECT k.cluster_id, k.keeper_id
+         |       FROM rt JOIN k07 k USING (cluster_id)
+         |       WHERE rt.route = 'aggressive'
+         |       UNION ALL
+         |       SELECT k.cluster_id, k.keeper_id
+         |       FROM rt JOIN k28 k USING (cluster_id)
+         |       WHERE rt.route = 'conservative'),
+         |removed AS (SELECT c.doc_id FROM clusters c
+         |            WHERE c.doc_id NOT IN (SELECT keeper_id FROM pk))
+         |SELECT d.doc_id,
+         |  CASE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+         |    WHEN 'f' THEN 'test' WHEN 'e' THEN 'val' ELSE 'train'
+         |    END AS split,
+         |  s.score,
+         |  coalesce(rt2.route, 'unclustered') AS dedup_route
+         |FROM documents d
+         |JOIN scores s ON s.doc_id = d.doc_id
+         |LEFT JOIN clusters c ON c.doc_id = d.doc_id
+         |LEFT JOIN rt rt2 ON rt2.cluster_id = c.cluster_id
+         |WHERE s.score >= 0.5
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM removed)""".stripMargin,
 
     // pp34: the cap sweep re-ranks only the ≤160-row/source top list;
     // saturated = sources whose doc count exceeds the cap.

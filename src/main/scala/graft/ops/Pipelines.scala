@@ -44,6 +44,45 @@ object Pipelines {
       .select(col("doc_id"), col("split"), col("score"))
   }
 
+  /** pp50: POLICY-ROUTED training set — dd36's routed keeper terminal
+    * consumed where it matters (the q73→consumer discipline one hop
+    * further): pp01 always applies dd07's aggressive rule, which is
+    * exactly wrong on a low-density chain weld; pp50 builds the same
+    * training set but drops non-keepers under dd36's per-cluster
+    * POLICY — dense cliques keep one doc, sparse chains keep one per
+    * triangle-supported safe sub-cluster — so a weld never silently
+    * discards half a family from the training corpus. Same quality
+    * gate and split hash as pp01 (the tail is shared semantics, not
+    * shared code — the oracle replays both verbatim); the route a doc
+    * survived under rides as `dedup_route` ('unclustered' for docs in
+    * no dup family) — the audit column a dataset card cites. Scale:
+    * dd36's frames ∝ clusters (safe chain via the session memo), the
+    * removal anti-join is broadcast ∝ dup docs, one corpus pass. */
+  def pp50PolicyTrainingSet(s: SparkSession, d: String): DataFrame = {
+    val scores = Text.tx02QualityScore(s, d)
+      .select(col("doc_id"), col("score"))
+    val policy = CacheScope.cached(Dedup.dd36KeeperPolicy(s, d)
+      .select(col("cluster_id"), col("route"), col("keeper_id")))
+    val clusters = Dedup.dd06DupClusters(s, d)
+    val removed = clusters
+      .join(policy.select(col("keeper_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val routeOf = policy.select(col("cluster_id"), col("route")).distinct()
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .join(scores, Seq("doc_id"))
+      .filter(col("score") >= 0.5)
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .join(routeOf, Seq("cluster_id"), "left_outer")
+      .withColumn("dedup_route", coalesce(col("route"), lit("unclustered")))
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) === "f", "test")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 1) === "e", "val")
+          .otherwise("train"))
+      .select(col("doc_id"), col("split"), col("score"), col("dedup_route"))
+  }
+
   /** pp02: chunk-level dedup audit — per document, how much of its
     * content (32-byte chunks, mm03) is shared with OTHER documents:
     * chunk stream → corpus-wide duplicated-chunk set (tiny, broadcast)

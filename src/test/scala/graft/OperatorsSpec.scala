@@ -2965,6 +2965,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows.length == 6, s"unexpected extra rows: ${rows.toSeq}")
   }
 
+  test("pp50 keeps exactly the dd36 policy keepers plus gated unclustered docs") {
+    val policy = ops.Dedup.dd36KeeperPolicy(spark, sf).collect()
+    val keeperIds = policy.map(_.getLong(5)).toSet
+    val routeOf = policy.map(r => r.getLong(0) -> r.getString(3)).toMap
+    val clusterOf = ops.Dedup.dd06DupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scores = ops.Text.tx02QualityScore(spark, sf)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = ops.Pipelines.pp50PolicyTrainingSet(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getString(3)))).toMap
+    // kept set: quality-gated docs that are either unclustered or a
+    // policy keeper — recomputed independently from dd36's output
+    val expectKept = scores.keys.filter { d =>
+      scores(d) >= 0.5 &&
+        (!clusterOf.contains(d) || keeperIds.contains(d))
+    }.toSet
+    assert(rows.keySet == expectKept,
+      s"kept set wrong: extra=${rows.keySet -- expectKept} " +
+        s"missing=${expectKept -- rows.keySet}")
+    rows.foreach { case (d, (_, sc, route)) =>
+      assert(sc == scores(d), s"doc $d score drifted")
+      clusterOf.get(d) match {
+        case Some(c) => assert(route == routeOf(c),
+          s"doc $d carries route $route, cluster $c routed ${routeOf(c)}")
+        case None => assert(route == "unclustered", s"doc $d: $route")
+      }
+    }
+    // dd07's cluster-best keeper is its own safe sub-cluster's best,
+    // so the aggressive terminal's survivors always survive the policy
+    val pp01Kept = ops.Pipelines.pp01TrainingPipeline(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(pp01Kept.subsetOf(rows.keySet),
+      "pp50 must keep every pp01 survivor")
+  }
+
   test("tx51 hapax profile matches an exact per-source recompute") {
     val toks = graft.Tables.documents(spark, sf)
       .select(col("source"), explode(split(trim(col("text")), " "))
