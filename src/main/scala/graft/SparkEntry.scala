@@ -368,6 +368,7 @@ object SparkEntry {
     "dd36_keeper_policy"    -> Dedup.dd36KeeperPolicy _,
     "pp49_upsert_safe"      -> Pipelines.pp49UpsertSafe _,
     "pp50_policy_training_set" -> Pipelines.pp50PolicyTrainingSet _,
+    "dd37_policy_curve"     -> Dedup.dd37PolicyCurve _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -4277,6 +4278,29 @@ object SparkEntry {
          |  k.safe_id, k.keeper_id
          |FROM rt JOIN k28 k USING (cluster_id)
          |WHERE rt.route = 'conservative'""".stripMargin,
+
+    // dd37: the policy-threshold curve replayed — dd35's density and
+    // dd27's safe decomposition joined per cluster, counted under each
+    // candidate floor.
+    "dd37_policy_curve" ->
+      s"""WITH $safeChainCtes,
+         |$keeperPolicyCtes,
+         |d27 AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |          CAST(count(DISTINCT safe_id) AS BIGINT) AS n_safe
+         |        FROM mem GROUP BY 1),
+         |thr AS (SELECT CAST(unnest([2500, 5000, 7500]) AS BIGINT)
+         |          AS thr_bp)
+         |SELECT thr_bp,
+         |  CAST(sum(CASE WHEN density_bp >= thr_bp THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_aggressive,
+         |  CAST(sum(CASE WHEN density_bp < thr_bp THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_conservative,
+         |  CAST(sum(CASE WHEN density_bp >= thr_bp THEN 1 ELSE n_safe END)
+         |    AS BIGINT) AS n_keepers,
+         |  CAST(sum(CASE WHEN density_bp >= thr_bp THEN n_members - 1
+         |           ELSE n_members - n_safe END) AS BIGINT) AS n_discarded
+         |FROM dens JOIN d27 USING (cluster_id) CROSS JOIN thr
+         |GROUP BY 1""".stripMargin,
 
     // pp50: the routed terminal consumed — pp01's quality gate and
     // split hash verbatim, removals from dd36's policy keepers, the

@@ -1512,6 +1512,45 @@ object Dedup {
         col("route"), col("safe_id"), col("keeper_id"))
   }
 
+  /** dd37: keeper-policy THRESHOLD curve — the advisor that prices
+    * dd36's one knob before a 100 TB run commits to it (the
+    * dd33→bandRows / ss28→bm25.keep pattern on the policy tier): for
+    * each candidate density floor, how many clusters route aggressive
+    * vs conservative, how many keepers the corpus retains and how
+    * many docs the dedup discards — the keeper-count/discard-mass
+    * trade the mix designer reads next to dd29's inflation before
+    * setting `spark.graft.dedup.keeperDensityBp`. Pure integer
+    * arithmetic over two already-verified ∝-cluster frames (dd35's
+    * density, dd27's safe decomposition) × a 3-row broadcast
+    * threshold grid; keepers are counted, not materialized — the
+    * curve costs three aggregates over cluster-sized data. Monotone
+    * by construction: raising the floor can only move clusters to
+    * the conservative (≥ 1 keeper each) side, so n_keepers is
+    * non-decreasing and n_discarded non-increasing in the threshold
+    * (spec-asserted, with the 5000-row cross-checked against dd36's
+    * materialized keeper table). */
+  def dd37PolicyCurve(s: SparkSession, d: String): DataFrame = {
+    val dens = dd35ClusterCohesion(s, d)
+      .select(col("cluster_id"), col("density_bp"))
+    val d27 = dd27SafeClusters(s, d)
+      .select(col("cluster_id"), col("n_members"), col("n_safe_clusters"))
+    val thr = s.range(1).select(explode(array(
+      lit(2500L), lit(5000L), lit(7500L))).as("thr_bp"))
+    dens.join(d27, Seq("cluster_id"))
+      .crossJoin(broadcast(thr))
+      .groupBy(col("thr_bp"))
+      .agg(
+        sum(when(col("density_bp") >= col("thr_bp"), 1L).otherwise(0L))
+          .as("n_aggressive"),
+        sum(when(col("density_bp") < col("thr_bp"), 1L).otherwise(0L))
+          .as("n_conservative"),
+        sum(when(col("density_bp") >= col("thr_bp"), 1L)
+          .otherwise(col("n_safe_clusters"))).as("n_keepers"),
+        sum(when(col("density_bp") >= col("thr_bp"), col("n_members") - 1L)
+          .otherwise(col("n_members") - col("n_safe_clusters")))
+          .as("n_discarded"))
+  }
+
   /** dd32: cross-source DUPLICATION MATRIX — where dd29 prices how
     * much duplicated mass each source carries, dd32 answers the next
     * operational question: duplicated WITH WHOM. Near-dup pairs keyed

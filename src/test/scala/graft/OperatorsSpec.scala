@@ -3002,6 +3002,36 @@ class OperatorsSpec extends SparkTestBase {
       "pp50 must keep every pp01 survivor")
   }
 
+  test("dd37 curve is monotone and its 5000-row matches dd36's terminal") {
+    val rows = ops.Dedup.dd37PolicyCurve(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set(2500L, 5000L, 7500L), s"grid: ${rows.keySet}")
+    val curve = Seq(2500L, 5000L, 7500L).map(rows)
+    val nClusters = ops.Dedup.dd06DupClusters(spark, sf)
+      .select("cluster_id").distinct().count()
+    val nClusteredDocs = ops.Dedup.dd06DupClusters(spark, sf).count()
+    curve.foreach { case (agg, con, keep, disc) =>
+      assert(agg + con == nClusters, "routes must partition the clusters")
+      assert(keep + disc == nClusteredDocs,
+        "keepers + discards must cover every clustered doc")
+    }
+    // raising the floor only moves clusters to the ≥1-keeper side
+    assert(curve.map(_._1).sameElements(curve.map(_._1).sorted.reverse),
+      s"n_aggressive must be non-increasing: $curve")
+    assert(curve.map(_._3).sameElements(curve.map(_._3).sorted),
+      s"n_keepers must be non-decreasing: $curve")
+    assert(curve.map(_._4).sameElements(curve.map(_._4).sorted.reverse),
+      s"n_discarded must be non-increasing: $curve")
+    // the advised point IS the shipped terminal: keeper count at the
+    // default floor equals dd36's materialized keeper table
+    val dd36 = ops.Dedup.dd36KeeperPolicy(spark, sf).collect()
+    assert(rows(5000L)._3 == dd36.length.toLong,
+      s"curve@5000 says ${rows(5000L)._3} keepers, dd36 ships ${dd36.length}")
+    assert(rows(5000L)._4 == nClusteredDocs - dd36.length,
+      "curve@5000 discard mass drifts from dd36's")
+  }
+
   test("tx51 hapax profile matches an exact per-source recompute") {
     val toks = graft.Tables.documents(spark, sf)
       .select(col("source"), explode(split(trim(col("text")), " "))
