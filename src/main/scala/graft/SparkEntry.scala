@@ -369,6 +369,7 @@ object SparkEntry {
     "pp49_upsert_safe"      -> Pipelines.pp49UpsertSafe _,
     "pp50_policy_training_set" -> Pipelines.pp50PolicyTrainingSet _,
     "dd37_policy_curve"     -> Dedup.dd37PolicyCurve _,
+    "pp51_patch_policy"     -> Pipelines.pp51PatchPolicy _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -1081,10 +1082,13 @@ object SparkEntry {
 
   /** The safe-keeper chain's shared CTE list (verified pairs →
     * triangle support → supported-core reachability → safe members +
-    * clusters + quality scores) — shared by the dd28 entry and dd36's
-    * routed-policy replay. */
-  private val safeChainCtes: String =
-    s"""j AS ($ngramJaccardSql),
+    * clusters + quality scores) — shared by the dd28 entry, dd36/pp50's
+    * routed-policy replays, pp49's rebuild oracle, and (in the purged
+    * variant) pp51's. `pairWhere` filters the verified pair set,
+    * `docExtra` the clustering's document source — pp45's tombstone
+    * rule, parameterized. */
+  private def safeChainCtesFrom(pairWhere: String, docExtra: String): String =
+    s"""j AS (SELECT * FROM ($ngramJaccardSql) z$pairWhere),
        |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
        |deg AS (SELECT m, count(*) AS deg FROM bi GROUP BY 1),
        |safe AS (SELECT bi.m, bi.n FROM bi JOIN deg USING (m)
@@ -1105,11 +1109,13 @@ object SparkEntry {
        |  SELECT * FROM r),
        |sc AS (SELECT a AS doc_id, least(a, min(b)) AS safe_id
        |       FROM sreach GROUP BY a),
-       |clusters AS ($dupClustersSql),
+       |clusters AS (${dupClustersSqlFrom(docExtra)}),
        |mem AS (SELECT c.doc_id, c.cluster_id,
        |          coalesce(sc.safe_id, c.doc_id) AS safe_id
        |        FROM clusters c LEFT JOIN sc ON sc.doc_id = c.doc_id),
        |scores AS ($qualityScoreSql)""".stripMargin
+
+  private val safeChainCtes: String = safeChainCtesFrom("", "")
 
   /** dd36's routed-keeper CTE block (appended after [[safeChainCtes]]):
     * dd07's rule (k07), dd28's rule (k28), realized density and the
@@ -4203,33 +4209,9 @@ object SparkEntry {
     // patch ≡ rebuild for the chain-weld-conservative keeper table,
     // retiring the fail-closed purge marker.
     "pp45_patch_safe" ->
-      s"""WITH j AS (SELECT * FROM ($ngramJaccardSql) z
-         |           WHERE z.d1 % 97 <> 0 AND z.d2 % 97 <> 0),
-         |bi AS (SELECT d1 AS m, d2 AS n FROM j UNION ALL SELECT d2, d1 FROM j),
-         |deg AS (SELECT m, count(*) AS deg FROM bi GROUP BY 1),
-         |safe AS (SELECT bi.m, bi.n FROM bi JOIN deg USING (m)
-         |         WHERE deg.deg <= 64),
-         |cn AS (SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS common
-         |       FROM safe x JOIN safe y ON x.m = y.m AND x.n < y.n
-         |       GROUP BY 1, 2),
-         |es AS (SELECT j.d1, j.d2, coalesce(cn.common, 0) AS support
-         |       FROM j LEFT JOIN cn ON cn.a = j.d1 AND cn.b = j.d2),
-         |sup AS (SELECT d1, d2 FROM es WHERE support > 0),
-         |sbi AS (SELECT d1 AS a, d2 AS b FROM sup
-         |        UNION ALL SELECT d2, d1 FROM sup),
-         |sreach AS (
-         |  WITH RECURSIVE r(a, b) AS (
-         |    SELECT a, b FROM sbi
-         |    UNION
-         |    SELECT r.a, sbi.b FROM r JOIN sbi ON r.b = sbi.a)
-         |  SELECT * FROM r),
-         |sc AS (SELECT a AS doc_id, least(a, min(b)) AS safe_id
-         |       FROM sreach GROUP BY a),
-         |clusters AS (${dupClustersSqlFrom(" AND doc_id % 97 <> 0")}),
-         |mem AS (SELECT c.doc_id, c.cluster_id,
-         |          coalesce(sc.safe_id, c.doc_id) AS safe_id
-         |        FROM clusters c LEFT JOIN sc ON sc.doc_id = c.doc_id),
-         |scores AS ($qualityScoreSql),
+      s"""WITH ${safeChainCtesFrom(
+          " WHERE z.d1 % 97 <> 0 AND z.d2 % 97 <> 0",
+          " AND doc_id % 97 <> 0")},
          |r AS (SELECT mem.cluster_id, mem.safe_id, mem.doc_id,
          |        row_number() OVER (PARTITION BY mem.safe_id
          |          ORDER BY s.score DESC, mem.doc_id) AS rk,
@@ -4237,6 +4219,24 @@ object SparkEntry {
          |      FROM mem JOIN scores s USING (doc_id))
          |SELECT cluster_id, safe_id, doc_id AS keeper_id, n_members
          |FROM r WHERE rk = 1""".stripMargin,
+
+    // pp51: the policy purge patch is hash-proven ≡ dd36 rebuilt from
+    // scratch on the purged corpus — the same chain + policy CTEs over
+    // the tombstone-filtered pair/document sources.
+    "pp51_patch_policy" ->
+      s"""WITH ${safeChainCtesFrom(
+          " WHERE z.d1 % 97 <> 0 AND z.d2 % 97 <> 0",
+          " AND doc_id % 97 <> 0")},
+         |$keeperPolicyCtes
+         |SELECT rt.cluster_id, k.n_members, rt.density_bp, rt.route,
+         |  k.safe_id, k.keeper_id
+         |FROM rt JOIN k07 k USING (cluster_id)
+         |WHERE rt.route = 'aggressive'
+         |UNION ALL
+         |SELECT rt.cluster_id, k.n_members, rt.density_bp, rt.route,
+         |  k.safe_id, k.keeper_id
+         |FROM rt JOIN k28 k USING (cluster_id)
+         |WHERE rt.route = 'conservative'""".stripMargin,
 
     "dd28_safe_keep_best" ->
       s"""WITH $safeChainCtes,

@@ -1495,17 +1495,48 @@ object Dedup {
     * Scale: density/route frames ∝ clusters; both keeper rules are
     * the existing bounded-window terminals, and the safe chain is
     * computed once via the session memo (never per-route). */
-  def dd36KeeperPolicy(s: SparkSession, d: String): DataFrame = {
-    val thr = s.conf.get(keeperDensityBpConf, "5000").toLong
-    val routed = dd35ClusterCohesion(s, d)
-      .select(col("cluster_id"), col("density_bp"),
+  def dd36KeeperPolicy(s: SparkSession, d: String): DataFrame =
+    policyRowsFrom(
+      CacheScope.cached(dd02MinhashLsh(s, d).select(col("d1"), col("d2"))),
+      dd06DupClusters(s, d),
+      dd07KeepBest(s, d).select(col("cluster_id"),
+        col("keeper_id"), col("n_members")),
+      dd28SafeKeepBest(s, d),
+      s.conf.get(keeperDensityBpConf, "5000").toLong)
+
+  /** dd36's routing + selection over EXPLICIT frames — `pairs` the
+    * verified edge set of the `labels` components (self-contained,
+    * the kernel-sharing contract of safeMembersOf), `k07`/`k28` the
+    * two keeper rules' rows for those components. ONE kernel for the
+    * full-corpus terminal and the artifact lifecycle patches (pp51's
+    * purge direction, the fold's arrival direction), so the density
+    * formula and the route rule can never drift between the terminal
+    * and its patches. Density is realized intra-pair mass over
+    * C(n, 2), the dd35 arithmetic verbatim. */
+  private[graft] def policyRowsFrom(pairs: DataFrame, labels: DataFrame,
+      k07: DataFrame, k28: DataFrame, thr: Long): DataFrame = {
+    val intra = pairs
+      .join(labels.select(col("doc_id").as("d1"), col("cluster_id").as("c1")),
+        Seq("d1"))
+      .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("c2")),
+        Seq("d2"))
+      .filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("cluster_id"))
+      .agg(count(lit(1)).as("n_intra"))
+    val routed = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_m"))
+      .join(intra, Seq("cluster_id"), "left_outer")
+      .select(col("cluster_id"),
+        expr("coalesce(n_intra, 0L) * 10000" +
+          " div greatest(1L, n_m * (n_m - 1) div 2)").as("density_bp"))
+      .withColumn("route",
         when(col("density_bp") >= thr, "aggressive")
-          .otherwise("conservative").as("route"))
-    val aggK = dd07KeepBest(s, d)
+          .otherwise("conservative"))
+    val aggK = k07
       .select(col("cluster_id"), col("cluster_id").as("safe_id"),
         col("keeper_id"), col("n_members"))
       .join(routed.filter(col("route") === "aggressive"), Seq("cluster_id"))
-    val conK = dd28SafeKeepBest(s, d)
+    val conK = k28
       .join(routed.filter(col("route") === "conservative"), Seq("cluster_id"))
     aggK.unionByName(conK)
       .select(col("cluster_id"), col("n_members"), col("density_bp"),

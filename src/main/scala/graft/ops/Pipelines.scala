@@ -1429,6 +1429,23 @@ object Pipelines {
     * both returned plans). */
   private[graft] def pp39Patched(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
+    val p = pp39Parts(s, d)
+    (p.passMembers.unionByName(p.reclustered),
+      p.passKeepers.unionByName(
+        Dedup.keepBestFrom(p.reclustered, p.scores)))
+  }
+
+  /** pp39's purge computation factored into its shared pieces —
+    * `affected` the old cluster ids a tombstone touches,
+    * `survPairs`/`reclustered` the survivors' self-contained edge set
+    * and labels, the two pass-through frames and the score signal —
+    * so the purge-side POLICY patch (pp51) can derive dd36's rows off
+    * the same affected subgraph instead of re-running the chain. */
+  private[graft] final case class PurgeParts(
+      affected: DataFrame, survPairs: DataFrame, reclustered: DataFrame,
+      passMembers: DataFrame, passKeepers: DataFrame, scores: DataFrame)
+
+  private[graft] def pp39Parts(s: SparkSession, d: String): PurgeParts = {
     val tomb = PurgeLedger.table(s, d)
     val scores = Text.tx02QualityScore(s, d).select(col("doc_id"), col("score"))
     val clusters = Dedup.dd06DupClusters(s, d)
@@ -1461,8 +1478,33 @@ object Pipelines {
         "left_semi")
     val reclustered = Dedup.propagateMinLabels(pairs)
       .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
-    (passMembers.unionByName(reclustered),
-      passThrough.unionByName(Dedup.keepBestFrom(reclustered, scores)))
+    PurgeParts(affected, pairs, reclustered, passMembers, passThrough, scores)
+  }
+
+  /** pp51: keeper-POLICY purge patch — dd36's routed terminal gets
+    * the purge direction pp39 (clusters/keepers) and pp45 (safe) have,
+    * so the `policy_keepers` artifact line forgets a tombstone batch
+    * with work ∝ the affected surface: untouched clusters' policy
+    * rows pass through VERBATIM (their pairs, members, density, both
+    * keeper rules and hence their route depend only on their own
+    * edges — the same component-locality argument as pp39/pp45),
+    * affected clusters re-derive density + route over the survivor
+    * subgraph via the SHARED policy kernel, selecting from the
+    * already-patched dd07 rows (pp39's) and dd28 rows (pp45's) for
+    * exactly those clusters. Oracle = dd36 rebuilt from scratch on
+    * the purged corpus, so the hash is a cross-engine
+    * patch ≡ rebuild proof (pp45's discipline on the policy tier). */
+  def pp51PatchPolicy(s: SparkSession, d: String): DataFrame = {
+    val thr = s.conf.get(Dedup.keeperDensityBpConf, "5000").toLong
+    val p = pp39Parts(s, d)
+    val affIds = p.reclustered.select(col("cluster_id")).distinct()
+    val k07Aff = Dedup.keepBestFrom(p.reclustered, p.scores)
+    val k28Aff = pp45PatchSafe(s, d)
+      .join(affIds, Seq("cluster_id"), "left_semi")
+    Dedup.dd36KeeperPolicy(s, d) // the standing artifact (pre-purge)
+      .join(p.affected, Seq("cluster_id"), "left_anti")
+      .unionByName(Dedup.policyRowsFrom(
+        p.survPairs, p.reclustered, k07Aff, k28Aff, thr))
   }
 
   /** pp41: index UPSERT — the ADD direction of pp37, completing the
@@ -1854,11 +1896,29 @@ object Pipelines {
   private[graft] def safeUpsertFrom(standingClusters: DataFrame,
       standingSafe: DataFrame, newPairs: DataFrame, scores: DataFrame)(
       affectedPairs: DataFrame => DataFrame): DataFrame = {
+    val p = safeUpsertParts(standingClusters, newPairs, scores)(affectedPairs)
+    standingSafe.join(p.touched, Seq("cluster_id"), "left_anti")
+      .unionByName(p.affSafeRows)
+  }
+
+  /** The safe-upsert computation's shared pieces — factored so the
+    * artifact fold can derive the POLICY patch (dd36's terminal) off
+    * the same affected subgraph instead of re-running the chain:
+    * `touched` the standing cluster ids an arrival pair reaches,
+    * `affPairs`/`recl` the merged components' self-contained edge set
+    * and labels (both truncated — flat lineage), `affSafeRows` their
+    * dd28 rows. */
+  private[graft] final case class SafeUpsertParts(
+      touched: DataFrame, affPairs: DataFrame, recl: DataFrame,
+      affSafeRows: DataFrame)
+
+  private[graft] def safeUpsertParts(standingClusters: DataFrame,
+      newPairs: DataFrame, scores: DataFrame)(
+      affectedPairs: DataFrame => DataFrame): SafeUpsertParts = {
     val newEnds = newPairs.select(col("d1").as("doc_id"))
       .unionByName(newPairs.select(col("d2").as("doc_id"))).distinct()
     val touched = standingClusters.join(newEnds, Seq("doc_id"), "left_semi")
       .select(col("cluster_id")).distinct()
-    val passThrough = standingSafe.join(touched, Seq("cluster_id"), "left_anti")
     // TRUNCATE the two small frames the chain fans out from: the
     // downstream plan references them multiplicatively (wedge support,
     // bridged test, both propagations, keep-best + lineage), and with
@@ -1879,7 +1939,7 @@ object Pipelines {
     val affPairs = affectedPairs(affDocs).truncated
     val recl = Dedup.propagateMinLabels(affPairs)
       .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
-    passThrough.unionByName(
+    SafeUpsertParts(touched, affPairs, recl,
       Dedup.safeKeepBestFrom(Dedup.safeMembersOf(affPairs, recl), scores))
   }
 

@@ -100,6 +100,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (s, root) => graft.sources.IndexArtifacts.dd06FromArtifacts(s, root))
     tvf(e, "graft_safe_keepers_from",
       (s, root) => graft.sources.IndexArtifacts.dd28FromArtifacts(s, root))
+    tvf(e, "graft_policy_keepers_from",
+      (s, root) => graft.sources.IndexArtifacts.dd36FromArtifacts(s, root))
     tvf2(e, "graft_bm25_topk_from",
       graft.sources.IndexArtifacts.ss21FromArtifacts)
     tvf2(e, "graft_hybrid_topk_from",

@@ -48,7 +48,7 @@ object IndexArtifacts {
 
   val names: Seq[String] = Seq("postings", "doclens", "lexicon",
     "centroids", "cells", "knn_edges", "clusters", "keepers",
-    "safe_keepers")
+    "safe_keepers", "policy_keepers")
 
   private def sub(root: String, name: String): String =
     new File(root, name).getAbsolutePath
@@ -117,6 +117,9 @@ object IndexArtifacts {
         Some("keeper_id")),
       "safe_keepers" -> VersionedCorpus.publish(
         graft.ops.Dedup.dd28SafeKeepBest(s, d), sub(root, "safe_keepers"),
+        Some("keeper_id")),
+      "policy_keepers" -> VersionedCorpus.publish(
+        graft.ops.Dedup.dd36KeeperPolicy(s, d), sub(root, "policy_keepers"),
         Some("keeper_id")))
   }
 
@@ -197,6 +200,21 @@ object IndexArtifacts {
             "and publish a newer version before serving")
     }
     read(s, root, "safe_keepers")
+  }
+
+  /** dd36's policy-routed keeper table from the published artifact —
+    * dd28's fail-closed discipline (the policy's conservative rows
+    * derive from dd28's support evidence, so a stale base must never
+    * be served silently). */
+  def dd36FromArtifacts(s: SparkSession, root: String): DataFrame = {
+    invalidatedAt(root, "policy_keepers").foreach { v =>
+      if (VersionedCorpus.latestVersion(sub(root, "policy_keepers"))
+          .forall(_ <= v))
+        throw new IllegalStateException(
+          s"policy_keepers invalidated at version $v — rebuild and " +
+            "publish a newer version before serving")
+    }
+    read(s, root, "policy_keepers")
   }
 
   /** Conf key: tombstone-count drift above which [[reconcileLexicon]]
@@ -375,16 +393,16 @@ object IndexArtifacts {
     * corpus (under the standing quantizer) would serve
     * (spec-asserted); the round-7 gap where a post-purge walk could
     * still serve tombstoned doc_ids off a stale graph is closed. The
-    * dedup trio re-points at pp39's affected-clusters patch
-    * (clusters + keepers) and pp45's safe-keeper patch
-    * (safe_keepers — triangle support, bridges and safe components
-    * re-derive only inside affected clusters, since pair edges never
-    * cross components): EVERY artifact line forgets the batch, no
-    * fail-closed marker needed on the purge path anymore (the
-    * invalidation machinery remains in use for the UPSERT direction,
-    * where an arrival can weld safe sub-clusters and pp45's purge
-    * locality argument does not apply). Returns name → new version
-    * for the eight re-pointed artifacts. */
+    * dedup family re-points at pp39's affected-clusters patch
+    * (clusters + keepers), pp45's safe-keeper patch and pp51's
+    * policy patch (triangle support, bridges, safe components,
+    * density and the route re-derive only inside affected clusters,
+    * since pair edges never cross components): EVERY artifact line
+    * forgets the batch, no fail-closed marker needed on the purge
+    * path (the invalidation machinery remains in use only for
+    * [[publishUpsertedDedup]] — the in-query proof twin; the
+    * production fold patches all lines via pp49/pp43's kernels).
+    * Returns name → new version for the nine re-pointed artifacts. */
   def publishPurgedIndex(s: SparkSession, d: String,
       root: String): Map[String, Long] = {
     import org.apache.spark.sql.functions.broadcast
@@ -396,6 +414,9 @@ object IndexArtifacts {
     Map(
       "safe_keepers" -> VersionedCorpus.publish(
         ops.pp45PatchSafe(s, d), sub(root, "safe_keepers"),
+        Some("keeper_id")),
+      "policy_keepers" -> VersionedCorpus.publish(
+        ops.pp51PatchPolicy(s, d), sub(root, "policy_keepers"),
         Some("keeper_id")),
       "clusters" -> VersionedCorpus.publish(
         patchedMembers, sub(root, "clusters"), Some("doc_id")),
@@ -470,6 +491,9 @@ object IndexArtifacts {
       Some(ops.corpusStanding(s, d)))
     invalidate(root, "safe_keepers",
       "arrival batch applied; dd26 support evidence requires rebuild")
+    invalidate(root, "policy_keepers",
+      "arrival batch applied; the policy's conservative rows derive " +
+        "from dd26 support evidence, rebuild required")
     Map(
       "clusters" -> VersionedCorpus.publish(members,
         sub(root, "clusters"), Some("doc_id")),
@@ -511,18 +535,46 @@ object IndexArtifacts {
       standingClusters, read(s, root, "keepers"), newPairs, scores)
     val staleSafe = invalidatedAt(root, "safe_keepers").exists(v =>
       VersionedCorpus.latestVersion(sub(root, "safe_keepers")).forall(_ <= v))
+    val hasPolicy =
+      VersionedCorpus.latestVersion(sub(root, "policy_keepers")).nonEmpty
     val safeEntry =
       if (staleSafe) {
         invalidate(root, "safe_keepers",
           "arrival batch folded onto an already-invalidated safe_keepers " +
             "line; full dd28 rebuild required")
+        // the policy line's conservative rows derive from dd28's, so
+        // a stale safe base poisons it identically
+        if (hasPolicy) invalidate(root, "policy_keepers",
+          "arrival batch folded while safe_keepers is invalidated; " +
+            "full dd36 rebuild required")
         Map.empty[String, Long]
       } else {
-        val patched = graft.ops.Pipelines.safeUpsertFrom(
-          standingClusters, read(s, root, "safe_keepers"), newPairs,
-          scores)(affDocs => graft.ops.Dedup.pairsAmong(s, d, affDocs))
-        Map("safe_keepers" -> VersionedCorpus.publish(patched,
-          sub(root, "safe_keepers"), Some("keeper_id")))
+        val parts = graft.ops.Pipelines.safeUpsertParts(
+          standingClusters, newPairs, scores)(
+          affDocs => graft.ops.Dedup.pairsAmong(s, d, affDocs))
+        val patchedSafe = read(s, root, "safe_keepers")
+          .join(parts.touched, Seq("cluster_id"), "left_anti")
+          .unionByName(parts.affSafeRows)
+        val safeV = Map("safe_keepers" -> VersionedCorpus.publish(
+          patchedSafe, sub(root, "safe_keepers"), Some("keeper_id")))
+        // the policy line rides the SAME affected subgraph: density +
+        // route via the shared kernel, keepers from the freshly
+        // patched dd07/dd28 rows of exactly those clusters (absent
+        // line = a root published before the policy tier existed)
+        val policyV =
+          if (!hasPolicy) Map.empty[String, Long]
+          else {
+            val thr = s.conf.get(
+              graft.ops.Dedup.keeperDensityBpConf, "5000").toLong
+            val k07Aff = graft.ops.Dedup.keepBestFrom(parts.recl, scores)
+            val patchedPolicy = read(s, root, "policy_keepers")
+              .join(parts.touched, Seq("cluster_id"), "left_anti")
+              .unionByName(graft.ops.Dedup.policyRowsFrom(
+                parts.affPairs, parts.recl, k07Aff, parts.affSafeRows, thr))
+            Map("policy_keepers" -> VersionedCorpus.publish(patchedPolicy,
+              sub(root, "policy_keepers"), Some("keeper_id")))
+          }
+        safeV ++ policyV
       }
     Map(
       "clusters" -> VersionedCorpus.publish(members,

@@ -2279,6 +2279,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == rebuilt, "pp49 kernel drifts from the rebuild")
   }
 
+  test("pp51 policy patch equals the survivors-only dd36 rebuild") {
+    val keys = ops.PurgeLedger.keys(spark, sf)
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft-pp51").toString
+    Tables.documents(spark, sf).filter(!col("doc_id").isin(keys: _*))
+      .write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val patched = rows(ops.Pipelines.pp51PatchPolicy(spark, sf))
+    assert(patched == rows(ops.Dedup.dd36KeeperPolicy(spark, sdir)),
+      "pp51 drifts from the survivors-only dd36 rebuild")
+    // untouched clusters' policy rows pass through verbatim; no
+    // tombstoned doc survives as a policy keeper
+    val tombSet = keys.toSet
+    val clusterOf = ops.Dedup.dd06DupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val affected = clusterOf.collect {
+      case (doc, c) if tombSet.contains(doc) => c
+    }.toSet
+    val standing = rows(ops.Dedup.dd36KeeperPolicy(spark, sf))
+    val untouched = standing.filter(r => !affected.contains(
+      r.head.asInstanceOf[Long]))
+    assert(untouched.subsetOf(patched),
+      "pp51 must pass untouched clusters' policy rows through verbatim")
+    assert(patched.forall(r => !tombSet.contains(r(5).asInstanceOf[Long])),
+      "a tombstoned doc survived as a policy keeper")
+  }
+
   test("q73 routes cells by the corrected estimate and proves it in the plan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-q73").toString

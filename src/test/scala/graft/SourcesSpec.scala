@@ -856,19 +856,26 @@ class SourcesSpec extends SparkTestBase {
     // card re-describes the folded corpus
     val t3 = MaintenanceRunner.tick(spark, sf, root, foldArrival = true)
     assert(t3.folded.nonEmpty &&
-      t3.folded.get.keySet == Set("clusters", "keepers", "safe_keepers"),
-      s"fold did not advance all three dedup lines: ${t3.folded}")
+      t3.folded.get.keySet == Set("clusters", "keepers", "safe_keepers",
+        "policy_keepers"),
+      s"fold did not advance all four dedup lines: ${t3.folded}")
     assert(!t3.rebuildAdvised, s"default ceiling must never advise: $t3")
     assert(t3.card.contains(2L), s"fold tick must republish the card: $t3")
-    // the folded safe line serves EXACTLY the full-corpus dd28 rebuild
-    // (pp49's patch ≡ rebuild proof, read back through the fail-closed
-    // reader — the marker story must not block a freshly-patched line)
+    // the folded safe/policy lines serve EXACTLY the full-corpus
+    // rebuilds (patch ≡ rebuild, read back through the fail-closed
+    // readers — the marker story must not block freshly-patched lines)
     val servedSafe = IndexArtifacts.dd28FromArtifacts(spark, root)
       .collect().map(_.toSeq).toSet
     val rebuiltSafe = ops.Dedup.dd28SafeKeepBest(spark, sf)
       .collect().map(_.toSeq).toSet
     assert(servedSafe == rebuiltSafe,
       "fold-served safe_keepers drift from the full dd28 rebuild")
+    val servedPolicy = IndexArtifacts.dd36FromArtifacts(spark, root)
+      .collect().map(_.toSeq).toSet
+    val rebuiltPolicy = ops.Dedup.dd36KeeperPolicy(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(servedPolicy == rebuiltPolicy,
+      "fold-served policy_keepers drift from the full dd36 rebuild")
   }
 
   test("fold gate: all-dup batch skips, fresh batch folds, ceiling advises rebuild") {
@@ -949,6 +956,9 @@ class SourcesSpec extends SparkTestBase {
     assert(rows(spark.sql(
         s"SELECT * FROM graft_safe_keepers_from('$root')")) ==
       rows(IndexArtifacts.read(spark, root, "safe_keepers")))
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_policy_keepers_from('$root')")) ==
+      rows(IndexArtifacts.read(spark, root, "policy_keepers")))
     // the two-arg family validates its arity/literal contract loudly
     val bad = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_bm25_topk_from('$root')").collect()
@@ -1034,7 +1044,7 @@ class SourcesSpec extends SparkTestBase {
     val purged = IndexArtifacts.publishPurgedIndex(spark, sf, root)
     assert(purged.keySet ==
       Set("postings", "lexicon", "doclens", "cells", "knn_edges",
-        "clusters", "keepers", "safe_keepers")
+        "clusters", "keepers", "safe_keepers", "policy_keepers")
       && purged("postings") == 3L && purged("lexicon") == 2L,
       s"unexpected re-point versions: $purged")
     // the dedup re-points serve pp39's patch (keepers) and pp45's
@@ -1046,6 +1056,11 @@ class SourcesSpec extends SparkTestBase {
     assert(rows(IndexArtifacts.dd28FromArtifacts(spark, root)) ==
       rows(ops.Pipelines.pp45PatchSafe(spark, sf)),
       "re-pointed safe_keepers drift from pp45's patch")
+    assert(IndexArtifacts.dd36FromArtifacts(spark, root)
+        .collect().map(_.toSeq).toSet ==
+      ops.Pipelines.pp51PatchPolicy(spark, sf)
+        .collect().map(_.toSeq).toSet,
+      "re-pointed policy_keepers drift from pp51's patch")
     val keys = ops.PurgeLedger.keys(spark, sf)
     val sdir = java.nio.file.Files
       .createTempDirectory("graft-idx-purged").toString

@@ -1097,6 +1097,9 @@ class StreamingSpec extends SparkTestBase {
     graft.sources.VersionedCorpus.publish(
       ops.Dedup.dd28SafeKeepBest(spark, cdir), s"$root/safe_keepers",
       Some("keeper_id"))
+    graft.sources.VersionedCorpus.publish(
+      ops.Dedup.dd36KeeperPolicy(spark, cdir), s"$root/policy_keepers",
+      Some("keeper_id"))
     val arrIds = docs.filter(col("source") === "src0")
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted
     assert(arrIds.length >= 2, "need a splittable arrival batch")
@@ -1122,21 +1125,17 @@ class StreamingSpec extends SparkTestBase {
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(_.toSeq).toSet
       // exactness COMPOUNDS: two sequential folds ≡ the one-shot
-      // rebuilds on standing ∪ both batches, for all THREE lines
-      assert(rows(graft.sources.VersionedCorpus
-          .readLatest(spark, s"$root/clusters")) ==
-        rows(ops.Dedup.dd06DupClusters(spark, cdir)),
-        "streamed clusters drift from the dd06 rebuild")
-      assert(rows(graft.sources.VersionedCorpus
-          .readLatest(spark, s"$root/keepers")) ==
-        rows(ops.Dedup.dd07KeepBest(spark, cdir)),
-        "streamed keepers drift from the dd07 rebuild")
-      assert(rows(graft.sources.VersionedCorpus
-          .readLatest(spark, s"$root/safe_keepers")) ==
-        rows(ops.Dedup.dd28SafeKeepBest(spark, cdir)),
-        "streamed safe keepers drift from the dd28 rebuild")
-      // one version per micro-batch; the standing lines time-travel
-      Seq("clusters", "keepers", "safe_keepers").foreach { line =>
+      // rebuilds on standing ∪ both batches, for all FOUR lines
+      val rebuilds = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "clusters" -> (() => ops.Dedup.dd06DupClusters(spark, cdir)),
+        "keepers" -> (() => ops.Dedup.dd07KeepBest(spark, cdir)),
+        "safe_keepers" -> (() => ops.Dedup.dd28SafeKeepBest(spark, cdir)),
+        "policy_keepers" -> (() => ops.Dedup.dd36KeeperPolicy(spark, cdir)))
+      rebuilds.foreach { case (line, rebuild) =>
+        assert(rows(graft.sources.VersionedCorpus
+            .readLatest(spark, s"$root/$line")) == rows(rebuild()),
+          s"streamed $line drift from the one-shot rebuild")
+        // one version per micro-batch; the standing lines time-travel
         assert(graft.sources.VersionedCorpus
           .latestVersion(s"$root/$line").contains(3L),
           s"$line must have advanced once per micro-batch")
@@ -1144,11 +1143,11 @@ class StreamingSpec extends SparkTestBase {
       // crash-replay idempotence: re-delivering an acknowledged batch
       // (its docs already clustered) must republish bit-identical
       // content — a duplicate version, never a duplicate fold
-      val before = Seq("clusters", "keepers", "safe_keepers").map(l =>
+      val before = rebuilds.map { case (l, _) =>
         l -> rows(graft.sources.VersionedCorpus
-          .readLatest(spark, s"$root/$l"))).toMap
+          .readLatest(spark, s"$root/$l")) }.toMap
       in.addData(b2.toSeq: _*); q.processAllAvailable()
-      Seq("clusters", "keepers", "safe_keepers").foreach { line =>
+      rebuilds.foreach { case (line, _) =>
         assert(graft.sources.VersionedCorpus
           .latestVersion(s"$root/$line").contains(4L),
           s"replayed batch must publish a new $line version")
