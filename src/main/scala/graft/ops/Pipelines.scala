@@ -58,12 +58,21 @@ object Pipelines {
     * no dup family) — the audit column a dataset card cites. Scale:
     * dd36's frames ∝ clusters (safe chain via the session memo), the
     * removal anti-join is broadcast ∝ dup docs, one corpus pass. */
-  def pp50PolicyTrainingSet(s: SparkSession, d: String): DataFrame = {
+  def pp50PolicyTrainingSet(s: SparkSession, d: String): DataFrame =
+    pp50From(s, d, Dedup.dd36KeeperPolicy(s, d), Dedup.dd06DupClusters(s, d))
+
+  /** pp50 over EXPLICIT policy/cluster frames — computed fresh
+    * (pp50PolicyTrainingSet, the sf convention) or LOADED from the
+    * published `policy_keepers`/`clusters` lines
+    * ([[graft.sources.IndexArtifacts.pp50FromArtifacts]] — the
+    * production shape: every training run anti-joins the keeper
+    * table, so it loads, never re-derives). */
+  private[graft] def pp50From(s: SparkSession, d: String,
+      policy0: DataFrame, clusters: DataFrame): DataFrame = {
     val scores = Text.tx02QualityScore(s, d)
       .select(col("doc_id"), col("score"))
-    val policy = CacheScope.cached(Dedup.dd36KeeperPolicy(s, d)
+    val policy = CacheScope.cached(policy0
       .select(col("cluster_id"), col("route"), col("keeper_id")))
-    val clusters = Dedup.dd06DupClusters(s, d)
     val removed = clusters
       .join(policy.select(col("keeper_id").as("doc_id")),
         Seq("doc_id"), "left_anti")

@@ -202,6 +202,17 @@ object IndexArtifacts {
     read(s, root, "safe_keepers")
   }
 
+  /** pp50's training set served PRODUCTION-SHAPE: the policy keepers
+    * and the cluster table LOAD from their published lines (the
+    * keeper table is the most-read dedup output — every training run
+    * anti-joins it); only the quality gate and split hash touch the
+    * corpus, row-locally. Inherits dd36FromArtifacts' fail-closed
+    * contract on an invalidated policy line. */
+  def pp50FromArtifacts(s: SparkSession, d: String,
+      root: String): DataFrame =
+    graft.ops.Pipelines.pp50From(s, d,
+      dd36FromArtifacts(s, root), read(s, root, "clusters"))
+
   /** dd36's policy-routed keeper table from the published artifact —
     * dd28's fail-closed discipline (the policy's conservative rows
     * derive from dd28's support evidence, so a stale base must never

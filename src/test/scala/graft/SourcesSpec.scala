@@ -1023,6 +1023,14 @@ class SourcesSpec extends SparkTestBase {
     assert(rows(IndexArtifacts.dd28FromArtifacts(spark, root)) ==
       rows(ops.Dedup.dd28SafeKeepBest(spark, sf)),
       "safe_keepers artifact drifts")
+    assert(rows(IndexArtifacts.dd36FromArtifacts(spark, root)) ==
+      rows(ops.Dedup.dd36KeeperPolicy(spark, sf)),
+      "policy_keepers artifact drifts")
+    // pp50 served production-shape: policy + clusters loaded, training
+    // set ≡ the in-query build query-for-query
+    assert(rows(IndexArtifacts.pp50FromArtifacts(spark, sf, root)) ==
+      rows(ops.Pipelines.pp50PolicyTrainingSet(spark, sf)),
+      "pp50 from artifacts drifts from the in-query build")
     // purge propagation re-points the postings artifact: v2 = pp37's
     // patched index; v1 stays byte-identical (time travel intact)
     val v2 = IndexArtifacts.publishPatchedPostings(spark, sf, root)
