@@ -370,6 +370,8 @@ object SparkEntry {
     "pp50_policy_training_set" -> Pipelines.pp50PolicyTrainingSet _,
     "dd37_policy_curve"     -> Dedup.dd37PolicyCurve _,
     "pp51_patch_policy"     -> Pipelines.pp51PatchPolicy _,
+    "ss29_pq_m_curve"       -> Similarity.ss29PqMCurve _,
+    "ev60_cuped"            -> Events.ev60Cuped _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -2576,6 +2578,50 @@ object SparkEntry {
         |  adev > mad * 3 AS is_anomaly
         |FROM dv CROSS JOIN md""".stripMargin,
 
+    // ev60: every division that can see a negative dividend is spelled
+    // truncate-toward-zero on both engines (Spark `div` truncates,
+    // DuckDB `//` floors — the sign-explicit CASE makes them agree).
+    "ev60_cuped" ->
+      """WITH sp AS (SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+        |             CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+        |           FROM events),
+        |pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN date_diff('day', sp.d0,
+        |        CAST(date_trunc('day', ts) AS DATE)) * 2
+        |        < date_diff('day', sp.d0, sp.d1) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN date_diff('day', sp.d0,
+        |        CAST(date_trunc('day', ts) AS DATE)) * 2
+        |        < date_diff('day', sp.d0, sp.d1) THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS y
+        |  FROM events CROSS JOIN sp GROUP BY 1),
+        |pooled AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pu),
+        |th AS (SELECT n, sx,
+        |    CASE WHEN (n * sxy - sx * sy) >= 0
+        |      THEN ((n * sxy - sx * sy) * 10000)
+        |        // greatest(1, n * sxx - sx * sx)
+        |      ELSE -(((-(n * sxy - sx * sy)) * 10000)
+        |        // greatest(1, n * sxx - sx * sx)) END AS theta_bp
+        |  FROM pooled),
+        |arms AS (SELECT user_id % 2 AS arm,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS sum_pre,
+        |    CAST(sum(y) AS BIGINT) AS sum_post
+        |  FROM pu GROUP BY 1),
+        |j AS (SELECT a.arm, a.n_users, a.sum_pre, a.sum_post, th.theta_bp,
+        |    a.sum_post * 10000 // a.n_users AS mean_post_bp,
+        |    a.sum_pre * 10000 // a.n_users - th.sx * 10000 // th.n AS dx_bp
+        |  FROM arms a CROSS JOIN th)
+        |SELECT arm, n_users, sum_pre, sum_post, mean_post_bp, theta_bp,
+        |  mean_post_bp - (CASE WHEN theta_bp * dx_bp >= 0
+        |    THEN (theta_bp * dx_bp) // 10000
+        |    ELSE -((-(theta_bp * dx_bp)) // 10000) END) AS mean_adj_bp
+        |FROM j""".stripMargin,
+
     // pp47: split hash over the dup-cluster representative (dd06's
     // recursive-CTE fixed point; singletons are their own rep) — the
     // same md5 first-hex-digit rule as pp16/pp08.
@@ -4559,6 +4605,57 @@ object SparkEntry {
          |UNION ALL SELECT * FROM r32
          |UNION ALL SELECT * FROM r64""".stripMargin
     },
+
+    // ss29: ss10's PQ replay generalized over the sub-space widths
+    // (m = i // w per tier); recall join is ss16's proven shape. The
+    // float ADC only ORDERS candidates (rank-100 cut + rank-5 rerank
+    // cut) — the graded recall_bp is integer.
+    "ss29_pq_m_curve" ->
+      s"""WITH ws AS (SELECT * FROM (VALUES (2, 32), (4, 16), (8, 8))
+         |            t(pm, w)),
+         |ex AS (SELECT vec_id, label, i, CAST(embedding[i+1] AS DOUBLE) AS x
+         |     FROM embeddings, range(64) t(i)),
+         |cent AS (SELECT label AS cell, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+         |l2 AS (SELECT ws.pm, e.vec_id, e.i // ws.w AS m, ct.cell,
+         |         sum((e.x - ct.c) * (e.x - ct.c)) AS d2
+         |       FROM ex e JOIN cent ct ON ct.i = e.i CROSS JOIN ws
+         |       GROUP BY 1, 2, 3, 4),
+         |enc AS (SELECT pm, vec_id, m, cell FROM (SELECT pm, vec_id, m, cell,
+         |         row_number() OVER (PARTITION BY pm, vec_id, m
+         |           ORDER BY d2, cell) AS rn
+         |       FROM l2) WHERE rn = 1),
+         |ltab AS (SELECT ws.pm, e.vec_id AS qid, e.i // ws.w AS m, ct.cell,
+         |           sum(e.x * ct.c) AS v
+         |         FROM ex e JOIN cent ct ON ct.i = e.i CROSS JOIN ws
+         |         WHERE e.vec_id < 10
+         |         GROUP BY 1, 2, 3, 4),
+         |adc AS (SELECT en.pm, lt.qid, en.vec_id AS cid, sum(lt.v) AS adc
+         |        FROM enc en JOIN ltab lt ON lt.pm = en.pm AND lt.m = en.m
+         |          AND lt.cell = en.cell
+         |        WHERE en.vec_id != lt.qid
+         |        GROUP BY 1, 2, 3),
+         |c100 AS (SELECT pm, qid, cid FROM (SELECT pm, qid, cid,
+         |          row_number() OVER (PARTITION BY pm, qid
+         |            ORDER BY adc DESC, cid) AS rn
+         |        FROM adc) WHERE rn <= 100),
+         |rr AS (SELECT c.pm, c.qid, c.cid,
+         |        list_cosine_similarity(qe.embedding, e.embedding) AS cos
+         |      FROM c100 c
+         |      JOIN embeddings qe ON qe.vec_id = c.qid
+         |      JOIN embeddings e ON e.vec_id = c.cid),
+         |appr AS (SELECT pm, qid, cid FROM (
+         |      SELECT pm, qid, cid,
+         |        row_number() OVER (PARTITION BY pm, qid
+         |          ORDER BY cos DESC, cid) AS rk
+         |      FROM rr) WHERE rk <= 5),
+         |exact AS ($bruteTopkSql),
+         |ec AS (SELECT ws.pm, e.qid, e.neighbor_id FROM ws CROSS JOIN exact e)
+         |SELECT CAST(ec.pm AS BIGINT) AS pq_m, ec.qid,
+         |  count(a.cid) AS n_hit,
+         |  CAST(count(a.cid) * 10000 // count(*) AS BIGINT) AS recall_bp
+         |FROM ec LEFT JOIN appr a
+         |  ON a.pm = ec.pm AND a.qid = ec.qid AND a.cid = ec.neighbor_id
+         |GROUP BY 1, 2""".stripMargin,
 
     // ss20: per-(query, source) top-2 then global top-10 — rank-only
     // output, float cosine only orders (ss01's contract).

@@ -136,7 +136,20 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_dot", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
+      "pq_encode", exprs =>
+        // optional 3rd literal = sub-space count m (sub-vectors are
+        // 64/m wide); 2-arg form keeps the shipped 8×8 geometry
+        if (exprs.length >= 3) {
+          val m = exprs(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(
+              v: Int, org.apache.spark.sql.types.IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"pq_encode: third argument must be an int literal, got $other")
+          }
+          require(m >= 1 && 64 % m == 0,
+            s"pq_encode: m must be a positive divisor of 64, got $m")
+          PqEncode(exprs(0), exprs(1), m, 64 / m)
+        } else PqEncode(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cdc_boundaries", exprs => CdcBoundaries(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1548,4 +1548,64 @@ object Events {
         col("adev").as("deviation"),
         (col("adev") > col("mad") * 3).as("is_anomaly"))
   }
+
+  /** ev60: CUPED experiment readout — variance-reduced A/B metrics
+    * (Deng, Xu, Kohavi & Walker, WSDM 2013: adjust each unit's
+    * post-period metric by its PRE-period metric, Y' = Y − θ(X − X̄),
+    * which strips the covariate variance θ²·var(X) without biasing
+    * the arm contrast because assignment is independent of X). The
+    * missing piece of the events family: funnels/retention/attribution
+    * READ behavior, this op GRADES an intervention on it. Deterministic
+    * surrogate assignment arm = user_id % 2 and a calendar split
+    * (first half of the corpus day-span = pre, rest = post) keep the
+    * whole readout engine-replayable. All arithmetic is exact int64 on
+    * the bp grid: θ comes from the pooled sufficient statistics
+    * (n·Sxy − Sx·Sy) / (n·Sxx − Sx²) — q59's discipline — with every
+    * possibly-negative division spelled truncate-toward-zero in BOTH
+    * engines (ss15's sign-explicit CASE). Scale: one pass over events
+    * into a per-user frame (one shuffle on user_id), then two
+    * broadcast scalars; nothing downstream is ever corpus-sized. The
+    * raw sufficient stats hold to ~10⁹ users at these magnitudes
+    * (n·Sxy ≲ 10¹⁴ ≪ 2⁶³); past that a production run would center
+    * x,y by a first-pass mean before the quadratic sums — the plan
+    * shape (per-user agg + broadcast scalars) is unchanged. */
+  def ev60Cuped(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val span = e.agg(
+      min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+    val perUser = CacheScope.cached(e.crossJoin(broadcast(span))
+      .withColumn("pre",
+        (datediff(to_date(col("ts")), col("d0")) * 2 <
+          datediff(col("d1"), col("d0"))).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pre")).as("x"),
+        sum(lit(1L) - col("pre")).as("y"))
+      .withColumn("arm", col("user_id") % 2))
+    val theta = perUser
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"), col("sx"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        greatest(lit(1L),
+          col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .select(col("n"), col("sx"), expr(
+        "CASE WHEN num >= 0 THEN (num * 10000) div den" +
+          " ELSE -(((-num) * 10000) div den) END").as("theta_bp"))
+    perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_pre"), sum(col("y")).as("sum_post"))
+      .crossJoin(broadcast(theta))
+      .withColumn("mean_post_bp", expr("sum_post * 10000 div n_users"))
+      .withColumn("dx_bp", expr(
+        "sum_pre * 10000 div n_users - sx * 10000 div n"))
+      .withColumn("corr", col("theta_bp") * col("dx_bp"))
+      .select(col("arm"), col("n_users"), col("sum_pre"), col("sum_post"),
+        col("mean_post_bp"), col("theta_bp"),
+        (col("mean_post_bp") - expr(
+          "CASE WHEN corr >= 0 THEN corr div 10000" +
+            " ELSE -((-corr) div 10000) END")).as("mean_adj_bp"))
+  }
 }

@@ -221,6 +221,25 @@ object Similarity {
   private[graft] def ivfNprobe(s: SparkSession): Int =
     math.max(1, s.conf.get(nprobeConf, "2").toInt)
 
+  /** Conf key selecting the PQ sub-space count m — the
+    * fidelity-vs-memory knob of the compression tier (each vector
+    * stores m 1-byte codes; sub-vectors are dim/m wide, so larger m =
+    * finer quantization = bigger codes). ss29's tuning curve prices
+    * exactly this conf the way ss16 prices `ivf.nprobe` and ss28
+    * prices `bm25.keep`: the recall the curve reports at the conf'd m
+    * is the recall the serving tiers (ss10/ss14, and through ss14 the
+    * IVF-PQ artifact path) actually ship. Default 8 = the shipped
+    * 8×8-dim geometry every sf hash gate grades. */
+  val pqMConf = "spark.graft.pq.m"
+
+  /** The conf'd PQ sub-space count (must divide dim; default 8). */
+  private[graft] def pqM(s: SparkSession): Int = {
+    val m = s.conf.get(pqMConf, "8").toInt
+    require(m >= 1 && dim % m == 0,
+      s"$pqMConf must be a positive divisor of $dim, got $m")
+    m
+  }
+
   /** IVF probing over EXPLICIT index frames — `cent` (cell, cent) and
     * `cells` (vec_id, cell) — computed fresh (ss05) or loaded from
     * published artifacts. Query probing is request-time work against
@@ -488,34 +507,39 @@ object Similarity {
     * the plan shape (broadcast codebook, in-place projection) stays. */
   def ss10PqTopk(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
+    val m = pqM(s)
     val emb = Tables.embeddings(s, d)
-    val cbArr = CacheScope.cached(pqCodebook(s, d))
+    val cbArr = CacheScope.cached(pqCodebook(s, d, m))
     // the hot corpus-scan encode runs the codegen'd PqEncode over the
     // flat broadcast codebook (bit-identical to pqEncodeExpr, spec'd)
     val coded = emb.crossJoin(broadcast(pqCodebookFlat(cbArr)))
-      .withColumn("codes", expr("pq_encode(embedding, cbflat)"))
+      .withColumn("codes", expr(s"pq_encode(embedding, cbflat, $m)"))
       .select(col("vec_id"), col("codes"))
-    val queries = pqAdcQueries(s, d, cbArr)
+    val queries = pqAdcQueries(s, d, cbArr, m)
     val candIds = topkPairs(
       coded.join(broadcast(queries), col("vec_id") =!= col("qid"))
-        .withColumn("adc", expr(pqAdcScoreExpr)),
+        .withColumn("adc", expr(pqAdcScoreExpr(m))),
       col("adc"), 100)
       .select(col("qid"), col("neighbor_id"))
     pqExactRerank(emb, candIds)
   }
 
-  /** PQ codebook: label-centroid sub-vectors → one broadcast row:
-    * cb = array over m=0..7 of struct(m, entries: array<(cell, cvec)>)
+  /** PQ codebook for sub-space count `m` (sub-vectors dim/m wide):
+    * label-centroid sub-vectors → one broadcast row:
+    * cb = array over m=0..m-1 of struct(m, entries: array<(cell, cvec)>)
     * with entries sorted by cell (= dense 0..9, so code IS the index). */
-  private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame =
+  private[graft] def pqCodebook(s: SparkSession, d: String,
+      m: Int = 8): DataFrame = {
+    val w = dim / m
     centroids(s, d)
       .select(col("cell"), explode(expr(
-        "transform(sequence(0, 7), m -> struct(m AS m, slice(cent, m*8+1, 8) AS cvec))")).as("e"))
+        s"transform(sequence(0, ${m - 1}), m -> struct(m AS m, slice(cent, m*$w+1, $w) AS cvec))")).as("e"))
       .select(col("cell"), col("e.m").as("m"), col("e.cvec").as("cvec"))
       .groupBy(col("m"))
       .agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("entries"))
       .groupBy()
       .agg(sort_array(collect_list(struct(col("m"), col("entries")))).as("cb"))
+  }
 
   /** The same codebook flattened for the codegen'd PqEncode expression:
     * m-major, cell-ascending, 8 doubles per codeword — the index layout
@@ -531,8 +555,9 @@ object Similarity {
     * running best). Expects `embedding` and the broadcast `cb`.
     * Reference formulation only: the hot path runs the codegen'd
     * PqEncode expression, spec-asserted bit-identical to this. */
-  private[graft] val pqEncodeExpr: String = {
-    val l2 = "aggregate(zip_with(slice(embedding, e.m*8+1, 8), c.cvec, " +
+  private[graft] def pqEncodeExpr(m: Int = 8): String = {
+    val w = dim / m
+    val l2 = s"aggregate(zip_with(slice(embedding, e.m*$w+1, $w), c.cvec, " +
       "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), " +
       "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     s"""transform(cb, e -> aggregate(e.entries,
@@ -542,22 +567,24 @@ object Similarity {
       .stripMargin
   }
 
-  /** ADC score from a candidate's `codes` and a query's `ltab`: eight
+  /** ADC score from a candidate's `codes` and a query's `ltab`: m
     * table lookups, no float vector read on the scan side. */
-  private val pqAdcScoreExpr: String =
-    "aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, m) -> " +
+  private def pqAdcScoreExpr(m: Int = 8): String =
+    s"aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE), (acc, m) -> " +
       "acc + element_at(element_at(ltab, m+1), element_at(codes, m+1) + 1))"
 
   /** Per-query ADC lookup tables: ltab[m][cell] = dot(q_m, codeword). */
   private def pqAdcQueries(s: SparkSession, d: String,
-      cbArr: DataFrame): DataFrame =
+      cbArr: DataFrame, m: Int = 8): DataFrame = {
+    val w = dim / m
     Tables.embeddings(s, d).filter(col("vec_id") < 10)
       .crossJoin(broadcast(cbArr))
       .select(col("vec_id").as("qid"), expr(
-        """transform(cb, e -> transform(e.entries, c ->
-          |  aggregate(zip_with(slice(embedding, e.m*8+1, 8), c.cvec,
+        s"""transform(cb, e -> transform(e.entries, c ->
+          |  aggregate(zip_with(slice(embedding, e.m*$w+1, $w), c.cvec,
           |    (a, b) -> CAST(a AS DOUBLE) * b),
           |    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)))""".stripMargin).as("ltab"))
+  }
 
   /** Exact top-5 re-rank of an approximate candidate list: re-fetch
     * only the candidates' float vectors via a broadcast id list. */
@@ -586,15 +613,16 @@ object Similarity {
     * prices) stays asserted in the spec. */
   def ss14IvfPqTopk(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
+    val m = pqM(s)
     val emb = Tables.embeddings(s, d)
-    val cbArr = CacheScope.cached(pqCodebook(s, d))
+    val cbArr = CacheScope.cached(pqCodebook(s, d, m))
     val cent = CacheScope.cached(centroids(s, d))
     // the index pass: nearest cell + PQ codes per corpus vector
     val indexed = emb.select(col("vec_id"), col("embedding"))
       .transform(nearestCellsFrom(cent, _, 1, "cell"))
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .crossJoin(broadcast(pqCodebookFlat(cbArr)))
-      .withColumn("codes", expr("pq_encode(embedding, cbflat)"))
+      .withColumn("codes", expr(s"pq_encode(embedding, cbflat, $m)"))
       .select(col("vec_id"), col("cell"), col("codes"))
     // queries: nprobe+1 probe cells + the ADC lookup tables (one MORE
     // cell than ss05's conf'd count — the PQ ranking below is lossy
@@ -604,14 +632,60 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .transform(nearestCellsFrom(cent, _, ivfNprobe(s) + 1, "probe_cell"))
       .select(col("vec_id").as("qid"), col("probe_cell"))
-      .join(pqAdcQueries(s, d, cbArr), Seq("qid"))
+      .join(pqAdcQueries(s, d, cbArr, m), Seq("qid"))
     val candIds = topkPairs(
       indexed.join(broadcast(probes),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("qid"))
-        .withColumn("adc", expr(pqAdcScoreExpr)),
+        .withColumn("adc", expr(pqAdcScoreExpr(m))),
       col("adc"), 100)
       .select(col("qid"), col("neighbor_id"))
     pqExactRerank(emb, candIds)
+  }
+
+  /** ss29: PQ sub-space (m) tuning curve — the advisor for the THIRD
+    * serving-stack knob, completing the trilogy (ss16 prices
+    * `ivf.nprobe` on the coarse tier, ss28 prices `bm25.keep` on the
+    * lexical tier, ss29 prices `spark.graft.pq.m` on the compression
+    * tier): per-query recall@5 of the full PQ pipeline (encode → ADC
+    * top-100 → exact re-rank top-5, ss10's exact path) at
+    * m ∈ {2, 4, 8} sub-spaces against the exact ss01 baseline, in
+    * exact basis points. m is the fidelity-vs-memory trade a 100 TB
+    * index commits to at BUILD time (m bytes/vector; re-encoding is a
+    * full corpus pass) — precisely the knob you price on a sample
+    * first. Each tier pays one corpus encode + one broadcast-query ADC
+    * scan (no corpus shuffle, same shape as ss10); the exact baseline
+    * and the per-tier recall join are ss16's proven pattern. Recall is
+    * only ordinal in the float cosine (ranks, never grades), and ADC
+    * candidate selection replays in the oracle the way ss10/ss14
+    * proved, so the whole curve is hash-checked. The spec asserts the
+    * advisor measures what the conf ships: curve@8 ≡ served default
+    * ss10 recall, curve@2 ≡ served conf=2 recall. */
+  def ss29PqMCurve(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val exact = CacheScope.cached(
+      ss01BruteTopk(s, d).select(col("qid"), col("neighbor_id")))
+    Seq(2, 4, 8).map { m =>
+      val cbArr = CacheScope.cached(pqCodebook(s, d, m))
+      val coded = emb.crossJoin(broadcast(pqCodebookFlat(cbArr)))
+        .withColumn("codes", expr(s"pq_encode(embedding, cbflat, $m)"))
+        .select(col("vec_id"), col("codes"))
+      val queries = pqAdcQueries(s, d, cbArr, m)
+      val candIds = topkPairs(
+        coded.join(broadcast(queries), col("vec_id") =!= col("qid"))
+          .withColumn("adc", expr(pqAdcScoreExpr(m))),
+        col("adc"), 100)
+        .select(col("qid"), col("neighbor_id"))
+      val approx = pqExactRerank(emb, candIds)
+        .select(col("qid").as("aqid"), col("neighbor_id").as("an"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("neighbor_id") === col("an"),
+          "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"), count(col("an")).as("n_hit"))
+        .select(lit(m.toLong).as("pq_m"), col("qid"), col("n_hit"),
+          expr("n_hit * 10000 div k").as("recall_bp"))
+    }.reduce(_ unionByName _)
   }
 
   /** ss15: distributed k-means (3 Lloyd iterations, k=8) — the

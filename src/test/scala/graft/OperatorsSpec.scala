@@ -144,14 +144,27 @@ class OperatorsSpec extends SparkTestBase {
   test("pq_encode codegen expression equals the HOF reference codes") {
     graft.functions.GraftFunctions.register(spark)
     val d = "/root/testdata/sf0.01"
-    val cbArr = ops.Similarity.pqCodebook(spark, d)
-    val both = Tables.embeddings(spark, d)
-      .crossJoin(broadcast(cbArr))
-      .crossJoin(broadcast(ops.Similarity.pqCodebookFlat(cbArr)))
-      .withColumn("ref", expr(ops.Similarity.pqEncodeExpr))
-      .withColumn("fast", expr("pq_encode(embedding, cbflat)"))
-    val mismatches = both.filter(col("ref") =!= col("fast")).count()
-    assert(mismatches == 0, "codegen codes must be bit-identical to HOF")
+    // every supported geometry: the 3-arg literal form must stay
+    // bit-identical to the HOF reference at each sub-space count
+    Seq(2, 4, 8).foreach { m =>
+      val cbArr = ops.Similarity.pqCodebook(spark, d, m)
+      val both = Tables.embeddings(spark, d)
+        .crossJoin(broadcast(cbArr))
+        .crossJoin(broadcast(ops.Similarity.pqCodebookFlat(cbArr)))
+        .withColumn("ref", expr(ops.Similarity.pqEncodeExpr(m)))
+        .withColumn("fast", expr(s"pq_encode(embedding, cbflat, $m)"))
+      val mismatches = both.filter(col("ref") =!= col("fast")).count()
+      assert(mismatches == 0,
+        s"m=$m: codegen codes must be bit-identical to HOF")
+    }
+    // and the 2-arg form IS the m=8 geometry
+    val cb8 = ops.Similarity.pqCodebook(spark, d)
+    val twoVsThree = Tables.embeddings(spark, d)
+      .crossJoin(broadcast(ops.Similarity.pqCodebookFlat(cb8)))
+      .withColumn("two", expr("pq_encode(embedding, cbflat)"))
+      .withColumn("three", expr("pq_encode(embedding, cbflat, 8)"))
+      .filter(col("two") =!= col("three")).count()
+    assert(twoVsThree == 0, "2-arg pq_encode must equal pq_encode(..., 8)")
   }
 
   test("cosine_sim expression matches reference computation") {
@@ -1576,6 +1589,85 @@ class OperatorsSpec extends SparkTestBase {
       assert(curve((16L, q)) == at16(q),
         s"qid $q: curve@16 ${curve((16L, q))} != served conf=16 ${at16(q)}")
     }
+  }
+
+  test("pq.m conf sets the served PQ geometry; ss29 prices it") {
+    val exact = ops.Similarity.ss01BruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    // recall@5 of the SERVED compression tier (ss10 under the conf) —
+    // the quantity ss29's recall_bp claims to measure
+    def servedRecallBp(m: Option[Int]): Map[Long, Long] = {
+      m.foreach(v => spark.conf.set(ops.Similarity.pqMConf, v.toString))
+      try {
+        val got = ops.Similarity.ss10PqTopk(spark, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+        exact.map { case (q, ex) =>
+          q -> (ex & got.getOrElse(q, Set.empty)).size.toLong * 10000L / ex.size
+        }
+      } finally m.foreach(_ => spark.conf.unset(ops.Similarity.pqMConf))
+    }
+    val curve = ops.Similarity.ss29PqMCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val qids = exact.keySet
+    assert(curve.keys.map(_._2).toSet == qids &&
+      curve.keys.map(_._1).toSet == Set(2L, 4L, 8L),
+      s"curve shape wrong: ${curve.keys}")
+    // the m=8 tier IS the shipped default geometry, and the m=2 tier
+    // IS what the conf serves at 2 — the curve prices the knob
+    val at8 = servedRecallBp(None)
+    val at2 = servedRecallBp(Some(2))
+    qids.foreach { q =>
+      assert(curve((8L, q)) == at8(q),
+        s"qid $q: curve@8 ${curve((8L, q))} != served default ${at8(q)}")
+      assert(curve((2L, q)) == at2(q),
+        s"qid $q: curve@2 ${curve((2L, q))} != served conf=2 ${at2(q)}")
+    }
+    // finer quantization must not lose recall in aggregate on this
+    // corpus (per-query ADC noise allowed; the sum is the advisor read)
+    val sum8 = qids.toSeq.map(q => curve((8L, q))).sum
+    val sum2 = qids.toSeq.map(q => curve((2L, q))).sum
+    assert(sum8 >= sum2, s"aggregate recall fell with finer PQ: $sum8 < $sum2")
+  }
+
+  test("ev60 CUPED readout matches an independent driver-side recompute") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val d0 = raw.map(_._2).min
+    val d1 = raw.map(_._2).max
+    val per = raw.groupBy(_._1).map { case (u, vs) =>
+      val x = vs.count(v => (v._2 - d0) * 2 < (d1 - d0)).toLong
+      (u, x, vs.length - x)
+    }.toSeq
+    val n = per.size.toLong
+    val sx = per.map(_._2).sum
+    val sy = per.map(_._3).sum
+    val sxx = per.map(p => p._2 * p._2).sum
+    val sxy = per.map(p => p._2 * p._3).sum
+    // Scala Long division truncates toward zero — exactly the
+    // sign-explicit CASE both engines run
+    val theta = (n * sxy - sx * sy) * 10000 /
+      math.max(1L, n * sxx - sx * sx)
+    val expected = per.groupBy(_._1 % 2).map { case (arm, vs) =>
+      val nU = vs.size.toLong
+      val sp = vs.map(_._2).sum
+      val spo = vs.map(_._3).sum
+      val meanPost = spo * 10000 / nU
+      val dx = sp * 10000 / nU - sx * 10000 / n
+      arm -> (nU, sp, spo, meanPost, theta, meanPost - theta * dx / 10000)
+    }
+    val got = ops.Events.ev60Cuped(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == Set(0L, 1L), s"expected two arms: ${got.keySet}")
+    expected.foreach { case (arm, e) =>
+      assert(got(arm) == e, s"arm $arm: op says ${got(arm)}, recompute $e")
+    }
+    // the adjustment must preserve each arm's user count and only
+    // shift the mean by the covariate correction
+    assert(got.values.map(_._1).sum == n, "arms must partition the users")
   }
 
   test("pp26 rebalance factors invert the share imbalance exactly") {
