@@ -372,6 +372,8 @@ object SparkEntry {
     "pp51_patch_policy"     -> Pipelines.pp51PatchPolicy _,
     "ss29_pq_m_curve"       -> Similarity.ss29PqMCurve _,
     "ev60_cuped"            -> Events.ev60Cuped _,
+    "ev61_srm_check"        -> Events.ev61SrmCheck _,
+    "ev62_diff_in_diff"     -> Events.ev62DiffInDiff _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -2621,6 +2623,55 @@ object SparkEntry {
         |    THEN (theta_bp * dx_bp) // 10000
         |    ELSE -((-(theta_bp * dx_bp)) // 10000) END) AS mean_adj_bp
         |FROM j""".stripMargin,
+
+    // ev61: the dividend is a square, so plain // is already the
+    // truncation both engines agree on.
+    "ev61_srm_check" ->
+      """WITH u AS (SELECT event_type, user_id FROM events
+        |  UNION SELECT '_overall' AS event_type, user_id FROM events),
+        |a AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_arm0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_arm1
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, n_arm0, n_arm1,
+        |  (n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000
+        |    // greatest(1, n_arm0 + n_arm1) AS stat_milli,
+        |  (n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000
+        |    // greatest(1, n_arm0 + n_arm1) > 3841 AS srm_flag
+        |FROM a""".stripMargin,
+
+    // ev62: subtractions only AFTER the non-negative floor divisions —
+    // no sign case anywhere.
+    "ev62_diff_in_diff" ->
+      """WITH sp AS (SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+        |             CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+        |           FROM events),
+        |pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN date_diff('day', sp.d0,
+        |        CAST(date_trunc('day', ts) AS DATE)) * 2
+        |        < date_diff('day', sp.d0, sp.d1) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN date_diff('day', sp.d0,
+        |        CAST(date_trunc('day', ts) AS DATE)) * 2
+        |        < date_diff('day', sp.d0, sp.d1) THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS y
+        |  FROM events CROSS JOIN sp GROUP BY 1),
+        |arms AS (SELECT user_id % 2 AS arm,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS sum_pre,
+        |    CAST(sum(y) AS BIGINT) AS sum_post
+        |  FROM pu GROUP BY 1),
+        |m AS (SELECT arm, n_users, sum_pre, sum_post,
+        |    sum_pre * 10000 // n_users AS mean_pre_bp,
+        |    sum_post * 10000 // n_users AS mean_post_bp,
+        |    sum_post * 10000 // n_users - sum_pre * 10000 // n_users
+        |      AS delta_bp
+        |  FROM arms),
+        |dd AS (SELECT CAST(sum(CASE WHEN arm = 1 THEN delta_bp
+        |         ELSE -delta_bp END) AS BIGINT) AS did_bp FROM m)
+        |SELECT m.*, dd.did_bp FROM m CROSS JOIN dd""".stripMargin,
 
     // pp47: split hash over the dup-cluster representative (dd06's
     // recursive-CTE fixed point; singletons are their own rep) — the

@@ -1570,18 +1570,7 @@ object Events {
     * x,y by a first-pass mean before the quadratic sums — the plan
     * shape (per-user agg + broadcast scalars) is unchanged. */
   def ev60Cuped(s: SparkSession, d: String): DataFrame = {
-    val e = ev(s, d)
-    val span = e.agg(
-      min(to_date(col("ts"))).as("d0"),
-      max(to_date(col("ts"))).as("d1"))
-    val perUser = CacheScope.cached(e.crossJoin(broadcast(span))
-      .withColumn("pre",
-        (datediff(to_date(col("ts")), col("d0")) * 2 <
-          datediff(col("d1"), col("d0"))).cast("long"))
-      .groupBy(col("user_id"))
-      .agg(sum(col("pre")).as("x"),
-        sum(lit(1L) - col("pre")).as("y"))
-      .withColumn("arm", col("user_id") % 2))
+    val perUser = expPerUser(s, d)
     val theta = perUser
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -1607,5 +1596,79 @@ object Events {
         (col("mean_post_bp") - expr(
           "CASE WHEN corr >= 0 THEN corr div 10000" +
             " ELSE -((-corr) div 10000) END")).as("mean_adj_bp"))
+  }
+
+  /** The experiment-readout substrate shared by ev60/ev62: one pass
+    * over events into per-user (pre-count x, post-count y, arm) under
+    * the deterministic calendar split (first half of the corpus
+    * day-span = pre) and surrogate assignment arm = user_id % 2 — one
+    * shuffle on user_id, cached because both readouts and their
+    * pooled scalars re-scan it. */
+  private def expPerUser(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val span = e.agg(
+      min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+    CacheScope.cached(e.crossJoin(broadcast(span))
+      .withColumn("pre",
+        (datediff(to_date(col("ts")), col("d0")) * 2 <
+          datediff(col("d1"), col("d0"))).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pre")).as("x"),
+        sum(lit(1L) - col("pre")).as("y"))
+      .withColumn("arm", col("user_id") % 2))
+  }
+
+  /** ev61: sample-ratio-mismatch (SRM) check — the first gate every
+    * experimentation platform runs before reading ANY metric: with
+    * arm = user_id % 2 the two arms should split users ~50/50, and a
+    * skewed split means the assignment (or the logging) is broken and
+    * every downstream readout (ev60/ev62) is invalid. One chi-square
+    * cell pair collapses to stat = (n₀−n₁)²/n (df=1); graded on the
+    * exact milli grid (×1000 integer floor — dividend is a square, so
+    * no sign case needed) with the standard p<0.05 cut 3.841 → 3841.
+    * Emitted per event_type (a per-type skew catches conditional
+    * logging loss — e.g. one arm's client dropping purchase events —
+    * that the overall row hides) plus the `_overall` assignment row.
+    * Scale: one distinct over (type, user) — a shuffle bounded by
+    * |types|·|users|, nothing corpus-sized downstream. */
+  def ev61SrmCheck(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val byType = e.select(col("event_type"), col("user_id")).distinct()
+    val overall = e.select(lit("_overall").as("event_type"),
+      col("user_id")).distinct()
+    byType.unionByName(overall)
+      .withColumn("arm", col("user_id") % 2)
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_arm0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_arm1"))
+      .withColumn("stat_milli", expr(
+        "(n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000" +
+          " div greatest(1L, n_arm0 + n_arm1)"))
+      .withColumn("srm_flag", col("stat_milli") > 3841L)
+  }
+
+  /** ev62: difference-in-differences readout — the second classic
+    * causal contrast on ev60's substrate: each arm's post-minus-pre
+    * mean change, and the between-arm difference of those changes
+    * (did_bp). Where ev60 shrinks variance under randomized
+    * assignment, DiD is the readout you trust when assignment is NOT
+    * randomized (a rollout by region/cohort): the pre-period delta
+    * absorbs any fixed between-group level difference. Same exact
+    * int64 bp grid; the only subtractions happen AFTER the
+    * non-negative floor divisions, so no sign-case spelling is needed
+    * anywhere. Scale: ev60's cached per-user frame + one 2-row agg. */
+  def ev62DiffInDiff(s: SparkSession, d: String): DataFrame = {
+    val arms = expPerUser(s, d)
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_pre"), sum(col("y")).as("sum_post"))
+      .withColumn("mean_pre_bp", expr("sum_pre * 10000 div n_users"))
+      .withColumn("mean_post_bp", expr("sum_post * 10000 div n_users"))
+      .withColumn("delta_bp", col("mean_post_bp") - col("mean_pre_bp"))
+    val did = arms.agg(sum(
+      when(col("arm") === 1, col("delta_bp"))
+        .otherwise(-col("delta_bp"))).as("did_bp"))
+    arms.crossJoin(broadcast(did))
   }
 }

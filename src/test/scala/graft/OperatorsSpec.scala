@@ -1670,6 +1670,57 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.values.map(_._1).sum == n, "arms must partition the users")
   }
 
+  test("ev61 SRM chi-square matches a driver-side recompute per type") {
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val allUsers = raw.map(_._2).distinct.map(("_overall", _))
+    val expected = (raw ++ allUsers).groupBy(_._1).map { case (t, vs) =>
+      val n0 = vs.count(_._2 % 2 == 0).toLong
+      val n1 = vs.length - n0
+      val stat = (n0 - n1) * (n0 - n1) * 1000 / math.max(1L, n0 + n1)
+      t -> (n0, n1, stat, stat > 3841L)
+    }
+    val got = ops.Events.ev61SrmCheck(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got.keySet == expected.keySet, s"type sets differ: ${got.keySet}")
+    expected.foreach { case (t, e) =>
+      assert(got(t) == e, s"type $t: op says ${got(t)}, recompute $e")
+    }
+    // the overall row must dominate every per-type population
+    val overallN = got("_overall")._1 + got("_overall")._2
+    got.foreach { case (t, (n0, n1, _, _)) =>
+      assert(n0 + n1 <= overallN, s"type $t counts exceed the user base")
+    }
+  }
+
+  test("ev62 DiD contrast is consistent with ev60's arm aggregates") {
+    val rows = ops.Events.ev62DiffInDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(rows.keySet == Set(0L, 1L), s"expected two arms: ${rows.keySet}")
+    // per-arm grid identities
+    rows.foreach { case (arm, (n, sp, spo, mPre, mPost, delta, _)) =>
+      assert(mPre == sp * 10000 / n && mPost == spo * 10000 / n,
+        s"arm $arm means off-grid")
+      assert(delta == mPost - mPre, s"arm $arm delta disagrees")
+    }
+    // the published DiD is exactly arm1's change minus arm0's, and it
+    // is the same scalar on both rows
+    val did = rows(1L)._6 - rows(0L)._6
+    assert(rows.values.map(_._7).toSet == Set(did),
+      s"did_bp ${rows.values.map(_._7)} != $did")
+    // substrate parity: ev60 and ev62 must see the SAME arm masses
+    val ev60 = ops.Events.ev60Cuped(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    rows.foreach { case (arm, (n, sp, spo, _, _, _, _)) =>
+      assert(ev60(arm) == ((n, sp, spo)),
+        s"arm $arm: ev62 ($n,$sp,$spo) != ev60 ${ev60(arm)}")
+    }
+  }
+
   test("pp26 rebalance factors invert the share imbalance exactly") {
     val rows = ops.Pipelines.pp26MixRebalance(spark, sf).collect()
     assert(rows.nonEmpty)
