@@ -374,6 +374,7 @@ object SparkEntry {
     "ev60_cuped"            -> Events.ev60Cuped _,
     "ev61_srm_check"        -> Events.ev61SrmCheck _,
     "ev62_diff_in_diff"     -> Events.ev62DiffInDiff _,
+    "dd38_bbit_minhash"     -> Dedup.dd38BbitMinhash _,
   )
 
   /** ss22's NSW walk replayed hop by hop (the kNN-join graph
@@ -565,6 +566,51 @@ object SparkEntry {
        |         WHERE $bandEq)
        |SELECT d1, d2, n_agree, n_agree / 32.0 AS est_sim FROM cand"""
       .stripMargin
+  }
+
+  /** dd38's oracle: dd09's K–M signature replay with the three b-bit
+    * collision sums as column arithmetic on the same signature join,
+    * unpivoted to one row per (pair, b). Slots are non-negative
+    * (< 2³⁷), so `%` agrees across engines. */
+  private val bbitMinhashSql: String = {
+    val slots = (0 until 32).map(j =>
+      if (j == 0) "min(h1) AS m0" else s"min(h1 + $j * h2) AS m$j")
+      .mkString(", ")
+    val bandEq = (0 until 16).map(b =>
+      s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
+      .mkString(" OR ")
+    val agree = (0 until 32).map(j =>
+      s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    def coll(pw: Int) = (0 until 32).map(j =>
+      s"CASE WHEN a.m$j % $pw = b.m$j % $pw THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS tk
+       |           FROM documents WHERE len(string_split(trim(text),' ')) >= 3),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         range(1, len(tk)-1),
+       |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+       |       FROM t),
+       |hs AS (SELECT doc_id,
+       |         ('0x' || substring(md5(s), 1, 8))::BIGINT AS h1,
+       |         ('0x' || substring(md5(s), 9, 8))::BIGINT AS h2 FROM sh),
+       |sig AS (SELECT doc_id, $slots FROM hs GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |           CAST($agree AS BIGINT) AS n_full,
+       |           CAST(${coll(2)} AS BIGINT) AS c1,
+       |           CAST(${coll(4)} AS BIGINT) AS c2,
+       |           CAST(${coll(16)} AS BIGINT) AS c4
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |         WHERE $bandEq),
+       |u AS (SELECT d1, d2, n_full, 1 AS b_bits, 2 AS pw, c1 AS n_collide
+       |        FROM cand
+       |      UNION ALL SELECT d1, d2, n_full, 2, 4, c2 FROM cand
+       |      UNION ALL SELECT d1, d2, n_full, 4, 16, c4 FROM cand)
+       |SELECT d1, d2, CAST(b_bits AS BIGINT) AS b_bits,
+       |  CAST(n_collide AS BIGINT) AS n_collide,
+       |  greatest(0, n_collide * pw - 32) * 10000 // (32 * (pw - 1))
+       |    AS est_bp,
+       |  n_full * 10000 // 32 AS est_full_bp
+       |FROM u""".stripMargin
   }
 
   /** dd06's oracle, also the cluster CTE of dd07's; `extra` narrows
@@ -1973,6 +2019,7 @@ object SparkEntry {
 
     "dd04_ngram_jaccard" -> ngramJaccardSql,
     "dd09_minhash_est" -> minhashEstSql,
+    "dd38_bbit_minhash" -> bbitMinhashSql,
 
     // sk06's oracle replays the KMV sketch exactly: same 60-bit md5
     // hash, same k-th order statistic, same integer floor-divided

@@ -1616,4 +1616,53 @@ object Dedup {
         countDistinct(when(col("s1") <= col("s2"), col("d2"))
           .otherwise(col("d1"))).as("n_docs_b"))
   }
+
+  /** dd38: b-BIT minwise hashing (Li & König, WWW'10) — the advisor
+    * pricing SIGNATURE STORAGE, the dedup-side knob the tuning-curve
+    * discipline hasn't covered yet (dd33 prices banding geometry,
+    * dd13 the verify threshold; this prices the bytes): keep only the
+    * lowest b bits of each of the k=32 portable K–M minhash slots
+    * (64× smaller at b=1 vs the 64-bit slot — at 100 TB the signature
+    * table is itself a corpus, so this decides whether it fits in
+    * memory next to the index) and estimate Jaccard from the b-bit
+    * collision fraction with the collision-probability correction
+    * Ĵ = (c/k − 2⁻ᵇ)/(1 − 2⁻ᵇ), clamped at 0 and floored onto the bp
+    * grid: est_bp = greatest(0, c·2ᵇ − k)·10000 div (k·(2ᵇ−1)) —
+    * pure integer arithmetic, so the whole curve hash-replays. Each
+    * dd02-banding candidate pair carries its estimates at b ∈ {1,2,4}
+    * next to the full-slot estimate (dd09's n_agree), which is the
+    * accuracy-vs-bytes trade read directly: where est_bp tracks
+    * est_full_bp at b=2, 4 bytes per signature suffice. Cost: dd09's
+    * exact frame shape — the collision sums are column arithmetic on
+    * the same signature join, no new shuffle; the curve is pair-frame
+    * sized (∝ near-dups), never corpus-sized. */
+  def dd38BbitMinhash(s: SparkSession, d: String): DataFrame = {
+    val sh = CacheScope.cached(shingles(s, d))
+    val sigs = CacheScope.cached(portableSigs(sh))
+    val cand = lshCandidates(sigs)
+    val a = sigs.select(col("doc_id").as("d1") +:
+      (0 until minhashK).map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = sigs.select(col("doc_id").as("d2") +:
+      (0 until minhashK).map(j => col(s"m$j").as(s"b$j")): _*)
+    val fullAgree = (0 until minhashK)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    def collide(pw: Long) = (0 until minhashK)
+      .map(j => when(col(s"a$j") % pw === col(s"b$j") % pw, 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    cand.join(a, Seq("d1")).join(b, Seq("d2"))
+      .select(col("d1"), col("d2"), fullAgree.as("n_full"),
+        collide(2L).as("c1"), collide(4L).as("c2"), collide(16L).as("c4"))
+      .select(col("d1"), col("d2"), col("n_full"), explode(array(
+        struct(lit(1L).as("b"), lit(2L).as("pw"), col("c1").as("c")),
+        struct(lit(2L).as("b"), lit(4L).as("pw"), col("c2").as("c")),
+        struct(lit(4L).as("b"), lit(16L).as("pw"), col("c4").as("c"))))
+        .as("e"))
+      .select(col("d1"), col("d2"), col("e.b").as("b_bits"),
+        col("e.c").as("n_collide"),
+        expr(s"greatest(0L, e.c * e.pw - $minhashK) * 10000" +
+          s" div ($minhashK * (e.pw - 1))").as("est_bp"),
+        expr(s"n_full * 10000 div $minhashK").as("est_full_bp"))
+  }
 }

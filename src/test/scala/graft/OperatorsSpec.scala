@@ -1670,6 +1670,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.values.map(_._1).sum == n, "arms must partition the users")
   }
 
+  test("dd38 b-bit collisions nest and the estimator sits on its grid") {
+    val rows = ops.Dedup.dd38BbitMinhash(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val pairs = rows.keys.map(_._1).toSet
+    assert(pairs.nonEmpty, "no candidate pairs")
+    assert(rows.keys.map(_._2).toSet == Set(1L, 2L, 4L),
+      "expected the b in {1,2,4} curve")
+    pairs.foreach { p =>
+      val (c1, e1, f1) = rows((p, 1L))
+      val (c2, e2, f2) = rows((p, 2L))
+      val (c4, e4, f4) = rows((p, 4L))
+      assert(f1 == f2 && f2 == f4, s"$p: full estimate varies across b")
+      // low bits are suffixes of higher-b masks: agreement at 4 bits
+      // implies agreement at 2 and at 1 — collisions must nest
+      assert(c1 >= c2 && c2 >= c4, s"$p: collisions don't nest ($c1,$c2,$c4)")
+      // the published estimate is exactly the clamped corrected
+      // collision fraction on the bp grid
+      Seq((2L, c1, e1), (4L, c2, e2), (16L, c4, e4)).foreach {
+        case (pw, c, e) =>
+          val expect = math.max(0L, c * pw - 32L) * 10000L / (32L * (pw - 1L))
+          assert(e == expect, s"$p pw=$pw: est $e != grid $expect")
+      }
+    }
+    // more bits must track the full-slot estimate at least as well in
+    // aggregate — the accuracy-vs-bytes trade the curve exists to price
+    def mad(b: Long) = pairs.toSeq.map { p =>
+      val (_, e, f) = rows((p, b)); math.abs(e - f)
+    }.sum
+    assert(mad(4L) <= mad(1L),
+      s"b=4 tracks worse than b=1: ${mad(4L)} > ${mad(1L)}")
+  }
+
   test("ev61 SRM chi-square matches a driver-side recompute per type") {
     val raw = Tables.events(spark, sf)
       .select(col("event_type"), col("user_id")).distinct().collect()
