@@ -2675,6 +2675,7 @@ object SparkEntry {
     // truncation both engines agree on.
     "ev61_srm_check" ->
       """WITH u AS (SELECT event_type, user_id FROM events
+        |    WHERE event_type != '_overall'
         |  UNION SELECT '_overall' AS event_type, user_id FROM events),
         |a AS (SELECT event_type,
         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)

@@ -1634,7 +1634,12 @@ object Events {
     * |types|·|users|, nothing corpus-sized downstream. */
   def ev61SrmCheck(s: SparkSession, d: String): DataFrame = {
     val e = ev(s, d)
-    val byType = e.select(col("event_type"), col("user_id")).distinct()
+    // a (hypothetical) real type named '_overall' is excluded on BOTH
+    // engines: Spark's union keeps cross-branch duplicates while SQL
+    // UNION drops them, so without the guard the two engines would
+    // disagree exactly on that degenerate input
+    val byType = e.select(col("event_type"), col("user_id"))
+      .filter(col("event_type") =!= "_overall").distinct()
     val overall = e.select(lit("_overall").as("event_type"),
       col("user_id")).distinct()
     byType.unionByName(overall)

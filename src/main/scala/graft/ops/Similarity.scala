@@ -227,9 +227,10 @@ object Similarity {
     * finer quantization = bigger codes). ss29's tuning curve prices
     * exactly this conf the way ss16 prices `ivf.nprobe` and ss28
     * prices `bm25.keep`: the recall the curve reports at the conf'd m
-    * is the recall the serving tiers (ss10/ss14, and through ss14 the
-    * IVF-PQ artifact path) actually ship. Default 8 = the shipped
-    * 8×8-dim geometry every sf hash gate grades. */
+    * is the recall the serving tiers (ss10 and the composed IVF-PQ
+    * tier ss14 — both encode in-query; PQ codes are not a published
+    * artifact line) actually ship. Default 8 = the shipped 8×8-dim
+    * geometry every sf hash gate grades. */
   val pqMConf = "spark.graft.pq.m"
 
   /** The conf'd PQ sub-space count (must divide dim; default 8). */
