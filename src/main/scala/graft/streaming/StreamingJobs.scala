@@ -1324,4 +1324,35 @@ object StreamingJobs {
         expr("n_en * 10000 div n_docs").as("en_bp"),
         expr("n_quality * 10000 div n_docs").as("quality_bp"))
   }
+
+  /** st37: the SRM board LIVE — ev61's assignment-health gate as a
+    * continuously-maintained board, so a broken split (or one arm's
+    * client silently dropping an event type) pages DURING the
+    * experiment instead of at the nightly batch read, while every
+    * downstream readout (ev60/ev62) still trusts the assignment.
+    * Distinctness is the ONLY state: streaming `dropDuplicates` on
+    * (event_type, user_id) — bounded by |types|·|users| exactly like
+    * the batch distinct, never by traffic (st35's bounded-state
+    * rationale) — then the chi-square is ev61's arithmetic verbatim
+    * (row-local arm = user_id % 2, (n₀−n₁)²·1000/n on the exact milli
+    * grid, 3841 cut) in one Complete-mode aggregate. Re-delivered
+    * events land on already-seen (type, user) pairs and change
+    * nothing — replay-idempotent by the dedup state itself. The
+    * `_overall` guard matches ev61's cross-engine contract. */
+  def streamingSrmBoard(events: DataFrame): DataFrame = {
+    val byType = events.select(col("event_type"), col("user_id"))
+      .filter(col("event_type") =!= "_overall")
+    val overall = events.select(lit("_overall").as("event_type"),
+      col("user_id"))
+    byType.unionByName(overall)
+      .dropDuplicates("event_type", "user_id")
+      .withColumn("arm", col("user_id") % 2)
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_arm0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_arm1"))
+      .withColumn("stat_milli", expr(
+        "(n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000" +
+          " div greatest(1L, n_arm0 + n_arm1)"))
+      .withColumn("srm_flag", col("stat_milli") > 3841L)
+  }
 }

@@ -1256,4 +1256,37 @@ class StreamingSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("st37 streaming SRM board equals batch ev61 and ignores replays") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val in = MemoryStream[(String, Long)]
+    val stream = in.toDF().toDF("event_type", "user_id")
+    val q = StreamingJobs.streamingSrmBoard(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st37_out").start()
+    try {
+      def board() = spark.sql("SELECT * FROM st37_out").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      // interleaved halves so (type, user) pairs REPEAT across batches
+      // — the dedup state, not batch boundaries, must carry distinctness
+      val (b1, b2) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+      in.addData(b1.map(_._1).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.map(_._1).toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = board()
+      val batch = graft.ops.Events.ev61SrmCheck(spark, sf).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      assert(streamed == batch,
+        s"streamed board drifts from batch ev61: $streamed vs $batch")
+      // crash-replay: re-delivering the first half changes nothing
+      in.addData(b1.map(_._1).toIndexedSeq: _*); q.processAllAvailable()
+      assert(board() == batch, "replayed batch moved the board")
+    } finally q.stop()
+  }
 }
