@@ -68,11 +68,15 @@ object Pipelines {
     * production shape: every training run anti-joins the keeper
     * table, so it loads, never re-derives). */
   private[graft] def pp50From(s: SparkSession, d: String,
-      policy0: DataFrame, clusters: DataFrame): DataFrame = {
+      policy0: DataFrame, clusters0: DataFrame): DataFrame = {
     val scores = Text.tx02QualityScore(s, d)
       .select(col("doc_id"), col("score"))
     val policy = CacheScope.cached(policy0
       .select(col("cluster_id"), col("route"), col("keeper_id")))
+    // two consumers (removal anti-join + route lookup): cached so the
+    // artifact path scans the published clusters line once — the
+    // fresh path's dd06 memo gave it this for free
+    val clusters = CacheScope.cached(clusters0)
     val removed = clusters
       .join(policy.select(col("keeper_id").as("doc_id")),
         Seq("doc_id"), "left_anti")

@@ -207,11 +207,17 @@ object IndexArtifacts {
     * keeper table is the most-read dedup output — every training run
     * anti-joins it); only the quality gate and split hash touch the
     * corpus, row-locally. Inherits dd36FromArtifacts' fail-closed
-    * contract on an invalidated policy line. */
+    * contract on an invalidated policy line. COMPOSED-read contract
+    * (same as every multi-line reader here, e.g. ss24FromArtifacts):
+    * the two lines are only mutually consistent because every
+    * producer advances them TOGETHER in one call (publishAll, the
+    * fold, publishPurgedIndex) — a read racing mid-publish can see a
+    * torn pair, so serve training sets from a quiesced root (the
+    * MaintenanceRunner.tick cadence), not concurrently with it. */
   def pp50FromArtifacts(s: SparkSession, d: String,
       root: String): DataFrame =
     graft.ops.Pipelines.pp50From(s, d,
-      dd36FromArtifacts(s, root), read(s, root, "clusters"))
+      dd36FromArtifacts(s, root), dd06FromArtifacts(s, root))
 
   /** dd36's policy-routed keeper table from the published artifact —
     * dd28's fail-closed discipline (the policy's conservative rows

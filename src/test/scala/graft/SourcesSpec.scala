@@ -1107,5 +1107,20 @@ class SourcesSpec extends SparkTestBase {
     assert(rows(IndexArtifacts.dd28FromArtifacts(spark, root)) ==
       rows(ops.Dedup.dd28SafeKeepBest(spark, sdir)),
       "post-purge safe_keepers drift from the survivors-only rebuild")
+    // pp50 post-purge: the training set served from the re-pointed
+    // policy + clusters lines over the survivor corpus equals the
+    // in-query build on that corpus (the composition of two proven
+    // patch ≡ rebuild facts: pp51 ≡ dd36-on-survivors and the purged
+    // clusters ≡ dd06-on-survivors), and no tombstoned doc_id leaks
+    // into any split
+    val pp50Post = IndexArtifacts.pp50FromArtifacts(spark, sdir, root)
+      .collect()
+    assert(pp50Post.map(_.toSeq).toSet ==
+      ops.Pipelines.pp50PolicyTrainingSet(spark, sdir)
+        .collect().map(_.toSeq).toSet,
+      "post-purge pp50 reader drifts from the survivors-only rebuild")
+    assert(pp50Post.nonEmpty &&
+      !pp50Post.exists(r => tombSet.contains(r.getLong(0))),
+      "post-purge pp50 reader serves a tombstoned doc_id")
   }
 }
