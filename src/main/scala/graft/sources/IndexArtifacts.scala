@@ -80,7 +80,7 @@ object IndexArtifacts {
   /** Build all six index artifacts from the corpus at `d` and publish
     * each as the next version under `root/<name>`. Returns
     * name → published version. */
-  def publishAll(s: SparkSession, d: String, root: String): Map[String, Long] = {
+  def publishAll(s: SparkSession, d: String, root: String): Map[String, Long] = snapshotted(root) {
     // quantizer + everything derived from it (cells, knn graph) must
     // come from the SAME trainer or the index is self-inconsistent
     val (cent, cells, knn) = s.conf.getOption(ivfKConf) match {
@@ -123,10 +123,67 @@ object IndexArtifacts {
         Some("keeper_id")))
   }
 
-  /** Load an artifact's latest published version — exactly the files
-    * its manifest lists, bit-identical across reader sessions. */
+  /** Conf key: snapshot-consistent composed reads. Every producer in
+    * this object finishes by atomically advancing `_SNAPSHOT.json`
+    * (line → version for every published `names` line; the dataset
+    * card is standalone and stays outside), so the marker always
+    * names a MUTUALLY CONSISTENT set of versions — the state some one
+    * producer call left behind. With the conf on, `read` resolves
+    * through that pin instead of each line's own latest: a composed
+    * reader (pp50FromArtifacts' policy+clusters, ss24's four lines)
+    * racing a concurrent purge/fold can no longer see a TORN pair
+    * where one line has advanced and its partner hasn't — it sees the
+    * last completed publish, atomically. Default off = latest-version
+    * reads, the behavior every existing spec and the quiesced-root
+    * cadence (MaintenanceRunner.tick) already grade. */
+  val snapshotReadsConf = "spark.graft.artifacts.snapshotReads"
+
+  /** The `_SNAPSHOT.json` pins, if the marker exists. */
+  private[graft] def snapshotVersions(root: String): Option[Map[String, Long]] = {
+    val f = new File(root, "_SNAPSHOT.json")
+    if (!f.exists()) None
+    else Some("\"([a-z_]+)\"\\s*:\\s*(\\d+)".r
+      .findAllMatchIn(new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap)
+  }
+
+  /** Run a producer body, then atomically advance `_SNAPSHOT.json` —
+    * every version-advancing entry point in this object returns
+    * through here, so the marker only ever names completed-publish
+    * states. */
+  private def snapshotted[T](root: String)(body: => T): T = {
+    val out = body
+    writeSnapshot(root)
+    out
+  }
+
+  /** Atomically advance `_SNAPSHOT.json` to the current latest of
+    * every published line — the last statement of every producer, so
+    * the marker only ever names completed-publish states. */
+  private def writeSnapshot(root: String): Unit = {
+    val pins = names.flatMap(n =>
+      VersionedCorpus.latestVersion(sub(root, n)).map(v => s""""$n": $v"""))
+    atomicWrite(new File(root, "_SNAPSHOT.json"),
+      pins.mkString("{", ", ", "}"))
+  }
+
+  /** Load an artifact — the latest published version by default
+    * (exactly the files its manifest lists, bit-identical across
+    * reader sessions), or the `_SNAPSHOT.json`-pinned version under
+    * `snapshotReadsConf` (fail-closed if the marker is missing or
+    * does not pin the line: serving latest as a silent fallback would
+    * reintroduce the torn-pair race the conf exists to remove). */
   def read(s: SparkSession, root: String, name: String): DataFrame =
-    VersionedCorpus.readLatest(s, sub(root, name))
+    if (s.conf.get(snapshotReadsConf, "false").toBoolean) {
+      val pin = snapshotVersions(root).flatMap(_.get(name)).getOrElse(
+        throw new IllegalStateException(
+          s"$snapshotReadsConf is on but $root/_SNAPSHOT.json does not " +
+            s"pin '$name' — publish through a producer (which advances " +
+            "the snapshot) or turn the conf off"))
+      VersionedCorpus.readAt(s, sub(root, name), pin)
+    } else VersionedCorpus.readLatest(s, sub(root, name))
 
   /** ss21 served from the published lexical index: postings, lexicon
     * and doclens load from artifacts; only the 10 query docs' term
@@ -269,7 +326,7 @@ object IndexArtifacts {
     val seen = reconciledCount(root)
     val total = graft.ops.PurgeLedger.keys(s, d).size.toLong
     if (total - seen <= maxDrift) None
-    else {
+    else snapshotted(root) {
       val v = VersionedCorpus.publish(
         graft.ops.Pipelines.pp40PatchLexicon(s, d), sub(root, "lexicon"))
       atomicWrite(new File(sub(root, "lexicon"), "_RECONCILED.json"),
@@ -392,9 +449,10 @@ object IndexArtifacts {
     * version still works until a legal purge rewrites it, and the
     * other five artifacts are untouched. Returns the new version. */
   def publishPatchedPostings(s: SparkSession, d: String,
-      root: String): Long =
+      root: String): Long = snapshotted(root) {
     VersionedCorpus.publish(graft.ops.Pipelines.pp37PatchPostings(s, d),
       sub(root, "postings"), Some("doc_id"))
+  }
 
   /** Re-point the WHOLE serving index for a tombstone batch —
     * postings (pp37's patch), lexicon (pp40's sufficient-statistic
@@ -421,7 +479,7 @@ object IndexArtifacts {
     * production fold patches all lines via pp49/pp43's kernels).
     * Returns name → new version for the nine re-pointed artifacts. */
   def publishPurgedIndex(s: SparkSession, d: String,
-      root: String): Map[String, Long] = {
+      root: String): Map[String, Long] = snapshotted(root) {
     import org.apache.spark.sql.functions.broadcast
     val ops = graft.ops.Pipelines
     val tomb = graft.ops.PurgeLedger.table(s, d)
@@ -460,8 +518,10 @@ object IndexArtifacts {
     * publishPatchedPostings' add direction (pp41). Returns the new
     * version. */
   def publishUpsertedKnn(s: SparkSession, d: String, root: String): Long =
-    VersionedCorpus.publish(Similarity.ss25KnnUpsert(s, d),
-      sub(root, "knn_edges"), Some("qid"))
+    snapshotted(root) {
+      VersionedCorpus.publish(Similarity.ss25KnnUpsert(s, d),
+        sub(root, "knn_edges"), Some("qid"))
+    }
 
   /** Arrival-batch maintenance for the LEXICAL serving index —
     * publishUpsertedKnn/publishUpsertedDedup's sibling, completing
@@ -473,7 +533,7 @@ object IndexArtifacts {
     * serve EXACTLY what a full-corpus rebuild serves (spec-asserted
     * through ss21FromArtifacts). Returns name → new version. */
   def publishUpsertedIndex(s: SparkSession, d: String,
-      root: String): Map[String, Long] = {
+      root: String): Map[String, Long] = snapshotted(root) {
     val ops = graft.ops.Pipelines
     Map(
       "postings" -> VersionedCorpus.publish(
@@ -496,7 +556,7 @@ object IndexArtifacts {
     * every reader honors. Returns name → new version for the two
     * re-pointed lines. */
   def publishUpsertedDedup(s: SparkSession, d: String,
-      root: String): Map[String, Long] = {
+      root: String): Map[String, Long] = snapshotted(root) {
     import org.apache.spark.sql.functions.col
     val ops = graft.ops.Pipelines
     val (members, keepers) = ops.clusterUpsertBoth(
@@ -542,7 +602,7 @@ object IndexArtifacts {
     * (st36, micro-batch ids via `Dedup.batchPairsOf`). */
   private[graft] def foldDedupLines(s: SparkSession, d: String,
       root: String, newPairs0: org.apache.spark.sql.DataFrame)
-      : Map[String, Long] = {
+      : Map[String, Long] = snapshotted(root) {
     import org.apache.spark.sql.functions.col
     val scores = graft.ops.Text.tx02QualityScore(s, d)
       .select(col("doc_id"), col("score"))

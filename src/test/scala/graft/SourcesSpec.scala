@@ -1123,4 +1123,63 @@ class SourcesSpec extends SparkTestBase {
       !pp50Post.exists(r => tombSet.contains(r.getLong(0))),
       "post-purge pp50 reader serves a tombstoned doc_id")
   }
+
+  test("snapshot reads pin composed lines to completed-publish states") {
+    import graft.sources.IndexArtifacts
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-snap").toString
+    val d = "/root/testdata/sf0.001"
+    IndexArtifacts.publishAll(spark, d, root)
+    // the marker pins every line at its just-published version
+    val snap1 = IndexArtifacts.snapshotVersions(root).get
+    assert(snap1.keySet == IndexArtifacts.names.toSet &&
+      snap1.values.forall(_ == 1L), s"snapshot off: $snap1")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def withSnapshotReads[T](body: => T): T = {
+      spark.conf.set(IndexArtifacts.snapshotReadsConf, "true")
+      try body finally spark.conf.unset(IndexArtifacts.snapshotReadsConf)
+    }
+    // quiesced root: snapshot reads ≡ latest reads
+    val latest = rows(IndexArtifacts.pp50FromArtifacts(spark, d, root))
+    assert(withSnapshotReads(
+      rows(IndexArtifacts.pp50FromArtifacts(spark, d, root))) == latest,
+      "snapshot read drifts from latest on a quiesced root")
+    // TORN state: advance the clusters line alone, bypassing the
+    // producers (as a reader racing a half-finished publish would see
+    // it) — every doc into one bogus cluster, so the composed result
+    // is GUARANTEED to change (all non-keepers become removals)
+    val c1 = IndexArtifacts.read(spark, root, "clusters")
+    graft.sources.VersionedCorpus.publish(
+      graft.Tables.documents(spark, d).select(col("doc_id"),
+        lit(999999L).as("cluster_id")),
+      s"$root/clusters", Some("doc_id"))
+    val torn = rows(IndexArtifacts.pp50FromArtifacts(spark, d, root))
+    assert(torn != latest,
+      "the planted tear must be observable through latest reads")
+    // snapshot reads still serve the last COMPLETED publish, atomically
+    assert(withSnapshotReads(
+      rows(IndexArtifacts.pp50FromArtifacts(spark, d, root))) == latest,
+      "snapshot read leaked the torn pair")
+    // a real producer completes → the snapshot advances to the new
+    // consistent state and snapshot reads follow it
+    IndexArtifacts.publishUpsertedDedup(spark, d, root)
+    val snap2 = IndexArtifacts.snapshotVersions(root).get
+    assert(snap2("clusters") == 3L && snap2("keepers") == 2L,
+      s"snapshot did not advance with the producer: $snap2")
+    assert(withSnapshotReads(
+        rows(IndexArtifacts.read(spark, root, "keepers"))) ==
+      rows(IndexArtifacts.read(spark, root, "keepers")),
+      "snapshot read lags a completed producer")
+    // fail-closed: a line missing from the marker must throw, not
+    // silently fall back to latest
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-snap-bare").toString
+    graft.sources.VersionedCorpus.publish(c1, s"$bare/clusters",
+      Some("doc_id"))
+    val err = intercept[IllegalStateException](withSnapshotReads(
+      IndexArtifacts.read(spark, bare, "clusters")))
+    assert(err.getMessage.contains("_SNAPSHOT.json"),
+      s"wrong failure mode: ${err.getMessage}")
+  }
 }
