@@ -106,6 +106,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.sources.IndexArtifacts.ss21FromArtifacts)
     tvf2(e, "graft_hybrid_topk_from",
       graft.sources.IndexArtifacts.ss24FromArtifacts)
+    // the policy-routed training set (pp50) served from the published
+    // policy + clusters lines — the single most-read dedup output,
+    // now reachable from pure SQL the production way
+    tvf2(e, "graft_training_set_from",
+      graft.sources.IndexArtifacts.pp50FromArtifacts)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)

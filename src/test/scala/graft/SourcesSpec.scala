@@ -959,6 +959,9 @@ class SourcesSpec extends SparkTestBase {
     assert(rows(spark.sql(
         s"SELECT * FROM graft_policy_keepers_from('$root')")) ==
       rows(IndexArtifacts.read(spark, root, "policy_keepers")))
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_training_set_from('$sf', '$root')")) ==
+      rows(IndexArtifacts.pp50FromArtifacts(spark, sf, root)))
     // the two-arg family validates its arity/literal contract loudly
     val bad = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_bm25_topk_from('$root')").collect()
