@@ -38,21 +38,39 @@ object Dedup {
     * shared(a,b) comes from the inverted-index self-join; |A∪B| =
     * |A|+|B|-shared, all integer arithmetic so both engines agree
     * bit-exactly before the final division. */
-  def dd04NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = CacheScope.cached(shingles(s, d))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("d1"), col("s"))
-    val b = sh.select(col("doc_id").as("d2"), col("s"))
-    val shared = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
-      .withColumn("jaccard",
-        round(col("shared") * 1.0 / (col("n1") + col("n2") - col("shared")), 4))
+  /** The exact shingle-overlap pair frame at the 0.5 diagnostics
+    * floor — (d1, d2, shared, n1, n2, jaccard) for every pair whose
+    * rounded Jaccard ≥ 0.5 — MEMOIZED per (session, dir) as a flat
+    * frame: dd04 (≥ 0.6 filter), dd13 (the 0.5-floor threshold curve)
+    * and dd31/dd34's full-corpus truth tier (≥ 0.6 + decile band) each
+    * paid the IDENTICAL uncapped inverted-index self-join — the
+    * sweep's single most repeated exact join. 0.5 is the lowest floor
+    * any consumer reads, and every consumer's own filter re-applies on
+    * top, so outputs are bit-identical to the inline derivations. */
+  private val pairs05Memo = new SessionMemo[DataFrame]
+
+  private def exactPairs05(s: SparkSession, d: String): DataFrame =
+    pairs05Memo.getOrCompute(s, d)(memoLive) {
+      val sh = CacheScope.cached(shingles(s, d))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("d1"), col("s"))
+      val b = sh.select(col("doc_id").as("d2"), col("s"))
+      a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+        .join(sizes.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("n", "n1"), Seq("d1"))
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+          .withColumnRenamed("n", "n2"), Seq("d2"))
+        .withColumn("jaccard",
+          round(col("shared") * 1.0 / (col("n1") + col("n2") - col("shared")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .truncated
+    }
+
+  def dd04NgramJaccard(s: SparkSession, d: String): DataFrame =
+    exactPairs05(s, d)
       .filter(col("jaccard") >= 0.6)
       .select(col("d1"), col("d2"), col("jaccard"))
-  }
 
   /** Exact Jaccard for a given candidate-pair set only — the verify
     * step shared by the sketch-based dedupers. The candidate frame
@@ -186,10 +204,25 @@ object Dedup {
       .distinct()
   }
 
-  def dd02MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = CacheScope.cached(shingles(s, d))
-    verifiedJaccard(sh, lshCandidates(minhashSigs(sh)))
-  }
+  /** dd02's verified pair set, MEMOIZED per (session, dir) as a
+    * TRUNCATED (flat LogicalRDD) frame: this frame is the hub of the
+    * whole graph/dedup/pipeline composition (edges(), dd26/dd35/dd38,
+    * pp16, pp39/pp43/pp45/pp49 all consume it), and serving every
+    * consumer a FLAT leaf instead of the full 32-hash + banding +
+    * verify subtree is what keeps their composed plans analyzable —
+    * the chain's subtree otherwise recurs in every downstream plan
+    * and both the analyzer and the cache manager's canonicalized
+    * entry matching pay O(tree) per reference (measured: the proof
+    * family's per-call driver time, not data, dominated the sweep).
+    * ∝ near-dup pairs, never corpus-sized; a cache drain kills the
+    * checkpoint blocks and memoLive rebuilds from the parquet inputs. */
+  private val dd02Memo = new SessionMemo[DataFrame]
+
+  def dd02MinhashLsh(s: SparkSession, d: String): DataFrame =
+    dd02Memo.getOrCompute(s, d)(memoLive) {
+      val sh = CacheScope.cached(shingles(s, d))
+      verifiedJaccard(sh, lshCandidates(minhashSigs(sh))).truncated
+    }
 
   /** dd02's verified pair set RESTRICTED to an explicit doc subset —
     * identical to the full run filtered to pairs with both endpoints
@@ -316,17 +349,9 @@ object Dedup {
     * production 0.6), then a 9-row broadcast threshold table — the
     * pair frame is scanned once, never per threshold. */
   def dd13ThresholdCurve(s: SparkSession, d: String): DataFrame = {
-    val sh = CacheScope.cached(shingles(s, d))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("d1"), col("s"))
-    val b = sh.select(col("doc_id").as("d2"), col("s"))
-    val pj = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
-      .withColumn("jaccard",
-        round(col("shared") * 1.0 / (col("n1") + col("n2") - col("shared")), 4))
-      .filter(col("jaccard") >= 0.5)
+    // the 0.5-floor exact pair frame is the shared memo — dd04 and the
+    // dd31/dd34 truth tier read the identical join
+    val pj = exactPairs05(s, d)
     val thr = s.range(1).select(explode(array(
       (50 to 90 by 5).map(t => lit(t / 100.0)): _*)).as("thresh"))
     pj.crossJoin(broadcast(thr))
@@ -508,22 +533,39 @@ object Dedup {
     * symmetric Jaccard and under-recalls asymmetric subset pairs)
     * with the hot-shingle df cap (see discriminative) bounding the
     * self-join; exact integer ratios in basis points. */
-  def dd10Containment(s: SparkSession, d: String): DataFrame = {
-    val sh = CacheScope.cached(shingles(s, d))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shc = discriminative(s, sh)
-    val a = shc.select(col("doc_id").as("d1"), col("s"))
-    val b = shc.select(col("doc_id").as("d2"), col("s"))
-    val shared = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+  /** All discriminative-index co-shingle pairs with shared counts and
+    * FULL per-doc shingle sizes — dd10 (containment) and dd24 (the
+    * LSH tuner) derive from this IDENTICAL hot-capped self-join, so
+    * it is memoized per (session, dir, maxDf) as a flat frame.
+    * Bounded by Σ_{df≤cap} df² — exactly the in-flight bound both
+    * consumers already pay (see `discriminative`); each consumer's
+    * own threshold re-applies on top, outputs bit-identical. */
+  private val discPairsMemo = new SessionMemo[DataFrame]
+
+  private def discPairs(s: SparkSession, d: String): DataFrame = {
+    val maxDf = s.conf.get("spark.graft.dedup.maxDf", "128").toInt
+    discPairsMemo.getOrCompute(s, s"$d#maxDf=$maxDf")(memoLive) {
+      val sh = CacheScope.cached(shingles(s, d))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shc = discriminative(s, sh)
+      val a = shc.select(col("doc_id").as("d1"), col("s"))
+      val b = shc.select(col("doc_id").as("d2"), col("s"))
+      a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+        .join(sizes.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("n", "n1"), Seq("d1"))
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+          .withColumnRenamed("n", "n2"), Seq("d2"))
+        .truncated
+    }
+  }
+
+  def dd10Containment(s: SparkSession, d: String): DataFrame =
+    discPairs(s, d)
       .select(col("d1"), col("d2"),
         expr("shared * 10000 div n1").as("contain_1_bp"),
         expr("shared * 10000 div n2").as("contain_2_bp"))
       .filter(col("contain_1_bp") >= 5000 || col("contain_2_bp") >= 5000)
-  }
 
   /** dd12: TOKEN-window substring dedup — the train-set
     * decontamination / boilerplate-removal primitive: hash every
@@ -886,17 +928,9 @@ object Dedup {
     * boilerplate are exactly the ones LSH banding should not be tuned
     * toward anyway. */
   def dd24LshTuner(s: SparkSession, d: String): DataFrame = {
-    val sh = CacheScope.cached(shingles(s, d))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shc = discriminative(s, sh)
-    val a = shc.select(col("doc_id").as("d1"), col("s"))
-    val b = shc.select(col("doc_id").as("d2"), col("s"))
-    val pairs = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("n", "n1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("n", "n2"), Seq("d2"))
+    // rides the dd10-shared discriminative pair memo; the tuner's own
+    // 0.5 floor re-applies on top
+    val pairs = discPairs(s, d)
       .withColumn("jaccard",
         round(col("shared") * 1.0 / (col("n1") + col("n2") - col("shared")), 4))
       .filter(col("jaccard") >= 0.5)
@@ -1112,8 +1146,13 @@ object Dedup {
     * the wedge-safe kernel — shared base of dd26 (risk report) and
     * dd27 (conservative reclustering). */
   private def edgeSupport(s: SparkSession, d: String): DataFrame =
-    edgeSupportOf(CacheScope.cached(
-      dd02MinhashLsh(s, d).select(col("d1"), col("d2"))))
+    // cached at THIS level too: dd26 is the alphabetically-first
+    // consumer of the wedge-support join (cpu-heaviest stage of the
+    // safe chain), and safeMembersOf caches the identical plan — so
+    // dd26's first run pays it once and dd26 run 2, dd27, dd28, dd36
+    // and the policy tier all ride the same entry (∝ near-dup edges)
+    CacheScope.cached(edgeSupportOf(CacheScope.cached(
+      dd02MinhashLsh(s, d).select(col("d1"), col("d2")))))
 
   /** Triangle support over an EXPLICIT pair frame — factored so
     * pp45's purge patch can run the identical wedge-safe kernel on
@@ -1186,9 +1225,12 @@ object Dedup {
     safeMemo.getOrCompute(s, d)(memoLive)(safeMembersNow(s, d))
 
   private def safeMembersNow(s: SparkSession, d: String): DataFrame =
+    // truncated: the safe-member frame (∝ dup docs) is read by dd27,
+    // dd28, dd36 and the policy tier — a flat leaf keeps their plans
+    // (and the cache manager's entry matching) small
     safeMembersOf(
       CacheScope.cached(dd02MinhashLsh(s, d).select(col("d1"), col("d2"))),
-      CacheScope.cached(dd06DupClusters(s, d)))
+      CacheScope.cached(dd06DupClusters(s, d))).truncated
 
   /** The dd26→dd27 safe-member chain over EXPLICIT (pairs, labels)
     * frames — ONE kernel for the full-corpus run (dd27/dd28/dd36 via
@@ -1310,7 +1352,7 @@ object Dedup {
   def dd31LshRecall(s: SparkSession, d: String): DataFrame = {
     val bp = s.conf.get(recallSampleBpConf, "10000").toInt
     val sh = CacheScope.cached(recallSample(shingles(s, d), bp))
-    recallProbe(s, truthBands(sh), portableSigs(sh))
+    recallProbe(s, truthBandsFor(s, d, sh, bp), portableSigs(sh))
   }
 
   /** dd34: the PRODUCTION family's measured recall — dd31 probes the
@@ -1329,8 +1371,23 @@ object Dedup {
   def dd34ProdRecall(s: SparkSession, d: String): DataFrame = {
     val bp = s.conf.get(recallSampleBpConf, "10000").toInt
     val sh = CacheScope.cached(recallSample(shingles(s, d), bp))
-    recallProbe(s, truthBands(sh), minhashSigs(sh))
+    recallProbe(s, truthBandsFor(s, d, sh, bp), minhashSigs(sh))
   }
+
+  /** The truth tier for dd31/dd34: at the default bp = 10000 (full
+    * corpus) the exact tier IS the shared 0.5-floor pair memo filtered
+    * to dd04's 0.6 cutoff and banded — identical rows to the inline
+    * derivation at a fraction of the cost; a sampled run (bp < 10000)
+    * computes its own sampled join as before. */
+  private def truthBandsFor(s: SparkSession, d: String, sh: DataFrame,
+      bp: Int): DataFrame =
+    if (bp >= 10000)
+      CacheScope.cached(exactPairs05(s, d)
+        .filter(col("jaccard") >= 0.6)
+        .withColumn("j_band",
+          least(expr("shared * 10 div (n1 + n2 - shared)"), lit(9L)))
+        .select(col("d1"), col("d2"), col("j_band")))
+    else truthBands(sh)
 
   /** dd04's truth pipeline with the integer decile band label —
     * dd31/dd34's shared exact tier. Inlined (not a dd04 call) so
@@ -1495,14 +1552,28 @@ object Dedup {
     * Scale: density/route frames ∝ clusters; both keeper rules are
     * the existing bounded-window terminals, and the safe chain is
     * computed once via the session memo (never per-route). */
-  def dd36KeeperPolicy(s: SparkSession, d: String): DataFrame =
-    policyRowsFrom(
-      CacheScope.cached(dd02MinhashLsh(s, d).select(col("d1"), col("d2"))),
-      dd06DupClusters(s, d),
-      dd07KeepBest(s, d).select(col("cluster_id"),
-        col("keeper_id"), col("n_members")),
-      dd28SafeKeepBest(s, d),
-      s.conf.get(keeperDensityBpConf, "5000").toLong)
+  /** dd36's routed policy rows, MEMOIZED per (session, dir) as a
+    * truncated flat frame: the policy terminal is itself a standing
+    * artifact — pp50 anti-joins it on every training-set build and
+    * pp51's purge patch reads its untouched rows — so the routed rows
+    * (∝ clusters) materialize once per session and every consumer's
+    * plan carries one flat leaf instead of the full two-keeper-rule
+    * tree. Memo key carries the conf'd threshold so a session that
+    * re-tunes the knob never reads stale routes. */
+  private val dd36Memo = new SessionMemo[DataFrame]
+
+  def dd36KeeperPolicy(s: SparkSession, d: String): DataFrame = {
+    val thr = s.conf.get(keeperDensityBpConf, "5000").toLong
+    dd36Memo.getOrCompute(s, s"$d#thr=$thr")(memoLive) {
+      policyRowsFrom(
+        CacheScope.cached(dd02MinhashLsh(s, d).select(col("d1"), col("d2"))),
+        dd06DupClusters(s, d),
+        dd07KeepBest(s, d).select(col("cluster_id"),
+          col("keeper_id"), col("n_members")),
+        dd28SafeKeepBest(s, d),
+        thr).truncated
+    }
+  }
 
   /** dd36's routing + selection over EXPLICIT frames — `pairs` the
     * verified edge set of the `labels` components (self-contained,
@@ -1632,7 +1703,13 @@ object Dedup {
     * dd02-banding candidate pair carries its estimates at b ∈ {1,2,4}
     * next to the full-slot estimate (dd09's n_agree), which is the
     * accuracy-vs-bytes trade read directly: where est_bp tracks
-    * est_full_bp at b=2, 4 bytes per signature suffice. Cost: dd09's
+    * est_full_bp at b=2, 4 bytes per signature suffice. Note
+    * (ADVICE r11): the candidate stage honors the conf-selected
+    * banding (`spark.graft.dedup.bandRows`) while the DuckDB oracle
+    * replays the DEFAULT 16×2 geometry — dd09's documented
+    * convention, inherited here: the oracle grades the default
+    * banding only, and a non-default conf run is covered by the
+    * bound/agreement specs, not the hash gate. Cost: dd09's
     * exact frame shape — the collision sums are column arithmetic on
     * the same signature join, no new shuffle; the curve is pair-frame
     * sized (∝ near-dups), never corpus-sized. */

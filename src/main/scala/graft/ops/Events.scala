@@ -558,8 +558,19 @@ object Events {
       round(sum(when(col("event_type") === "purchase", col("value"))
         .otherwise(lit(0.0))), 2).as("monetary"))
     val maxDay = e.agg(max(date_trunc("day", col("ts")).cast("date")).as("corpus_max"))
+    // TRUNCATE the per-user base before the ntile chain: each
+    // exactNtile4 level references its input ≥3 times and the chain is
+    // three deep, so the analyzed tree repeats the base subtree ~27× —
+    // with a gated event source (ev57: the whole ev54 detection chain
+    // under every leaf) the composed plan reached ~2 MB of formatted
+    // text and ANALYSIS time, not data, dominated the query (measured
+    // 6.9 s steady-state vs 0.3 s for the detection chain itself).
+    // A lazy localCheckpoint flattens the base to one LogicalRDD leaf;
+    // ntile output is bit-identical (ranks depend only on values).
+    import graft.ops.Checkpoints.TruncateOps
     val base = perUser.crossJoin(broadcast(maxDay))
       .withColumn("recency_days", datediff(col("corpus_max"), col("last_day")))
+      .truncated
     exactNtile4(
       exactNtile4(
         exactNtile4(base, col("recency_days"), "r_score"),

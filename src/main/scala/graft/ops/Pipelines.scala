@@ -1458,40 +1458,68 @@ object Pipelines {
       affected: DataFrame, survPairs: DataFrame, reclustered: DataFrame,
       passMembers: DataFrame, passKeepers: DataFrame, scores: DataFrame)
 
+  /** The tombstone batch's shared purge GEOMETRY — affected cluster
+    * ids, the survivors' self-contained pair set, its reclustering and
+    * the safe-member decomposition of that subgraph — MEMOIZED per
+    * (session, dir): pp39's cluster patch, pp45's safe patch and
+    * pp51's policy patch all derive the IDENTICAL frames, and the two
+    * propagations inside are EAGER convergence loops whose truncated
+    * outputs plain plan-identity caching can never dedupe (every call
+    * mints fresh checkpoint RDDs) — the dd06/corpusStanding memo
+    * discipline, applied to the purge side (r12 optimization; the
+    * round-11 verdict's proof-cost budget item). */
+  private[graft] final case class PurgeGeom(affected: DataFrame,
+      pairs: DataFrame, recl: DataFrame, safeMembers: DataFrame)
+
+  private val purgeGeomMemo = new SessionMemo[PurgeGeom]
+
+  private[graft] def purgeGeom(s: SparkSession, d: String): PurgeGeom =
+    purgeGeomMemo.getOrCompute(s, d)(g =>
+      Dedup.memoLive(g.recl) && Dedup.memoLive(g.safeMembers)) {
+      val tomb = PurgeLedger.table(s, d)
+      val clusters = Dedup.dd06DupClusters(s, d)
+      val affected = clusters.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct()
+      // survivors of affected clusters; their surviving edges are the
+      // original pair set restricted to those survivors on BOTH ends
+      // (pair edges never cross components, so no cross-cluster edge
+      // can appear), re-clustered to convergence.
+      // `survivors` is batch-AMPLIFIED (∝ affected clusters' sizes — a
+      // purged doc inside a mega boilerplate cluster would blow a
+      // forced broadcast), so its joins are left to AQE; only the
+      // ledger-sized frames keep explicit hints
+      val survivors = clusters
+        .join(broadcast(affected), Seq("cluster_id"), "left_semi")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+      val pairs = CacheScope.cached(
+        Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2"))
+          .join(survivors.withColumnRenamed("doc_id", "d1"), Seq("d1"),
+            "left_semi")
+          .join(survivors.withColumnRenamed("doc_id", "d2"), Seq("d2"),
+            "left_semi"))
+      val reclustered = Dedup.propagateMinLabels(pairs)
+        .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+      // safeMembers truncated: consumed by pp45 and pp51 — a flat leaf
+      // keeps their composed plans (and cache-entry matching) small
+      import graft.ops.Checkpoints.TruncateOps
+      PurgeGeom(affected, pairs, reclustered,
+        Dedup.safeMembersOf(pairs, reclustered).truncated)
+    }
+
   private[graft] def pp39Parts(s: SparkSession, d: String): PurgeParts = {
-    val tomb = PurgeLedger.table(s, d)
+    val g = purgeGeom(s, d)
     val scores = Text.tx02QualityScore(s, d).select(col("doc_id"), col("score"))
     val clusters = Dedup.dd06DupClusters(s, d)
     val keepers = Dedup.keepBestFrom(clusters, scores) // standing artifact
-    val affected = clusters.join(broadcast(tomb), Seq("doc_id"), "left_semi")
-      .select(col("cluster_id")).distinct()
-    val passThrough = keepers.join(broadcast(affected), Seq("cluster_id"),
+    val passThrough = keepers.join(broadcast(g.affected), Seq("cluster_id"),
       "left_anti")
     // an unaffected cluster has NO purged member by construction, so
     // its member rows pass through whole as well
-    val passMembers = clusters.join(broadcast(affected), Seq("cluster_id"),
+    val passMembers = clusters.join(broadcast(g.affected), Seq("cluster_id"),
         "left_anti")
       .select(col("doc_id"), col("cluster_id"))
-    // survivors of affected clusters; their surviving edges are the
-    // original pair set restricted to those survivors on BOTH ends
-    // (pair edges never cross components, so no cross-cluster edge can
-    // appear), re-clustered to convergence
-    // `survivors` is batch-AMPLIFIED (∝ affected clusters' sizes — a
-    // purged doc inside a mega boilerplate cluster would blow a
-    // forced broadcast), so its joins are left to AQE; only the
-    // ledger-sized frames keep explicit hints
-    val survivors = clusters
-      .join(broadcast(affected), Seq("cluster_id"), "left_semi")
-      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"))
-    val pairs = Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2"))
-      .join(survivors.withColumnRenamed("doc_id", "d1"), Seq("d1"),
-        "left_semi")
-      .join(survivors.withColumnRenamed("doc_id", "d2"), Seq("d2"),
-        "left_semi")
-    val reclustered = Dedup.propagateMinLabels(pairs)
-      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
-    PurgeParts(affected, pairs, reclustered, passMembers, passThrough, scores)
+    PurgeParts(g.affected, g.pairs, g.recl, passMembers, passThrough, scores)
   }
 
   /** pp51: keeper-POLICY purge patch — dd36's routed terminal gets
@@ -1659,7 +1687,8 @@ object Pipelines {
 
   private[graft] def clusterUpsertBoth(pairs0: DataFrame, newIds: DataFrame,
       scores: DataFrame,
-      standing: Option[(DataFrame, DataFrame)] = None)
+      standing: Option[(DataFrame, DataFrame)] = None,
+      recl: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
     // CACHE the pair frame once: the composed output plan references
     // the pair subtree ~10× (standing/new/affected derivations, both
@@ -1697,9 +1726,12 @@ object Pipelines {
     val affPairs = standingPairs
       .join(affMembers.withColumnRenamed("doc_id", "d1"), Seq("d1"),
         "left_semi")
-    val reclustered = Dedup.propagateMinLabels(
+    // corpus callers pass the memoized reclustering (one convergence
+    // loop per warm session); explicit-frame callers (the artifact
+    // publisher) run it fresh — the frames differ per fold there
+    val reclustered = recl.getOrElse(Dedup.propagateMinLabels(
         affPairs.unionByName(newPairs))
-      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id")))
     val passMembers = standingClusters
       .join(affected, Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
@@ -1828,13 +1860,41 @@ object Pipelines {
     * upsert ≡ rebuild proof — including welds, where one arrival
     * bridges two standing clusters and the patched keeper table must
     * retire a previously-correct keeper. */
+  /** pp43's affected-side reclustering, MEMOIZED per (session, dir) —
+    * the one eager convergence loop in the upsert proof. The
+    * derivation mirrors [[clusterUpsertBoth]]'s internals over the
+    * memoized corpusStanding frames (pp43's oracle is dd07's full
+    * rebuild, so any drift between the two spellings fails the hash
+    * gate immediately). */
+  private val upsertReclMemo = new SessionMemo[DataFrame]
+
+  private def corpusUpsertRecl(s: SparkSession, d: String): DataFrame =
+    upsertReclMemo.getOrCompute(s, d)(Dedup.memoLive) {
+      val pairs = CacheScope.cached(
+        Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2")))
+      val (standingPairs, standingClusters) = corpusStanding(s, d)
+      val newPairs = pairs.join(standingPairs, Seq("d1", "d2"), "left_anti")
+      val newEnds = newPairs.select(col("d1").as("doc_id"))
+        .unionByName(newPairs.select(col("d2").as("doc_id"))).distinct()
+      val affected = standingClusters.join(newEnds, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct()
+      val affMembers = standingClusters
+        .join(affected, Seq("cluster_id"), "left_semi").select(col("doc_id"))
+      val affPairs = standingPairs
+        .join(affMembers.withColumnRenamed("doc_id", "d1"), Seq("d1"),
+          "left_semi")
+      Dedup.propagateMinLabels(affPairs.unionByName(newPairs))
+        .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+    }
+
   def pp43ClusterUpsert(s: SparkSession, d: String): DataFrame =
     clusterUpsertBoth(
       Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2")),
       Tables.documents(s, d).filter(col("source") === "src0")
         .select(col("doc_id")),
       Text.tx02QualityScore(s, d).select(col("doc_id"), col("score")),
-      Some(corpusStanding(s, d)))._2
+      Some(corpusStanding(s, d)),
+      Some(corpusUpsertRecl(s, d)))._2
 
   /** pp45: safe-keeper PURGE patch — retires the one remaining
     * rebuild-class caveat: dd28's chain-weld-conservative keeper
@@ -1855,35 +1915,17 @@ object Pipelines {
     * `publishPurgedIndex` now re-points safe_keepers here instead of
     * writing the fail-closed invalidation marker. */
   def pp45PatchSafe(s: SparkSession, d: String): DataFrame = {
-    val tomb = PurgeLedger.table(s, d)
+    // the affected subgraph, its reclustering and its safe-member
+    // decomposition all come from the memoized purge geometry — pp39
+    // and pp51 derive the identical frames, and the chain's two
+    // convergence loops run once per session instead of once per call
+    val g = purgeGeom(s, d)
     val scores = Text.tx02QualityScore(s, d)
       .select(col("doc_id"), col("score"))
     val standing = Dedup.dd28SafeKeepBest(s, d) // the standing artifact
-    val clusters = Dedup.dd06DupClusters(s, d)
-    val affected = clusters.join(broadcast(tomb), Seq("doc_id"), "left_semi")
-      .select(col("cluster_id")).distinct()
-    val passThrough = standing.join(affected, Seq("cluster_id"), "left_anti")
-    // affected clusters' surviving members and their edges — the
-    // SELF-CONTAINED subgraph the whole safe chain re-derives on.
-    // Batch-amplified frames (survivors, bridged, the propagations)
-    // carry no forced broadcast — AQE's call, the pp37/39 rule.
-    val survivors = clusters
-      .join(affected, Seq("cluster_id"), "left_semi")
-      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"))
-    val pairs = CacheScope.cached(
-      Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2"))
-        .join(survivors.withColumnRenamed("doc_id", "d1"), Seq("d1"),
-          "left_semi")
-        .join(survivors.withColumnRenamed("doc_id", "d2"), Seq("d2"),
-          "left_semi"))
-    // patched cluster ids for the affected survivors (pp39's
-    // reclustering — splits and dropouts fall out exactly as there),
-    // then the IDENTICAL dd26→dd27→dd28 chain via the shared kernel
-    val recl = Dedup.propagateMinLabels(pairs)
-      .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+    val passThrough = standing.join(g.affected, Seq("cluster_id"), "left_anti")
     passThrough.unionByName(
-      Dedup.safeKeepBestFrom(Dedup.safeMembersOf(pairs, recl), scores))
+      Dedup.safeKeepBestFrom(g.safeMembers, scores))
   }
 
   /** Safe-keeper UPSERT kernel over explicit frames — pp45's
@@ -1923,7 +1965,7 @@ object Pipelines {
     * dd28 rows. */
   private[graft] final case class SafeUpsertParts(
       touched: DataFrame, affPairs: DataFrame, recl: DataFrame,
-      affSafeRows: DataFrame)
+      affSafeMembers: DataFrame, affSafeRows: DataFrame)
 
   private[graft] def safeUpsertParts(standingClusters: DataFrame,
       newPairs: DataFrame, scores: DataFrame)(
@@ -1952,8 +1994,9 @@ object Pipelines {
     val affPairs = affectedPairs(affDocs).truncated
     val recl = Dedup.propagateMinLabels(affPairs)
       .select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
-    SafeUpsertParts(touched, affPairs, recl,
-      Dedup.safeKeepBestFrom(Dedup.safeMembersOf(affPairs, recl), scores))
+    val affSafeMembers = Dedup.safeMembersOf(affPairs, recl)
+    SafeUpsertParts(touched, affPairs, recl, affSafeMembers,
+      Dedup.safeKeepBestFrom(affSafeMembers, scores))
   }
 
   /** pp49: safe-keeper UPSERT patch — retires the LAST fail-closed
@@ -1973,50 +2016,81 @@ object Pipelines {
     * published artifact — pp43's discipline); the production path is
     * `publishFoldedDedup`, which LOADS clusters + safe_keepers and
     * pays only the affected surface. */
+  /** pp49's shared safe-upsert geometry — the touched cluster ids, the
+    * UNTOUCHED subgraph's safe-member decomposition (the standing rows
+    * the patch passes through) and the AFFECTED components' safe-member
+    * decomposition — MEMOIZED per (session, dir): the three eager
+    * convergence loops inside (untouched-chain propagation, affected
+    * reclustering, affected supported-core propagation) mint fresh
+    * checkpoint RDDs every call, so plain plan-identity caching can
+    * never dedupe them across pp49's steady-state runs (the
+    * dd06/corpusStanding/purgeGeom memo discipline; the round-11
+    * verdict's proof-cost budget item). */
+  private val pp49GeomMemo =
+    new SessionMemo[(DataFrame, DataFrame, DataFrame)]
+
+  private def pp49Geom(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) =
+    pp49GeomMemo.getOrCompute(s, d)(t =>
+      Dedup.memoLive(t._2) && Dedup.memoLive(t._3)) {
+      val scores = Text.tx02QualityScore(s, d)
+        .select(col("doc_id"), col("score"))
+      val pairs = CacheScope.cached(
+        Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2")))
+      // the standing pair/cluster frames are the session-memoized pair
+      // pp43's in-query proof also derives — one convergence loop
+      // across both proofs in a warm session
+      val (standingPairs, standingClusters) = corpusStanding(s, d)
+      // CACHE the batch-side frame: the kernel and the untouched
+      // derivation below reference it repeatedly, and every propagation-
+      // round job would otherwise re-run the anti-join
+      val newPairs = CacheScope.cached(
+        pairs.join(standingPairs, Seq("d1", "d2"), "left_anti"))
+      // the kernel consumes the standing safe table ONLY for its
+      // untouched rows (touched clusters' rows are discarded and
+      // recomputed), and untouched clusters' safe rows depend only on
+      // their own edges — so the in-query derivation runs the standing
+      // chain on the UNTOUCHED subgraph alone, exactly what those rows
+      // are, at a fraction of the full standing chain's cost (at the sf
+      // batch ratio most clusters are touched; the wedge + supported-
+      // propagation bill concentrates in the affected recompute, which
+      // is the patch's genuine work either way). Both subgraph frames
+      // are TRUNCATED: the chain's convergence jobs must not re-run the
+      // touched/anti-join lineage every round.
+      import graft.ops.Checkpoints.TruncateOps
+      val newEnds = newPairs.select(col("d1").as("doc_id"))
+        .unionByName(newPairs.select(col("d2").as("doc_id"))).distinct()
+      val touched = standingClusters.join(newEnds, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct()
+      val untouchedClusters = standingClusters
+        .join(touched, Seq("cluster_id"), "left_anti")
+        .truncated
+      val untouchedPairs = standingPairs
+        .join(standingClusters.select(col("doc_id").as("d1"),
+          col("cluster_id")), Seq("d1"))
+        .join(touched, Seq("cluster_id"), "left_anti")
+        .select(col("d1"), col("d2"))
+        .truncated
+      // both safe-member frames truncated: flat leaves for the final
+      // keep-best assembly (the purgeGeom discipline)
+      val standingSafeMembers =
+        Dedup.safeMembersOf(untouchedPairs, untouchedClusters).truncated
+      // affected side: the identical derivation safeUpsertParts runs —
+      // merged components' self-contained edge set, reclustered, then
+      // the exact safe chain on the merged subgraph
+      val p = safeUpsertParts(standingClusters, newPairs, scores)(
+        affDocs => pairs.join(affDocs.withColumnRenamed("doc_id", "d1"),
+          Seq("d1"), "left_semi"))
+      (touched, standingSafeMembers, p.affSafeMembers.truncated)
+    }
+
   def pp49UpsertSafe(s: SparkSession, d: String): DataFrame = {
     val scores = Text.tx02QualityScore(s, d)
       .select(col("doc_id"), col("score"))
-    val pairs = CacheScope.cached(
-      Dedup.dd02MinhashLsh(s, d).select(col("d1"), col("d2")))
-    // the standing pair/cluster frames are the session-memoized pair
-    // pp43's in-query proof also derives — one convergence loop
-    // across both proofs in a warm session
-    val (standingPairs, standingClusters) = corpusStanding(s, d)
-    // CACHE the batch-side frame: the kernel and the untouched
-    // derivation below reference it repeatedly, and every propagation-
-    // round job would otherwise re-run the anti-join
-    val newPairs = CacheScope.cached(
-      pairs.join(standingPairs, Seq("d1", "d2"), "left_anti"))
-    // the kernel consumes the standing safe table ONLY for its
-    // untouched rows (touched clusters' rows are discarded and
-    // recomputed), and untouched clusters' safe rows depend only on
-    // their own edges — so the in-query derivation runs the standing
-    // chain on the UNTOUCHED subgraph alone, exactly what those rows
-    // are, at a fraction of the full standing chain's cost (at the sf
-    // batch ratio most clusters are touched; the wedge + supported-
-    // propagation bill concentrates in the affected recompute, which
-    // is the patch's genuine work either way). Both subgraph frames
-    // are TRUNCATED: the chain's convergence jobs must not re-run the
-    // touched/anti-join lineage every round.
-    import graft.ops.Checkpoints.TruncateOps
-    val newEnds = newPairs.select(col("d1").as("doc_id"))
-      .unionByName(newPairs.select(col("d2").as("doc_id"))).distinct()
-    val touched = standingClusters.join(newEnds, Seq("doc_id"), "left_semi")
-      .select(col("cluster_id")).distinct()
-    val untouchedClusters = standingClusters
-      .join(touched, Seq("cluster_id"), "left_anti")
-      .truncated
-    val untouchedPairs = standingPairs
-      .join(standingClusters.select(col("doc_id").as("d1"),
-        col("cluster_id")), Seq("d1"))
-      .join(touched, Seq("cluster_id"), "left_anti")
-      .select(col("d1"), col("d2"))
-      .truncated
-    val standingSafe = Dedup.safeKeepBestFrom(
-      Dedup.safeMembersOf(untouchedPairs, untouchedClusters), scores)
-    safeUpsertFrom(standingClusters, standingSafe, newPairs, scores)(
-      affDocs => pairs.join(affDocs.withColumnRenamed("doc_id", "d1"),
-        Seq("d1"), "left_semi"))
+    val (touched, standingSafeMembers, affSafeMembers) = pp49Geom(s, d)
+    val standingSafe = Dedup.safeKeepBestFrom(standingSafeMembers, scores)
+    standingSafe.join(touched, Seq("cluster_id"), "left_anti")
+      .unionByName(Dedup.safeKeepBestFrom(affSafeMembers, scores))
   }
 
   /** pp44: lexicon UPSERT — the add direction of pp40, completing the

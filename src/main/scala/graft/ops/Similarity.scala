@@ -1070,11 +1070,19 @@ object Similarity {
     * stays in the codegen'd CosineSim; selection in the
     * partial-aggregable top-k, so the post-join shuffle carries ≤3
     * pairs per (query, task). */
-  def ss18KnnJoin(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val cent = CacheScope.cached(centroids(s, d))
-    knnJoinFrom(Tables.embeddings(s, d), cent)
-  }
+  /** The standing kNN edge table, MEMOIZED per (session, dir) as a
+    * flat frame: ss18's own steady-state runs, ss22/ss24's walk base
+    * and ss26's purge patch all consume the identical build — the
+    * dd06/dd02 memo discipline applied to the graph artifact. */
+  private val knnEdgesMemo = new SessionMemo[DataFrame]
+
+  def ss18KnnJoin(s: SparkSession, d: String): DataFrame =
+    knnEdgesMemo.getOrCompute(s, d)(Dedup.memoLive) {
+      import Checkpoints.TruncateOps
+      GraftFunctions.register(s)
+      val cent = CacheScope.cached(centroids(s, d))
+      knnJoinFrom(Tables.embeddings(s, d), cent).truncated
+    }
 
   /** Every vector of `emb` with its nearest cell under quantizer
     * `cent`, carrying its embedding — the corpus side of the kNN
@@ -1777,7 +1785,8 @@ object Similarity {
     val survAssigned = cellAssignments(s, d)
       .select(col("vec_id"), col("cell"), col("embedding"))
       .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-    val standingEdges = ss18KnnJoin(s, d).truncated
+    // ss18's memo is already a flat materialized frame — no re-truncation
+    val standingEdges = ss18KnnJoin(s, d)
     knnPurgeFrom(survAssigned, cent, standingEdges, tomb)
   }
 }

@@ -930,7 +930,20 @@ object Text {
     * ends on — tx50 consumes the latter directly, so the vocab build
     * costs no second corpus scan and no re-application of the merges
     * (the trainer already segmented every word type). */
+  /** MEMOIZED per (session, dir): tx45, tx46 and tx50 all train the
+    * IDENTICAL merge chain, and each round's truncation mints fresh
+    * checkpoint RDDs per call, so plan-identity caching alone never
+    * dedupes the three trainers (the dd06/dd02 memo discipline). */
+  private val bpeMemo = new SessionMemo[(Seq[DataFrame], DataFrame)]
+
   private def bpeChainWithWords(
+      s: SparkSession, d: String): (Seq[DataFrame], DataFrame) =
+    bpeMemo.getOrCompute(s, d)(t =>
+      (t._1 :+ t._2).forall(graft.ops.Dedup.memoLive)) {
+      bpeChainWithWordsNow(s, d)
+    }
+
+  private def bpeChainWithWordsNow(
       s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
     import Checkpoints.TruncateOps
     var words = bpeWords(s, d).truncated

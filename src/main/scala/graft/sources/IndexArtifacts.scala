@@ -152,21 +152,30 @@ object IndexArtifacts {
   /** Run a producer body, then atomically advance `_SNAPSHOT.json` —
     * every version-advancing entry point in this object returns
     * through here, so the marker only ever names completed-publish
-    * states. */
+    * states.
+    *
+    * The pins MERGE rather than re-derive (ADVICE r11): the new marker
+    * is [previous snapshot's pins] overridden by [exactly the lines
+    * THIS body advanced] (latest-version delta around the body), with
+    * pre-body latest versions as the fallback for lines a legacy root
+    * published before any snapshot existed. Re-deriving every pin from
+    * the CURRENT latest — the old behavior — would let a producer that
+    * publishes one line silently bless another line's torn state (a
+    * multi-line producer crashed mid-publish, or a concurrent writer's
+    * half-advanced pair) into the very marker snapshotReads trusts to
+    * hide such tears. */
   private def snapshotted[T](root: String)(body: => T): T = {
+    def latest: Map[String, Long] = names.flatMap(n =>
+      VersionedCorpus.latestVersion(sub(root, n)).map(n -> _)).toMap
+    val before = latest
     val out = body
-    writeSnapshot(root)
-    out
-  }
-
-  /** Atomically advance `_SNAPSHOT.json` to the current latest of
-    * every published line — the last statement of every producer, so
-    * the marker only ever names completed-publish states. */
-  private def writeSnapshot(root: String): Unit = {
-    val pins = names.flatMap(n =>
-      VersionedCorpus.latestVersion(sub(root, n)).map(v => s""""$n": $v"""))
+    val advanced = latest.filter { case (n, v) => before.get(n).forall(_ < v) }
+    val prev = snapshotVersions(root).getOrElse(Map.empty)
+    val pins = before ++ prev ++ advanced
     atomicWrite(new File(root, "_SNAPSHOT.json"),
-      pins.mkString("{", ", ", "}"))
+      names.flatMap(n => pins.get(n).map(v => s""""$n": $v"""))
+        .mkString("{", ", ", "}"))
+    out
   }
 
   /** Load an artifact — the latest published version by default

