@@ -522,6 +522,13 @@ object Events {
         Window.orderBy(col("_b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_n", sum(col("_c")).over())
+    // per-level lazy truncation: when ntiles CHAIN (ev17/ev57 run
+    // three), each level references its input ≥3×, so the analyzed
+    // tree grows ~3× per level — the flat leaf keeps the chain's
+    // analysis cost linear (the rfmFrom base-truncation finding, one
+    // level deeper). Ranks are pure functions of the input values, so
+    // the output rows are bit-identical.
+    import graft.ops.Checkpoints.TruncateOps
     bucketed
       .join(broadcast(offs.select(col("_b"), col("_off"), col("_n"))), Seq("_b"))
       .withColumn("_r", row_number().over(
@@ -533,6 +540,7 @@ object Events {
           |  ELSE (_n % 4) + (_r - 1 - (_n % 4) * (_n div 4 + 1)) div (_n div 4)
           |END + 1 AS INT)""".stripMargin))
       .drop("_k", "_b", "_off", "_n", "_r")
+      .truncated
   }
 
   /** ev17: RFM segmentation — recency / frequency / monetary quartile

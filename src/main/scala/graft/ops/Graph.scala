@@ -493,9 +493,18 @@ object Graph {
       o.join(li, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct())
+    // pre-partitioned copies of the bipartite frame, one per round-join
+    // key: each of the 5 rounds joins cp on p (auth side) and on c
+    // (hub side) — with the cached copies already hash-partitioned on
+    // the join key, EnsureRequirements re-exchanges only the tiny
+    // score tables per round, never the 600 k-row bipartite frame
+    // (guide §2.4: two operations keyed the same way share one
+    // exchange; the cache persists it across rounds)
+    val cpByP = CacheScope.cached(cp.repartition(col("p")))
+    val cpByC = CacheScope.cached(cp.repartition(col("c")))
     var auth = cp.select(col("p")).distinct().withColumn("a", lit(1L))
     for (_ <- 1 to 5) {
-      val hub = cp.join(auth, Seq("p"))
+      val hub = cpByP.join(auth, Seq("p"))
         .groupBy(col("c")).agg(sum(col("a")).as("h"))
       // cut the per-round part scores: `raw` is referenced twice
       // (mass total + renormalize), and without a cut each reference
@@ -503,7 +512,7 @@ object Graph {
       // compounds 2× per round (31 s → 2.5 s at sf0.1); lazy
       // truncation materializes once without the InMemoryRelation
       // conversion a full cache pays (the minLabelFrom measurement)
-      val raw = cp.join(hub, Seq("c"))
+      val raw = cpByC.join(hub, Seq("c"))
         .groupBy(col("p")).agg(sum(col("h")).as("ar")).truncated
       val mass = raw.agg(sum(col("ar")).as("tot"))
       auth = raw.crossJoin(broadcast(mass))
